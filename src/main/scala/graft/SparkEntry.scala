@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2); every entry with
+  * a matching `oracleSql` is hash-checked against DuckDB on the same
+  * parquet. Entries without oracle SQL (engine-specific hashes, ANN, ML
+  * pipelines) get the driver's rows-only check and are validated in
+  * ScalaTest instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("join_star_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.defs ++
+    graft.queries.Windows.defs ++
+    graft.queries.Scalars.defs ++
+    graft.queries.Taxi.defs ++
+    graft.queries.EventsBatch.defs ++
+    graft.llm.TextOps.defs ++
+    graft.llm.SimSearch.defs
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.sql ++
+    graft.queries.Windows.sql ++
+    graft.queries.Scalars.sql ++
+    graft.queries.Taxi.sql ++
+    graft.queries.EventsBatch.sql ++
+    graft.llm.TextOps.sql ++
+    graft.llm.SimSearch.sql
 }

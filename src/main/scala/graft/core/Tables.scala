@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §2).
+  *
+  * All engine queries take `(spark, sfDir)` and read these parquet files
+  * directly — schema comes from the files (schema-on-read is safe here: the
+  * driver wrote them with explicit types; see FIXTURES.md). At the 100 TB
+  * design point these reads become partitioned FileScans; predicate pushdown
+  * and column pruning reach the scan because every downstream query is
+  * declarative DataFrame code.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet timestamp[ns], which Spark's vectorized reader
+      // rejects. Read nanos as long, truncate to micros (identical to what
+      // DuckDB/pyarrow do when narrowing ns → us for positive epochs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register all tables as temp views (for spark.sql-surface queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.GraftFunctions
+
+/** Similarity search over `embeddings(vec_id, embedding: array<float>,
+  * label)` (BASELINE.json north_star).
+  *
+  * Two paths, per the brief:
+  *  - brute-force cosine top-k: candidates ⋈ broadcast(queries) with the
+  *    codegen'd [[graft.functions.CosineSimilarity]] kernel — the exact
+  *    baseline. Scale shape: the fact side streams, queries broadcast, so
+  *    the only shuffle is the final per-query top-k (tiny).
+  *  - LSH-bucketed ANN: deterministic random-hyperplane signatures (seeded
+  *    hash, not an RNG — resumable/reproducible at any parallelism), join
+  *    on bucket, exact cosine within bucket. The 100 TB path: candidate
+  *    pairs drop from O(N·Q) to O(N·Q / 2^bits) expected.
+  */
+object SimSearch {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic random-hyperplane signature. Hyperplane component for
+    * (plane j, dim i) is hash-derived pseudo-uniform in [-0.5, 0.5) — same
+    * values on every executor, no RNG state to ship, reproducible across
+    * retries/repartitions. */
+  def signature(df: DataFrame, nPlanes: Int = 12): DataFrame =
+    df.withColumn("hp_dots",
+        expr(s"""transform(sequence(0, ${nPlanes - 1}), j ->
+          aggregate(
+            transform(sequence(0, size(embedding) - 1),
+              i -> CAST(embedding[i] AS DOUBLE) *
+                   ((CAST(pmod(hash(j * 1024 + i, 42), 1000) AS DOUBLE) / 1000.0) - 0.5)),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""))
+      .withColumn("sig",
+        expr(s"""aggregate(
+          transform(sequence(0, ${nPlanes - 1}),
+            j -> IF(hp_dots[j] >= 0.0, shiftleft(CAST(1 AS BIGINT), j),
+                    CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .drop("hp_dots")
+
+  val defs: Map[String, Q] = Map(
+    // exact brute-force cosine top-5 per query vector
+    "llm_cosine_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      cands.join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+        .select(col("qid"), col("cid"), col("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    }),
+
+    // k-NN label vote: majority label among top-10 exact neighbors
+    "llm_knn_label" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("label").as("clabel"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      val top10 = cands.join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+      val wVote = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("clabel"))
+      top10.groupBy(col("qid"), col("clabel"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrn", row_number().over(wVote))
+        .filter(col("vrn") === 1)
+        .select(col("qid"), col("clabel").as("predicted_label"), col("votes"))
+    }),
+
+    // ANN via deterministic hyperplane LSH buckets (rows-only oracle;
+    // recall vs brute force is checked in ScalaTest)
+    "llm_ann_lsh" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = signature(t(s, d, "embeddings"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("sig"))
+      val cands = emb
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("sig"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      cands.join(broadcast(queries), Seq("sig"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+        .select(col("qid"), col("cid"), col("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    // same arithmetic, positional unnest join, all in double
+    "llm_cosine_topk" -> """
+      WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) AS dot,
+               sum(q.x * q.x) AS qq,
+               sum(c.x * c.x) AS cc
+        FROM pos q
+        JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+      )
+      SELECT qid, cid, sim, rn FROM (
+        SELECT qid, cid, dot / sqrt(qq * cc) AS sim,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot / sqrt(qq * cc) DESC, cid) AS rn
+        FROM dots
+      ) WHERE rn <= 5""",
+
+    "llm_knn_label" -> """
+      WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)) AS sim
+        FROM pos q
+        JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 50
+        GROUP BY q.vec_id, c.vec_id
+      ), top10 AS (
+        SELECT qid, cid, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM dots
+      ), votes AS (
+        SELECT t.qid, e.label AS clabel, count(*) AS votes
+        FROM top10 t JOIN embeddings e ON t.cid = e.vec_id
+        WHERE t.rn <= 10
+        GROUP BY t.qid, e.label
+      )
+      SELECT qid, clabel AS predicted_label, votes FROM (
+        SELECT qid, clabel, votes,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY votes DESC, clabel) AS vrn
+        FROM votes
+      ) WHERE vrn = 1"""
+  )
+}

@@ -1,0 +1,215 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** LLM-training-data text operators over `documents` (BASELINE.json
+  * north_star: dedup + text analysis, designed for 100 TB).
+  *
+  * Oracle-checked: exact dedup, token stats, quality scoring, language
+  * histograms, exact n-gram Jaccard pairs. Deterministic-but-engine-specific
+  * (hash-based) operators — SimHash, fingerprints, MinHash — are rows-only
+  * checked and validated in ScalaTest against the exact-Jaccard ground truth.
+  *
+  * Scale notes: every operator is a scan + narrow projection or a
+  * shingle-keyed shuffle. Exact pairwise Jaccard is quadratic in the worst
+  * case (all-common shingles) — at 100 TB the MinHash/LSH variants
+  * ([[Dedup]]) are the path; the exact version stays as the correctness
+  * anchor the approximate ones are tested against.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopA = "the"
+  private val stopB = "a"
+
+  /** (doc_id, shingle) distinct 3-gram word shingles — shared by the exact
+    * Jaccard and the hash-based dedup family. */
+  def shingles(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  val defs: Map[String, Q] = Map(
+    // exact dedup: content-hash group (reference-style idempotent keeper =
+    // min doc_id). At scale: one hash-partitioned aggregate, no sort.
+    "llm_exact_dedup" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+    }),
+
+    // token / char accounting (whitespace tokenizer)
+    "llm_token_stats" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars_calc"),
+        (col("n_chars") === length(col("text"))).as("chars_ok"),
+        ((length(col("text")) - size(toks) + 1).cast("double") /
+          size(toks).cast("double")).as("avg_token_len"))
+    }),
+
+    // quality scoring: lexical-diversity + stopword ratios
+    "llm_quality_score" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tokens"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")).as("distinct_ratio"),
+          (expr(s"size(filter(toks, x -> x = '$stopA' OR x = '$stopB'))")
+            .cast("double") / size(col("toks")).cast("double")).as("stop_ratio"),
+          (expr("aggregate(transform(toks, x -> CAST(length(x) AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            / size(col("toks")).cast("double")).as("mean_token_len"))
+    }),
+
+    // language histogram (per-language corpus accounting)
+    "llm_lang_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("total_tokens"),
+          avg(col("n_chars").cast("double")).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs (threshold 0.2): the correctness
+    // anchor for the MinHash/SimHash approximations. Shuffle key = shingle.
+    "llm_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("common"))
+        .join(counts.select(col("doc_id").as("doc1"), col("n_sh").as("n1")), Seq("doc1"))
+        .join(counts.select(col("doc_id").as("doc2"), col("n_sh").as("n2")), Seq("doc2"))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("n1") + col("n2") - col("common")).cast("double"))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc1"), col("doc2"), col("common"), col("jaccard"))
+    }),
+
+    // deterministic rolling-hash document fingerprint (rows-only oracle:
+    // DuckDB 1.0 lacks list_reduce; validated by a ScalaTest golden value)
+    "llm_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(7 AS BIGINT), (acc, x) -> pmod(acc * 31 + x, 1000000007))")
+          .as("fingerprint"))
+    }),
+
+    // SimHash-64: per-token xxhash64 bit votes → 64-bit signature.
+    // Engine-specific hash ⇒ rows-only oracle; ScalaTest checks
+    // hamming(simhash) correlates with exact Jaccard.
+    "llm_simhash" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      toks
+        .select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 63)")).as("bit"))
+        .withColumn("vote",
+          when(expr("(h >> bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(col("vote")).as("v"))
+        .withColumn("bitval",
+          when(col("v") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bitval")).as("simhash"))
+    }),
+
+    // heuristic language-ID: stopword-signature voting (deterministic;
+    // rows-only oracle — the real check is the ScalaTest on labeled data)
+    "llm_langid" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      // signature tokens per language over the fixture vocabulary; with
+      // word-salad data this is a deterministic classifier demo, not a model
+      t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        when(expr("size(filter(split(text, ' '), x -> x = 'the')) > size(filter(split(text, ' '), x -> x = 'a'))"), "en")
+          .otherwise("other").as("lang_guess"),
+        size(toks).as("n_tokens"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "llm_exact_dedup" -> """
+      SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
+      FROM documents GROUP BY md5(text)""",
+
+    "llm_token_stats" -> """
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars_calc,
+             n_chars = length(text) AS chars_ok,
+             CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+      FROM documents""",
+
+    "llm_quality_score" -> """
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+               AS distinct_ratio,
+             CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+             list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+               / CAST(len(toks) AS DOUBLE) AS mean_token_len
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""",
+
+    "llm_lang_stats" -> """
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             avg(CAST(n_chars AS DOUBLE)) AS avg_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang""",
+
+    "llm_ngram_jaccard" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), counts AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT doc1, doc2, common,
+             CAST(common AS DOUBLE) / CAST(n1.n_sh + n2.n_sh - common AS DOUBLE)
+               AS jaccard
+      FROM pairs
+      JOIN counts n1 ON doc1 = n1.doc_id
+      JOIN counts n2 ON doc2 = n2.doc_id
+      WHERE CAST(common AS DOUBLE) / CAST(n1.n_sh + n2.n_sh - common AS DOUBLE)
+            >= 0.2"""
+  )
+}

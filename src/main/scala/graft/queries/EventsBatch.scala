@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Time-window operators over the `events` table, run in BATCH mode so the
+  * DuckDB oracle can check them. The same `window`/`session_window`
+  * expressions are reused by [[graft.streaming.EventStreams]] under
+  * `readStream` + watermark — Spark's batch/streaming unification means the
+  * semantics checked here are the streaming semantics.
+  */
+object EventsBatch {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // tumbling 1h window per event_type
+    "evt_tumbling_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("sum_value"))
+    }),
+
+    // sliding 2h window, 1h slide: each event lands in 2 windows
+    "evt_sliding_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+        .select(col("window.start").as("win_start"), col("n"), col("avg_value"))
+    }),
+
+    // session windows, 30-minute inactivity gap, per user.
+    // Oracle: classic gaps-and-islands (lag + cumulative flag sum).
+    "evt_session_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_last"),
+             sum(col("value")).as("session_value"))
+        .select(col("user_id"), col("session_start"), col("session_last"),
+                col("n_events"), col("session_value"))
+    }),
+
+    // as-of join, composed scale-friendly (SURVEY §2 "as-of / interval
+    // join", §7.4 risk 7): for each purchase, the latest STRICTLY-PRIOR
+    // click of the same user. Implemented as one pass over a
+    // (user_id, ts)-sorted window — O(n) per partition, no range join,
+    // no shuffle beyond the user_id hash partition. DuckDB oracle: ASOF JOIN.
+    "join_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "evt_tumbling_window" -> """
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             count(*) AS n, sum(value) AS sum_value
+      FROM events GROUP BY 1, 2""",
+
+    "evt_sliding_window" -> """
+      SELECT win_start, count(*) AS n, avg(value) AS avg_value
+      FROM (
+        SELECT value,
+               unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+        FROM events
+      ) GROUP BY 1""",
+
+    "evt_session_window" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+      )
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+             count(*) AS n_events, sum(value) AS session_value
+      FROM numbered GROUP BY user_id, sid""",
+
+    "join_asof" -> """
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts < p.ts"""
+  )
+}

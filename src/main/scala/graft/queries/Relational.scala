@@ -1,0 +1,507 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Relational operator surface: aggregations, joins, set ops, sorts
+  * (SURVEY.md §2 tier B/C — "Aggregations", "Joins", "Sorts / limits /
+  * set ops").
+  *
+  * Every query here is paired with ANSI SQL in [[graft.SparkEntry.oracleSql]]
+  * and hash-checked against DuckDB over the same parquet. Column names are
+  * aliased identically on both sides. All queries are deterministic SETS of
+  * rows: any `limit` is preceded by a total order with a unique tiebreaker.
+  *
+  * Scale notes (100 TB design point):
+  *  - Dimension joins (`region` 5, `nation` 25, `supplier`, `customer` at
+  *    small SF) are explicitly `broadcast()` so the fact table never
+  *    shuffles for them.
+  *  - Aggregations are plain `groupBy.agg` → Spark's partial (map-side)
+  *    + final hash aggregate; no `collect` anywhere.
+  *  - The lineitem⋈orders join is an equi-join on the natural key, which
+  *    AQE can convert or skew-split at runtime.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Map[String, Q] = Map(
+    // ---- Aggregations --------------------------------------------------
+    // TPC-H Q1 shape: multi-key hash aggregate with sum/avg/count.
+    // Semantics from reference analytics surface (SURVEY §2 B1/B2).
+    "agg_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2002-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revenue).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // exact count-distinct (HLL/approx variant is bench-only: llm/approx)
+    "agg_count_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ROLLUP region→nation revenue with subtotal labels.
+    "agg_rollup" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(revenue).as("revenue"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("revenue"), col("n"))
+    }),
+
+    // CUBE over two low-cardinality keys.
+    "agg_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+    }),
+
+    // GROUPING SETS via SQL surface.
+    "agg_grouping_sets" -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS st,
+               coalesce(o_orderpriority, 'ALL') AS pri,
+               count(*) AS n, sum(o_totalprice) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      """)
+    }),
+
+    // statistical aggregates
+    "agg_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          stddev_samp(col("l_quantity")).as("sd_qty"),
+          var_samp(col("l_discount")).as("var_disc"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("corr_qp"),
+          covar_samp(col("l_quantity"), col("l_discount")).as("cov_qd"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_tax")).as("max_tax"))
+    }),
+
+    // exact percentiles (interpolating, = SQL percentile_cont)
+    "agg_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
+    }),
+
+    // collect_set canonicalized to a sorted csv string (array hashing is
+    // engine-specific; string form is oracle-stable)
+    "agg_collect" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+          .as("priorities"))
+    }),
+
+    // arg-max/arg-min (max_by/min_by)
+    "agg_minmax_by" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("max_by(o_orderkey, o_totalprice)").as("max_price_order"),
+          expr("min_by(o_orderkey, o_totalprice)").as("min_price_order"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_totalprice")).as("min_price"))
+    }),
+
+    // pivot: event_type → columns (explicit value list keeps the plan
+    // single-pass: groupBy + pivot is one shuffle)
+    "agg_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(col("value")))
+    }),
+
+    // ---- Joins ---------------------------------------------------------
+    // TPC-H Q5 shape: star join, dims broadcast, one fact shuffle.
+    "join_star_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    // left outer: every customer, order stats (0 for orderless customers)
+    "join_left_outer" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+    }),
+
+    // right outer join (orders ⟕← customer from the other side)
+    "join_right_outer" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_nationkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             countDistinct(col("c_custkey")).as("n_customers"))
+    }),
+
+    // full outer: nations by supplier-presence vs customer-presence
+    "join_full_outer" -> ((s, d) => {
+      val su = t(s, d, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cu = t(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      su.join(cu, col("s_nationkey") === col("c_nationkey"), "full")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+    }),
+
+    // left-semi (EXISTS): customers with at least one 'F' order
+    "join_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }),
+
+    // left-anti (NOT EXISTS): customers with no orders at all
+    "join_anti" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_orderless"))
+    }),
+
+    // theta / non-equi self join on a broadcastable dim
+    "join_theta" -> ((s, d) => {
+      val n1 = t(s, d, "nation").select(
+        col("n_nationkey").as("k1"), col("n_name").as("name1"),
+        col("n_regionkey").as("rk1"))
+      val n2 = t(s, d, "nation").select(
+        col("n_nationkey").as("k2"), col("n_name").as("name2"),
+        col("n_regionkey").as("rk2"))
+      n1.join(broadcast(n2), col("rk1") === col("rk2") && col("k1") < col("k2"))
+        .select(col("name1"), col("name2"))
+    }),
+
+    // cross join (tiny × tiny only — scale rule: never cross-join facts)
+    "join_cross" -> ((s, d) => {
+      val r1 = t(s, d, "region").select(col("r_name").as("a"))
+      val r2 = t(s, d, "region").select(col("r_name").as("b"))
+      r1.crossJoin(broadcast(r2))
+    }),
+
+    // TPC-H Q7 shape: double-aliased dim join (reference B5 semantics —
+    // pickup-zone × dropoff-zone generalizes to cust-nation × supp-nation)
+    "join_nation_matrix" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n1 = t(s, d, "nation").select(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val n2 = t(s, d, "nation").select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("cust_nation"), col("supp_nation"))
+        .agg(sum(revenue).as("revenue"))
+    }),
+
+    // ---- Set ops / distinct / sort-limit -------------------------------
+    "set_union_all" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val b = c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
+      a.union(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    "set_intersect" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      a.intersect(b)
+    }),
+
+    "set_except" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      a.except(b)
+    }),
+
+    // unionByName with missing columns (null-filled on both sides)
+    "set_union_by_name" -> ((s, d) => {
+      val su = t(s, d, "supplier").select(
+        col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+        lit("supplier").as("kind"))
+      val cu = t(s, d, "customer").filter(col("c_custkey") <= 100).select(
+        col("c_name").as("name"), lit("customer").as("kind"),
+        col("c_mktsegment").as("segment"))
+      su.unionByName(cu, allowMissingColumns = true)
+    }),
+
+    // multi-key sort with injected nulls, NULLS FIRST, deterministic limit
+    "sort_nulls_limit" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price_or_null"),
+          col("o_orderstatus"))
+        .orderBy(asc_nulls_first("price_or_null"), asc("o_orderkey"))
+        .limit(50)
+    }),
+
+    // distinct on a column pair
+    "distinct_pairs" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()),
+
+    // dropDuplicates-by-key semantics, made deterministic for the oracle:
+    // keep the MIN orderkey per (status, priority) — what dropDuplicates
+    // returns up to tie-order; this form is order-independent.
+    "dedup_subset_keys" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(min(col("o_orderkey")).as("keeper_orderkey")))
+  )
+
+  /** DuckDB-equivalent SQL, same aliases, same table names. */
+  val sql: Map[String, String] = Map(
+    "agg_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(l_extendedprice) AS sum_base_price,
+             sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+             avg(l_quantity) AS avg_qty,
+             avg(l_discount) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2002-09-01'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "agg_count_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_rollup" -> """
+      SELECT coalesce(r_name, 'ALL') AS region_name,
+             coalesce(n_name, 'ALL') AS nation_name,
+             sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             count(*) AS n
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)""",
+
+    "agg_cube" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "agg_grouping_sets" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS st,
+             coalesce(o_orderpriority, 'ALL') AS pri,
+             count(*) AS n, sum(o_totalprice) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "agg_stats" -> """
+      SELECT l_returnflag,
+             stddev_samp(l_quantity) AS sd_qty,
+             var_samp(l_discount) AS var_disc,
+             corr(l_quantity, l_extendedprice) AS corr_qp,
+             covar_samp(l_quantity, l_discount) AS cov_qd,
+             min(l_discount) AS min_disc,
+             max(l_tax) AS max_tax
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_percentile" -> """
+      SELECT l_linestatus,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             quantile_cont(l_extendedprice, 0.25) AS p25_price,
+             quantile_cont(l_extendedprice, 0.75) AS p75_price
+      FROM lineitem GROUP BY l_linestatus""",
+
+    "agg_collect" -> """
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+      FROM orders GROUP BY o_orderstatus""",
+
+    "agg_minmax_by" -> """
+      SELECT o_orderstatus,
+             max_by(o_orderkey, o_totalprice) AS max_price_order,
+             min_by(o_orderkey, o_totalprice) AS min_price_order,
+             max(o_totalprice) AS max_price,
+             min(o_totalprice) AS min_price
+      FROM orders GROUP BY o_orderstatus""",
+
+    "agg_pivot" -> """
+      SELECT user_id,
+             sum(value) FILTER (WHERE event_type = 'click') AS click,
+             sum(value) FILTER (WHERE event_type = 'view') AS view,
+             sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+             sum(value) FILTER (WHERE event_type = 'signup') AS signup,
+             sum(value) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id""",
+
+    "join_star_revenue" -> """
+      SELECT r_name, n_name,
+             sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate <  TIMESTAMP '2000-01-01'
+      GROUP BY r_name, n_name""",
+
+    "join_left_outer" -> """
+      SELECT c_custkey, c_mktsegment,
+             count(o_orderkey) AS n_orders,
+             coalesce(sum(o_totalprice), 0.0) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment""",
+
+    "join_right_outer" -> """
+      SELECT c_nationkey,
+             count(o_orderkey) AS n_orders,
+             count(DISTINCT c_custkey) AS n_customers
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey""",
+
+    "join_full_outer" -> """
+      SELECT coalesce(s.s_nationkey, c.c_nationkey) AS nationkey,
+             coalesce(s.n_suppliers, 0) AS n_suppliers,
+             coalesce(c.n_customers, 0) AS n_customers
+      FROM (SELECT s_nationkey, count(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey) s
+      FULL OUTER JOIN
+           (SELECT c_nationkey, count(*) AS n_customers
+            FROM customer GROUP BY c_nationkey) c
+      ON s.s_nationkey = c.c_nationkey""",
+
+    "join_semi" -> """
+      SELECT c_mktsegment, count(*) AS n
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY c_mktsegment""",
+
+    "join_anti" -> """
+      SELECT c_nationkey, count(*) AS n_orderless
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey""",
+
+    "join_theta" -> """
+      SELECT n1.n_name AS name1, n2.n_name AS name2
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey
+       AND n1.n_nationkey < n2.n_nationkey""",
+
+    "join_cross" -> """
+      SELECT r1.r_name AS a, r2.r_name AS b
+      FROM region r1 CROSS JOIN region r2""",
+
+    "join_nation_matrix" -> """
+      SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+             sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      GROUP BY n1.n_name, n2.n_name""",
+
+    "set_union_all" -> """
+      SELECT k, count(*) AS n FROM (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+      ) GROUP BY k""",
+
+    "set_intersect" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+
+    "set_except" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+
+    "set_union_by_name" -> """
+      SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind,
+             CAST(NULL AS VARCHAR) AS segment
+      FROM supplier
+      UNION ALL
+      SELECT c_name AS name, CAST(NULL AS DOUBLE) AS acctbal,
+             'customer' AS kind, c_mktsegment AS segment
+      FROM customer WHERE c_custkey <= 100""",
+
+    "sort_nulls_limit" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_totalprice END AS price_or_null,
+             o_orderstatus
+      FROM orders
+      ORDER BY price_or_null ASC NULLS FIRST, o_orderkey ASC
+      LIMIT 50""",
+
+    "distinct_pairs" -> """
+      SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+
+    "dedup_subset_keys" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             min(o_orderkey) AS keeper_orderkey
+      FROM orders GROUP BY o_orderstatus, o_orderpriority"""
+  )
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Scalar function families (SURVEY.md §2 "Scalar function families"):
+  * string, date/time, math, conditional, array, JSON, cast.
+  *
+  * All expressions are `org.apache.spark.sql.functions` built-ins →
+  * whole-stage-codegen'd; no UDFs in this file. Oracle parity notes are
+  * inline where Spark and DuckDB semantics diverge (dayofweek origin,
+  * log vs ln, cast-truncation vs cast-rounding).
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") <= 500).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        substring(col("p_name"), 1, 8).as("sub8"),
+        length(col("p_name")).as("len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+        regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
+        translate(col("p_brand"), "AEIOU", "aeiou").as("translated"),
+        reverse(col("p_brand")).as("rev"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"))
+    }),
+
+    "fn_datetime" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        // Spark dayofweek: 1=Sunday..7 — oracle side adds 1 to DuckDB's 0=Sunday
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(lit("2005-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_2005"),
+        // whole-month difference (fractional months_between is Spark-specific)
+        months_between(lit("2005-01-01").cast("timestamp"),
+          date_trunc("month", col("o_orderdate"))).cast("long").as("months_to_2005"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        last_day(col("o_orderdate").cast("date")).as("eom"))
+    }),
+
+    "fn_math" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 500).select(
+        col("l_orderkey"), col("l_linenumber"),
+        // floor/ceil return LONG in Spark but DOUBLE in DuckDB — cast for parity
+        floor(col("l_extendedprice")).cast("double").as("fl"),
+        ceil(col("l_extendedprice")).cast("double").as("ce"),
+        abs(col("l_quantity") - 25.0).as("ab"),
+        pow(col("l_discount"), 2).as("disc_sq"),
+        sqrt(col("l_quantity")).as("rt"),
+        exp(col("l_discount")).as("ex"),
+        // Spark log() is natural log = DuckDB ln() (DuckDB log() is log10)
+        log(col("l_quantity") + 1.0).as("ln_qty"),
+        signum(col("l_quantity") - 25.0).as("sg"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("le"))
+    }),
+
+    "fn_conditional" -> ((s, d) => {
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("PENDING"))
+          .as("status_or_pending"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floor50k"),
+        least(col("o_totalprice"), lit(400000.0)).as("cap400k"))
+    }),
+
+    "fn_array" -> ((s, d) => {
+      // embeddings: array<float>. All arithmetic promoted to double BEFORE
+      // folding so Spark's fold and DuckDB's list_sum see identical values.
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        expr("aggregate(transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          .as("sum_first8"),
+        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+          .as("l2_norm"),
+        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          .as("sum_all"))
+    }),
+
+    "fn_json" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod10"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_struct"))
+    }),
+
+    "fn_cast" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        // Spark double→long cast truncates toward zero; DuckDB CAST rounds,
+        // so the oracle uses CAST(trunc(x)) explicitly.
+        col("o_totalprice").cast("long").as("price_trunc"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"),
+        expr("try_cast(o_orderpriority AS DOUBLE)").as("bad_cast_null"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
+          .as("date_roundtrip"),
+        col("o_orderkey").cast("string").as("key_str"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "fn_string" -> """
+      SELECT p_partkey,
+             lower(p_name) AS lo,
+             upper(p_brand) AS up,
+             substring(p_name, 1, 8) AS sub8,
+             length(p_name) AS len,
+             concat_ws('|', p_brand, p_type) AS cat,
+             lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+             trim('  ' || p_brand || '  ') AS trimmed,
+             regexp_extract(p_name, '[a-z]+') AS first_word,
+             regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+             translate(p_brand, 'AEIOU', 'aeiou') AS translated,
+             reverse(p_brand) AS rev,
+             len(string_split(p_name, ' ')) AS n_words,
+             levenshtein(p_brand, p_type) AS lev
+      FROM part WHERE p_partkey <= 500""",
+
+    "fn_datetime" -> """
+      SELECT o_orderkey,
+             year(o_orderdate) AS yr,
+             month(o_orderdate) AS mo,
+             dayofmonth(o_orderdate) AS dom,
+             quarter(o_orderdate) AS qtr,
+             dayofweek(o_orderdate) + 1 AS dow,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             CAST(o_orderdate AS DATE) + 30 AS plus30,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '2005-01-01')
+               AS days_to_2005,
+             date_diff('month', date_trunc('month', o_orderdate),
+                       TIMESTAMP '2005-01-01') AS months_to_2005,
+             CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             last_day(CAST(o_orderdate AS DATE)) AS eom
+      FROM orders WHERE o_orderkey <= 2000""",
+
+    "fn_math" -> """
+      SELECT l_orderkey, l_linenumber,
+             floor(l_extendedprice) AS fl,
+             ceil(l_extendedprice) AS ce,
+             abs(l_quantity - 25.0) AS ab,
+             pow(l_discount, 2) AS disc_sq,
+             sqrt(l_quantity) AS rt,
+             exp(l_discount) AS ex,
+             ln(l_quantity + 1.0) AS ln_qty,
+             CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
+             ((l_orderkey % 7) + 7) % 7 AS pm,
+             greatest(l_quantity, l_discount * 100) AS gr,
+             least(l_tax, l_discount) AS le
+      FROM lineitem WHERE l_orderkey <= 500""",
+
+    "fn_conditional" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 300000 THEN 'high'
+                  WHEN o_totalprice > 100000 THEN 'mid'
+                  ELSE 'low' END AS price_band,
+             coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+             greatest(o_totalprice, 50000.0) AS floor50k,
+             least(o_totalprice, 400000.0) AS cap400k
+      FROM orders""",
+
+    "fn_array" -> """
+      SELECT vec_id,
+             len(embedding) AS dim,
+             CAST(embedding[1] AS DOUBLE) AS first_elem,
+             list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))
+               AS sum_first8,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS sum_all
+      FROM embeddings""",
+
+    "fn_json" -> """
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+             CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+      FROM events""",
+
+    "fn_cast" -> """
+      SELECT o_orderkey,
+             CAST(trunc(o_totalprice) AS BIGINT) AS price_trunc,
+             TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num,
+             TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast_null,
+             strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+             CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS date_roundtrip,
+             CAST(o_orderkey AS VARCHAR) AS key_str
+      FROM orders WHERE o_orderkey <= 2000"""
+  )
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Window-function surface (SURVEY.md §2 "Window functions").
+  *
+  * Determinism rules for oracle parity:
+  *  - `row_number`/`ntile` only over a TOTAL order (unique tiebreaker).
+  *  - `rank`/`dense_rank`/`percent_rank`/`cume_dist` may see ties — their
+  *    outputs are tie-stable by definition.
+  * Scale: window partitions are `user_id`/`o_custkey`-grained — millions of
+  * small partitions, never one giant partition (a single unpartitioned
+  * window would serialize on one task at 100 TB).
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // ranking family over a unique total order per partition
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          row_number().over(w).as("rn"),
+          rank().over(Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_orderpriority"))).as("rk"),
+          dense_rank().over(Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("o_orderpriority"))).as("drk"))
+        .filter(col("rn") <= 100)
+    }),
+
+    // lag / lead per user ordered by event time (+id tiebreak)
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        lag(col("value"), 2, -1.0).over(w).as("prev2_or_default"))
+    }),
+
+    // running total + running count, rows unbounded-preceding frame
+    "win_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        sum(col("value")).over(w).as("running_sum"),
+        count(lit(1)).over(w).as("running_n"),
+        min(col("value")).over(w).as("running_min"))
+    }),
+
+    // sliding rows frame (moving average over last 3 events)
+    "win_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        avg(col("value")).over(w).as("mavg3"),
+        max(col("value")).over(w).as("mmax3"))
+    }),
+
+    // RANGE frame over a numeric ordering key
+    "win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+        .rangeBetween(-1000, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        count(lit(1)).over(w).as("n_in_range"),
+        sum(col("o_totalprice")).over(w).as("sum_in_range"))
+    }),
+
+    // distribution family: ntile over unique order; percent_rank/cume_dist
+    // over a (possibly tied) value order
+    "win_distribution" -> ((s, d) => {
+      val uniq = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+      val byBal = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(uniq).as("quartile_by_key"),
+        percent_rank().over(byBal).as("pr_bal"),
+        cume_dist().over(byBal).as("cd_bal"))
+    }),
+
+    // first/last value with explicit frame (whole partition)
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+    }),
+
+    // top-k per group (reference B3/B5 generalized): top-3 orders per
+    // customer by totalprice, orderkey tiebreak
+    "win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "win_rank" -> """
+      SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderpriority, o_orderkey) AS rn,
+               rank() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderpriority) AS rk,
+               dense_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderpriority) AS drk
+        FROM orders
+      ) WHERE rn <= 100""",
+
+    "win_lag_lead" -> """
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER w AS prev_value,
+             lead(event_type, 1) OVER w AS next_type,
+             lag(value, 2, -1.0) OVER w AS prev2_or_default
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "win_running" -> """
+      SELECT event_id, user_id,
+             sum(value) OVER w AS running_sum,
+             count(*) OVER w AS running_n,
+             min(value) OVER w AS running_min
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "win_moving_avg" -> """
+      SELECT event_id, user_id,
+             avg(value) OVER w AS mavg3,
+             max(value) OVER w AS mmax3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+
+    "win_range_frame" -> """
+      SELECT o_orderkey, o_orderstatus,
+             count(*) OVER w AS n_in_range,
+             sum(o_totalprice) OVER w AS sum_in_range
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""",
+
+    "win_distribution" -> """
+      SELECT c_custkey, c_mktsegment,
+             ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey)
+               AS quartile_by_key,
+             percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+               AS pr_bal,
+             cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+               AS cd_bal
+      FROM customer""",
+
+    "win_first_last" -> """
+      SELECT event_id, user_id,
+             first_value(event_type) OVER w AS first_type,
+             last_value(event_type) OVER w AS last_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+
+    "win_topk_per_group" -> """
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn <= 3"""
+  )
+}
