@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Taxi.defs ++
     graft.queries.EventsBatch.defs ++
     graft.llm.TextOps.defs ++
-    graft.llm.SimSearch.defs
+    graft.llm.SimSearch.defs ++
+    graft.llm.Dedup.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.sql ++
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Taxi.sql ++
     graft.queries.EventsBatch.sql ++
     graft.llm.TextOps.sql ++
-    graft.llm.SimSearch.sql
+    graft.llm.SimSearch.sql ++
+    graft.llm.Dedup.sql
 }

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.linalg.SparseVector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.GraftFunctions
+
+/** Approximate dedup family for 100 TB corpora (BASELINE.json north_star).
+  * Exact anchors (md5 group, exact n-gram Jaccard) live in [[TextOps]];
+  * this file holds the scale paths:
+  *
+  *  - MinHash+LSH: shingles → sparse term vector → banded min-hash; the
+  *    candidate-pair join is on LSH bucket, so cost is O(near-dup pairs),
+  *    not O(n²). `spark.ml.feature.MinHashLSH.approxSimilarityJoin`
+  *    shuffles on hash-bucket keys — the standard banding trick.
+  *  - SimHash: in [[TextOps]] (`llm_simhash`); hamming-ball grouping here.
+  *  - Embedding near-dup: cosine ≥ threshold via the LSH signature join
+  *    from [[SimSearch]].
+  *
+  * All are rows-only for the driver oracle (hash functions are
+  * engine-specific); `DedupSpec` validates them against the exact-Jaccard
+  * ground truth.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash near-dup candidate pairs at Jaccard distance ≤ maxDist over
+    * 3-gram shingle sets. Deterministic: MinHashLSH seed fixed. */
+  def minhashPairs(s: SparkSession, d: String, maxDist: Double = 0.8): DataFrame = {
+    val sh = TextOps.shingles(s, d)
+      .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("sh"))
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val feats = tf.transform(sh)
+      // MinHashLSH requires at least one non-zero entry
+      .filter(udf((v: SparseVector) => v.numNonzeros > 0).apply(col("features")))
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDist, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc1"),
+        col("datasetB.doc_id").as("doc2"),
+        col("jaccard_dist"))
+      .filter(col("doc1") < col("doc2"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // near-dup pairs via banded MinHash (distance ≤ 0.8 ⇒ est. Jaccard ≥ 0.2)
+    "llm_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+
+    // duplicate clusters: connected doc groups sharing a SimHash signature
+    "llm_simhash_clusters" -> ((s, d) => {
+      val sim = TextOps.defs("llm_simhash")(s, d)
+      sim.groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
+          array_sort(collect_list(col("doc_id"))).as("members"))
+        .filter(col("n_docs") > 1)
+    }),
+
+    // embedding near-dup: cosine ≥ 0.95 within multi-table LSH buckets
+    "llm_embedding_neardup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = SimSearch.signatures(t(s, d, "embeddings"))
+      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+        explode(col("sigs")).as("sig"))
+      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+        explode(col("sigs")).as("sig"))
+      a.join(b, Seq("sig"))
+        .filter(col("id1") < col("id2"))
+        .dropDuplicates("id1", "id2")
+        .withColumn("cos", expr("cosine_similarity(v1, v2)"))
+        .filter(col("cos") >= 0.95)
+        .select(col("id1"), col("id2"), col("cos"))
+    }),
+
+    // dedup EXECUTION (not just detection): keep one doc per near-dup
+    // cluster — union-by-min over minhash pairs approximated by a
+    // keeper = min(doc over pairs) pass, then anti-join the losers out.
+    "llm_dedup_apply" -> ((s, d) => {
+      val pairs = minhashPairs(s, d, maxDist = 0.7)
+      // one round of min-propagation: every doc2 with a smaller doc1 dies
+      val losers = pairs.select(col("doc2").as("doc_id")).distinct()
+      t(s, d, "documents").join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    })
+  )
+
+  val sql: Map[String, String] = Map.empty // engine-specific hashes: rows-only
+}

@@ -22,25 +22,40 @@ import graft.functions.GraftFunctions
 object SimSearch {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic random-hyperplane signature. Hyperplane component for
-    * (plane j, dim i) is hash-derived pseudo-uniform in [-0.5, 0.5) — same
+  /** Deterministic multi-table random-hyperplane signatures (the OR-of-ANDs
+    * LSH construction: a neighbor is a candidate if it shares the FULL
+    * signature in ANY table — recall grows with nTables, candidate-set
+    * size shrinks with bitsPerTable). Hyperplane component for (table t,
+    * plane j, dim i) is hash-derived pseudo-uniform in [-0.5, 0.5) — same
     * values on every executor, no RNG state to ship, reproducible across
-    * retries/repartitions. */
-  def signature(df: DataFrame, nPlanes: Int = 12): DataFrame =
+    * retries/repartitions.
+    *
+    * Adds `sigs: array<bigint>` of length nTables; `sigs[t]` also encodes t
+    * in the high bits so a single explode+equi-join keys on (table, bucket).
+    */
+  def signatures(df: DataFrame, nTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val planes = nTables * bitsPerTable
     df.withColumn("hp_dots",
-        expr(s"""transform(sequence(0, ${nPlanes - 1}), j ->
+        expr(s"""transform(sequence(0, ${planes - 1}), j ->
           aggregate(
             transform(sequence(0, size(embedding) - 1),
               i -> CAST(embedding[i] AS DOUBLE) *
                    ((CAST(pmod(hash(j * 1024 + i, 42), 1000) AS DOUBLE) / 1000.0) - 0.5)),
             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""))
-      .withColumn("sig",
-        expr(s"""aggregate(
-          transform(sequence(0, ${nPlanes - 1}),
-            j -> IF(hp_dots[j] >= 0.0, shiftleft(CAST(1 AS BIGINT), j),
-                    CAST(0 AS BIGINT))),
-          CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+      .withColumn("sigs",
+        expr(s"""transform(sequence(0, ${nTables - 1}), t ->
+          aggregate(
+            transform(sequence(0, ${bitsPerTable - 1}),
+              j -> IF(hp_dots[t * $bitsPerTable + j] >= 0.0,
+                      shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+            shiftleft(CAST(t AS BIGINT), $bitsPerTable), (acc, x) -> acc + x))"""))
       .drop("hp_dots")
+  }
+
+  /** Back-compat single-signature variant (table 0). */
+  def signature(df: DataFrame, nPlanes: Int = 12): DataFrame =
+    signatures(df, nTables = 1, bitsPerTable = nPlanes)
+      .withColumn("sig", expr("sigs[0]")).drop("sigs")
 
   val defs: Map[String, Q] = Map(
     // exact brute-force cosine top-5 per query vector
@@ -81,18 +96,23 @@ object SimSearch {
         .select(col("qid"), col("clabel").as("predicted_label"), col("votes"))
     }),
 
-    // ANN via deterministic hyperplane LSH buckets (rows-only oracle;
-    // recall vs brute force is checked in ScalaTest)
+    // ANN via deterministic multi-table hyperplane LSH (rows-only oracle;
+    // recall vs brute force is checked in ScalaTest). Candidates = union
+    // over tables of same-bucket vectors; exact cosine re-rank within.
     "llm_ann_lsh" -> ((s, d) => {
       GraftFunctions.register(s)
-      val emb = signature(t(s, d, "embeddings"))
+      val emb = signatures(t(s, d, "embeddings"))
       val queries = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("sig"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          explode(col("sigs")).as("sig"))
       val cands = emb
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("sig"))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          explode(col("sigs")).as("sig"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
       cands.join(broadcast(queries), Seq("sig"))
         .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
+        .dropDuplicates("qid", "cid") // same pair may collide in >1 table
         .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
         .select(col("qid"), col("cid"), col("sim"))
         .withColumn("rn", row_number().over(w))

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2
+  * "Streaming"). Transformations are defined once against a generic
+  * DataFrame, so the SAME code runs in batch (oracle-checked in
+  * [[graft.queries.EventsBatch]]) and under `readStream` (exercised in
+  * `StreamingSpec` with file-source replay + `Trigger.AvailableNow`).
+  *
+  * Scale: state stores are keyed by (window, event_type) / user_id —
+  * bounded by watermark eviction; no unbounded state.
+  */
+object EventStreams {
+
+  /** events schema after ns→us narrowing (file streaming sources need an
+    * explicit schema). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source replaying parquet dropped into `dir`. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1h counts with a 10 min watermark (late data beyond the
+    * watermark is dropped — reference has no streaming analogue; semantics
+    * from the Spark guide). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window aggregate (2h window, 1h slide). */
+  def slidingAvg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("win_start"), col("n"), col("avg_value"))
+
+  /** Session windows (30 min gap) per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Stateful exact-once dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static join: enrich the stream with a static dimension. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
+  // ---- arbitrary stateful processing -----------------------------------
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionState(n: Long, total: Double, lastTs: Long)
+  case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState (the
+    * beyond-session_window path of SURVEY §2): emits a session row when a
+    * user goes quiet past the processing-time timeout. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n, s.total))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var closed = List.empty[SessionOut]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (s.n > 0 && e.ts.getTime - s.lastTs >= gapMs) {
+                closed ::= SessionOut(uid, s.n, s.total)
+                s = SessionState(0L, 0.0, 0L)
+              }
+              s = SessionState(s.n + 1, s.total + e.value, e.ts.getTime)
+            }
+            state.update(s)
+            state.setTimeoutDuration(gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run any of the above to a memory sink, processing all available input
+    * once (deterministic batch-replay for tests). Returns the sink table name. */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

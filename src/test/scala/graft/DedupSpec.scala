@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, TextOps}
+
+/** Validates the approximate dedup family against the exact-Jaccard
+  * ground truth (the oracle-checked `llm_ngram_jaccard`). */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("MinHash recalls most true near-dup pairs, with sane precision") {
+    val exact = TextOps.defs("llm_ngram_jaccard")(spark, sf)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+    val truth = exact.filter(col("jaccard") >= 0.3)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(spark, sf, maxDist = 0.8)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    val recalled = truth.intersect(mh).size.toDouble / truth.size
+    assert(recalled >= 0.8, s"MinHash recall too low: $recalled (|truth|=${truth.size}, |mh|=${mh.size})")
+  }
+
+  test("SimHash hamming distance correlates with similarity") {
+    val sim = TextOps.defs("llm_simhash")(spark, sf)
+    // near-dup pairs (exact jaccard >= 0.3) should have smaller hamming
+    // distance on average than random pairs
+    val exact = TextOps.defs("llm_ngram_jaccard")(spark, sf)
+    val withSig = exact
+      .join(sim.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
+      .join(sim.select(col("doc_id").as("doc2"), col("simhash").as("s2")), Seq("doc2"))
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+    val nearAvg = withSig.filter(col("jaccard") >= 0.3)
+      .agg(avg("hamming")).collect()(0).getDouble(0)
+    val sigs = sim.orderBy("doc_id").limit(60).collect().map(_.getLong(1))
+    val randAvg = sigs.sliding(2).map { case Array(a, b) =>
+      java.lang.Long.bitCount(a ^ b).toDouble }.toSeq
+    val randMean = randAvg.sum / randAvg.size
+    assert(nearAvg < randMean,
+      s"near-dup hamming ($nearAvg) should beat random-pair hamming ($randMean)")
+  }
+
+  test("dedup_apply keeps a representative per cluster and drops the rest") {
+    val kept = Dedup.defs("llm_dedup_apply")(spark, sf)
+    val total = graft.core.Tables.t(spark, sf, "documents").count()
+    val k = kept.count()
+    assert(k > 0 && k <= total)
+    // losers are exactly docs appearing as doc2 in a candidate pair
+    val losers = Dedup.minhashPairs(spark, sf, 0.7)
+      .select(col("doc2")).distinct().count()
+    assert(k == total - losers)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.GraftFunctions
+
+/** Differential test for the custom Catalyst expressions (SURVEY.md §7.3):
+  * the codegen'd kernel must agree with the higher-order-function
+  * formulation to 1e-12, on real embeddings and on edge cases. */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def hofCosine = expr(
+    """aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) /
+       sqrt(aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) *
+            aggregate(transform(b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))""")
+
+  test("cosine_similarity matches HOF formulation on real embeddings") {
+    GraftFunctions.register(spark)
+    val emb = t(spark, TestSession.sf, "embeddings")
+    val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("idb"), col("embedding").as("b"))))
+    val diff = pairs
+      .withColumn("expr_cos", expr("cosine_similarity(a, b)"))
+      .withColumn("hof_cos", hofCosine)
+      .select(max(abs(col("expr_cos") - col("hof_cos"))).as("maxdiff"))
+      .collect()(0).getDouble(0)
+    assert(diff < 1e-12, s"codegen vs HOF drift: $diff")
+  }
+
+  test("nulls propagate; zero vectors yield 0.0; dot_product works") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 0.0f)), Some(Array(1.0f, 0.0f))),
+      (Some(Array(1.0f, 2.0f)), Some(Array(0.0f, 0.0f))),
+      (None, Some(Array(1.0f, 1.0f))))
+      .toDF("a", "b")
+    val got = df.selectExpr("cosine_similarity(a, b) AS c", "dot_product(a, b) AS d")
+      .collect()
+    assert(got(0).getDouble(0) === 1.0)
+    assert(got(0).getDouble(1) === 1.0)
+    assert(got(1).getDouble(0) === 0.0) // zero vector → defined 0.0
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1))
+  }
+
+  test("interpreted eval agrees with codegen (fingerprint golden)") {
+    // rolling-hash fingerprint must be stable across releases — golden value
+    import spark.implicits._
+    val fp = Seq("abc").toDF("text").selectExpr(
+      """aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         CAST(7 AS BIGINT), (acc, x) -> pmod(acc * 31 + x, 1000000007))""")
+      .collect()(0).getLong(0)
+    // 7*31+97=314; 314*31+98=9832; 9832*31+99=304891
+    assert(fp == 304891L)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Normalize
+
+/** Golden ingestion-semantics test (SURVEY.md §5.3): the Spark `Normalize`
+  * must behave exactly like the reference `_map_columns`
+  * (`/root/reference/python/ingest_data.py:110-149`): multi-candidate
+  * case-insensitive resolution, missing-column→NULL, coerce-to-NULL
+  * parsing, null-pickup rejection. */
+class NormalizeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("green-taxi spellings resolve; bad timestamps coerce to NULL; null pickups rejected") {
+    val schema = StructType(Seq(
+      StructField("VendorID", IntegerType),
+      StructField("lpep_pickup_datetime", StringType),
+      StructField("lpep_dropoff_datetime", StringType),
+      StructField("Passenger_count", IntegerType),
+      StructField("trip_distance", DoubleType),
+      StructField("fare_amount", DoubleType),
+      StructField("total_amount", DoubleType)))
+    val rows = Seq(
+      Row(Integer.valueOf(2), "2025-11-03 10:00:00", "2025-11-03 10:20:00",
+        Integer.valueOf(1), 2.5, 10.0, 13.5),
+      // unparseable dropoff → NULL, row kept
+      Row(Integer.valueOf(1), "2025-11-04 08:00:00", "not-a-date",
+        null, 1.0, 5.0, 6.0),
+      // null pickup → row rejected
+      Row(Integer.valueOf(1), null, "2025-11-04 09:00:00",
+        Integer.valueOf(3), 0.5, 4.0, 4.5))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = Normalize.normalizeTrips(raw)
+
+    assert(out.columns.toSeq == Normalize.tripColumns.map(_.dest))
+    val got = out.orderBy("pickup_datetime").collect()
+    assert(got.length == 2, "null-pickup row must be rejected")
+    // vendor resolved from VendorID (case-insensitive candidate)
+    assert(got(0).getAs[Int]("vendor_id") == 2)
+    // coerce-to-NULL on the bad dropoff
+    assert(got(1).isNullAt(got(1).fieldIndex("dropoff_datetime")))
+    // null passenger_count survives as NULL (nullable-int semantics)
+    assert(got(1).isNullAt(got(1).fieldIndex("passenger_count")))
+    // absent source columns land as typed NULLs
+    assert(got(0).isNullAt(got(0).fieldIndex("congestion_surcharge")))
+  }
+
+  test("yellow-taxi spellings resolve to the same contract") {
+    val schema = StructType(Seq(
+      StructField("tpep_pickup_datetime", TimestampType),
+      StructField("PULocationID", LongType),
+      StructField("DOLocationID", LongType)))
+    val rows = Seq(Row(java.sql.Timestamp.valueOf("2025-11-01 00:00:00"),
+      java.lang.Long.valueOf(100L), java.lang.Long.valueOf(200L)))
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val got = Normalize.normalizeTrips(raw).collect()(0)
+    assert(got.getAs[Int]("pickup_location_id") == 100)
+    assert(got.getAs[Int]("dropoff_location_id") == 200)
+    assert(!got.isNullAt(got.fieldIndex("pickup_datetime")))
+  }
+
+  test("zones normalize from CSV-shaped input") {
+    import spark.implicits._
+    val raw = Seq(("1", "EWR", "Newark Airport", "EWR"))
+      .toDF("LocationID", "Borough", "Zone", "service_zone")
+    val got = Normalize.normalizeZones(raw).collect()(0)
+    assert(got.getAs[Int]("location_id") == 1)
+    assert(got.getAs[String]("zone") == "Newark Airport")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.SimSearch
+
+/** ANN quality: the LSH-bucketed path must recall a reasonable fraction of
+  * the exact top-5 neighbors (it trades recall for a candidate set
+  * ~2^bits smaller — the 100 TB path). */
+class SimSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("brute-force top-k is self-consistent: top-1 of a vector's own bucket is itself") {
+    val exact = SimSearch.defs("llm_cosine_topk")(spark, sf)
+    // 20 query vectors × 5 neighbors
+    assert(exact.count() == 100)
+    // similarity is a proper cosine: within [-1, 1]
+    val mm = exact.agg(min("sim"), max("sim")).collect()(0)
+    assert(mm.getDouble(0) >= -1.0 - 1e-9 && mm.getDouble(1) <= 1.0 + 1e-9)
+  }
+
+  test("kNN label vote emits one prediction per query") {
+    val knn = SimSearch.defs("llm_knn_label")(spark, sf)
+    assert(knn.count() == 50)
+    assert(knn.filter(col("votes") > 10).count() == 0)
+  }
+
+  test("LSH ANN returns only same-bucket candidates and nonzero recall") {
+    val ann = SimSearch.defs("llm_ann_lsh")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimSearch.defs("llm_cosine_topk")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty, "ANN should find same-bucket neighbors")
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    // fixture neighbors are weak (cos ≈ 0.3 — near-random 64-dim vectors),
+    // so defaults are tuned short-signature/many-tables; with genuinely
+    // close neighbors (cos ≥ 0.8) fewer, longer tables would do
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.streaming.EventStreams
+
+/** Streaming semantics via deterministic file-source replay (SURVEY.md
+  * §5.5): batch/streaming unification means the streamed result of each
+  * operator must equal its batch twin (which is oracle-checked). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  /** events re-materialized with micros ts so the file streaming source
+    * can read it with an explicit schema. */
+  lazy val replayDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString + "/events"
+    t(spark, sf, "events").write.parquet(dir)
+    dir
+  }
+
+  test("streamed tumbling counts equal batch tumbling counts") {
+    val stream = EventStreams.readEventStream(spark, replayDir)
+    EventStreams.runToMemory(
+      EventStreams.tumblingCounts(stream), "tumbling",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val streamed = spark.table("tumbling")
+    val batch = graft.queries.EventsBatch.defs("evt_tumbling_window")(spark, sf)
+    // one AvailableNow replay: all windows are final except possibly those
+    // past the watermark frontier; in a single batch ALL rows are emitted
+    // only for windows older than (max ts - watermark). Compare on the
+    // common set.
+    val s = streamed.select("win_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val b = batch.select("win_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(s.subsetOf(b), "streamed windows must match batch results")
+    assert(s.size >= b.size - 10, s"too few emitted windows: ${s.size} vs ${b.size}")
+  }
+
+  test("stateful dedup drops re-delivered events") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dup").toString + "/in"
+    val ev = t(spark, sf, "events").limit(100)
+    ev.write.parquet(dir)
+    ev.write.mode("append").parquet(dir) // duplicate delivery
+    val stream = EventStreams.readEventStream(spark, dir)
+    EventStreams.runToMemory(EventStreams.dedupStream(stream), "deduped")
+    assert(spark.table("deduped").count() == 100)
+  }
+
+  test("stream-static broadcast enrichment") {
+    import spark.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+      ("signup", 3.0), ("error", -1.0)).toDF("event_type", "weight")
+    val stream = EventStreams.readEventStream(spark, replayDir)
+    EventStreams.runToMemory(EventStreams.enrich(stream, dim), "enriched")
+    val got = spark.table("enriched")
+    assert(got.count() == t(spark, sf, "events").count())
+    assert(got.filter(col("weight").isNull).count() == 0)
+  }
+
+  test("session windows via session_window: streamed subset of batch") {
+    val stream = EventStreams.readEventStream(spark, replayDir)
+    EventStreams.runToMemory(EventStreams.sessionAgg(stream), "sessions")
+    val streamed = spark.table("sessions")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = graft.queries.EventsBatch.defs("evt_session_window")(spark, sf)
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed.subsetOf(batch))
+    assert(streamed.nonEmpty)
+  }
+}

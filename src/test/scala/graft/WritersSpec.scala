@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.Writers
+
+/** Idempotency parity with the reference's windowed-DELETE semantics
+  * (SURVEY.md §7.4 risk 5): dynamic partition overwrite must (a) be
+  * re-run-safe, (b) replace only months present in the batch, (c) keep
+  * cross-month rows from the batch (the reference inserts rows outside
+  * the delete window too). */
+class WritersSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def trips(rows: (String, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("pickup", "total_amount")
+      .select(col("pickup").cast("timestamp").as("pickup_datetime"),
+        col("total_amount"))
+  }
+
+  test("re-running the same month is idempotent; other months untouched") {
+    val dir = Files.createTempDirectory("graft-writer").toString + "/trips"
+    // initial load: Oct + Nov rows
+    Writers.writeTripsMonthly(
+      trips("2025-10-15 10:00:00" -> 10.0, "2025-11-01 09:00:00" -> 20.0), dir)
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // re-run November with revised data (one extra row) — Oct must survive,
+    // Nov must be replaced not duplicated
+    Writers.writeTripsMonthly(
+      trips("2025-11-01 09:00:00" -> 20.0, "2025-11-02 11:00:00" -> 30.0), dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3)
+    assert(after.filter(col("trip_month") === "2025-10").count() == 1)
+    assert(after.filter(col("trip_month") === "2025-11").count() == 2)
+
+    // exact re-run = no-op on counts (write∘write ≡ write)
+    Writers.writeTripsMonthly(
+      trips("2025-11-01 09:00:00" -> 20.0, "2025-11-02 11:00:00" -> 30.0), dir)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("dimension truncate-and-replace") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dim").toString + "/zones"
+    Writers.writeDimension(Seq((1, "a"), (2, "b")).toDF("id", "z"), dir)
+    Writers.writeDimension(Seq((3, "c")).toDF("id", "z"), dir)
+    val got = spark.read.parquet(dir).collect()
+    assert(got.length == 1 && got(0).getInt(0) == 3)
+  }
+}
