@@ -71,10 +71,11 @@ object Dedup {
         explode(col("sigs")).as("sig"))
       a.join(b, Seq("sig"))
         .filter(col("id1") < col("id2"))
-        .dropDuplicates("id1", "id2")
+        // cosine before dedup: cheaper than shuffling arrays (see ann_lsh)
         .withColumn("cos", expr("cosine_similarity(v1, v2)"))
         .filter(col("cos") >= 0.95)
         .select(col("id1"), col("id2"), col("cos"))
+        .dropDuplicates("id1", "id2")
     }),
 
     // dedup EXECUTION (not just detection): keep one doc per near-dup

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.t
@@ -22,34 +22,38 @@ import graft.functions.GraftFunctions
 object SimSearch {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic hyperplane component for (plane p, dim i): Murmur3-derived
+    * pseudo-uniform in [-0.5, 0.5). Computed ON THE DRIVER and shipped as a
+    * literal — the first (interpreted-HOF) implementation recomputed 4096
+    * hash() lambda calls per ROW and dominated the whole benchmark; as plan
+    * constants the per-row work is just nTables×bits codegen'd dot products. */
+  private def planeVector(plane: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashInt(plane * 1024 + i, 42)
+      (((h % 1000) + 1000) % 1000) / 1000.0f - 0.5f
+    }
+
   /** Deterministic multi-table random-hyperplane signatures (the OR-of-ANDs
     * LSH construction: a neighbor is a candidate if it shares the FULL
     * signature in ANY table — recall grows with nTables, candidate-set
-    * size shrinks with bitsPerTable). Hyperplane component for (table t,
-    * plane j, dim i) is hash-derived pseudo-uniform in [-0.5, 0.5) — same
-    * values on every executor, no RNG state to ship, reproducible across
-    * retries/repartitions.
+    * size shrinks with bitsPerTable). Same plane matrix on every executor,
+    * no RNG state to ship, reproducible across retries/repartitions.
     *
     * Adds `sigs: array<bigint>` of length nTables; `sigs[t]` also encodes t
     * in the high bits so a single explode+equi-join keys on (table, bucket).
     */
-  def signatures(df: DataFrame, nTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
-    val planes = nTables * bitsPerTable
-    df.withColumn("hp_dots",
-        expr(s"""transform(sequence(0, ${planes - 1}), j ->
-          aggregate(
-            transform(sequence(0, size(embedding) - 1),
-              i -> CAST(embedding[i] AS DOUBLE) *
-                   ((CAST(pmod(hash(j * 1024 + i, 42), 1000) AS DOUBLE) / 1000.0) - 0.5)),
-            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""))
-      .withColumn("sigs",
-        expr(s"""transform(sequence(0, ${nTables - 1}), t ->
-          aggregate(
-            transform(sequence(0, ${bitsPerTable - 1}),
-              j -> IF(hp_dots[t * $bitsPerTable + j] >= 0.0,
-                      shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-            shiftleft(CAST(t AS BIGINT), $bitsPerTable), (acc, x) -> acc + x))"""))
-      .drop("hp_dots")
+  def signatures(df: DataFrame, nTables: Int = 16, bitsPerTable: Int = 4,
+                 dim: Int = 64): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val sigCols: Seq[Column] = (0 until nTables).map { tt =>
+      (0 until bitsPerTable).map { j =>
+        val dot = call_function("dot_product",
+          col("embedding"), typedlit(planeVector(tt * bitsPerTable + j, dim)))
+        when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(tt.toLong << bitsPerTable)
+    }
+    df.withColumn("sigs", array(sigCols: _*))
   }
 
   /** Back-compat single-signature variant (table 0). */
@@ -111,10 +115,11 @@ object SimSearch {
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
       cands.join(broadcast(queries), Seq("sig"))
         .filter(col("cid") =!= col("qid"))
-        .select(col("qid"), col("cid"), col("qvec"), col("cvec"))
-        .dropDuplicates("qid", "cid") // same pair may collide in >1 table
+        // cosine BEFORE dedup: re-scoring a multi-table collision is cheaper
+        // than shuffling the embedding arrays through dropDuplicates
         .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
         .select(col("qid"), col("cid"), col("sim"))
+        .dropDuplicates("qid", "cid") // same pair may collide in >1 table
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
     })
