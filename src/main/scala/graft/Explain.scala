@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints the formatted physical plan for the named
+  * queries (default: scale-critical headliners) so broadcast choices,
+  * parquet pushdown (`PushedFilters`/`ReadSchema`) and whole-stage-codegen
+  * spans can be reviewed per change.
+  *
+  *   runMain graft.Explain [sfDir] [query ...]
+  */
+object Explain {
+  val headliners = Seq("join_star_revenue", "agg_pricing_summary",
+    "taxi_bucket_segmentation", "win_topk_per_group", "llm_cosine_topk",
+    "join_asof", "llm_ngram_jaccard")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else headliners
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

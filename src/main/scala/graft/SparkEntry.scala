@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Scalars.defs ++
     graft.queries.Taxi.defs ++
     graft.queries.EventsBatch.defs ++
+    graft.queries.Extended.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.SimSearch.defs ++
     graft.llm.Dedup.defs
@@ -32,6 +33,7 @@ object SparkEntry {
     graft.queries.Scalars.sql ++
     graft.queries.Taxi.sql ++
     graft.queries.EventsBatch.sql ++
+    graft.queries.Extended.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.SimSearch.sql ++
     graft.llm.Dedup.sql

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB design point (SURVEY.md §2
+  * "Partitioning & shuffle"): bucketed co-located joins, skew salting,
+  * partition-local sort.
+  *
+  * These are the knobs the reference solved with B-tree indexes and a
+  * single sequential process (`sql/init.sql:45-47`); on Spark the
+  * equivalents are table LAYOUT (bucketing ≈ join index), SALT (skew
+  * spreading), and partition-aware writes.
+  */
+object Partitioning {
+
+  /** Write a table bucketed+sorted by the join key. Two tables bucketed the
+    * same way join WITHOUT a shuffle on either side (verified in
+    * PartitioningSpec by asserting the executed plan has no Exchange) —
+    * the Spark analogue of the reference's location-id B-trees. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int = 8): Unit =
+    df.write
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Skew-spreading join: FACT side gets a row-local salt in [0, n);
+    * DIM side is replicated n× with every salt value; the join key becomes
+    * (key, salt), so one hot key spreads over n reducers. Result set is
+    * identical to the unsalted join (checked by property test).
+    *
+    * Use when AQE's skew-join splitting isn't available/enough (e.g. a
+    * hot-100 key in a 100 TB fact table). `saltSource` defaults to a
+    * per-row pseudo-random derived from all fact columns — deterministic
+    * for a given row content, no RNG state. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     nSalts: Int = 16, saltSource: Option[Column] = None)
+      : DataFrame = {
+    val salt = saltSource.getOrElse(
+      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(nSalts)))
+    val saltedFact = fact.withColumn("__salt", salt)
+    val saltedDim = dim
+      .withColumn("__salt", explode(expr(s"sequence(0, ${nSalts - 1})")))
+      .withColumn("__salt", col("__salt").cast("bigint"))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Partition-local sort (no global shuffle) — e.g. to lay out parquet
+    * row groups by a pruning key within each partition. */
+  def sortWithin(df: DataFrame, cols: String*): DataFrame =
+    df.sortWithinPartitions(cols.map(col): _*)
+
+  /** Range-partition + global sort layout for write-time clustering. */
+  def clusterBy(df: DataFrame, n: Int, cols: String*): DataFrame =
+    df.repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Second-wave operator coverage (SURVEY.md §2): map functions, generators
+  * (explode/posexplode), unpivot, interval RANGE frames, approximate
+  * distinct, TF-IDF.
+  */
+object Extended {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // map family over JSON-derived and constructed maps
+    "fn_map" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        size(map_keys(from_json(col("props"), lit("map<string,int>"))))
+          .as("n_keys"),
+        concat_ws(",", array_sort(map_keys(
+          from_json(col("props"), lit("map<string,int>"))))).as("keys_csv"),
+        element_at(from_json(col("props"), lit("map<string,int>")), "k")
+          .as("k_val"),
+        // constructed map: element_at(map('a', v, 'b', -v), 'b') ≡ -v
+        element_at(map(lit("a"), col("value"), lit("b"), -col("value")), "b")
+          .as("b_val"))
+    }),
+
+    // generator surface: posexplode with ordinality
+    "fn_explode" -> ((s, d) => {
+      t(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    }),
+
+    // unpivot (wide → long)
+    "set_unpivot" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("o_totalprice")).as("total"),
+             count(lit(1)).cast("double").as("cnt"))
+        .unpivot(
+          Array(col("o_orderstatus")),
+          Array(col("total"), col("cnt")),
+          "metric", "val")
+    }),
+
+    // RANGE frame over event-time intervals (trailing 1 hour per user)
+    "win_range_interval" -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_last_hour,
+               sum(value) OVER w AS sum_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      """)
+    }),
+
+    // HyperLogLog++ approximate distinct (rows-only oracle: sketch values
+    // are engine-specific; ApproxSpec bounds the error vs exact)
+    "agg_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+             approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+    }),
+
+    // TF-IDF top-3 terms per document (pure relational formulation —
+    // explode → tf counts → df counts → broadcast(N) — so the oracle can
+    // replicate it; the ml HashingTF/IDF pipeline variant is in TfIdfSpec)
+    "llm_tfidf" -> ((s, d) => {
+      val toks = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val allToks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = allToks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rn"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "fn_map" -> """
+      SELECT event_id,
+             len(json_keys(props)) AS n_keys,
+             array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+             CAST(props->>'k' AS INT) AS k_val,
+             -value AS b_val
+      FROM events""",
+
+    "fn_explode" -> """
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 50""",
+
+    "set_unpivot" -> """
+      SELECT * FROM (
+        SELECT o_orderstatus, sum(o_totalprice) AS total,
+               CAST(count(*) AS DOUBLE) AS cnt
+        FROM orders GROUP BY o_orderstatus
+      ) UNPIVOT (val FOR metric IN (total, cnt))""",
+
+    "win_range_interval" -> """
+      SELECT event_id, user_id,
+             count(*) OVER w AS n_last_hour,
+             sum(value) OVER w AS sum_last_hour
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+
+    "llm_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ), tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE doc_id < 100 GROUP BY doc_id, tok
+      ), dfreq AS (
+        SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+        GROUP BY tok
+      )
+      SELECT doc_id, tok, tf, df, rn FROM (
+        SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * ln(((SELECT count(*) FROM documents) + 1.0)
+                                     / (dfreq.df + 1.0)) DESC, tf.tok) AS rn
+        FROM tf JOIN dfreq USING (tok)
+      ) WHERE rn <= 3"""
+  )
+}

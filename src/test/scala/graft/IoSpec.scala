@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink matrix (SURVEY.md §2 "Scans / sources / sinks"): CSV with
+  * schema/nullValue/dateFormat, JSON incl. multiline, parquet roundtrip
+  * with schema enforcement. (JDBC is code-complete in etl.Writers; no
+  * database exists in this environment to drive it.) */
+class IoSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("csv scan honors schema, nullValue and dateFormat") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("data.csv"),
+      "id,amount,day\n1,10.5,2025/11/03\n2,NA,2025/11/04\n3,7.25,NA\n")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("amount", DoubleType),
+      StructField("day", DateType)))
+    val df = spark.read
+      .option("header", "true").option("nullValue", "NA")
+      .option("dateFormat", "yyyy/MM/dd")
+      .schema(schema).csv(dir.toString)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(1), "NA must map to NULL")
+    assert(rows(2).isNullAt(2))
+    assert(rows(0).getDate(2).toString == "2025-11-03")
+  }
+
+  test("json scan: line-delimited and multiline") {
+    val dir = Files.createTempDirectory("graft-json")
+    Files.writeString(dir.resolve("a.json"),
+      """{"k": 1, "s": "x"}
+        |{"k": 2, "s": "y", "extra": true}
+        |""".stripMargin)
+    val df = spark.read.json(dir.toString)
+    assert(df.count() == 2)
+    assert(df.columns.toSet == Set("k", "s", "extra"))
+
+    val mdir = Files.createTempDirectory("graft-json-m")
+    Files.writeString(mdir.resolve("b.json"),
+      """[
+        |  {"k": 1},
+        |  {"k": 2}
+        |]""".stripMargin)
+    val mdf = spark.read.option("multiLine", "true").json(mdir.toString)
+    assert(mdf.count() == 2)
+  }
+
+  test("parquet roundtrip preserves schema and values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pq").toString + "/t"
+    val src = Seq((1L, Some(2.5), "a"), (2L, None, null))
+      .toDF("id", "v", "s")
+    src.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    // parquet reads everything back nullable — compare names+types only
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+  }
+
+  test("schema-enforced read rejects nothing silently: corrupt column stays null") {
+    val dir = Files.createTempDirectory("graft-badcsv")
+    Files.writeString(dir.resolve("d.csv"), "id,n\n1,notanumber\n2,5\n")
+    val df = spark.read.option("header", "true")
+      .schema("id INT, n INT").csv(dir.toString)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getInt(1) == 5)
+  }
+}

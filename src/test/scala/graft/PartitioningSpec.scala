@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.ops.Partitioning
+
+/** Physical-layout behaviors: bucketed join must be shuffle-free, salted
+  * join must be result-identical to the plain join, partition-local sort
+  * must actually sort within partitions. */
+class PartitioningSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  val sf = TestSession.sf
+
+  test("bucketed-by-key join executes without a shuffle") {
+    Partitioning.writeBucketed(
+      t(spark, sf, "orders"), "b_orders", "o_orderkey", 4)
+    Partitioning.writeBucketed(
+      t(spark, sf, "lineitem"), "b_lineitem", "l_orderkey", 4)
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the join itself must not introduce an Exchange on either side; the
+    // only allowed exchange is the final aggregation shuffle
+    val joinPart = plan.split("HashAggregate").last
+    assert(joinPart.contains("SortMergeJoin") || joinPart.contains("BroadcastHashJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join re-shuffled the fact side:\n$plan")
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join re-shuffled the build side:\n$plan")
+  }
+
+  test("salted join returns exactly the plain-join result") {
+    val li = t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val o = t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val salted = Partitioning.saltedEquiJoin(li, o, "l_orderkey", nSalts = 8)
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, v) =>
+      assert(math.abs(v - salted(k)) < 1e-6, s"mismatch at $k") }
+  }
+
+  test("sortWithinPartitions yields monotone runs per partition, no shuffle") {
+    val df = Partitioning.sortWithin(
+      t(spark, sf, "orders").repartition(4, col("o_orderstatus")), "o_orderkey")
+    assert(!df.queryExecution.executedPlan.toString
+      .split("Sort ").last.contains("ENSURE_REQUIREMENTS, [plan_id"))
+    val ok = df.select("o_orderkey")
+      .mapPartitions { it =>
+        val keys = it.map(_.getLong(0)).toSeq
+        Iterator.single(keys == keys.sorted)
+      }(org.apache.spark.sql.Encoders.scalaBoolean)
+      .collect()
+    assert(ok.forall(identity))
+  }
+
+  test("approx_count_distinct within rsd bounds of exact") {
+    val got = graft.queries.Extended.defs("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = t(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = got(k)
+      assert(math.abs(a - n).toDouble / n < 0.15, s"$k: approx $a vs exact $n")
+    }
+  }
+}
