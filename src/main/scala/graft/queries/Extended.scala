@@ -65,7 +65,9 @@ object Extended {
     "agg_approx_distinct" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-             approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+             approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+               .as("approx_median_price"))
     }),
 
     // TF-IDF top-3 terms per document (pure relational formulation —

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Spark-specific scalar functions with no DuckDB oracle twin (SURVEY §2
+  * scalar families): behavior pinned by example. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("soundex and initcap") {
+    val r = Seq(("robert", "hello world")).toDF("a", "b")
+      .select(soundex($"a"), initcap($"b")).collect()(0)
+    assert(r.getString(0) == "R163")
+    assert(r.getString(1) == "Hello World")
+  }
+
+  test("months_between fractional semantics (31-day month rule)") {
+    val r = Seq(1).toDF("x").select(
+      months_between(lit("2024-03-15 00:00:00").cast("timestamp"),
+        lit("2024-01-31 00:00:00").cast("timestamp")).as("m")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.4838709677) < 1e-6)
+  }
+
+  test("make_timestamp composes timestamps from parts") {
+    val r = Seq((2024, 2, 29, 13, 30, 15.5)).toDF("y", "mo", "d", "h", "mi", "s")
+      .select(expr("make_timestamp(y, mo, d, h, mi, s)").cast("string")).collect()(0)
+    assert(r.getString(0) == "2024-02-29 13:30:15.5")
+  }
+
+  test("bround banker's rounding vs round half-up") {
+    val r = Seq((2.5, 3.5)).toDF("a", "b").select(
+      bround($"a"), bround($"b"), round($"a"), round($"b")).collect()(0)
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 4.0) // half-even
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 4.0) // half-up
+  }
+
+  test("rand(seed) is deterministic across runs for a fixed plan") {
+    def sample() = spark.range(100).select(rand(42).as("r"))
+      .collect().map(_.getDouble(0)).toSeq
+    val a = sample(); val b = sample()
+    assert(a == b)
+    assert(a.forall(v => v >= 0.0 && v < 1.0))
+  }
+
+  test("levenshtein/translate/repeat/instr behave as documented") {
+    val r = Seq(("kitten", "sitting")).toDF("a", "b").select(
+      levenshtein($"a", $"b"),
+      translate($"a", "kt", "KT"),
+      repeat(lit("ab"), 3),
+      instr($"b", "tt")).collect()(0)
+    assert(r.getInt(0) == 3)
+    assert(r.getString(1) == "KiTTen")
+    assert(r.getString(2) == "ababab")
+    assert(r.getInt(3) == 3)
+  }
+}

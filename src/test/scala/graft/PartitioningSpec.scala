@@ -13,6 +13,16 @@ class PartitioningSpec extends AnyFunSuite {
   val sf = TestSession.sf
 
   test("bucketed-by-key join executes without a shuffle") {
+    // a previous JVM's managed-table dirs survive while the in-memory
+    // metastore doesn't — clear both, or saveAsTable refuses the location
+    Seq("b_orders", "b_lineitem").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Partitioning.writeBucketed(
       t(spark, sf, "orders"), "b_orders", "o_orderkey", 4)
     Partitioning.writeBucketed(

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Normalize
+
+/** Property-based checks (SURVEY.md §5.4): normalization totality over
+  * arbitrary column subsets/casings, and algebraic invariants of the
+  * custom similarity kernel. Generators are driven with fixed seeds so
+  * runs are deterministic. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val candidatePool: Seq[(String, DataType)] = Seq(
+    "VendorID" -> IntegerType, "lpep_pickup_datetime" -> StringType,
+    "tpep_pickup_datetime" -> StringType, "pickup_datetime" -> StringType,
+    "Passenger_count" -> IntegerType, "trip_distance" -> DoubleType,
+    "fare_amount" -> DoubleType, "total_amount" -> DoubleType,
+    "PULocationID" -> LongType, "unrelated_col" -> StringType)
+
+  private val subsetGen: Gen[Seq[(String, DataType)]] = for {
+    n <- Gen.choose(1, candidatePool.size)
+    cols <- Gen.pick(n, candidatePool)
+    cased <- Gen.sequence[Seq[String], String](cols.map(c =>
+      Gen.oneOf(c._1, c._1.toLowerCase, c._1.toUpperCase)))
+  } yield cased.zip(cols.map(_._2)).toSeq
+
+  test("normalizeTrips is total: any column subset/casing yields the fixed contract") {
+    samples(subsetGen, 25).foreach { cols =>
+      // dedupe case-collisions (a schema can't hold two same-named cols)
+      val distinctCols = cols.groupBy(_._1.toLowerCase).map(_._2.head).toSeq
+      val schema = StructType(distinctCols.map { case (n, t) => StructField(n, t) })
+      val row = Row.fromSeq(distinctCols.map {
+        case (_, IntegerType) => Integer.valueOf(1)
+        case (_, LongType)    => java.lang.Long.valueOf(2L)
+        case (_, DoubleType)  => java.lang.Double.valueOf(3.5)
+        case _                => "2025-11-01 10:00:00"
+      })
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row)), schema)
+      val out = Normalize.normalizeTrips(df)
+      assert(out.columns.toSeq == Normalize.tripColumns.map(_.dest))
+      out.collect() // must not throw regardless of which columns exist
+    }
+  }
+
+  test("cosine similarity is symmetric, bounded, and 1.0 on self") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.choose(-5.0f, 5.0f)).map(_.toArray)
+      .suchThat(v => v.exists(_ != 0.0f))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 30)
+    val df = pairs.toDF("a", "b").selectExpr(
+      "cosine_similarity(a, b) AS ab",
+      "cosine_similarity(b, a) AS ba",
+      "cosine_similarity(a, a) AS aa")
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+}

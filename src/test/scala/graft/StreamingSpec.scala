@@ -62,6 +62,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("weight").isNull).count() == 0)
   }
 
+  test("flatMapGroupsWithState sessionization closes gap-separated sessions") {
+    import spark.implicits._
+    // batch-mode execution of the stateful function: every session CLOSED
+    // by a ≥30min gap inside the data is emitted; the trailing open session
+    // per user is retained in (discarded) state, not emitted
+    val ev = t(spark, sf, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Ev]
+    val out = EventStreams.sessionize(ev).collect()
+    val batchSessions = graft.queries.EventsBatch.defs("evt_session_window")(spark, sf)
+    val expected = batchSessions.count() -
+      batchSessions.select("user_id").distinct().count() // minus open tails
+    assert(out.length == expected,
+      s"closed sessions ${out.length} != gaps-and-islands minus tails $expected")
+    assert(out.forall(s => s.n_events > 0 && s.user_id >= 0))
+  }
+
   test("session windows via session_window: streamed subset of batch") {
     val stream = EventStreams.readEventStream(spark, replayDir)
     EventStreams.runToMemory(EventStreams.sessionAgg(stream), "sessions")
