@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Streaming CLI surface: replays an events parquet directory through a
+  * chosen streaming operator into an in-memory sink and prints the result —
+  * the runnable proof that the oracle-checked batch expressions run
+  * unchanged under `readStream` + watermark.
+  *
+  *   runMain graft.Stream <eventsDir> [tumbling|sliding|session|dedup]
+  *
+  * `<eventsDir>` must contain micros-timestamp events parquet (e.g. written
+  * by `Tables.t(spark, sf, "events").write.parquet(dir)`).
+  */
+object Stream {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Stream <eventsDir> [op]")
+    val dir = args(0)
+    val op = if (args.length > 1) args(1) else "tumbling"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-stream")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = EventStreams.readEventStream(spark, dir)
+    val (out, mode) = op match {
+      case "tumbling" => (EventStreams.tumblingCounts(src), OutputMode.Append)
+      case "sliding"  => (EventStreams.slidingAvg(src), OutputMode.Append)
+      case "session"  => (EventStreams.sessionAgg(src), OutputMode.Append)
+      case "dedup"    => (EventStreams.dedupStream(src), OutputMode.Append)
+      case other => sys.error(s"unknown op '$other' (tumbling|sliding|session|dedup)")
+    }
+    EventStreams.runToMemory(out, "stream_out", mode)
+    val result = spark.table("stream_out")
+    println(s"[stream] op=$op rows=${result.count()}")
+    result.show(10, truncate = false)
+    spark.stop()
+  }
+}

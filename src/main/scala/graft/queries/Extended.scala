@@ -25,7 +25,12 @@ object Extended {
           .as("k_val"),
         // constructed map: element_at(map('a', v, 'b', -v), 'b') ≡ -v
         element_at(map(lit("a"), col("value"), lit("b"), -col("value")), "b")
-          .as("b_val"))
+          .as("b_val"),
+        // map_from_entries over zipped arrays: extracting 'y' ≡ 2v
+        element_at(
+          map_from_entries(arrays_zip(
+            array(lit("x"), lit("y")),
+            array(col("value"), col("value") * 2))), "y").as("y_val"))
     }),
 
     // generator surface: posexplode with ordinality
@@ -98,7 +103,8 @@ object Extended {
              len(json_keys(props)) AS n_keys,
              array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
              CAST(props->>'k' AS INT) AS k_val,
-             -value AS b_val
+             -value AS b_val,
+             value * 2 AS y_val
       FROM events""",
 
     "fn_explode" -> """
