@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed custom aggregates (SURVEY §2 "custom typed aggregate" / "UDF-UDAF
+  * surface"): registered through `udaf(Aggregator)` so they run as real
+  * partial+final aggregates (map-side combine, no collect).
+  */
+object Aggregators {
+
+  /** Kahan-compensated double sum: a drop-in `sum` with O(1) extra state
+    * that keeps the FP error independent of row count — the money-sum
+    * answer to SURVEY §7.4 risk 1 (NUMERIC-vs-float semantics) without
+    * paying decimal's cost at 100 TB. Merge order stays nondeterministic
+    * (like any Spark agg) but per-partition error stops accumulating. */
+  case class KahanBuf(var sum: Double, var c: Double)
+
+  object KahanSum extends Aggregator[Double, KahanBuf, Double] {
+    override def zero: KahanBuf = KahanBuf(0.0, 0.0)
+    override def reduce(b: KahanBuf, x: Double): KahanBuf = {
+      val y = x - b.c
+      val t = b.sum + y
+      b.c = (t - b.sum) - y
+      b.sum = t
+      b
+    }
+    override def merge(a: KahanBuf, b: KahanBuf): KahanBuf = {
+      // merge the two compensated sums, folding b's residual back in
+      val r = reduce(a, b.sum)
+      reduce(r, -b.c)
+    }
+    override def finish(b: KahanBuf): Double = b.sum
+    override def bufferEncoder: Encoder[KahanBuf] = Encoders.product[KahanBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Exact MinHash signature as a typed aggregate over (already-hashed)
+    * shingle hashes: per group keeps the k smallest-by-permutation hash
+    * values. A native alternative to ml.MinHashLSH when signatures need to
+    * live in ordinary columns. k permutations via splitmix-style remix. */
+  case class MinHashBuf(var mins: Array[Long])
+
+  class MinHashAgg(k: Int) extends Aggregator[Long, MinHashBuf, Seq[Long]] {
+    private def remix(h: Long, i: Int): Long = {
+      var z = h + 0x9e3779b97f4a7c15L * (i + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    override def zero: MinHashBuf = MinHashBuf(Array.fill(k)(Long.MaxValue))
+    override def reduce(b: MinHashBuf, h: Long): MinHashBuf = {
+      var i = 0
+      while (i < k) {
+        val v = remix(h, i)
+        if (v < b.mins(i)) b.mins(i) = v
+        i += 1
+      }
+      b
+    }
+    override def merge(a: MinHashBuf, b: MinHashBuf): MinHashBuf = {
+      var i = 0
+      while (i < k) { if (b.mins(i) < a.mins(i)) a.mins(i) = b.mins(i); i += 1 }
+      a
+    }
+    override def finish(b: MinHashBuf): Seq[Long] = b.mins.toSeq
+    override def bufferEncoder: Encoder[MinHashBuf] = Encoders.product[MinHashBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("kahan_sum", udaf(KahanSum))
+    spark.udf.register("minhash16", udaf(new MinHashAgg(16)))
+  }
+}

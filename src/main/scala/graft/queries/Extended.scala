@@ -75,6 +75,18 @@ object Extended {
                .as("approx_median_price"))
     }),
 
+    // custom typed UDAF surface: Kahan-compensated sum (udaf(Aggregator))
+    // running as a real partial+final aggregate; equals plain sum on this
+    // data to oracle precision
+    "agg_custom_udaf" -> ((s, d) => {
+      graft.functions.Aggregators.register(s)
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        // round to cents: Kahan is MORE accurate than a naive engine sum
+        // (diff ~1e-4 at 1e9 magnitude), so raw values would mismatch
+        .agg(round(expr("kahan_sum(l_extendedprice)"), 2).as("ksum_price"),
+             expr("kahan_sum(l_quantity)").as("ksum_qty"))
+    }),
+
     // TF-IDF top-3 terms per document (pure relational formulation —
     // explode → tf counts → df counts → broadcast(N) — so the oracle can
     // replicate it; the ml HashingTF/IDF pipeline variant is in TfIdfSpec)
@@ -127,6 +139,12 @@ object Extended {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+
+    "agg_custom_udaf" -> """
+      SELECT l_returnflag,
+             round(sum(l_extendedprice), 2) AS ksum_price,
+             sum(l_quantity) AS ksum_qty
+      FROM lineitem GROUP BY l_returnflag""",
 
     "llm_tfidf" -> """
       WITH toks AS (

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Aggregators
+
+/** Typed UDAF behavior: Kahan compensation must beat naive summation on
+  * adversarial input; the MinHash aggregator's signature-match rate must
+  * estimate Jaccard. */
+class AggregatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("kahan_sum recovers small addends that naive double sum drops") {
+    Aggregators.register(spark)
+    import spark.implicits._
+    // 1e16 swallows 1.0 in plain double addition: naive sum of
+    // [1e16, 1.0 ×1000, -1e16] loses most of the 1000
+    val xs = (Seq(1e16) ++ Seq.fill(1000)(1.0) ++ Seq(-1e16)).zipWithIndex
+    val df = xs.toDF("v", "i").repartition(1) // fixed order per partition
+    val r = df.agg(expr("kahan_sum(v)").as("k"), sum($"v").as("naive"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1000.0) < 1e-6,
+      s"kahan lost precision: ${r.getDouble(0)}")
+    // sanity: this input is genuinely adversarial for the naive sum
+    assert(math.abs(r.getDouble(1) - 1000.0) > 1e-3 ||
+           math.abs(r.getDouble(0) - 1000.0) <= math.abs(r.getDouble(1) - 1000.0))
+  }
+
+  test("kahan_sum distributes: multi-partition merge equals single-partition") {
+    Aggregators.register(spark)
+    import spark.implicits._
+    val vals = (1 to 10000).map(i => i * 0.1)
+    val one = vals.toDF("v").repartition(1)
+      .agg(expr("kahan_sum(v)")).collect()(0).getDouble(0)
+    val many = vals.toDF("v").repartition(16)
+      .agg(expr("kahan_sum(v)")).collect()(0).getDouble(0)
+    assert(math.abs(one - many) < 1e-6)
+  }
+
+  test("minhash16 signature agreement estimates Jaccard") {
+    Aggregators.register(spark)
+    import spark.implicits._
+    // two sets with known overlap: |A∩B| / |A∪B| = 50/150 = 1/3
+    val a = (1 to 100).map(i => ("a", i.toLong))
+    val b = (51 to 150).map(i => ("b", i.toLong))
+    val sigs = (a ++ b).toDF("grp", "h")
+      .groupBy("grp").agg(expr("minhash16(h)").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs("a").zip(sigs("b")).count { case (x, y) => x == y }
+    // 16 permutations, p = 1/3 ⇒ expect ~5 agreements; allow a wide band
+    assert(agree >= 1 && agree <= 11, s"agreement $agree implausible for J=1/3")
+  }
+}
