@@ -27,8 +27,46 @@ import graft.functions.GraftFunctions
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** MinHash near-dup candidate pairs at Jaccard distance ≤ maxDist over
-    * 3-gram shingle sets. Deterministic: MinHashLSH seed fixed. */
+  /** Native banded MinHash near-dup pairs: shingles → xxhash64 → 16-perm
+    * signature via the [[graft.functions.Aggregators.MinHashAgg]] UDAF →
+    * r=1, b=16 banding (candidate iff ANY position agrees:
+    * P = 1 − (1−J)^16, so J ≥ 0.3 is caught with ≥ 99.7%) → exact Jaccard
+    * verification restricted to candidate pairs only.
+    *
+    * This is the 100 TB shape: one aggregate to build signatures, one
+    * equi-join on (position, minhash) buckets, and the quadratic exact
+    * check runs only on the candidate set instead of all pairs. */
+  def minhashPairsNative(s: SparkSession, d: String,
+                         threshold: Double = 0.2): DataFrame = {
+    graft.functions.Aggregators.register(s)
+    val sh = TextOps.shingles(s, d)
+      .withColumn("h", xxhash64(col("shingle")))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(expr("minhash16(h)").as("sig"), count(lit(1)).as("n_sh"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(col("sig")).as(Seq("band", "minh")))
+    val cands = banded.select(col("doc_id").as("doc1"), col("band"), col("minh"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band"), col("minh")),
+        Seq("band", "minh"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    // exact verification on candidates only
+    val common = cands
+      .join(sh.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("h")), Seq("doc2", "h"))
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("common"))
+    val n = sigs.select(col("doc_id"), col("n_sh"))
+    common
+      .join(n.select(col("doc_id").as("doc1"), col("n_sh").as("n1")), Seq("doc1"))
+      .join(n.select(col("doc_id").as("doc2"), col("n_sh").as("n2")), Seq("doc2"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** spark.ml MinHashLSH variant (kept as a cross-check of the native
+    * implementation; see DedupSpec). Deterministic: seed fixed. */
   def minhashPairs(s: SparkSession, d: String, maxDist: Double = 0.8): DataFrame = {
     val sh = TextOps.shingles(s, d)
       .groupBy(col("doc_id")).agg(collect_list(col("shingle")).as("sh"))
@@ -49,8 +87,8 @@ object Dedup {
   }
 
   val defs: Map[String, Q] = Map(
-    // near-dup pairs via banded MinHash (distance ≤ 0.8 ⇒ est. Jaccard ≥ 0.2)
-    "llm_minhash_pairs" -> ((s, d) => minhashPairs(s, d)),
+    // near-dup pairs via native banded MinHash (Jaccard ≥ 0.2)
+    "llm_minhash_pairs" -> ((s, d) => minhashPairsNative(s, d)),
 
     // duplicate clusters: connected doc groups sharing a SimHash signature
     "llm_simhash_clusters" -> ((s, d) => {
@@ -82,7 +120,7 @@ object Dedup {
     // cluster — union-by-min over minhash pairs approximated by a
     // keeper = min(doc over pairs) pass, then anti-join the losers out.
     "llm_dedup_apply" -> ((s, d) => {
-      val pairs = minhashPairs(s, d, maxDist = 0.7)
+      val pairs = minhashPairsNative(s, d, threshold = 0.3)
       // one round of min-propagation: every doc2 with a smaller doc1 dies
       val losers = pairs.select(col("doc2").as("doc_id")).distinct()
       t(s, d, "documents").join(losers, Seq("doc_id"), "left_anti")

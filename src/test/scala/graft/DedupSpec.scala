@@ -22,6 +22,19 @@ class DedupSpec extends AnyFunSuite {
     assert(recalled >= 0.8, s"MinHash recall too low: $recalled (|truth|=${truth.size}, |mh|=${mh.size})")
   }
 
+  test("native banded MinHash: near-exact recall, no false positives") {
+    val exact = TextOps.defs("llm_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.3)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = Dedup.minhashPairsNative(spark, sf, threshold = 0.3)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates are exact-verified, so no false positives are possible;
+    // misses only come from banding (P_miss ≤ (1-0.3)^16 ≈ 0.3%)
+    assert(native.subsetOf(exact), s"false positives: ${native -- exact}")
+    val recall = exact.intersect(native).size.toDouble / exact.size
+    assert(recall >= 0.95, s"native MinHash recall too low: $recall")
+  }
+
   test("SimHash hamming distance correlates with similarity") {
     val sim = TextOps.defs("llm_simhash")(spark, sf)
     // near-dup pairs (exact jaccard >= 0.3) should have smaller hamming
@@ -47,7 +60,7 @@ class DedupSpec extends AnyFunSuite {
     val k = kept.count()
     assert(k > 0 && k <= total)
     // losers are exactly docs appearing as doc2 in a candidate pair
-    val losers = Dedup.minhashPairs(spark, sf, 0.7)
+    val losers = Dedup.minhashPairsNative(spark, sf, 0.3)
       .select(col("doc2")).distinct().count()
     assert(k == total - losers)
   }
