@@ -25,16 +25,22 @@ object Stream {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val src = EventStreams.readEventStream(spark, dir)
+    import spark.implicits._
     val (out, mode) = op match {
       case "tumbling" => (EventStreams.tumblingCounts(src), OutputMode.Append)
       case "sliding"  => (EventStreams.slidingAvg(src), OutputMode.Append)
       case "session"  => (EventStreams.sessionAgg(src), OutputMode.Append)
       case "dedup"    => (EventStreams.dedupStream(src), OutputMode.Append)
-      case other => sys.error(s"unknown op '$other' (tumbling|sliding|session|dedup)")
+      case "totals"   => (EventStreams.runningTotals(
+        src.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreams.Ev]).toDF(), OutputMode.Append)
+      case other => sys.error(s"unknown op '$other' (tumbling|sliding|session|dedup|totals)")
     }
     EventStreams.runToMemory(out, "stream_out", mode)
     val result = spark.table("stream_out")

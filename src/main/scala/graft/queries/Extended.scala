@@ -33,6 +33,13 @@ object Extended {
             array(col("value"), col("value") * 2))), "y").as("y_val"))
     }),
 
+    // explode over a MAP column (key/value generator)
+    "fn_explode_map" -> ((s, d) => {
+      t(s, d, "events").select(col("event_id"),
+        explode(from_json(col("props"), lit("map<string,int>")))
+          .as(Seq("key", "value")))
+    }),
+
     // generator surface: posexplode with ordinality
     "fn_explode" -> ((s, d) => {
       t(s, d, "documents").filter(col("doc_id") < 50)
@@ -117,6 +124,13 @@ object Extended {
              CAST(props->>'k' AS INT) AS k_val,
              -value AS b_val,
              value * 2 AS y_val
+      FROM events""",
+
+    "fn_explode_map" -> """
+      SELECT event_id,
+             unnest(json_keys(props)) AS key,
+             unnest(list_transform(json_keys(props),
+               k -> CAST(json_extract_string(props, '$.' || k) AS INT))) AS value
       FROM events""",
 
     "fn_explode" -> """

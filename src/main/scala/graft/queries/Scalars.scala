@@ -96,7 +96,13 @@ object Scalars {
         expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
           .as("l2_norm"),
         expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-          .as("sum_all"))
+          .as("sum_all"),
+        array_min(expr("transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))"))
+          .as("min_first8"),
+        array_max(expr("transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))"))
+          .as("max_first8"),
+        array_contains(sequence(lit(1), lit(10)),
+          (col("vec_id") % 12).cast("int")).as("in_1_to_10"))
     }),
 
     "fn_json" -> ((s, d) => {
@@ -104,7 +110,9 @@ object Scalars {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k_val"),
         (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod10"),
-        from_json(col("props"), lit("k INT")).getField("k").as("k_struct"))
+        from_json(col("props"), lit("k INT")).getField("k").as("k_struct"),
+        json_tuple(col("props"), "k"))
+        .withColumnRenamed("c0", "k_tuple_str")
     }),
 
     "fn_cast" -> ((s, d) => {
@@ -191,14 +199,20 @@ object Scalars {
              sqrt(list_sum(list_transform(embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
              list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-               AS sum_all
+               AS sum_all,
+             list_min(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))
+               AS min_first8,
+             list_max(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)))
+               AS max_first8,
+             list_contains(range(1, 11), CAST(vec_id % 12 AS INT)) AS in_1_to_10
       FROM embeddings""",
 
     "fn_json" -> """
       SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
              CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
-             CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+             json_extract_string(props, '$.k') AS k_tuple_str
       FROM events""",
 
     "fn_cast" -> """

@@ -105,6 +105,37 @@ object EventStreams {
       }
   }
 
+  /** transformWithState (Spark 4 arbitrary-state API, the successor of
+    * flatMapGroupsWithState): running per-user totals kept in a ValueState,
+    * one updated row emitted per user per micro-batch. Requires the RocksDB
+    * state store provider (set in the caller's session conf). */
+  class UserTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("totals",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val prev = if (st.exists()) st.get() else SessionState(0L, 0.0, 0L)
+      var n = prev.n; var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      st.update(SessionState(n, total, 0L))
+      Iterator.single(SessionOut(key, n, total))
+    }
+  }
+
+  /** Wire the processor over a (possibly streaming) Dataset[Ev]. */
+  def runningTotals(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Run any of the above to a memory sink, processing all available input
     * once (deterministic batch-replay for tests). Returns the sink table name. */
   def runToMemory(df: DataFrame, name: String,

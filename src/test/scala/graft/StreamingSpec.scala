@@ -79,6 +79,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall(s => s.n_events > 0 && s.user_id >= 0))
   }
 
+  test("transformWithState running totals equal batch per-user aggregates") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = EventStreams.readEventStream(spark, replayDir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Ev]
+      EventStreams.runToMemory(EventStreams.runningTotals(src).toDF(), "tws_totals")
+      // one replayed micro-batch → one emission per user holding final totals
+      val got = spark.table("tws_totals")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val want = t(spark, sf, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (u, (n, v)) =>
+        assert(got(u)._1 == n && math.abs(got(u)._2 - v) < 1e-6, s"user $u") }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows via session_window: streamed subset of batch") {
     val stream = EventStreams.readEventStream(spark, replayDir)
     EventStreams.runToMemory(EventStreams.sessionAgg(stream), "sessions")
