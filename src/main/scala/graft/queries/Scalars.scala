@@ -34,6 +34,32 @@ object Scalars {
         levenshtein(col("p_brand"), col("p_type")).as("lev"))
     }),
 
+    "fn_string2" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") <= 500).select(
+        col("p_partkey"),
+        expr("left(p_name, 5)").as("l5"),
+        expr("right(p_name, 5)").as("r5"),
+        col("p_name").contains("a").as("has_a"),
+        col("p_name").startsWith("b").as("starts_b"),
+        col("p_type").endsWith("e").as("ends_e"),
+        substring_index(col("p_name"), " ", 2).as("first_two_words"),
+        expr("position('a' IN p_name)").as("pos_a"),
+        repeat(col("p_brand"), 2).as("brand2x"),
+        ascii(col("p_name")).as("first_code"),
+        expr("chr(65 + CAST(p_partkey % 26 AS INT))").as("cycled_char"))
+    }),
+
+    "fn_datetime2" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        add_months(col("o_orderdate").cast("date"), 2).as("plus2mo"),
+        trunc(col("o_orderdate").cast("date"), "MM").as("month_floor"),
+        date_sub(col("o_orderdate").cast("date"), 90).as("minus90"),
+        (col("o_orderdate") + expr("INTERVAL 36 HOURS")).as("plus36h"))
+    }),
+
     "fn_datetime" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
         col("o_orderkey"),
@@ -147,6 +173,32 @@ object Scalars {
              len(string_split(p_name, ' ')) AS n_words,
              levenshtein(p_brand, p_type) AS lev
       FROM part WHERE p_partkey <= 500""",
+
+    "fn_string2" -> """
+      SELECT p_partkey,
+             left(p_name, 5) AS l5,
+             right(p_name, 5) AS r5,
+             contains(p_name, 'a') AS has_a,
+             starts_with(p_name, 'b') AS starts_b,
+             suffix(p_type, 'e') AS ends_e,
+             CASE WHEN len(string_split(p_name, ' ')) <= 2 THEN p_name
+                  ELSE array_to_string(string_split(p_name, ' ')[1:2], ' ')
+             END AS first_two_words,
+             position('a' IN p_name) AS pos_a,
+             repeat(p_brand, 2) AS brand2x,
+             ascii(p_name) AS first_code,
+             chr(65 + CAST(p_partkey % 26 AS INT)) AS cycled_char
+      FROM part WHERE p_partkey <= 500""",
+
+    "fn_datetime2" -> """
+      SELECT o_orderkey,
+             dayofyear(o_orderdate) AS doy,
+             weekofyear(o_orderdate) AS iso_week,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_floor,
+             CAST(CAST(o_orderdate AS DATE) - 90 AS DATE) AS minus90,
+             o_orderdate + INTERVAL 36 HOUR AS plus36h
+      FROM orders WHERE o_orderkey <= 2000""",
 
     "fn_datetime" -> """
       SELECT o_orderkey,
