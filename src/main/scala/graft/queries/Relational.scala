@@ -267,6 +267,25 @@ object Relational {
       a.except(b)
     }),
 
+    // multiset variants: duplicates preserved per bag semantics
+    "set_intersect_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      val b = o.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      a.intersectAll(b)
+    }),
+
+    "set_except_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      val b = o.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      a.exceptAll(b)
+    }),
+
     // unionByName with missing columns (null-filled on both sides)
     "set_union_by_name" -> ((s, d) => {
       val su = t(s, d, "supplier").select(
@@ -477,6 +496,16 @@ object Relational {
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
       EXCEPT
       SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+
+    "set_intersect_all" -> """
+      SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+      INTERSECT ALL
+      SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 300000.0""",
+
+    "set_except_all" -> """
+      SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+      EXCEPT ALL
+      SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_totalprice > 300000.0""",
 
     "set_union_by_name" -> """
       SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind,

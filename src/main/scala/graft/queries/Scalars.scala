@@ -131,6 +131,30 @@ object Scalars {
           (col("vec_id") % 12).cast("int")).as("in_1_to_10"))
     }),
 
+    // set-algebra / structural array ops over constructed int arrays;
+    // outputs canonicalized to sorted csv strings (element ORDER of
+    // array_union/intersect is engine-specific, membership is not)
+    "fn_array2" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .withColumn("arr1", expr("sequence(1, 1 + CAST(vec_id % 4 AS INT))"))
+        .withColumn("arr2", expr("sequence(2, 5)"))
+        .select(
+          col("vec_id"),
+          concat_ws(",", array_sort(array_union(col("arr1"), col("arr2"))))
+            .as("union_csv"),
+          concat_ws(",", array_sort(array_intersect(col("arr1"), col("arr2"))))
+            .as("intersect_csv"),
+          concat_ws(",", array_sort(array_except(col("arr2"), col("arr1"))))
+            .as("except_csv"),
+          expr("array_position(arr2, 3)").as("pos3"),
+          concat_ws(",", expr("array_remove(arr2, 4)")).as("removed4"),
+          concat_ws(",", flatten(array(col("arr1"), col("arr2"))))
+            .as("flat_csv"),
+          concat_ws(",", expr("array_repeat(CAST(vec_id % 3 AS INT), 2)"))
+            .as("repeated"),
+          size(concat(col("arr1"), col("arr2"))).as("concat_len"))
+    }),
+
     "fn_json" -> ((s, d) => {
       t(s, d, "events").select(
         col("event_id"),
@@ -258,6 +282,29 @@ object Scalars {
                AS max_first8,
              list_contains(range(1, 11), CAST(vec_id % 12 AS INT)) AS in_1_to_10
       FROM embeddings""",
+
+    "fn_array2" -> """
+      SELECT vec_id,
+             coalesce(array_to_string(list_sort(list_distinct(arr1 || arr2)), ','), '')
+               AS union_csv,
+             coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(arr1, x -> list_contains(arr2, x)))), ','), '')
+               AS intersect_csv,
+             coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(arr2, x -> NOT list_contains(arr1, x)))), ','), '')
+               AS except_csv,
+             CAST(coalesce(list_position(arr2, 3), 0) AS BIGINT) AS pos3,
+             array_to_string(list_filter(arr2, x -> x != 4), ',') AS removed4,
+             array_to_string(arr1 || arr2, ',') AS flat_csv,
+             array_to_string([CAST(vec_id % 3 AS INT), CAST(vec_id % 3 AS INT)], ',')
+               AS repeated,
+             CAST(len(arr1 || arr2) AS INT) AS concat_len
+      FROM (
+        SELECT vec_id,
+               range(1, 2 + CAST(vec_id % 4 AS INT)) AS arr1,
+               range(2, 6) AS arr2
+        FROM embeddings
+      )""",
 
     "fn_json" -> """
       SELECT event_id,
