@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.Taxi.defs ++
     graft.queries.EventsBatch.defs ++
     graft.queries.Extended.defs ++
+    graft.queries.Subqueries.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.SimSearch.defs ++
     graft.llm.Dedup.defs
@@ -34,6 +35,7 @@ object SparkEntry {
     graft.queries.Taxi.sql ++
     graft.queries.EventsBatch.sql ++
     graft.queries.Extended.sql ++
+    graft.queries.Subqueries.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.SimSearch.sql ++
     graft.llm.Dedup.sql

@@ -100,6 +100,46 @@ object SimSearch {
         .select(col("qid"), col("clabel").as("predicted_label"), col("votes"))
     }),
 
+    // ANN via IVF (inverted-file) coarse quantization: k-means centroids
+    // (fixed seed), candidates = vectors whose cell is among the query's
+    // nProbe nearest cells, exact cosine re-rank within. The second scale
+    // path next to LSH: cells shrink the candidate set ~k/nProbe-fold and
+    // the centroid table broadcasts. Rows-only oracle; recall in ScalaTest.
+    "llm_ann_ivf" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = t(s, d, "embeddings")
+        .withColumn("fv", array_to_vector(col("embedding")))
+      val km = new KMeans().setK(16).setSeed(42L).setFeaturesCol("fv")
+        .setPredictionCol("cell").setMaxIter(10)
+      val model = km.fit(emb)
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toSeq
+      val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+      // query → its nProbe=4 closest cells
+      val queries = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val qCells = queries.crossJoin(broadcast(centDf))
+        .withColumn("csim", expr("cosine_similarity(qvec, centroid)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+        .filter(col("crn") <= 4)
+        .select(col("qid"), col("qvec"), col("cell"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      assigned.select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("cell"))
+        .join(broadcast(qCells), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+        .select(col("qid"), col("cid"), col("sim"))
+        .dropDuplicates("qid", "cid")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    }),
+
     // ANN via deterministic multi-table hyperplane LSH (rows-only oracle;
     // recall vs brute force is checked in ScalaTest). Candidates = union
     // over tables of same-bucket vectors; exact cosine re-rank within.

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables.registerAll
+
+/** Subquery surface (Catalyst's subquery handling, SURVEY §4): scalar,
+  * correlated-scalar, IN and NOT IN (null-safe data), plus classic TPC-H
+  * shapes that exercise subquery + join + agg together. All via the
+  * `spark.sql` text API — identical SQL runs in DuckDB, making these
+  * oracle rows that also cover the SQL entry point (SURVEY §3 EP3).
+  */
+object Subqueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(text: String): Q = (s, d) => { registerAll(s, d); s.sql(text) }
+
+  private val sqls: Map[String, String] = Map(
+    // uncorrelated scalar subquery
+    "sub_scalar" -> """
+      SELECT o_orderkey, o_totalprice,
+             o_totalprice - (SELECT avg(o_totalprice) FROM orders) AS delta_from_avg
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8""",
+
+    // correlated scalar subquery (per-status average)
+    "sub_correlated" -> """
+      SELECT o_orderkey, o_orderstatus
+      FROM orders o
+      WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice)
+                                  FROM orders i
+                                  WHERE i.o_orderstatus = o.o_orderstatus)""",
+
+    // IN / NOT IN subqueries (keys are non-null, so NOT IN is safe)
+    "sub_in" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_totalprice > 400000.0)
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderstatus = 'P')""",
+
+    // TPC-H Q3 shape: shipping-priority top-10
+    "tpch_q3_shipping" -> """
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             o_orderdate
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-06-01'
+        AND l_shipdate > TIMESTAMP '1999-06-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""",
+
+    // TPC-H Q18 shape: large-volume customers via HAVING subquery
+    "tpch_q18_volume" -> """
+      SELECT c_custkey, o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+      )
+      GROUP BY c_custkey, o_orderkey, o_totalprice""")
+
+  val defs: Map[String, Q] = sqls.map { case (k, v) => k -> q(v) }
+  val sql: Map[String, String] = sqls
+}

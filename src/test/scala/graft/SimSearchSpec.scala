@@ -26,6 +26,18 @@ class SimSearchSpec extends AnyFunSuite {
     assert(knn.filter(col("votes") > 10).count() == 0)
   }
 
+  test("IVF ANN recalls a substantial fraction of exact neighbors") {
+    val ivf = SimSearch.defs("llm_ann_ivf")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimSearch.defs("llm_cosine_topk")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // probing 4 of 16 cells: candidate set ~4x smaller than brute force;
+    // near-random fixture vectors make cells weak, but recall must beat
+    // the ~25% a random 4/16 subset would give
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("LSH ANN returns only same-bucket candidates and nonzero recall") {
     val ann = SimSearch.defs("llm_ann_lsh")(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
