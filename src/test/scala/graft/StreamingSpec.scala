@@ -40,6 +40,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.size >= b.size - 10, s"too few emitted windows: ${s.size} vs ${b.size}")
   }
 
+  test("rate source produces a monotonically timestamped stream") {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    val q = rate.writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1100)
+      q.processAllAvailable()
+      val rows = spark.table("rate_out")
+        .orderBy("value").collect()
+      assert(rows.nonEmpty)
+      val values = rows.map(_.getLong(1))
+      assert(values.toSeq == values.sorted.toSeq)
+      assert(values.distinct.length == values.length)
+    } finally q.stop()
+  }
+
   test("stateful dedup drops re-delivered events") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dup").toString + "/in"
