@@ -39,6 +39,36 @@ object TextOps {
       .distinct()
   }
 
+  /** Character-trigram naive Bayes: P(lang | doc) ∝ P(lang) · Π P(gram |
+    * lang), with add-one smoothing. Profiles are a (lang, gram)-keyed
+    * aggregate small enough to broadcast (|langs| × |grams|). */
+  def langidNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val grams = docs.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("gram"))
+    val langTotals = grams.groupBy(col("lang"))
+      .agg(count(lit(1)).as("lang_grams"))
+    val vocabSize = grams.select(countDistinct(col("gram")).as("v"))
+    val profiles = grams.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(langTotals), Seq("lang"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("lang").as("cand_lang"), col("gram"),
+        log((col("n") + 1.0) / (col("lang_grams") + col("v"))).as("logp"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    grams.select(col("doc_id"), col("lang"), col("gram"))
+      .join(broadcast(profiles), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(sum(col("logp")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("lang_guess"),
+        col("score"))
+  }
+
   val defs: Map[String, Q] = Map(
     // exact dedup: content-hash group (reference-style idempotent keeper =
     // min doc_id). At scale: one hash-partitioned aggregate, no sort.
@@ -135,18 +165,12 @@ object TextOps {
         .agg(sum(col("bitval")).as("simhash"))
     }),
 
-    // heuristic language-ID: stopword-signature voting (deterministic;
-    // rows-only oracle — the real check is the ScalaTest on labeled data)
-    "llm_langid" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      // signature tokens per language over the fixture vocabulary; with
-      // word-salad data this is a deterministic classifier demo, not a model
-      t(s, d, "documents").select(
-        col("doc_id"), col("lang"),
-        when(expr("size(filter(split(text, ' '), x -> x = 'the')) > size(filter(split(text, ' '), x -> x = 'a'))"), "en")
-          .otherwise("other").as("lang_guess"),
-        size(toks).as("n_tokens"))
-    })
+    // language-ID: naive-Bayes over character trigrams, profiles learned
+    // from the labeled corpus itself (fully distributed: profile fit is a
+    // groupBy count, classification is explode→broadcast-join→argmax; no
+    // driver-side model object). Deterministic; rows-only oracle — the
+    // shape/determinism checks live in ScalaTest.
+    "llm_langid" -> ((s, d) => langidNaiveBayes(s, d))
   )
 
   val sql: Map[String, String] = Map(

@@ -40,6 +40,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.size >= b.size - 10, s"too few emitted windows: ${s.size} vs ${b.size}")
   }
 
+  test("complete and update output modes; parquet sink with AvailableNow") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // complete mode: every trigger re-emits the full aggregate
+    val agg = EventStreams.readEventStream(spark, replayDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val qc = agg.writeStream.format("memory").queryName("complete_out")
+      .outputMode(OutputMode.Complete).start()
+    qc.processAllAvailable(); qc.stop()
+    val complete = spark.table("complete_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = t(spark, sf, "events").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(complete == batch)
+
+    // parquet file sink driven by Trigger.AvailableNow (checkpointed)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-psink")
+    val qp = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, replayDir))
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qp.awaitTermination(60000)
+    val written = spark.read.parquet(s"$outDir/data")
+    assert(written.count() > 0)
+    assert(written.columns.toSet ==
+      Set("win_start", "event_type", "n", "sum_value"))
+  }
+
   test("rate source produces a monotonically timestamped stream") {
     val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", "500").load()
