@@ -27,6 +27,17 @@ object Tables {
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a small single-file input out to the session's parallelism before
+    * CPU-heavy per-row work (explode, hashing, HOFs) — a single parquet
+    * file arrives as ONE partition, so without this a 32-core local run
+    * executes the whole map stage on one core. Guarded: inputs that are
+    * already well-split (the 100 TB case) pass through untouched, so this
+    * never adds a shuffle at scale. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register all tables as temp views (for spark.sql-surface queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

@@ -5,7 +5,7 @@ import org.apache.spark.ml.linalg.SparseVector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables.t
+import graft.core.Tables.{spread, t}
 import graft.functions.GraftFunctions
 
 /** Approximate dedup family for 100 TB corpora (BASELINE.json north_star).
@@ -102,7 +102,7 @@ object Dedup {
     // embedding near-dup: cosine ≥ 0.95 within multi-table LSH buckets
     "llm_embedding_neardup" -> ((s, d) => {
       GraftFunctions.register(s)
-      val emb = SimSearch.signatures(t(s, d, "embeddings"))
+      val emb = SimSearch.signatures(spread(t(s, d, "embeddings")))
       val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
         explode(col("sigs")).as("sig"))
       val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),

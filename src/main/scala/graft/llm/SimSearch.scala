@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables.t
+import graft.core.Tables.{spread, t}
 import graft.functions.GraftFunctions
 
 /** Similarity search over `embeddings(vec_id, embedding: array<float>,
@@ -145,7 +145,7 @@ object SimSearch {
     // over tables of same-bucket vectors; exact cosine re-rank within.
     "llm_ann_lsh" -> ((s, d) => {
       GraftFunctions.register(s)
-      val emb = signatures(t(s, d, "embeddings"))
+      val emb = signatures(spread(t(s, d, "embeddings")))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           explode(col("sigs")).as("sig"))

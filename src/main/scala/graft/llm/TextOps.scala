@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables.t
+import graft.core.Tables.{spread, t}
 
 /** LLM-training-data text operators over `documents` (BASELINE.json
   * north_star: dedup + text analysis, designed for 100 TB).
@@ -28,7 +28,7 @@ object TextOps {
   /** (doc_id, shingle) distinct 3-gram word shingles — shared by the exact
     * Jaccard and the hash-based dedup family. */
   def shingles(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val toks = t(s, d, "documents")
+    val toks = spread(t(s, d, "documents"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     toks
@@ -43,7 +43,7 @@ object TextOps {
     * lang), with add-one smoothing. Profiles are a (lang, gram)-keyed
     * aggregate small enough to broadcast (|langs| × |grams|). */
   def langidNaiveBayes(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = spread(t(s, d, "documents"))
     val grams = docs.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
@@ -57,16 +57,27 @@ object TextOps {
       .crossJoin(broadcast(vocabSize))
       .select(col("lang").as("cand_lang"), col("gram"),
         log((col("n") + 1.0) / (col("lang_grams") + col("v"))).as("logp"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cand_lang"))
-    grams.select(col("doc_id"), col("lang"), col("gram"))
-      .join(broadcast(profiles), Seq("gram"))
-      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
-      .agg(sum(col("logp")).as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("cand_lang").as("lang_guess"),
-        col("score"))
+    // languages are a bounded dimension — collect once and pivot profiles
+    // WIDE (one row per gram, one score column per language) so the
+    // gram⋈profile join is 1:1 instead of 1:|langs| (a |langs|-fold row
+    // blowup through the biggest shuffle)
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val wide = profiles.groupBy(col("gram"))
+      .pivot("cand_lang", langs).agg(first(col("logp")))
+    val scoreCols = langs.map(l =>
+      sum(coalesce(col(s"`$l`"), lit(0.0))).as(s"score_$l"))
+    val scored = grams.select(col("doc_id"), col("lang"), col("gram"))
+      .join(broadcast(wide), Seq("gram"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    // argmax with lexicographic tiebreak (same as the sorted cand_lang rank)
+    val guess = langs.foldRight(lit(null).cast("string")) { (l, acc) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang"), guess.as("lang_guess"),
+      best.as("score"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -139,7 +150,7 @@ object TextOps {
     // deterministic rolling-hash document fingerprint (rows-only oracle:
     // DuckDB 1.0 lacks list_reduce; validated by a ScalaTest golden value)
     "llm_fingerprint" -> ((s, d) => {
-      t(s, d, "documents").select(
+      spread(t(s, d, "documents")).select(
         col("doc_id"),
         expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(7 AS BIGINT), (acc, x) -> pmod(acc * 31 + x, 1000000007))")
           .as("fingerprint"))
@@ -149,7 +160,7 @@ object TextOps {
     // Engine-specific hash ⇒ rows-only oracle; ScalaTest checks
     // hamming(simhash) correlates with exact Jaccard.
     "llm_simhash" -> ((s, d) => {
-      val toks = t(s, d, "documents")
+      val toks = spread(t(s, d, "documents"))
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
       toks
