@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   val headliners = Seq("join_star_revenue", "agg_pricing_summary",
     "taxi_bucket_segmentation", "win_topk_per_group", "llm_cosine_topk",
-    "join_asof", "llm_ngram_jaccard")
+    "join_asof", "llm_ngram_jaccard", "llm_minhash_pairs", "llm_ann_lsh",
+    "sub_correlated", "tpch_q3_shipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

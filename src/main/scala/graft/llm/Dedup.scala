@@ -12,11 +12,12 @@ import graft.functions.GraftFunctions
   * Exact anchors (md5 group, exact n-gram Jaccard) live in [[TextOps]];
   * this file holds the scale paths:
   *
-  *  - MinHash+LSH: shingles → sparse term vector → banded min-hash; the
-  *    candidate-pair join is on LSH bucket, so cost is O(near-dup pairs),
-  *    not O(n²). `spark.ml.feature.MinHashLSH.approxSimilarityJoin`
-  *    shuffles on hash-bucket keys — the standard banding trick.
-  *  - SimHash: in [[TextOps]] (`llm_simhash`); hamming-ball grouping here.
+  *  - native banded MinHash (primary, [[minhashPairsNative]]): shingle
+  *    hashes → minhash16 UDAF signature → r=1/b=16 bucket join → exact
+  *    verification on candidates only, so cost is O(near-dup pairs), not
+  *    O(n²). The `spark.ml.feature.MinHashLSH` variant ([[minhashPairs]])
+  *    is kept as a cross-check.
+  *  - SimHash: in [[TextOps]] (`llm_simhash`); signature clustering here.
   *  - Embedding near-dup: cosine ≥ threshold via the LSH signature join
   *    from [[SimSearch]].
   *
