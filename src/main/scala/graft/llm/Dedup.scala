@@ -117,14 +117,31 @@ object Dedup {
         .dropDuplicates("id1", "id2")
     }),
 
-    // dedup EXECUTION (not just detection): keep one doc per near-dup
-    // cluster — union-by-min over minhash pairs approximated by a
-    // keeper = min(doc over pairs) pass, then anti-join the losers out.
+    // dedup EXECUTION (not just detection): exactly ONE survivor per
+    // connected near-dup component — iterative min-label propagation over
+    // the candidate-pair graph (the standard distributed
+    // connected-components loop: one edge-join shuffle per iteration;
+    // near-dup clusters are clique-like, so few iterations converge).
     "llm_dedup_apply" -> ((s, d) => {
       val pairs = minhashPairsNative(s, d, threshold = 0.3)
-      // one round of min-propagation: every doc2 with a smaller doc1 dies
-      val losers = pairs.select(col("doc2").as("doc_id")).distinct()
-      t(s, d, "documents").join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc1"), col("doc2"))
+      val edges = pairs.union(
+        pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      val docs = t(s, d, "documents")
+      var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to 5) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("doc2"), col("label").as("nbl")),
+            Seq("doc2"))
+          .groupBy(col("doc1")).agg(min(col("nbl")).as("nbr_min"))
+          .select(col("doc1").as("doc_id"), col("nbr_min"))
+        labels = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label"))
+      }
+      docs.join(labels.filter(col("doc_id") === col("label"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     })
   )

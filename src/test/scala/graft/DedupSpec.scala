@@ -54,14 +54,29 @@ class DedupSpec extends AnyFunSuite {
       s"near-dup hamming ($nearAvg) should beat random-pair hamming ($randMean)")
   }
 
-  test("dedup_apply keeps a representative per cluster and drops the rest") {
+  test("dedup_apply keeps exactly one representative per connected component") {
     val kept = Dedup.defs("llm_dedup_apply")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     val total = graft.core.Tables.t(spark, sf, "documents").count()
-    val k = kept.count()
-    assert(k > 0 && k <= total)
-    // losers are exactly docs appearing as doc2 in a candidate pair
-    val losers = Dedup.minhashPairsNative(spark, sf, 0.3)
-      .select(col("doc2")).distinct().count()
-    assert(k == total - losers)
+    val pairs = Dedup.minhashPairsNative(spark, sf, 0.3)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find ground truth over the candidate graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = parent.keySet.toSet
+    val componentMins = inGraph.groupBy(find).map(_._2.min).toSet
+    val expectedKept = total - inGraph.size + componentMins.size
+    assert(kept.size == expectedKept,
+      s"${kept.size} survivors vs expected $expectedKept")
+    // every component's minimum survives; no other member does
+    assert(componentMins.subsetOf(kept))
+    assert((inGraph -- componentMins).intersect(kept).isEmpty)
   }
 }
