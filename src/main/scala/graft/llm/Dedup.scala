@@ -125,10 +125,15 @@ object Dedup {
     "llm_dedup_apply" -> ((s, d) => {
       val pairs = minhashPairsNative(s, d, threshold = 0.3)
         .select(col("doc1"), col("doc2"))
+      // materialize the candidate graph ONCE: without cutting lineage every
+      // label iteration would re-execute the whole MinHash DAG (and the
+      // plan would grow per iteration) — localCheckpoint truncates it
       val edges = pairs.union(
         pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+        .localCheckpoint()
       val docs = t(s, d, "documents")
       var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint()
       for (_ <- 1 to 5) {
         val nbrMin = edges
           .join(labels.select(col("doc_id").as("doc2"), col("label").as("nbl")),
@@ -139,6 +144,7 @@ object Dedup {
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr_min"), col("label")))
               .as("label"))
+          .localCheckpoint()
       }
       docs.join(labels.filter(col("doc_id") === col("label"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
