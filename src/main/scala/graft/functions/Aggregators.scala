@@ -73,5 +73,8 @@ object Aggregators {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("kahan_sum", udaf(KahanSum))
     spark.udf.register("minhash16", udaf(new MinHashAgg(16)))
+    // 64 permutations: feeds r=2/b=32 banding in Dedup (r·b = 64), which
+    // needs the longer signature to keep recall ≥ 0.95 at J = 0.3
+    spark.udf.register("minhash64", udaf(new MinHashAgg(64)))
   }
 }

@@ -13,7 +13,7 @@ import graft.functions.GraftFunctions
   * this file holds the scale paths:
   *
   *  - native banded MinHash (primary, [[minhashPairsNative]]): shingle
-  *    hashes → minhash16 UDAF signature → r=1/b=16 bucket join → exact
+  *    hashes → minhash64 UDAF signature → r=2/b=32 bucket join → exact
   *    verification on candidates only, so cost is O(near-dup pairs), not
   *    O(n²). The `spark.ml.feature.MinHashLSH` variant ([[minhashPairs]])
   *    is kept as a cross-check.
@@ -28,14 +28,38 @@ import graft.functions.GraftFunctions
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Native banded MinHash near-dup pairs: shingles → xxhash64 → 16-perm
+  /** Banded candidate pairs from MinHash signatures: signature positions
+    * are grouped into `b` bands of `r` consecutive positions; two docs are
+    * candidates iff they agree on ALL r positions of SOME band
+    * (P = 1 − (1−J^r)^b). The r values of a band are collapsed to one
+    * 64-bit key with xxhash64, so the bucket join stays a plain bigint
+    * equi-join whatever r is.
+    *
+    * Why r > 1 matters at 100 TB: with r=1 every single agreeing position
+    * makes a candidate — at J=0.1 (boilerplate-level similarity) 16 bands
+    * admit a pair with p ≈ 0.81, so a boilerplate-heavy corpus degenerates
+    * toward the quadratic all-pairs check. r=2 drops that to
+    * 1 − (1−0.01)^32 ≈ 0.27 while b=32 keeps J=0.3 recall ≈ 0.96. */
+  def bandedCandidates(sigs: DataFrame, r: Int, b: Int): DataFrame = {
+    val elems = (1 to r).map(j => s"element_at(sig, $r*i+$j)").mkString(", ")
+    val bands = expr(s"transform(sequence(0, ${b - 1}), i -> xxhash64($elems))")
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bands).as(Seq("band", "minh")))
+    banded.select(col("doc_id").as("doc1"), col("band"), col("minh"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band"), col("minh")),
+        Seq("band", "minh"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+  }
+
+  /** Native banded MinHash near-dup pairs: shingles → xxhash64 → 64-perm
     * signature via the [[graft.functions.Aggregators.MinHashAgg]] UDAF →
-    * r=1, b=16 banding (candidate iff ANY position agrees:
-    * P = 1 − (1−J)^16, so J ≥ 0.3 is caught with ≥ 99.7%) → exact Jaccard
+    * r=2/b=32 banding (see [[bandedCandidates]]: J=0.3 recall ≈ 0.96,
+    * J=0.1 false-candidate rate ≈ 0.27 vs 0.81 for r=1) → exact Jaccard
     * verification restricted to candidate pairs only.
     *
     * This is the 100 TB shape: one aggregate to build signatures, one
-    * equi-join on (position, minhash) buckets, and the quadratic exact
+    * equi-join on (band, bandkey) buckets, and the quadratic exact
     * check runs only on the candidate set instead of all pairs. */
   def minhashPairsNative(s: SparkSession, d: String,
                          threshold: Double = 0.2): DataFrame = {
@@ -43,14 +67,8 @@ object Dedup {
     val sh = TextOps.shingles(s, d)
       .withColumn("h", xxhash64(col("shingle")))
     val sigs = sh.groupBy(col("doc_id"))
-      .agg(expr("minhash16(h)").as("sig"), count(lit(1)).as("n_sh"))
-    val banded = sigs.select(col("doc_id"),
-      posexplode(col("sig")).as(Seq("band", "minh")))
-    val cands = banded.select(col("doc_id").as("doc1"), col("band"), col("minh"))
-      .join(banded.select(col("doc_id").as("doc2"), col("band"), col("minh")),
-        Seq("band", "minh"))
-      .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2").distinct()
+      .agg(expr("minhash64(h)").as("sig"), count(lit(1)).as("n_sh"))
+    val cands = bandedCandidates(sigs.select("doc_id", "sig"), r = 2, b = 32)
     // exact verification on candidates only
     val common = cands
       .join(sh.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
@@ -64,6 +82,41 @@ object Dedup {
         (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** Distributed connected components by iterative min-label propagation,
+    * run until a fixed point (no label changes) instead of a fixed round
+    * count: min-label needs O(graph diameter) rounds, and a chain of
+    * near-dups longer than any fixed cap would silently split into two
+    * components. Each round is one edge⋈label shuffle; `localCheckpoint`
+    * truncates lineage so the plan does not grow per round; the
+    * convergence probe is an `isEmpty` (LIMIT 1) over the checkpointed
+    * step, not a full count. `maxIter` is a runaway backstop only. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 64): DataFrame = {
+    val edges = pairs.select(col("doc1"), col("doc2"))
+      .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .localCheckpoint()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc2"), col("label").as("nbl")),
+          Seq("doc2"))
+        .groupBy(col("doc1")).agg(min(col("nbl")).as("nbr_min"))
+        .select(col("doc1").as("doc_id"), col("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("new_label"))
+        .localCheckpoint()
+      converged = stepped.filter(col("new_label") < col("label")).isEmpty
+      labels = stepped.select(col("doc_id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels
   }
 
   /** spark.ml MinHashLSH variant (kept as a cross-check of the native
@@ -91,12 +144,16 @@ object Dedup {
     // near-dup pairs via native banded MinHash (Jaccard ≥ 0.2)
     "llm_minhash_pairs" -> ((s, d) => minhashPairsNative(s, d)),
 
-    // duplicate clusters: connected doc groups sharing a SimHash signature
+    // duplicate clusters: connected doc groups sharing a SimHash signature.
+    // members is emitted as a sorted comma-joined STRING (not array<bigint>):
+    // the driver comparator sorts rows in pandas and arrays are unhashable
+    // there — same canonicalization as agg_collect in Relational.scala.
     "llm_simhash_clusters" -> ((s, d) => {
       val sim = TextOps.defs("llm_simhash")(s, d)
       sim.groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"),
-          array_sort(collect_list(col("doc_id"))).as("members"))
+          concat_ws(",", array_sort(collect_list(col("doc_id"))))
+            .as("members"))
         .filter(col("n_docs") > 1)
     }),
 
@@ -118,34 +175,13 @@ object Dedup {
     }),
 
     // dedup EXECUTION (not just detection): exactly ONE survivor per
-    // connected near-dup component — iterative min-label propagation over
-    // the candidate-pair graph (the standard distributed
-    // connected-components loop: one edge-join shuffle per iteration;
-    // near-dup clusters are clique-like, so few iterations converge).
+    // connected near-dup component — [[connectedComponents]] min-label
+    // propagation over the candidate-pair graph, iterated to convergence.
     "llm_dedup_apply" -> ((s, d) => {
       val pairs = minhashPairsNative(s, d, threshold = 0.3)
         .select(col("doc1"), col("doc2"))
-      // materialize the candidate graph ONCE: without cutting lineage every
-      // label iteration would re-execute the whole MinHash DAG (and the
-      // plan would grow per iteration) — localCheckpoint truncates it
-      val edges = pairs.union(
-        pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-        .localCheckpoint()
       val docs = t(s, d, "documents")
-      var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-        .localCheckpoint()
-      for (_ <- 1 to 5) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("doc2"), col("label").as("nbl")),
-            Seq("doc2"))
-          .groupBy(col("doc1")).agg(min(col("nbl")).as("nbr_min"))
-          .select(col("doc1").as("doc_id"), col("nbr_min"))
-        labels = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label")))
-              .as("label"))
-          .localCheckpoint()
-      }
+      val labels = connectedComponents(docs.select(col("doc_id")), pairs)
       docs.join(labels.filter(col("doc_id") === col("label"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

@@ -14,9 +14,12 @@ import graft.core.Tables.t
   * rows: any `limit` is preceded by a total order with a unique tiebreaker.
   *
   * Scale notes (100 TB design point):
-  *  - Dimension joins (`region` 5, `nation` 25, `supplier`, `customer` at
-  *    small SF) are explicitly `broadcast()` so the fact table never
-  *    shuffles for them.
+  *  - Only TRUE dimensions (`region` 5 rows, `nation` 25 rows, zones) are
+  *    explicitly `broadcast()`. `customer`/`supplier` scale with the fact
+  *    tables, so a forced broadcast is an executor OOM at 100 TB — their
+  *    join strategy is left to AQE / autoBroadcastJoinThreshold, which
+  *    still broadcasts them at small SF but degrades safely to a shuffle
+  *    join when they outgrow the threshold.
   *  - Aggregations are plain `groupBy.agg` → Spark's partial (map-side)
   *    + final hash aggregate; no `collect` anywhere.
   *  - The lineitem⋈orders join is an equi-join on the natural key, which
@@ -59,7 +62,7 @@ object Relational {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
@@ -146,12 +149,13 @@ object Relational {
     }),
 
     // ---- Joins ---------------------------------------------------------
-    // TPC-H Q5 shape: star join, dims broadcast, one fact shuffle.
+    // TPC-H Q5 shape: star join, true dims broadcast, customer left to
+    // AQE (it is fact-scale at 100 TB — see the header note).
     "join_star_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
@@ -236,8 +240,8 @@ object Relational {
       val n2 = t(s, d, "nation").select(
         col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
         .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
         .groupBy(col("cust_nation"), col("supp_nation"))

@@ -57,7 +57,8 @@ object Taxi {
     "taxi_top_zones_revenue" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
       val n = t(s, d, "nation")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // customer is fact-scale at 100 TB: no forced broadcast, AQE decides
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
                 col("o_orderdate") <  lit("2000-01-01").cast("timestamp"))
@@ -77,8 +78,8 @@ object Taxi {
       val dn = t(s, d, "nation").select(
         col("n_nationkey").as("do_key"), col("n_name").as("dropoff_nation"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(pu), col("c_nationkey") === col("pu_key"))
         .join(broadcast(dn), col("s_nationkey") === col("do_key"))
         .filter(col("pickup_nation") === "n00")

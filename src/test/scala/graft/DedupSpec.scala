@@ -29,7 +29,8 @@ class DedupSpec extends AnyFunSuite {
     val native = Dedup.minhashPairsNative(spark, sf, threshold = 0.3)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // candidates are exact-verified, so no false positives are possible;
-    // misses only come from banding (P_miss ≤ (1-0.3)^16 ≈ 0.3%)
+    // misses only come from r=2/b=32 banding (P_miss ≤ (1-0.3²)^32 ≈ 4.3%
+    // at exactly J=0.3, sharply less above it)
     assert(native.subsetOf(exact), s"false positives: ${native -- exact}")
     val recall = exact.intersect(native).size.toDouble / exact.size
     assert(recall >= 0.95, s"native MinHash recall too low: $recall")
@@ -52,6 +53,43 @@ class DedupSpec extends AnyFunSuite {
     val randMean = randAvg.sum / randAvg.size
     assert(nearAvg < randMean,
       s"near-dup hamming ($nearAvg) should beat random-pair hamming ($randMean)")
+  }
+
+  test("r=2 banding admits strictly fewer candidates than r=1 on boilerplate") {
+    import spark.implicits._
+    graft.functions.Aggregators.register(spark)
+    // 40 docs sharing a 30-shingle boilerplate block plus 170 unique
+    // shingles each → pairwise J = 30/370 ≈ 0.081: classic r=1 blowup
+    // territory (p ≈ 1-(1-J)^64 ≈ 1.0 per pair) that r=2 must prune
+    val rows = for {
+      doc <- 0 until 40
+      sh <- 0 until 200
+    } yield (doc.toLong, if (sh < 30) s"boiler_$sh" else s"doc${doc}_u$sh")
+    val sigs = rows.toDF("doc_id", "shingle")
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy(col("doc_id")).agg(expr("minhash64(h)").as("sig"))
+      .cache()
+    val c1 = Dedup.bandedCandidates(sigs, r = 1, b = 64).count()
+    val c2 = Dedup.bandedCandidates(sigs, r = 2, b = 32).count()
+    sigs.unpersist()
+    assert(c2 < c1, s"r=2 candidates ($c2) should be fewer than r=1 ($c1)")
+    // r=1 essentially admits every boilerplate pair; r=2 must prune most
+    assert(c2 <= c1 / 2, s"r=2 should prune at least half of r=1's $c1, got $c2")
+  }
+
+  test("connected components converge past any fixed iteration cap") {
+    import spark.implicits._
+    // a 12-node path graph has diameter 11: min-label propagation moves
+    // the global min one hop per round, so the old fixed-5-round loop
+    // would leave nodes 6..11 mislabeled (two survivors). The
+    // convergence-checked loop must label every node 0.
+    val verts = (0L to 11L).toDF("doc_id")
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val labels = Dedup.connectedComponents(verts, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 12)
+    assert(labels.values.forall(_ == 0L),
+      s"all nodes should collapse to label 0, got $labels")
   }
 
   test("dedup_apply keeps exactly one representative per connected component") {
