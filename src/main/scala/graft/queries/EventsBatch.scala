@@ -45,6 +45,17 @@ object EventsBatch {
                 col("n_events"), col("session_value"))
     }),
 
+    // stream-stream join, batch twin (SURVEY §2 streaming table): runs the
+    // EXACT code of EventStreams.attributeClicks — watermarks are no-ops in
+    // batch, so the oracle hash here certifies the streaming semantics too
+    // (StreamingSpec proves streamed ≡ this).
+    "evt_stream_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.EventStreams.attributeClicks(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+    }),
+
     // as-of join, composed scale-friendly (SURVEY §2 "as-of / interval
     // join", §7.4 risk 7): for each purchase, the latest STRICTLY-PRIOR
     // click of the same user. Implemented as one pass over a
@@ -96,6 +107,15 @@ object EventsBatch {
       SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
              count(*) AS n_events, sum(value) AS session_value
       FROM numbered GROUP BY user_id, sid""",
+
+    "evt_stream_join" -> """
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             p.value AS purchase_value, c.event_id AS click_id,
+             c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
 
     "join_asof" -> """
       SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts

@@ -67,6 +67,41 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left")
 
+  /** Stream-stream inner join with watermarks on BOTH sides (SURVEY.md §2
+    * streaming table): click→purchase attribution — every purchase is
+    * paired with each click by the same user in the preceding hour.
+    *
+    * The two ingredients Spark needs to keep join state bounded are both
+    * here: a watermark on each input (how late events can be) and a
+    * time-range predicate tying the two event-time columns together (how
+    * long a click stays joinable). Together they let the state store evict
+    * clicks older than `purchase watermark − 1 hour` instead of buffering
+    * the full history — the difference between O(window) and O(stream)
+    * state at 100 TB/day rates.
+    *
+    * Defined over plain DataFrames: `withWatermark` is a no-op in batch, so
+    * [[graft.queries.EventsBatch]] runs the SAME code as the DuckDB-checked
+    * batch twin (`evt_stream_join`). */
+  def attributeClicks(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+        col("event_id").as("click_id"),
+        col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    p.join(c,
+        col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"))
+  }
+
   // ---- arbitrary stateful processing -----------------------------------
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

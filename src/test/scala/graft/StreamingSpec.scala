@@ -111,6 +111,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.filter(col("weight").isNull).count() == 0)
   }
 
+  test("stream-stream join with watermarks equals the oracle-checked batch twin") {
+    // two independent streaming inputs from the same replay dir; the join
+    // carries both-side watermarks + a 1h event-time bound (state eviction)
+    val clicks = EventStreams.readEventStream(spark, replayDir)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreams.readEventStream(spark, replayDir)
+      .filter(col("event_type") === "purchase")
+    EventStreams.runToMemory(
+      EventStreams.attributeClicks(clicks, purchases), "attributed")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = key(spark.table("attributed"))
+    val batch = key(graft.queries.EventsBatch.defs("evt_stream_join")(spark, sf))
+    // inner stream-stream join emits every match in the single AvailableNow
+    // batch (watermarks only bound STATE, not inner-join emission) → exact
+    assert(streamed == batch,
+      s"streamed ${streamed.size} pairs != batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionization closes gap-separated sessions") {
     import spark.implicits._
     // batch-mode execution of the stateful function: every session CLOSED
