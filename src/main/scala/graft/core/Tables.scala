@@ -35,7 +35,16 @@ object Tables {
     * never adds a shuffle at scale. */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // estimate the scan's split count from metadata only: file list + size
+    // vs maxPartitionBytes. df.rdd.getNumPartitions would be exact but
+    // forces physical planning (and under AQE can run query stages) once
+    // per call; the estimate errs high on multi-file inputs, which only
+    // skips the repartition — never adds a shuffle on well-split data.
+    val maxSplit = math.max(1L,
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+    val bySize = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
+    val est = math.max(df.inputFiles.length.toLong, bySize.toLong + 1L)
+    if (est < target) df.repartition(target) else df
   }
 
   /** Register all tables as temp views (for spark.sql-surface queries). */

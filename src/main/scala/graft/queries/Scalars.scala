@@ -165,6 +165,21 @@ object Scalars {
         .withColumnRenamed("c0", "k_tuple_str")
     }),
 
+    // sink-side JSON surface (SURVEY §2 JSON family): struct/map → JSON
+    // string with to_json, schema inference with schema_of_json, and a
+    // from_json(to_json(...)) round-trip. Doubles are kept out of the JSON
+    // payloads — Spark and DuckDB format floating point differently.
+    "fn_json2" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("t")))
+          .as("obj_json"),
+        to_json(map(lit("uid"), col("user_id"))).as("map_json"),
+        schema_of_json(lit("""{"k": 42}""")).as("props_schema"),
+        from_json(to_json(struct(col("user_id").as("u"))), lit("u BIGINT"))
+          .getField("u").as("roundtrip_uid"))
+    }),
+
     "fn_cast" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
         col("o_orderkey"),
@@ -312,6 +327,14 @@ object Scalars {
              CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod10,
              CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
              json_extract_string(props, '$.k') AS k_tuple_str
+      FROM events""",
+
+    "fn_json2" -> """
+      SELECT event_id,
+             to_json(struct_pack(id := event_id, t := event_type)) AS obj_json,
+             to_json(MAP {'uid': user_id}) AS map_json,
+             'STRUCT<k: BIGINT>' AS props_schema,
+             user_id AS roundtrip_uid
       FROM events""",
 
     "fn_cast" -> """

@@ -16,6 +16,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "Hello World")
   }
 
+  test("raw first/last/any_value aggregates (single sorted partition)") {
+    // the nondeterministic built-ins, pinned on a deterministic input: one
+    // partition, pre-sorted, so first = head row and last = tail row.
+    // ignoreNulls variants must skip the leading/trailing nulls.
+    val df = Seq[(Int, java.lang.Integer)]((1, null), (2, 20), (3, 30),
+        (4, null)).toDF("k", "v")
+      .repartition(1).sortWithinPartitions($"k")
+    val r = df.agg(
+      first($"v").as("f"), last($"v").as("l"),
+      first($"v", ignoreNulls = true).as("f_nn"),
+      last($"v", ignoreNulls = true).as("l_nn"),
+      any_value($"v", lit(true)).as("av")).collect()(0)
+    assert(r.isNullAt(0), "first without ignoreNulls takes the null head")
+    assert(r.isNullAt(1), "last without ignoreNulls takes the null tail")
+    assert(r.getInt(2) == 20 && r.getInt(3) == 30)
+    assert(r.getInt(4) == 20, "any_value(ignoreNulls) on one sorted partition")
+  }
+
   test("months_between fractional semantics (31-day month rule)") {
     val r = Seq(1).toDF("x").select(
       months_between(lit("2024-03-15 00:00:00").cast("timestamp"),
