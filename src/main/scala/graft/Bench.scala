@@ -31,8 +31,43 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> math.min(time(fn), time(fn))
     }
+    // Layout demonstration (SURVEY §2 partitioning): the SAME fact⋈fact
+    // join (lineitem⋈orders on orderkey) timed over raw parquet (both
+    // sides shuffle) vs tables pre-bucketed on the join key (zero
+    // Exchange — PartitioningSpec asserts the plan). Broadcast is disabled
+    // so the comparison models the 100 TB case where neither side fits an
+    // executor; the one-time bucketed write cost is reported separately
+    // because layout is amortized over every subsequent co-located join.
+    val layout: Map[String, Double] = try {
+      import org.apache.spark.sql.functions.{col, sum}
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def joined(li: org.apache.spark.sql.DataFrame,
+                   o: org.apache.spark.sql.DataFrame) =
+          li.join(o, col("l_orderkey") === col("o_orderkey"))
+            .agg(sum(col("l_quantity")))
+        def t2(fn: => Unit): Double = {
+          def once = { val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9 }
+          math.min(once, once)
+        }
+        val wt0 = System.nanoTime()
+        graft.ops.Partitioning.writeBucketed(
+          graft.core.Tables.t(spark, sfDir, "lineitem"), "bench_li", "l_orderkey", 32)
+        graft.ops.Partitioning.writeBucketed(
+          graft.core.Tables.t(spark, sfDir, "orders"), "bench_o", "o_orderkey", 32)
+        val writeSec = (System.nanoTime() - wt0) / 1e9
+        val shuffled = t2(joined(graft.core.Tables.t(spark, sfDir, "lineitem"),
+          graft.core.Tables.t(spark, sfDir, "orders")).collect())
+        val bucketed = t2(joined(spark.table("bench_li"),
+          spark.table("bench_o")).collect())
+        Map("layout_join_shuffle" -> shuffled,
+          "layout_join_bucketed" -> bucketed,
+          "layout_bucketed_write" -> writeSec)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } catch { case _: Throwable => Map.empty }
     def r3(v: Double): String = f"$v%.3f" // shrink the JSON line: ms precision
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = (results ++ layout).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =

@@ -43,7 +43,7 @@ object SimSearch {
     * Adds `sigs: array<bigint>` of length nTables; `sigs[t]` also encodes t
     * in the high bits so a single explode+equi-join keys on (table, bucket).
     */
-  def signatures(df: DataFrame, nTables: Int = 16, bitsPerTable: Int = 4,
+  def signatures(df: DataFrame, nTables: Int = 24, bitsPerTable: Int = 4,
                  dim: Int = 64): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val sigCols: Seq[Column] = (0 until nTables).map { tt =>
@@ -120,14 +120,17 @@ object SimSearch {
         (i, c.toArray.map(_.toFloat))
       }.toSeq
       val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
-      // query → its nProbe=4 closest cells
+      // query → its nProbe=8 closest cells. nProbe trades recall against
+      // candidate-set size; 8/16 cells recalls ≥ 0.7 of exact top-5 on the
+      // near-random fixture (SimSearchSpec). With real clustered embeddings
+      // (and k ≈ √N cells at scale) the same recall needs far fewer probes.
       val queries = assigned.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val qCells = queries.crossJoin(broadcast(centDf))
         .withColumn("csim", expr("cosine_similarity(qvec, centroid)"))
         .withColumn("crn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
-        .filter(col("crn") <= 4)
+        .filter(col("crn") <= 8)
         .select(col("qid"), col("qvec"), col("cell"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
       assigned.select(col("vec_id").as("cid"), col("embedding").as("cvec"), col("cell"))
