@@ -119,6 +119,31 @@ object Dedup {
     labels
   }
 
+  /** Embedding near-duplicate pairs: hyperplane-LSH buckets → exact cosine
+    * ≥ minCos within buckets only. Banding is tuned for the NEAR-DUP
+    * regime, the opposite corner from ANN search: at cos ≥ 0.95 each
+    * hyperplane agrees with p = 1 − arccos(0.95)/π ≈ 0.9, so LONG 8-bit
+    * tables still collide (p⁸ ≈ 0.43, 1−(1−p⁸)⁸ ≈ 0.99 over 8 tables)
+    * while slicing each table into 2⁸ buckets — candidate sets ~16× smaller
+    * than the 4-bit ANN tuning. Exact cosine re-check ⇒ zero false
+    * positives whatever the banding admits. */
+  def embeddingNearDup(s: SparkSession, emb: DataFrame,
+                       minCos: Double = 0.95): DataFrame = {
+    GraftFunctions.register(s)
+    val sigd = SimSearch.signatures(emb, nTables = 8, bitsPerTable = 8)
+    val a = sigd.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+      explode(col("sigs")).as("sig"))
+    val b = sigd.select(col("vec_id").as("id2"), col("embedding").as("v2"),
+      explode(col("sigs")).as("sig"))
+    a.join(b, Seq("sig"))
+      .filter(col("id1") < col("id2"))
+      // cosine before dedup: cheaper than shuffling arrays (see ann_lsh)
+      .withColumn("cos", expr("cosine_similarity(v1, v2)"))
+      .filter(col("cos") >= minCos)
+      .select(col("id1"), col("id2"), col("cos"))
+      .dropDuplicates("id1", "id2")
+  }
+
   /** spark.ml MinHashLSH variant (kept as a cross-check of the native
     * implementation; see DedupSpec). Deterministic: seed fixed. */
   def minhashPairs(s: SparkSession, d: String, maxDist: Double = 0.8): DataFrame = {
@@ -158,21 +183,8 @@ object Dedup {
     }),
 
     // embedding near-dup: cosine ≥ 0.95 within multi-table LSH buckets
-    "llm_embedding_neardup" -> ((s, d) => {
-      GraftFunctions.register(s)
-      val emb = SimSearch.signatures(spread(t(s, d, "embeddings")))
-      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"),
-        explode(col("sigs")).as("sig"))
-      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"),
-        explode(col("sigs")).as("sig"))
-      a.join(b, Seq("sig"))
-        .filter(col("id1") < col("id2"))
-        // cosine before dedup: cheaper than shuffling arrays (see ann_lsh)
-        .withColumn("cos", expr("cosine_similarity(v1, v2)"))
-        .filter(col("cos") >= 0.95)
-        .select(col("id1"), col("id2"), col("cos"))
-        .dropDuplicates("id1", "id2")
-    }),
+    "llm_embedding_neardup" -> ((s, d) =>
+      embeddingNearDup(s, spread(t(s, d, "embeddings")))),
 
     // dedup EXECUTION (not just detection): exactly ONE survivor per
     // connected near-dup component — [[connectedComponents]] min-label

@@ -92,6 +92,33 @@ class DedupSpec extends AnyFunSuite {
       s"all nodes should collapse to label 0, got $labels")
   }
 
+  test("embedding near-dup finds planted perturbed copies, no false positives") {
+    import spark.implicits._
+    // 60 seeded random 64-dim unit-ish vectors; for the first 12, plant a
+    // lightly perturbed copy (id + 1000) with cosine ≈ 0.99 — near-dups an
+    // LSH-bucketed pass must recover without comparing all pairs
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = base.take(12).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(spark, emb)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 12).map(i => (i.toLong, i + 1000L)).toSet
+    // exact cosine re-check ⇒ anything found must really be ≥ 0.95
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val all = (base ++ dups).toMap
+    got.foreach { case (i, j) =>
+      assert(cos(all(i), all(j)) >= 0.95, s"false positive pair ($i,$j)") }
+    val recall = got.intersect(planted).size.toDouble / planted.size
+    assert(recall >= 0.9, s"planted near-dup recall too low: $recall ($got)")
+  }
+
   test("dedup_apply keeps exactly one representative per connected component") {
     val kept = Dedup.defs("llm_dedup_apply")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
