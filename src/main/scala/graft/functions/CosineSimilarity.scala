@@ -122,5 +122,7 @@ object GraftFunctions {
       "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
   }
 }

@@ -25,17 +25,15 @@ object TextOps {
   private val stopA = "the"
   private val stopB = "a"
 
-  /** (doc_id, shingle) distinct 3-gram word shingles — shared by the exact
-    * Jaccard and the hash-based dedup family. */
+  /** (doc_id, shingle) distinct k-gram word shingles — shared by the exact
+    * Jaccard and the hash-based dedup family. One narrow map over the scan
+    * via the [[graft.functions.WordShingles]] generator (UDTF); the first
+    * formulation (posexplode + lead().over(doc_id, pos)) paid a full hash
+    * shuffle + per-doc sort just to pair neighboring tokens. */
   def shingles(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val toks = spread(t(s, d, "documents"))
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+    graft.functions.GraftFunctions.register(s)
+    spread(t(s, d, "documents"))
+      .selectExpr("doc_id", s"word_shingles(text, $k) AS shingle")
       .distinct()
   }
 

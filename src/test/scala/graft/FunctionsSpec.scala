@@ -16,6 +16,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "Hello World")
   }
 
+  test("word_shingles generator (UDTF): select-list, lateral view, edge cases") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, "a b c d"), (2L, "one two"), (3L, null),
+      (4L, "x  y z")).toDF("id", "text")
+    docs.createOrReplaceTempView("ws_docs")
+    // generator in a select list (analyzer wraps it in Generate)
+    val sel = docs.selectExpr("id", "word_shingles(text, 3) AS sh")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sel == Set((1L, "a b c"), (1L, "b c d"),
+      (4L, "x  y"), (4L, " y z"))) // doc 2 too short, doc 3 null → no rows;
+    // doc 4: empty token between double spaces preserved (split -1 parity)
+    // and the same generator through SQL LATERAL VIEW
+    val lv = spark.sql(
+      """SELECT id, sh FROM ws_docs
+         LATERAL VIEW word_shingles(text, 2) t AS sh WHERE id = 2""")
+      .collect().map(_.getString(1)).toSeq
+    assert(lv == Seq("one two"))
+  }
+
   test("raw first/last/any_value aggregates (single sorted partition)") {
     // the nondeterministic built-ins, pinned on a deterministic input: one
     // partition, pre-sorted, so first = head row and last = tail row.
