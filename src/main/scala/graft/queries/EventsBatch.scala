@@ -56,6 +56,17 @@ object EventsBatch {
         ev.filter(col("event_type") === "purchase"))
     }),
 
+    // left-outer variant: purchases with no attributable click survive
+    // null-extended (the streaming form emits them once the click watermark
+    // rules out late arrivals).
+    "evt_stream_join_left" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.EventStreams.attributeClicks(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        joinType = "left_outer")
+    }),
+
     // as-of join, composed scale-friendly (SURVEY §2 "as-of / interval
     // join", §7.4 risk 7): for each purchase, the latest STRICTLY-PRIOR
     // click of the same user. Implemented as one pass over a
@@ -114,6 +125,15 @@ object EventsBatch {
              c.ts AS click_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+
+    "evt_stream_join_left" -> """
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+             p.value AS purchase_value, c.event_id AS click_id,
+             c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id
        AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
 

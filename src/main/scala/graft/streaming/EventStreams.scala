@@ -79,10 +79,16 @@ object EventStreams {
     * the full history — the difference between O(window) and O(stream)
     * state at 100 TB/day rates.
     *
+    * `joinType` extends the same plan to outer attribution: `left_outer`
+    * keeps purchases with NO qualifying click (null-extended once the
+    * click-side watermark passes the purchase's match window — streaming
+    * can only declare "no click arrived" after late clicks are ruled out).
+    *
     * Defined over plain DataFrames: `withWatermark` is a no-op in batch, so
     * [[graft.queries.EventsBatch]] runs the SAME code as the DuckDB-checked
-    * batch twin (`evt_stream_join`). */
-  def attributeClicks(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    * batch twins (`evt_stream_join`, `evt_stream_join_left`). */
+  def attributeClicks(clicks: DataFrame, purchases: DataFrame,
+                      joinType: String = "inner"): DataFrame = {
     val c = clicks.select(
         col("event_id").as("click_id"),
         col("user_id").as("click_user"),
@@ -97,7 +103,8 @@ object EventStreams {
     p.join(c,
         col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"))
+        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("purchase_value"), col("click_id"), col("click_ts"))
   }

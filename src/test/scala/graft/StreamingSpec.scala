@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream-stream join: matches exact, null-extension watermark-gated") {
+    val clicks = EventStreams.readEventStream(spark, replayDir)
+      .filter(col("event_type") === "click")
+    val purchases = EventStreams.readEventStream(spark, replayDir)
+      .filter(col("event_type") === "purchase")
+    EventStreams.runToMemory(
+      EventStreams.attributeClicks(clicks, purchases, "left_outer"), "attr_left")
+    val streamed = spark.table("attr_left")
+    val batch = graft.queries.EventsBatch.defs("evt_stream_join_left")(spark, sf)
+    def matched(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("click_id").isNotNull)
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // matched rows are exact (inner-path semantics)
+    assert(matched(streamed) == matched(batch))
+    // null-extended rows: a subset of the batch ones — streaming may only
+    // declare "no click" for purchases whose match window is fully past the
+    // click watermark, and the final watermark's stragglers stay in state
+    def unmatched(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("click_id").isNull).select("purchase_id").collect()
+        .map(_.getLong(0)).toSet
+    assert(unmatched(streamed).subsetOf(unmatched(batch)))
+    assert(streamed.count() >= matched(batch).size)
+  }
+
   test("flatMapGroupsWithState sessionization closes gap-separated sessions") {
     import spark.implicits._
     // batch-mode execution of the stateful function: every session CLOSED
