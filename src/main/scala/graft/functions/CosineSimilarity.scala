@@ -124,5 +124,7 @@ object GraftFunctions {
       "dot_product", es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_grams", es => CharGrams(es.head, es(1)), "built-in")
   }
 }

@@ -65,3 +65,45 @@ case class WordShingles(child: Expression, kExpr: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
+
+/** `char_grams(text, k)`: one row per k-character gram, codepoint-exact with
+  * SQL `substring(text, i, k)` (operates on the UTF8String directly — no
+  * UTF-16 conversion, no per-doc gram array). Replaces the interpreted
+  * `transform(sequence(1, length-k+1), i -> substring(...))` HOF on the
+  * language-ID hot path: higher-order lambdas run interpreted per element
+  * AND materialize the full array before explode. */
+case class CharGrams(child: Expression, kExpr: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && kExpr.dataType == IntegerType &&
+        kExpr.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_grams requires (string, foldable int), got " +
+      s"${child.dataType.sql}, ${kExpr.dataType.sql}")
+
+  private lazy val k: Int = kExpr.eval(null).asInstanceOf[Int]
+
+  override def elementSchema: StructType =
+    StructType(StructField("gram", StringType) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null || k <= 0) Iterator.empty
+    else {
+      val str = v.asInstanceOf[UTF8String]
+      val n = str.numChars()
+      if (n < k) Iterator.empty
+      else (1 to n - k + 1).iterator.map { i =>
+        InternalRow(str.substringSQL(i, k))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}

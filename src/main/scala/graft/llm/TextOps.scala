@@ -41,11 +41,13 @@ object TextOps {
     * lang), with add-one smoothing. Profiles are a (lang, gram)-keyed
     * aggregate small enough to broadcast (|langs| × |grams|). */
   def langidNaiveBayes(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = spread(t(s, d, "documents"))
-    val grams = docs.select(col("doc_id"), col("lang"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("gram"))
+    // char_grams generator: lazy rows straight off the scan — the earlier
+    // transform(sequence(...)) HOF ran its lambda interpreted per element
+    // and materialized every doc's full gram array before explode
+    val grams = docs.selectExpr("doc_id", "lang",
+      "char_grams(text, 3) AS gram")
     val langTotals = grams.groupBy(col("lang"))
       .agg(count(lit(1)).as("lang_grams"))
     val vocabSize = grams.select(countDistinct(col("gram")).as("v"))

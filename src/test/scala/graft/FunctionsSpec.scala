@@ -35,6 +35,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(lv == Seq("one two"))
   }
 
+  test("char_grams generator matches the transform(sequence) HOF formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, "abcdef"), (2L, "ab"), (3L, null), (4L, "héllo"))
+      .toDF("id", "text")
+    val gen = docs.selectExpr("id", "char_grams(text, 3) AS gram")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val hof = docs.filter(length($"text") >= 3)
+      .selectExpr("id",
+        "explode(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))) AS gram")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(gen == hof)
+    assert(gen.contains((4L, "hél")), "codepoint (not byte) grams")
+  }
+
   test("raw first/last/any_value aggregates (single sorted partition)") {
     // the nondeterministic built-ins, pinned on a deterministic input: one
     // partition, pre-sorted, so first = head row and last = tail row.
