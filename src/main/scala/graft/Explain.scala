@@ -13,7 +13,8 @@ object Explain {
   val headliners = Seq("join_star_revenue", "agg_pricing_summary",
     "taxi_bucket_segmentation", "win_topk_per_group", "llm_cosine_topk",
     "join_asof", "llm_ngram_jaccard", "llm_minhash_pairs", "llm_ann_lsh",
-    "sub_correlated", "tpch_q3_shipping")
+    "sub_correlated", "tpch_q3_shipping", "llm_embedding_neardup",
+    "evt_stream_join", "llm_langid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
