@@ -89,6 +89,25 @@ object TextOps {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
     }),
 
+    // deterministic train/valid/test split: bucket = first 16 bits of
+    // md5("graft:" || doc_id) mod 100 → 80/10/10. Hash-based (not RNG):
+    // stable across reruns, engines, partitionings, and dataset growth —
+    // a doc's split never changes when neighbors are added or removed.
+    // Narrow projection, no shuffle: the 100 TB shape is a free ride on
+    // the scan. Salted so the split is independent of any other doc_id
+    // hashing in the pipeline.
+    "llm_split_assign" -> ((s, d) => {
+      t(s, d, "documents").select(
+          col("doc_id"),
+          (conv(substring(md5(concat(lit("graft:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 100)
+            .as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+    }),
+
     // token / char accounting (whitespace tokenizer)
     "llm_token_stats" -> ((s, d) => {
       val toks = split(col("text"), " ")
@@ -188,6 +207,18 @@ object TextOps {
     "llm_exact_dedup" -> """
       SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
       FROM documents GROUP BY md5(text)""",
+
+    "llm_split_assign" -> """
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                 1, 4)) AS INTEGER) % 100 AS bucket
+        FROM documents
+      )""",
 
     "llm_token_stats" -> """
       SELECT doc_id,
