@@ -324,11 +324,93 @@ object Relational {
     "dedup_subset_keys" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(min(col("o_orderkey")).as("keeper_orderkey")))
+        .agg(min(col("o_orderkey")).as("keeper_orderkey"))),
+
+    // ---- More TPC-H composite shapes -----------------------------------
+    // Q10 shape: revenue lost to returned items per customer, top 20.
+    // nation broadcasts (true dim); customer joins post-aggregate-sized
+    // fact output via AQE's choice.
+    "tpch_q10_returns" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1999-07-01").cast("timestamp"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q12 shape (adapted: fixture has no shipmode/receiptdate): late-vs-
+    // prompt shipping lag per linestatus with URGENT/HIGH conditional
+    // counts — the map-side conditional-aggregate pattern.
+    "tpch_q12_priority" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
+
+    // Q14 shape: promo revenue share in a ship-month — scalar percentage
+    // from two conditional sums in ONE pass (no second scan).
+    "tpch_q14_promo" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.filter(col("l_shipdate") >= lit("1999-03-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1999-04-01").cast("timestamp"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev)).as("promo_revenue_pct"))
+    })
   )
 
   /** DuckDB-equivalent SQL, same aliases, same table names. */
   val sql: Map[String, String] = Map(
+    "tpch_q10_returns" -> """
+      SELECT c_custkey, c_name, n_name, c_acctbal,
+             sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate <  TIMESTAMP '1999-07-01'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "tpch_q12_priority" -> """
+      SELECT l_linestatus,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS high_line_count,
+             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate
+      GROUP BY l_linestatus""",
+
+    "tpch_q14_promo" -> """
+      SELECT 100.0 *
+               sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1.0 - l_discount)
+                        ELSE 0.0 END) /
+               sum(l_extendedprice * (1.0 - l_discount)) AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1999-03-01'
+        AND l_shipdate <  TIMESTAMP '1999-04-01'""",
+
     "agg_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
