@@ -130,18 +130,26 @@ object Dedup {
   def embeddingNearDup(s: SparkSession, emb: DataFrame,
                        minCos: Double = 0.95): DataFrame = {
     GraftFunctions.register(s)
+    // the bucket self-join carries ONLY (sig, id) — 16 bytes/row — through
+    // the shuffle; embeddings (~dim×4 bytes each) are joined back by id
+    // for just the deduped candidate pairs. The earlier form shuffled both
+    // sides' full arrays through every bucket row: nTables× more shuffle
+    // bytes than one id-keyed array join on the (far smaller) pair set.
     val sigd = SimSearch.signatures(emb, nTables = 8, bitsPerTable = 8)
-    val a = sigd.select(col("vec_id").as("id1"), col("embedding").as("v1"),
-      explode(col("sigs")).as("sig"))
-    val b = sigd.select(col("vec_id").as("id2"), col("embedding").as("v2"),
-      explode(col("sigs")).as("sig"))
-    a.join(b, Seq("sig"))
+      .localCheckpoint() // sigs computed once, reused by both join sides
+    val buckets = sigd.select(col("vec_id"), explode(col("sigs")).as("sig"))
+    val cands = buckets.select(col("vec_id").as("id1"), col("sig"))
+      .join(buckets.select(col("vec_id").as("id2"), col("sig")), Seq("sig"))
       .filter(col("id1") < col("id2"))
-      // cosine before dedup: cheaper than shuffling arrays (see ann_lsh)
+      .select("id1", "id2").distinct()
+    cands
+      .join(sigd.select(col("vec_id").as("id1"), col("embedding").as("v1")),
+        Seq("id1"))
+      .join(sigd.select(col("vec_id").as("id2"), col("embedding").as("v2")),
+        Seq("id2"))
       .withColumn("cos", expr("cosine_similarity(v1, v2)"))
       .filter(col("cos") >= minCos)
       .select(col("id1"), col("id2"), col("cos"))
-      .dropDuplicates("id1", "id2")
   }
 
   /** spark.ml MinHashLSH variant (kept as a cross-check of the native
