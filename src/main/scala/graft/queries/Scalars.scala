@@ -180,6 +180,27 @@ object Scalars {
           .getField("u").as("roundtrip_uid"))
     }),
 
+    // bitwise family (hash bucketing / bitmap building blocks)
+    "fn_bitwise" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("and255"),
+        col("o_orderkey").bitwiseOR(16).as("or16"),
+        col("o_orderkey").bitwiseXOR(37).as("xor37"),
+        expr("shiftleft(o_orderkey, 2)").as("shl2"),
+        expr("shiftright(o_orderkey, 3)").as("shr3"),
+        bit_count(col("o_orderkey")).as("nbits"))
+    }),
+
+    // explode_outer: NULL/empty arrays keep their parent row
+    "fn_explode_outer" -> ((s, d) => {
+      t(s, d, "part").select(
+          col("p_partkey"),
+          when(col("p_size") % 3 === 0, lit(null))
+            .otherwise(expr("sequence(1, p_size % 4 + 1)")).as("arr"))
+        .select(col("p_partkey"), explode_outer(col("arr")).as("v"))
+    }),
+
     "fn_cast" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
         col("o_orderkey"),
@@ -336,6 +357,26 @@ object Scalars {
              'STRUCT<k: BIGINT>' AS props_schema,
              user_id AS roundtrip_uid
       FROM events""",
+
+    "fn_bitwise" -> """
+      SELECT o_orderkey,
+             o_orderkey & 255 AS and255,
+             o_orderkey | 16 AS or16,
+             xor(o_orderkey, 37) AS xor37,
+             o_orderkey << 2 AS shl2,
+             o_orderkey >> 3 AS shr3,
+             bit_count(o_orderkey) AS nbits
+      FROM orders WHERE o_orderkey <= 2000""",
+
+    "fn_explode_outer" -> """
+      SELECT t.p_partkey, u.v
+      FROM (
+        SELECT p_partkey,
+               CASE WHEN p_size % 3 = 0 THEN NULL
+                    ELSE range(1, p_size % 4 + 2) END AS arr
+        FROM part
+      ) t
+      LEFT JOIN LATERAL unnest(t.arr) u(v) ON true""",
 
     "fn_cast" -> """
       SELECT o_orderkey,

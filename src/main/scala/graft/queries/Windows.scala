@@ -97,6 +97,16 @@ object Windows {
         last(col("event_type")).over(w).as("last_type"))
     }),
 
+    // nth_value over the whole partition (deterministic: unique-key order)
+    "win_nth_value" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"),
+        nth_value(col("value"), 3).over(w).as("third_value"))
+    }),
+
     // top-k per group (reference B3/B5 generalized): top-3 orders per
     // customer by totalprice, orderkey tiebreak
     "win_topk_per_group" -> ((s, d) => {
@@ -169,6 +179,14 @@ object Windows {
       SELECT event_id, user_id,
              first_value(event_type) OVER w AS first_type,
              last_value(event_type) OVER w AS last_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+
+    "win_nth_value" -> """
+      SELECT event_id, user_id,
+             nth_value(event_type, 2) OVER w AS second_type,
+             nth_value(value, 3) OVER w AS third_value
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
