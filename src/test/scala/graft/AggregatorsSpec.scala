@@ -37,6 +37,17 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(math.abs(one - many) < 1e-6)
   }
 
+  test("typed Aggregator via groupByKey (Dataset API, no SQL registration)") {
+    import spark.implicits._
+    // the same Aggregator used as a typed column over KeyValueGroupedDataset
+    // — the Dataset-native path next to the udaf() SQL registration
+    val ds = Seq(("a", 1.5), ("a", 2.5), ("b", 4.0), ("b", 0.25)).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(Aggregators.KahanSum.toColumn.name("total"))
+      .collect().toMap
+    assert(out == Map("a" -> 4.0, "b" -> 4.25))
+  }
+
   test("minhash16 signature agreement estimates Jaccard") {
     Aggregators.register(spark)
     import spark.implicits._

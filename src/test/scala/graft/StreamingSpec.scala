@@ -132,6 +132,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch sink: stream lands in JDBC exactly once per batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val url =
+      s"jdbc:derby:${Files.createTempDirectory("graft-fb")}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val ckpt = Files.createTempDirectory("graft-fb-ckpt").toString
+    val stream = EventStreams.readEventStream(spark, replayDir)
+      .filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "value")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.etl.Writers.appendJdbc(batch, url, "signups_jdbc", props)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val back = spark.read.jdbc(url, "signups_jdbc", props)
+    val want = t(spark, sf, "events").filter(col("event_type") === "signup")
+    assert(back.count() == want.count())
+    assert(math.abs(back.agg(sum("value")).collect()(0).getDouble(0) -
+      want.agg(sum("value")).collect()(0).getDouble(0)) < 1e-6)
+  }
+
   test("left-outer stream-stream join: matches exact, null-extension watermark-gated") {
     val clicks = EventStreams.readEventStream(spark, replayDir)
       .filter(col("event_type") === "click")
