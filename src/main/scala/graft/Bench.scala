@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh warehouse per run: the layout demo's saveAsTable would hit
+      // "location not empty" against a leftover spark-warehouse/ dir from
+      // a previous run (the in-memory catalog forgets tables across JVMs)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, file-listing, shuffle machinery)
