@@ -64,10 +64,18 @@ object Dedup {
   def minhashPairsNative(s: SparkSession, d: String,
                          threshold: Double = 0.2): DataFrame = {
     graft.functions.Aggregators.register(s)
+    // materialize the hashed shingle set ONCE: it feeds the signature agg
+    // and both sides of the exact-verify join, and without a lineage cut
+    // the planner replays the whole scan→generate→distinct subtree (and
+    // its shuffle) at every reference — 0 ReusedExchange in the static plan
     val sh = TextOps.shingles(s, d)
       .withColumn("h", xxhash64(col("shingle")))
+      .select("doc_id", "h")
+      .localCheckpoint()
+    // sigs too (one row per doc): referenced by banding AND the n_sh joins
     val sigs = sh.groupBy(col("doc_id"))
       .agg(expr("minhash64(h)").as("sig"), count(lit(1)).as("n_sh"))
+      .localCheckpoint()
     val cands = bandedCandidates(sigs.select("doc_id", "sig"), r = 2, b = 32)
     // exact verification on candidates only
     val common = cands

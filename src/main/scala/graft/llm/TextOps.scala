@@ -149,7 +149,9 @@ object TextOps {
     // exact n-gram Jaccard near-dup pairs (threshold 0.2): the correctness
     // anchor for the MinHash/SimHash approximations. Shuffle key = shingle.
     "llm_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d)
+      // shingle set materialized once (lineage cut) — referenced by the
+      // per-doc counts and both sides of the pair join
+      val sh = shingles(s, d).localCheckpoint()
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
