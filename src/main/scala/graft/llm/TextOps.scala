@@ -135,6 +135,34 @@ object TextOps {
             / size(col("toks")).cast("double")).as("mean_token_len"))
     }),
 
+    // vocabulary head: exact token top-k (vocab-truncation building block).
+    // word_shingles(text, 1) = the tokenizer itself; one partial+final agg
+    // then a tiny global top-k — the TakeOrdered shape, no full sort.
+    "llm_vocab_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      spread(t(s, d, "documents"))
+        .selectExpr("word_shingles(text, 1) AS tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok"))
+        .limit(100)
+    }),
+
+    // percentile-gated quality filter: keep docs above the corpus 25th
+    // percentile of lexical diversity. The cutoff is ONE scalar broadcast
+    // back over the scored frame — no per-row subquery, two passes total.
+    "llm_quality_filter" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")).as("distinct_ratio"))
+      val cut = scored.agg(
+        expr("percentile(distinct_ratio, 0.25)").as("cut"))
+      scored.crossJoin(broadcast(cut))
+        .filter(col("distinct_ratio") > col("cut"))
+        .select(col("doc_id"), col("lang"), col("distinct_ratio"))
+    }),
+
     // language histogram (per-language corpus accounting)
     "llm_lang_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -241,6 +269,24 @@ object TextOps {
              list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                / CAST(len(toks) AS DOUBLE) AS mean_token_len
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""",
+
+    "llm_vocab_topk" -> """
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY n DESC, tok
+      LIMIT 100""",
+
+    "llm_quality_filter" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+        FROM documents
+      )
+      SELECT doc_id, lang, distinct_ratio FROM scored
+      WHERE distinct_ratio > (SELECT quantile_cont(distinct_ratio, 0.25)
+                              FROM scored)""",
 
     "llm_lang_stats" -> """
       SELECT lang, count(*) AS n_docs,
