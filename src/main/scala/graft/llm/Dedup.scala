@@ -92,6 +92,35 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** SimHash NEAR-duplicate pairs (hamming ≤ maxHamming), banked à la
+    * Manku/Jain/Sarma: the 64-bit signature splits into `banks` blocks;
+    * two signatures within hamming h of each other differ in at most h
+    * blocks, so with banks > maxHamming the pigeonhole principle
+    * guarantees they agree EXACTLY on some block — candidate recall is
+    * 1.0, not probabilistic. Each doc emits `banks` (bank, 16-bit key)
+    * rows; candidates equi-join on them; the exact hamming check
+    * (`bit_count(s1 ^ s2)`, codegen'd) filters false bucket collisions.
+    * Shuffle carries only (id, signature, key) — no text. */
+  def simhashNearDup(sim: DataFrame, maxHamming: Int = 3,
+                     banks: Int = 4): DataFrame = {
+    require(banks > maxHamming, "pigeonhole needs banks > maxHamming")
+    val bankBits = 64 / banks
+    val mask = (1L << bankBits) - 1
+    val keys = (0 until banks).map(b =>
+      expr(s"shiftrightunsigned(simhash, ${b * bankBits}) & $mask"))
+    val banked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("bank", "key")))
+    val a = banked.select(col("doc_id").as("doc1"),
+      col("simhash").as("s1"), col("bank"), col("key"))
+    val b = banked.select(col("doc_id").as("doc2"),
+      col("simhash").as("s2"), col("bank"), col("key"))
+    a.join(b, Seq("bank", "key"))
+      .filter(col("doc1") < col("doc2"))
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming").distinct()
+  }
+
   /** Distributed connected components by iterative min-label propagation,
     * run until a fixed point (no label changes) instead of a fixed round
     * count: min-label needs O(graph diameter) rounds, and a chain of
@@ -201,6 +230,12 @@ object Dedup {
     // embedding near-dup: cosine ≥ 0.95 within multi-table LSH buckets
     "llm_embedding_neardup" -> ((s, d) =>
       embeddingNearDup(s, spread(t(s, d, "embeddings")))),
+
+    // SimHash near-dup pairs at hamming ≤ 3 (banked, recall-exact; see
+    // [[simhashNearDup]]) — the near-match complement of the
+    // identical-signature clusters above.
+    "llm_simhash_neardup" -> ((s, d) =>
+      simhashNearDup(TextOps.defs("llm_simhash")(s, d))),
 
     // dedup EXECUTION (not just detection): exactly ONE survivor per
     // connected near-dup component — [[connectedComponents]] min-label

@@ -119,6 +119,32 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"planted near-dup recall too low: $recall ($got)")
   }
 
+  test("banked simhash near-dup equals brute-force hamming ≤ 3 exactly") {
+    import spark.implicits._
+    // 40 seeded signatures + 10 planted variants with 1-3 bit flips; with
+    // 4 banks > 3 flips the pigeonhole guarantees exact recall, and the
+    // bit_count verify removes bucket false positives → set equality
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    val flipped = base.take(10).map { case (i, s) =>
+      val flips = 1 + rnd.nextInt(3)
+      val s2 = (0 until flips).foldLeft(s)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(64)))
+      (i + 100L, s2)
+    }
+    val all = base ++ flipped
+    val sim = all.toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDup(sim)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (i, s1) <- all; (j, s2) <- all if i < j
+      if java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i, j)).toSet
+    assert(got == want, s"banded ${got.size} != brute ${want.size}")
+    assert(want.size >= 10, "fixture should contain the planted pairs")
+  }
+
   test("dedup_apply keeps exactly one representative per connected component") {
     val kept = Dedup.defs("llm_dedup_apply")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
