@@ -163,6 +163,42 @@ object TextOps {
         .select(col("doc_id"), col("lang"), col("distinct_ratio"))
     }),
 
+    // end-to-end curation pipeline (composition flagship): quality gate →
+    // exact-dedup survivors → deterministic split → per-(split, lang)
+    // accounting. Every stage is the operator defined above; the composed
+    // plan stays fully declarative, so Catalyst collapses the three
+    // narrow stages into the scans feeding two aggregates.
+    "llm_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // stage 1: quality gate (lexical diversity above corpus p25)
+      val scored = docs
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double"))
+      val cut = scored.agg(
+        expr("percentile(distinct_ratio, 0.25)").as("cut"))
+      val kept = scored.crossJoin(broadcast(cut))
+        .filter(col("distinct_ratio") > col("cut"))
+      // stage 2: exact dedup — min doc_id per identical text survives
+      val survivors = kept
+        .withColumn("keeper",
+          min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("keeper"))
+      // stage 3+4: deterministic split, per-(split, lang) accounting
+      survivors
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("graft:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // language histogram (per-language corpus accounting)
     "llm_lang_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -287,6 +323,34 @@ object TextOps {
       SELECT doc_id, lang, distinct_ratio FROM scored
       WHERE distinct_ratio > (SELECT quantile_cont(distinct_ratio, 0.25)
                               FROM scored)""",
+
+    "llm_curation_pipeline" -> """
+      WITH scored AS (
+        SELECT doc_id, lang, text, n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+        FROM documents
+      ), kept AS (
+        SELECT * FROM scored
+        WHERE distinct_ratio > (SELECT quantile_cont(distinct_ratio, 0.25)
+                                FROM scored)
+      ), survivors AS (
+        SELECT * FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+          FROM kept
+        ) WHERE doc_id = keeper
+      )
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM (
+        SELECT lang, n_chars,
+               CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                 1, 4)) AS INTEGER) % 100 AS bucket
+        FROM survivors
+      )
+      GROUP BY 1, 2""",
 
     "llm_lang_stats" -> """
       SELECT lang, count(*) AS n_docs,
