@@ -132,6 +132,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("two-batch replay: watermark finalizes windows once and drops late data") {
+    import spark.implicits._
+    def ev(id: Long, hhmm: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1L, "click", v,
+        """{"k": 1}""")
+    val dir = Files.createTempDirectory("graft-late").toString + "/in"
+    def write(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+    // batch 1: one event per hour 00..05; max ts 05:30 → watermark 05:20
+    write((0 to 5).map(h => ev(h, f"$h%02d:30", 1.0)))
+    val q = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("late_demo").start()
+    q.processAllAvailable()
+    // batch 2: a LATE event in hour 00 (far past the 10 min watermark —
+    // must be dropped) plus a fresh hour-06 event advancing the watermark
+    write(Seq(ev(100, "00:40", 1.0), ev(101, "06:30", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_demo")
+      .select("win_start", "n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    // append mode: every finalized window emitted exactly once
+    assert(rows.map(_._1).distinct.length == rows.length,
+      s"window re-emitted: ${rows.toSeq}")
+    val h0 = rows.find(_._1.startsWith("2024-01-01 00:00"))
+    assert(h0.exists(_._2 == 1L),
+      s"late hour-00 event must be dropped, got $h0 in ${rows.toSeq}")
+    // hour-05 window finalizes once the hour-06 event advances the watermark
+    assert(rows.exists(_._1.startsWith("2024-01-01 05:00")),
+      s"hour-05 window should be finalized by batch 2: ${rows.toSeq}")
+  }
+
   test("foreachBatch sink: stream lands in JDBC exactly once per batch") {
     import org.apache.spark.sql.streaming.Trigger
     val url =
