@@ -147,6 +147,42 @@ object EventStreams {
       }
   }
 
+  /** Event-time sessionization via flatMapGroupsWithState with
+    * EventTimeTimeout: sessions close when the WATERMARK passes the last
+    * event + gap, not when wall-clock elapses — deterministic under replay
+    * (a historical backfill closes the same sessions as the live run,
+    * which ProcessingTimeTimeout cannot guarantee). Requires a watermark
+    * on `ts` (set here). */
+  def sessionizeEventTime(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n, s.total))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            var closed = List.empty[SessionOut]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (s.n > 0 && e.ts.getTime - s.lastTs >= gapMs) {
+                closed ::= SessionOut(uid, s.n, s.total)
+                s = SessionState(0L, 0.0, 0L)
+              }
+              s = SessionState(s.n + 1, s.total + e.value, e.ts.getTime)
+            }
+            state.update(s)
+            // close when the event-time watermark passes lastTs + gap
+            state.setTimeoutTimestamp(s.lastTs + gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** transformWithState (Spark 4 arbitrary-state API, the successor of
     * flatMapGroupsWithState): running per-user totals kept in a ValueState,
     * one updated row emitted per user per micro-batch. Requires the RocksDB

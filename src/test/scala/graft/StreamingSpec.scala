@@ -234,6 +234,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall(s => s.n_events > 0 && s.user_id >= 0))
   }
 
+  test("event-time sessionization closes sessions as the watermark passes") {
+    import spark.implicits._
+    val src = EventStreams.readEventStream(spark, replayDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Ev]
+    EventStreams.runToMemory(
+      EventStreams.sessionizeEventTime(src).toDF(), "et_sessions")
+    val out = spark.table("et_sessions")
+    // sessions closed by an in-data gap are emitted; per-user trailing
+    // sessions may close too once the final watermark passes them — so the
+    // count sits between the gap-closed floor and the batch total
+    val batchSessions = graft.queries.EventsBatch.defs("evt_session_window")(spark, sf)
+    val floor = batchSessions.count() -
+      batchSessions.select("user_id").distinct().count()
+    assert(out.count() >= floor, s"${out.count()} < gap-closed floor $floor")
+    assert(out.count() <= batchSessions.count())
+    // every closed session matches a batch gaps-and-islands session exactly
+    val got = out.select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val want = batchSessions
+      .select("user_id", "n_events", "session_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    assert(got.subsetOf(want), s"phantom sessions: ${got -- want}")
+  }
+
   test("transformWithState running totals equal batch per-user aggregates") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
