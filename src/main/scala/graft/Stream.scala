@@ -40,7 +40,18 @@ object Stream {
       case "totals"   => (EventStreams.runningTotals(
         src.selectExpr("event_id", "ts", "user_id", "event_type", "value")
           .as[EventStreams.Ev]).toDF(), OutputMode.Append)
-      case other => sys.error(s"unknown op '$other' (tumbling|sliding|session|dedup|totals)")
+      case "join"     =>
+        // stream-stream: clicks and purchases as two independent streams
+        val clicks = EventStreams.readEventStream(spark, dir)
+          .filter($"event_type" === "click")
+        val purchases = EventStreams.readEventStream(spark, dir)
+          .filter($"event_type" === "purchase")
+        (EventStreams.attributeClicks(clicks, purchases), OutputMode.Append)
+      case "sessions_et" => (EventStreams.sessionizeEventTime(
+        src.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreams.Ev]).toDF(), OutputMode.Append)
+      case other => sys.error(
+        s"unknown op '$other' (tumbling|sliding|session|dedup|totals|join|sessions_et)")
     }
     EventStreams.runToMemory(out, "stream_out", mode)
     val result = spark.table("stream_out")
