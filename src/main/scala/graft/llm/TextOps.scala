@@ -199,6 +199,48 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
+    // deterministic uniform k-sample: global order by a salted hash is a
+    // reproducible "random" permutation — TakeOrdered top-k, no full sort
+    // materialization, same sample on every engine/run/partitioning.
+    "llm_sample_k" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("rk",
+          md5(concat(lit("sample:"), col("doc_id").cast("string"))))
+        .orderBy(col("rk"), col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // stratified sample: top-10 per language by the same salted-hash order
+    // (data-mixing building block — fixed per-stratum quotas).
+    "llm_stratified_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    }),
+
+    // greedy sequence packing: assign docs to fixed token-budget bins per
+    // language via a running token count — floor(cum_before / budget) is
+    // the one-pass windowed approximation of greedy packing (each bin
+    // overflows by at most one doc). One shuffle on lang, one window pass.
+    "llm_pack_bins" -> ((s, d) => {
+      val nTok = size(split(col("text"), " "))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("n_tokens", nTok)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / lit(8192)).as("bin"))
+    }),
+
     // language histogram (per-language corpus accounting)
     "llm_lang_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -351,6 +393,33 @@ object TextOps {
         FROM survivors
       )
       GROUP BY 1, 2""",
+
+    "llm_sample_k" -> """
+      SELECT doc_id, lang, source
+      FROM documents
+      ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 50""",
+
+    "llm_stratified_sample" -> """
+      SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+        FROM documents
+      ) WHERE rn <= 10""",
+
+    "llm_pack_bins" -> """
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((cum - n_tokens) / 8192) AS BIGINT) AS bin
+      FROM (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+      )""",
 
     "llm_lang_stats" -> """
       SELECT lang, count(*) AS n_docs,
