@@ -37,6 +37,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.values.toSet.size > 1)
   }
 
+  test("decoded features flow into embedding near-dup end-to-end") {
+    // assets 0 and 7 carry byte-identical payloads (i % 7), so their stub
+    // features are identical and the LSH-bucketed near-dup pass must pair
+    // them at cosine 1.0 — multimodal decode composing with the dedup
+    // operator exactly as a text embedding column would
+    val emb = Multimodal.decodeStub(assets, dim = 16)
+      .select(col("asset_id").as("vec_id"), col("features").as("embedding"))
+    val pairs = graft.llm.Dedup.embeddingNearDup(spark, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, c) =>
+      ((a, b) == (0L, 7L) || (a, b) == (7L, 0L)) && math.abs(c - 1.0) < 1e-9
+    }, s"identical-payload assets not paired: ${pairs.toSeq}")
+  }
+
   test("sampleFrames explodes every k-th chunk with correct payload slices") {
     val out = Multimodal.sampleFrames(assets, chunkBytes = 1024, everyK = 2)
     // 4096 bytes / 1024 = 4 chunks; every 2nd → idx 0 and 2
