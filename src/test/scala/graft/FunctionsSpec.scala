@@ -67,6 +67,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 20, "any_value(ignoreNulls) on one sorted partition")
   }
 
+  test("approx_percentile tracks exact percentile within accuracy bound") {
+    val df = spark.range(100000).selectExpr("CAST(id AS DOUBLE) AS x")
+    val r = df.selectExpr(
+      "approx_percentile(x, 0.5, 10000) AS ap",
+      "percentile(x, 0.5) AS ep").collect()(0)
+    // accuracy=10000 → rank error ≤ N/10000 = 10 ranks ≈ 10 in value here
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 20.0,
+      s"approx ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+  }
+
+  test("HLL sketches merge: unioned per-group sketches ≈ global distinct") {
+    // the 100 TB pattern: sketch per partition/day, merge later — no
+    // re-scan of history. Two disjoint halves sketched separately, merged
+    // with hll_union_agg, estimate compared to the true distinct count.
+    val df = spark.range(50000)
+      .selectExpr("id % 20000 AS v", "CAST(id >= 25000 AS INT) AS half")
+    val est = df.groupBy("half")
+      .agg(expr("hll_sketch_agg(v)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n"))
+      .collect()(0).getLong(0)
+    assert(math.abs(est - 20000L) < 20000 * 0.05,
+      s"merged HLL estimate $est too far from 20000")
+  }
+
   test("months_between fractional semantics (31-day month rule)") {
     val r = Seq(1).toDF("x").select(
       months_between(lit("2024-03-15 00:00:00").cast("timestamp"),
