@@ -361,6 +361,33 @@ object Relational {
             .otherwise(0L)).as("low_line_count"))
     }),
 
+    // Q6 shape: the pure scan-filter-aggregate — every predicate is
+    // scan-pushable, so the plan is one parquet scan + partial/final agg.
+    "tpch_q6_forecast" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("2000-01-01").cast("timestamp") &&
+                col("l_discount").between(0.02, 0.06) &&
+                col("l_quantity") < 30)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Q19 shape: disjunctive multi-clause predicate over a joined pair —
+    // Catalyst extracts the common l_partkey = p_partkey conjunct so the
+    // join stays an equi-join and only the residual OR filters post-join.
+    "tpch_q19_brands" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
     // Q14 shape: promo revenue share in a ship-month — scalar percentage
     // from two conditional sums in ONE pass (no second scan).
     "tpch_q14_promo" -> ((s, d) => {
@@ -400,6 +427,24 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_shipdate > o_orderdate
       GROUP BY l_linestatus""",
+
+    "tpch_q6_forecast" -> """
+      SELECT sum(l_extendedprice * l_discount) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        AND l_shipdate <  TIMESTAMP '2000-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.06
+        AND l_quantity < 30""",
+
+    "tpch_q19_brands" -> """
+      SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+             AND l_quantity BETWEEN 10 AND 40)""",
 
     "tpch_q14_promo" -> """
       SELECT 100.0 *

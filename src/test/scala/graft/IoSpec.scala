@@ -31,6 +31,29 @@ class IoSpec extends AnyFunSuite {
     assert(rows(0).getDate(2).toString == "2025-11-03")
   }
 
+  test("json scan: PERMISSIVE captures corrupt records, DROPMALFORMED skips") {
+    val dir = Files.createTempDirectory("graft-json-bad")
+    Files.writeString(dir.resolve("c.json"),
+      """{"id": 1, "v": 10.0}
+        |{"id": 2 "v": BROKEN
+        |{"id": 3, "v": 30.0}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the default): bad line lands in _corrupt_record with
+    // nulls elsewhere — no rows silently lost, quarantine-able downstream
+    val perm = spark.read.schema(schema).json(dir.toString).cache()
+    assert(perm.count() == 3)
+    assert(perm.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(perm.filter(col("id").isNotNull).count() == 2)
+    perm.unpersist()
+    // DROPMALFORMED: bad line dropped entirely
+    val dropped = spark.read.option("mode", "DROPMALFORMED")
+      .schema(StructType(schema.fields.take(2))).json(dir.toString)
+    assert(dropped.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("json scan: line-delimited and multiline") {
     val dir = Files.createTempDirectory("graft-json")
     Files.writeString(dir.resolve("a.json"),
