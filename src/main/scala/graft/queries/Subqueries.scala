@@ -39,6 +39,32 @@ object Subqueries {
         AND c_custkey NOT IN (SELECT o_custkey FROM orders
                               WHERE o_orderstatus = 'P')""",
 
+    // EXISTS / NOT EXISTS (Catalyst rewrites to semi/anti joins — the
+    // declarative twin of join_semi/join_anti)
+    "sub_exists" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'P')""",
+
+    // LATERAL correlated subquery: per-customer top order by price —
+    // the subquery re-evaluates per outer row (DecorrelateInnerQuery path)
+    "sub_lateral" -> """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1
+      ) t ON true
+      WHERE c.c_custkey <= 200""",
+
     // TPC-H Q3 shape: shipping-priority top-10
     "tpch_q3_shipping" -> """
       SELECT l_orderkey,
