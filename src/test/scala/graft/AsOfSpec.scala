@@ -12,6 +12,30 @@ class AsOfSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   val sf = TestSession.sf
 
+  test("bucketed interval join equals the nested-loop range join, without one") {
+    val ev = t(spark, sf, "events")
+    // intervals = 90-minute windows opened by each signup; points = clicks
+    val intervals = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("iv_id"), col("ts").as("iv_start"),
+        (col("ts") + expr("interval 90 minutes")).as("iv_end"))
+    val points = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("pt_id"), col("ts"))
+    val banded = graft.ops.IntervalJoin.joinPointInInterval(
+      points, intervals, "ts", "iv_start", "iv_end")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pt_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals,
+      col("ts") >= col("iv_start") && col("ts") < col("iv_end"))
+    assert(key(banded) == key(naive))
+    assert(key(banded).nonEmpty)
+    // the whole point: the banded plan must be an equi-join, not a BNLJ
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"interval join planned a nested loop:\n$plan")
+  }
+
   test("generic joinAsOf equals the oracle-checked specialized query") {
     val ev = t(spark, sf, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
