@@ -67,6 +67,21 @@ object EventsBatch {
         joinType = "left_outer")
     }),
 
+    // interval join (bucketed, no nested loop — see ops.IntervalJoin):
+    // clicks landing in the 90-minute window opened by each signup
+    "join_interval" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val intervals = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("ts").as("iv_start"),
+          (col("ts") + expr("interval 90 minutes")).as("iv_end"))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("pt_id"), col("ts"))
+      graft.ops.IntervalJoin.joinPointInInterval(
+          points, intervals, "ts", "iv_start", "iv_end")
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("ts")).as("first_click"))
+    }),
+
     // as-of join, composed scale-friendly (SURVEY §2 "as-of / interval
     // join", §7.4 risk 7): for each purchase, the latest STRICTLY-PRIOR
     // click of the same user. Implemented as one pass over a
@@ -136,6 +151,14 @@ object EventsBatch {
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id
        AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+
+    "join_interval" -> """
+      SELECT s.event_id AS iv_id, count(*) AS n_clicks,
+             min(c.ts) AS first_click
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 90 MINUTE
+      GROUP BY s.event_id""",
 
     "join_asof" -> """
       SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
