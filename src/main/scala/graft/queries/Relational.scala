@@ -326,6 +326,21 @@ object Relational {
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(min(col("o_orderkey")).as("keeper_orderkey"))),
 
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other, unlike plain = — the standard trap when joining
+    // on nullable dimensions.
+    "join_null_safe" -> ((s, d) => {
+      val a = t(s, d, "orders").select(
+        nullif(col("o_orderstatus"), lit("P")).as("k"),
+        col("o_orderkey"))
+      val b = t(s, d, "orders")
+        .select(nullif(col("o_orderstatus"), lit("P")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_same_status"))
+      a.join(b, a("k") <=> b("k"))
+        .groupBy(a("k").as("status_or_null"))
+        .agg(count(lit(1)).as("n_orders"), max(col("n_same_status")).as("n_same"))
+    }),
+
     // ---- More TPC-H composite shapes -----------------------------------
     // Q10 shape: revenue lost to returned items per customer, top 20.
     // nation broadcasts (true dim); customer joins post-aggregate-sized
@@ -427,6 +442,16 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_shipdate > o_orderdate
       GROUP BY l_linestatus""",
+
+    "join_null_safe" -> """
+      SELECT a.k AS status_or_null, count(*) AS n_orders,
+             max(b.n_same_status) AS n_same
+      FROM (SELECT nullif(o_orderstatus, 'P') AS k, o_orderkey
+            FROM orders) a
+      JOIN (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_same_status
+            FROM orders GROUP BY 1) b
+        ON a.k IS NOT DISTINCT FROM b.k
+      GROUP BY a.k""",
 
     "tpch_q6_forecast" -> """
       SELECT sum(l_extendedprice * l_discount) AS revenue,

@@ -132,6 +132,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("update mode re-emits a group's revised aggregate each micro-batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upd").toString + "/in"
+    def write(ids: Seq[Long]) = ids
+      .map(i => (i, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L,
+        "click", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir)
+    write(Seq(1L, 2L))
+    val agg = EventStreams.readEventStream(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("upd_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+    q.processAllAvailable()
+    write(Seq(3L))
+    q.processAllAvailable()
+    q.stop()
+    // update mode: the click group is re-emitted with its revised count —
+    // both the n=2 and the n=3 versions land in the append-only sink
+    val ns = spark.table("upd_out").filter(col("event_type") === "click")
+      .select("n").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ns == Seq(2L, 3L), s"expected revisions [2, 3], got $ns")
+  }
+
   test("two-batch replay: watermark finalizes windows once and drops late data") {
     import spark.implicits._
     def ev(id: Long, hhmm: String, v: Double) =
