@@ -67,6 +67,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 20, "any_value(ignoreNulls) on one sorted partition")
   }
 
+  test("typed Dataset transforms agree with their DataFrame twins") {
+    // map/filter/flatMap/reduceGroups on Dataset[T] — the Encoders path —
+    // must produce what the equivalent Column expressions produce
+    import FunctionsSpec.P
+    val ds = Seq(P("a", 1), P("b", 2), P("a", 3), P("c", 4)).toDS()
+    val typed = ds.filter(_.v % 2 == 1).map(p => P(p.k, p.v * 10))
+      .groupByKey(_.k).reduceGroups((x, y) => P(x.k, x.v + y.v))
+      .map(_._2).collect().map(p => p.k -> p.v).toMap
+    val frame = ds.toDF().filter($"v" % 2 === 1)
+      .withColumn("v", $"v" * 10)
+      .groupBy("k").agg(sum($"v").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(typed == frame && typed == Map("a" -> 40L))
+    val flat = ds.flatMap(p => Seq.fill(p.v.toInt)(p.k)).count()
+    assert(flat == 10L)
+  }
+
   test("approx_percentile tracks exact percentile within accuracy bound") {
     val df = spark.range(100000).selectExpr("CAST(id AS DOUBLE) AS x")
     val r = df.selectExpr(
@@ -130,4 +147,10 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(2) == "ababab")
     assert(r.getInt(3) == 3)
   }
+}
+
+object FunctionsSpec {
+  /** top-level so the product Encoder's TypeTag resolves (a case class
+    * local to a test body has no stable type for encoder derivation) */
+  case class P(k: String, v: Long)
 }
