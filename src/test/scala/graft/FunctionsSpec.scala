@@ -84,6 +84,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(flat == 10L)
   }
 
+  test("map higher-order functions: concat/filter/transform/zip_with") {
+    val r = Seq(1).toDF("x").selectExpr(
+      "map_concat(map('a', 1, 'b', 2), map('c', 3)) AS mc",
+      "map_filter(map('a', 1, 'b', 2, 'c', 3), (k, v) -> v >= 2) AS mf",
+      "transform_keys(map('a', 1), (k, v) -> upper(k)) AS tk",
+      "transform_values(map('a', 1), (k, v) -> v * 10) AS tv",
+      "map_zip_with(map('a', 1), map('a', 100), (k, v1, v2) -> v1 + v2) AS mz")
+      .collect()(0)
+    assert(r.getMap[String, Int](0) == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    assert(r.getMap[String, Int](1) == Map("b" -> 2, "c" -> 3))
+    assert(r.getMap[String, Int](2) == Map("A" -> 1))
+    assert(r.getMap[String, Int](3) == Map("a" -> 10))
+    assert(r.getMap[String, Int](4) == Map("a" -> 101))
+  }
+
   test("approx_percentile tracks exact percentile within accuracy bound") {
     val df = spark.range(100000).selectExpr("CAST(id AS DOUBLE) AS x")
     val r = df.selectExpr(

@@ -58,6 +58,37 @@ class PartitioningSpec extends AnyFunSuite {
       assert(math.abs(v - salted(k)) < 1e-6, s"mismatch at $k") }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    // one hot key carrying ~90% of the fact rows; thresholds lowered so
+    // the skew detector fires at test scale. This pins the runtime half of
+    // the skew story (saltedEquiJoin above is the planning-time half).
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(200000)
+        .selectExpr("CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+          "uuid() AS pad")
+      val dim = spark.range(200000).selectExpr("id AS k", "id * 2 AS w")
+      val joined = fact.join(dim, "k")
+      // drive THIS plan instance to completion: df.count() would build its
+      // own QueryExecution and leave joined's adaptive plan un-finalized
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() == 200000)
+      val finalPlan = qe.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sortWithinPartitions yields monotone runs per partition, no shuffle") {
     val df = Partitioning.sortWithin(
       t(spark, sf, "orders").repartition(4, col("o_orderstatus")), "o_orderkey")
