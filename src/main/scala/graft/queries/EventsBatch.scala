@@ -87,6 +87,21 @@ object EventsBatch {
     // click of the same user. Implemented as one pass over a
     // (user_id, ts)-sorted window — O(n) per partition, no range join,
     // no shuffle beyond the user_id hash partition. DuckDB oracle: ASOF JOIN.
+    // forward as-of twin: for each purchase, the EARLIEST strictly-later
+    // click of the same user — same one-pass window shape, frame flipped.
+    "join_asof_forward" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("next_click_ts",
+          first(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"))
+    }),
+
     "join_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
@@ -159,6 +174,12 @@ object EventsBatch {
       JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 90 MINUTE
       GROUP BY s.event_id""",
+
+    "join_asof_forward" -> """
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts > p.ts""",
 
     "join_asof" -> """
       SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
