@@ -326,6 +326,16 @@ object Relational {
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
         .agg(min(col("o_orderkey")).as("keeper_orderkey"))),
 
+    // boolean aggregates (universal/existential per group)
+    "agg_bool" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 450000.0).as("any_over_450k"),
+          bool_and(col("o_orderpriority").isNotNull).as("all_prioritized"))
+    }),
+
     // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // match each other, unlike plain = — the standard trap when joining
     // on nullable dimensions.
@@ -442,6 +452,13 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_shipdate > o_orderdate
       GROUP BY l_linestatus""",
+
+    "agg_bool" -> """
+      SELECT o_orderstatus,
+             bool_and(o_totalprice > 1000.0) AS all_over_1k,
+             bool_or(o_totalprice > 450000.0) AS any_over_450k,
+             bool_and(o_orderpriority IS NOT NULL) AS all_prioritized
+      FROM orders GROUP BY o_orderstatus""",
 
     "join_null_safe" -> """
       SELECT a.k AS status_or_null, count(*) AS n_orders,

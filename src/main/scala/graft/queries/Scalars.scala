@@ -180,6 +180,29 @@ object Scalars {
           .getField("u").as("roundtrip_uid"))
     }),
 
+    // regexp_extract_all: every match as a canonical csv string
+    "fn_regex2" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        concat_ws(",",
+          expr("regexp_extract_all(o_orderpriority, '[0-9]+', 0)"))
+          .as("digits"),
+        regexp_extract(col("o_orderpriority"), "^([0-9]+)-", 1).as("pri_digit"),
+        regexp_count(col("o_orderpriority"), lit("[A-Z]")).as("n_upper"))
+    }),
+
+    // trigonometric / transcendental family
+    "fn_trig" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 500).select(
+        col("l_orderkey"), col("l_linenumber"),
+        sin(col("l_quantity")).as("sin_q"),
+        cos(col("l_quantity")).as("cos_q"),
+        atan2(col("l_quantity"), col("l_discount") + lit(1.0)).as("at2"),
+        degrees(col("l_discount")).as("deg_disc"),
+        radians(col("l_quantity")).as("rad_q"),
+        atan(col("l_discount")).as("atan_disc"))
+    }),
+
     // bitwise family (hash bucketing / bitmap building blocks)
     "fn_bitwise" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
@@ -357,6 +380,25 @@ object Scalars {
              'STRUCT<k: BIGINT>' AS props_schema,
              user_id AS roundtrip_uid
       FROM events""",
+
+    "fn_regex2" -> """
+      SELECT o_orderkey,
+             list_aggregate(regexp_extract_all(o_orderpriority, '[0-9]+'),
+               'string_agg', ',') AS digits,
+             regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS pri_digit,
+             CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]')) AS INT)
+               AS n_upper
+      FROM orders WHERE o_orderkey <= 2000""",
+
+    "fn_trig" -> """
+      SELECT l_orderkey, l_linenumber,
+             sin(l_quantity) AS sin_q,
+             cos(l_quantity) AS cos_q,
+             atan2(l_quantity, l_discount + 1.0) AS at2,
+             degrees(l_discount) AS deg_disc,
+             radians(l_quantity) AS rad_q,
+             atan(l_discount) AS atan_disc
+      FROM lineitem WHERE l_orderkey <= 500""",
 
     "fn_bitwise" -> """
       SELECT o_orderkey,
