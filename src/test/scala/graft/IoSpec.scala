@@ -31,6 +31,28 @@ class IoSpec extends AnyFunSuite {
     assert(rows(0).getDate(2).toString == "2025-11-03")
   }
 
+  test("csv and json sinks round-trip typed rows") {
+    val src = spark.range(100).selectExpr(
+      "id", "CAST(id AS DOUBLE) / 3.0 AS v",
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE concat('s', id) END AS s")
+    val csvDir = Files.createTempDirectory("graft-csv-out").toString + "/d"
+    src.write.option("header", "true").csv(csvDir)
+    val csvBack = spark.read.option("header", "true")
+      .schema(src.schema).csv(csvDir)
+    assert(csvBack.count() == 100)
+    assert(csvBack.agg(sum("v")).collect()(0).getDouble(0) ==
+      src.agg(sum("v")).collect()(0).getDouble(0))
+    assert(csvBack.filter(col("s").isNull).count() == 10)
+    val jsonDir = Files.createTempDirectory("graft-json-out").toString + "/d"
+    src.write.json(jsonDir)
+    val jsonBack = spark.read.schema(src.schema).json(jsonDir)
+    assert(jsonBack.count() == 100)
+    assert(jsonBack.select("id", "s").collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)))).toSet ==
+      src.select("id", "s").collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)))).toSet)
+  }
+
   test("json scan: PERMISSIVE captures corrupt records, DROPMALFORMED skips") {
     val dir = Files.createTempDirectory("graft-json-bad")
     Files.writeString(dir.resolve("c.json"),
