@@ -30,16 +30,21 @@ object IntervalJoin {
   def joinPointInInterval(points: DataFrame, intervals: DataFrame,
                           tsCol: String, startCol: String, endCol: String,
                           bucketSeconds: Long = 3600L): DataFrame = {
+    // microsecond arithmetic throughout: unix_timestamp() truncates to
+    // seconds, which UNDERSHOOTS the last covered bucket when the interval
+    // end has a fractional second — e.g. end 11:00:00.5 covers points in
+    // [11:00:00, 11:00:00.5), but floor(unix_timestamp(end) - 1) stops the
+    // bucket sequence one bucket short and those matches are silently lost
+    val bucketMicros = bucketSeconds * 1000000L
     val pb = points.withColumn("__bucket",
-      floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+      floor(unix_micros(col(tsCol)) / bucketMicros))
     // empty intervals match nothing — and sequence(a, b) with b < a would
     // count DOWN, fabricating wrong buckets
     val ib = intervals.filter(col(endCol) > col(startCol)).withColumn("__bucket",
       explode(sequence(
-        floor(unix_timestamp(col(startCol)) / bucketSeconds),
-        // end is exclusive: a zero-length or bucket-aligned end still
-        // covers the bucket of (end - 1s) and no further
-        floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))))
+        floor(unix_micros(col(startCol)) / bucketMicros),
+        // end exclusive: last covered instant is end − 1µs
+        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
     pb.join(ib, Seq("__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

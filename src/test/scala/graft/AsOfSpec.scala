@@ -36,6 +36,25 @@ class AsOfSpec extends AnyFunSuite {
       s"interval join planned a nested loop:\n$plan")
   }
 
+  test("interval join catches points in the final fractional second of a window") {
+    import spark.implicits._
+    // interval [10:30:00.2, 11:00:00.5): a point at 11:00:00.3 sits in the
+    // 11:00 bucket, which whole-second end arithmetic never emits for this
+    // interval — the regression that loses sub-second boundary matches
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq((1L, ts("2024-01-01 10:30:00.2"),
+      ts("2024-01-01 11:00:00.5"))).toDF("iv_id", "iv_start", "iv_end")
+    val points = Seq(
+      (10L, ts("2024-01-01 11:00:00.3")),  // inside, fractional boundary
+      (11L, ts("2024-01-01 11:00:00.5")),  // exactly end → excluded
+      (12L, ts("2024-01-01 10:30:00.1"))   // before start → excluded
+    ).toDF("pt_id", "ts")
+    val got = graft.ops.IntervalJoin.joinPointInInterval(
+        points, intervals, "ts", "iv_start", "iv_end")
+      .select("pt_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L), s"expected only the boundary point, got $got")
+  }
+
   test("generic joinAsOf equals the oracle-checked specialized query") {
     val ev = t(spark, sf, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
