@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def benchWarehouse(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-wh")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -12,9 +24,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // fresh warehouse per run: the layout demo's saveAsTable would hit
       // "location not empty" against a leftover spark-warehouse/ dir from
-      // a previous run (the in-memory catalog forgets tables across JVMs)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
+      // a previous run (the in-memory catalog forgets tables across JVMs);
+      // deleted on exit so repeated runs don't fill the temp volume with
+      // bucketed table copies
+      .config("spark.sql.warehouse.dir", benchWarehouse())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen compiler, file-listing, shuffle machinery)
@@ -71,7 +84,10 @@ object Bench {
           "layout_bucketed_write" -> writeSec)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } catch { case _: Throwable => Map.empty }
-    def r3(v: Double): String = f"$v%.3f" // shrink the JSON line: ms precision
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+    // on comma-decimal locales would emit 1,234 and corrupt the JSON
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = (results ++ layout).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

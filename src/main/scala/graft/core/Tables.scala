@@ -34,16 +34,20 @@ object Tables {
     * already well-split (the 100 TB case) pass through untouched, so this
     * never adds a shuffle at scale. */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // estimate the scan's split count from metadata only: file list + size
-    // vs maxPartitionBytes. df.rdd.getNumPartitions would be exact but
-    // forces physical planning (and under AQE can run query stages) once
-    // per call; the estimate errs high on multi-file inputs, which only
-    // skips the repartition — never adds a shuffle on well-split data.
-    val maxSplit = math.max(1L,
-      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
-    val bySize = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
-    val est = math.max(df.inputFiles.length.toLong, bySize.toLong + 1L)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // estimate the scan's split count from metadata only — df.rdd
+    // .getNumPartitions would be exact but forces physical planning (and
+    // under AQE can run query stages) once per call. Mirrors Spark's own
+    // split sizing: maxSplitBytes = min(maxPartitionBytes,
+    // max(openCostInBytes, totalBytes / parallelism)), so a medium single
+    // file that Spark already splits per-core is not re-shuffled here.
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val bytesPerCore = totalBytes / math.max(1, target)
+    val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+      math.max(conf.filesOpenCostInBytes, bytesPerCore)))
+    val est = math.max(df.inputFiles.length.toLong, totalBytes / maxSplit + 1L)
     if (est < target) df.repartition(target) else df
   }
 

@@ -25,6 +25,19 @@ object TextOps {
   private val stopA = "the"
   private val stopB = "a"
 
+  /** Deterministic split bucket of a doc_id (salted md5, first 16 bits mod
+    * 100) — the ONE definition shared by `llm_split_assign` and
+    * `llm_curation_pipeline`, so a retune cannot silently diverge the two
+    * (a doc's split must never depend on which query assigned it). */
+  private[llm] def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("graft:"), col("doc_id").cast("string"))),
+      1, 4), 16, 10).cast("long") % 100
+
+  /** 80/10/10 bucket → label mapping (same sharing rationale). */
+  private[llm] def splitLabel(bucket: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+
   /** (doc_id, shingle) distinct k-gram word shingles — shared by the exact
     * Jaccard and the hash-based dedup family. One narrow map over the scan
     * via the [[graft.functions.WordShingles]] generator (UDTF); the first
@@ -97,15 +110,9 @@ object TextOps {
     // the scan. Salted so the split is independent of any other doc_id
     // hashing in the pipeline.
     "llm_split_assign" -> ((s, d) => {
-      t(s, d, "documents").select(
-          col("doc_id"),
-          (conv(substring(md5(concat(lit("graft:"),
-            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 100)
-            .as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "valid")
-            .otherwise("test"))
+      t(s, d, "documents")
+        .select(col("doc_id"), splitBucket.as("bucket"))
+        .withColumn("split", splitLabel(col("bucket")))
     }),
 
     // token / char accounting (whitespace tokenizer)
@@ -186,15 +193,11 @@ object TextOps {
           min(col("doc_id")).over(
             org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
         .filter(col("doc_id") === col("keeper"))
-      // stage 3+4: deterministic split, per-(split, lang) accounting
+      // stage 3+4: deterministic split (the SAME shared expressions as
+      // llm_split_assign), per-(split, lang) accounting
       survivors
-        .withColumn("bucket",
-          conv(substring(md5(concat(lit("graft:"),
-            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 100)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "valid")
-            .otherwise("test"))
+        .withColumn("bucket", splitBucket)
+        .withColumn("split", splitLabel(col("bucket")))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),

@@ -88,13 +88,17 @@ object EventsBatch {
     // (user_id, ts)-sorted window — O(n) per partition, no range join,
     // no shuffle beyond the user_id hash partition. DuckDB oracle: ASOF JOIN.
     // forward as-of twin: for each purchase, the EARLIEST strictly-later
-    // click of the same user — same one-pass window shape, frame flipped.
+    // click of the same user. RANGE frame on the microsecond epoch, not a
+    // ROWS frame: rowsBetween(1, …) would admit a click sharing the
+    // purchase's exact timestamp (it sorts after by event_id), violating
+    // the strict c.ts > p.ts contract the DuckDB ASOF oracle enforces.
     "join_asof_forward" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(col("us"))
+        .rangeBetween(1, Window.unboundedFollowing)
       ev.withColumn("next_click_ts",
           first(when(col("event_type") === "click", col("ts")),
             ignoreNulls = true).over(w))
@@ -105,9 +109,13 @@ object EventsBatch {
     "join_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+      // RANGE frame for the same strict-< reason as join_asof_forward: a
+      // ROWS frame would admit an equal-timestamp click that happens to
+      // sort before the purchase by event_id
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(col("us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
       ev.withColumn("last_click_ts",
           last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
             .over(w))

@@ -40,8 +40,10 @@ class IoSpec extends AnyFunSuite {
     val csvBack = spark.read.option("header", "true")
       .schema(src.schema).csv(csvDir)
     assert(csvBack.count() == 100)
-    assert(csvBack.agg(sum("v")).collect()(0).getDouble(0) ==
-      src.agg(sum("v")).collect()(0).getDouble(0))
+    // tolerance: both sums merge per-partition partials in nondeterministic
+    // order, so the FP results can differ in the last ulps
+    assert(math.abs(csvBack.agg(sum("v")).collect()(0).getDouble(0) -
+      src.agg(sum("v")).collect()(0).getDouble(0)) < 1e-9)
     assert(csvBack.filter(col("s").isNull).count() == 10)
     val jsonDir = Files.createTempDirectory("graft-json-out").toString + "/d"
     src.write.json(jsonDir)
