@@ -55,6 +55,31 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Set(10L), s"expected only the boundary point, got $got")
   }
 
+  test("as-of queries exclude clicks sharing the purchase's exact timestamp") {
+    import spark.implicits._
+    // synthetic events dir in the driver fixture layout (ts = int64 nanos,
+    // as Tables.t expects): user 1 has a click at EXACTLY the purchase
+    // instant plus one strictly-earlier and one strictly-later click
+    val dir = java.nio.file.Files.createTempDirectory("graft-ties").toString
+    val s = 1000000000L // 1s in nanos
+    Seq(
+      (1L, 100 * s, 1L, "click", 1.0, "{}"),    // earlier
+      (2L, 200 * s, 1L, "click", 1.0, "{}"),    // same instant as purchase
+      (3L, 200 * s, 1L, "purchase", 5.0, "{}"),
+      (4L, 300 * s, 1L, "click", 1.0, "{}"))    // later
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val back = graft.queries.EventsBatch.defs("join_asof")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    val fwd = graft.queries.EventsBatch.defs("join_asof_forward")(spark, dir)
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    def sec(t: Option[java.sql.Timestamp]) = t.map(_.getTime / 1000)
+    // strictly earlier: the 100s click, NOT the tied 200s click
+    assert(sec(back(3L)) == Some(100L), s"backward picked ${back(3L)}")
+    // strictly later: the 300s click, NOT the tied 200s click
+    assert(sec(fwd(3L)) == Some(300L), s"forward picked ${fwd(3L)}")
+  }
+
   test("generic joinAsOf equals the oracle-checked specialized query") {
     val ev = t(spark, sf, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
