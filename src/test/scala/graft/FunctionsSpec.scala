@@ -84,6 +84,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(flat == 10L)
   }
 
+  test("try_* arithmetic returns NULL instead of failing") {
+    val r = Seq((1L, 0L)).toDF("a", "b").selectExpr(
+      "try_divide(a, b) AS div0",
+      "try_add(9223372036854775807, 1) AS of_add",
+      "try_multiply(9223372036854775807, 2) AS of_mul",
+      "try_element_at(array(1, 2), 5) AS oob",
+      "try_to_number('abc', '999') AS bad_num").collect()(0)
+    (0 until 5).foreach(i => assert(r.isNullAt(i), s"field $i should be null"))
+  }
+
   test("map higher-order functions: concat/filter/transform/zip_with") {
     val r = Seq(1).toDF("x").selectExpr(
       "map_concat(map('a', 1, 'b', 2), map('c', 3)) AS mc",
