@@ -49,6 +49,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got(2).isNullAt(0) && got(2).isNullAt(1))
   }
 
+  test("nullSafeEval (interpreted fallback) matches the codegen path") {
+    // Spark silently falls back to interpreted eval when codegen
+    // compilation fails; a drift between nullSafeEval and doGenCode would
+    // change results without any error surfacing
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val a = Array(0.3f, -1.2f, 2.5f, 0.0f)
+    val b = Array(1.0f, 0.5f, -0.25f, 4.5f)
+    def litOf(xs: Array[Float]) = Literal.create(xs, ArrayType(FloatType))
+    val interpCos = graft.functions.CosineSimilarity(litOf(a), litOf(b))
+      .eval(null).asInstanceOf[Double]
+    val interpDot = graft.functions.DotProduct(litOf(a), litOf(b))
+      .eval(null).asInstanceOf[Double]
+    val r = Seq((a, b)).toDF("a", "b")
+      .selectExpr("cosine_similarity(a, b)", "dot_product(a, b)").collect()(0)
+    assert(math.abs(interpCos - r.getDouble(0)) < 1e-15)
+    assert(math.abs(interpDot - r.getDouble(1)) < 1e-15)
+  }
+
   test("interpreted eval agrees with codegen (fingerprint golden)") {
     // rolling-hash fingerprint must be stable across releases — golden value
     import spark.implicits._
