@@ -127,6 +127,20 @@ object TextOps {
           size(toks).cast("double")).as("avg_token_len"))
     }),
 
+    // BPE-ish token accounting: letter runs / digit runs / single
+    // punctuation marks, the coarse shape of byte-pair pre-tokenization —
+    // a closer proxy for LLM token budgets than whitespace splitting
+    // (reported side by side). Plain character classes only, so the regex
+    // means the same thing in Java (Spark) and RE2 (DuckDB).
+    "llm_bpe_tokens" -> ((s, d) => {
+      val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$bpe', 0)"))
+          .as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+    }),
+
     // quality scoring: lexical-diversity + stopword ratios
     "llm_quality_score" -> ((s, d) => {
       t(s, d, "documents")
@@ -338,6 +352,13 @@ object TextOps {
              n_chars = length(text) AS chars_ok,
              CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+      FROM documents""",
+
+    "llm_bpe_tokens" -> """
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+               AS INT) AS n_bpe_tokens,
+             len(string_split(text, ' ')) AS n_ws_tokens
       FROM documents""",
 
     "llm_quality_score" -> """
