@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout must be machine-parseable by the round driver: sbt's
+// default logger prefixes every forked-run line with "[info] ", which broke
+// json.loads on the final Bench line two rounds running (BENCH_r0{1,2}
+// "parsed": null). StdoutOutput passes the forked JVM's stdout through raw,
+// and showSuccess=false drops the trailing "[success] Total time" line so
+// the bare JSON summary is the LAST stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

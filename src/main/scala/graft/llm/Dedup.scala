@@ -227,9 +227,24 @@ object Dedup {
         .filter(col("n_docs") > 1)
     }),
 
-    // embedding near-dup: cosine ≥ 0.95 within multi-table LSH buckets
-    "llm_embedding_neardup" -> ((s, d) =>
-      embeddingNearDup(s, spread(t(s, d, "embeddings")))),
+    // embedding near-dup: cosine ≥ 0.95 within multi-table LSH buckets.
+    // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
+    // at every SF), so the raw table has zero true near-dups and the query
+    // would honestly return 0 rows. To make the driver entry demonstrate
+    // the operator end-to-end (rows > 0 at every SF), plant deterministic
+    // near-identical copies of every 10th vector — one coordinate nudged by
+    // +0.01, cos ≈ 0.9999 — and recover exactly those pairs. Same planted-
+    // dup protocol DedupSpec uses for recall; no randomness, so the result
+    // is stable across runs/engines.
+    "llm_embedding_neardup" -> ((s, d) => {
+      val e = spread(t(s, d, "embeddings"))
+      val planted = e.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> " +
+            "CASE WHEN i = 0 THEN CAST(x + 0.01 AS FLOAT) ELSE x END)"))
+      embeddingNearDup(s, e.unionByName(planted))
+    }),
 
     // SimHash near-dup pairs at hamming ≤ 3 (banked, recall-exact; see
     // [[simhashNearDup]]) — the near-match complement of the

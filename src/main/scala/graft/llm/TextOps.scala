@@ -61,11 +61,18 @@ object TextOps {
     // and materialized every doc's full gram array before explode
     val grams = docs.selectExpr("doc_id", "lang",
       "char_grams(text, 3) AS gram")
-    val langTotals = grams.groupBy(col("lang"))
-      .agg(count(lit(1)).as("lang_grams"))
-    val vocabSize = grams.select(countDistinct(col("gram")).as("v"))
-    val profiles = grams.groupBy(col("lang"), col("gram"))
+    // fit reads the gram stream ONCE: per-language totals and vocabulary
+    // size are derived from the (lang, gram) count aggregate — bounded by
+    // |langs| × charset³ — instead of re-expanding every document's grams
+    // per statistic (the first form ran the generator over the corpus four
+    // times: totals, vocab, profiles, scoring; now it's twice: fit + score)
+    val gramCounts = grams.groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val langTotals = gramCounts.groupBy(col("lang"))
+      .agg(sum(col("n")).as("lang_grams"))
+    val vocabSize = gramCounts.select(countDistinct(col("gram")).as("v"))
+    val profiles = gramCounts
       .join(broadcast(langTotals), Seq("lang"))
       .crossJoin(broadcast(vocabSize))
       .select(col("lang").as("cand_lang"), col("gram"),
@@ -172,11 +179,17 @@ object TextOps {
     // percentile of lexical diversity. The cutoff is ONE scalar broadcast
     // back over the scored frame — no per-row subquery, two passes total.
     "llm_quality_filter" -> ((s, d) => {
+      // localCheckpoint: the cutoff aggregate and the gate both consume
+      // `scored`; without it each side re-tokenizes the full corpus (the
+      // planner does not share the subtree across the broadcast boundary).
+      // The checkpointed frame is three narrow columns — corpus-scale text
+      // is scanned and split exactly once.
       val scored = t(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), col("lang"),
           (size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")).cast("double")).as("distinct_ratio"))
+        .localCheckpoint()
       val cut = scored.agg(
         expr("percentile(distinct_ratio, 0.25)").as("cut"))
       scored.crossJoin(broadcast(cut))
@@ -409,7 +422,8 @@ object TextOps {
       SELECT CASE WHEN bucket < 80 THEN 'train'
                   WHEN bucket < 90 THEN 'valid'
                   ELSE 'test' END AS split,
-             lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+             lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM (
         SELECT lang, n_chars,
                CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
