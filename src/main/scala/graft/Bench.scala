@@ -22,6 +22,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // INT64-micros timestamps: INT96 (the compatibility default) has no
+      // usable parquet stats, which would disable the data-skipping layout
+      // demo below
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // fresh warehouse per run: the layout demo's saveAsTable would hit
       // "location not empty" against a leftover spark-warehouse/ dir from
       // a previous run (the in-memory catalog forgets tables across JVMs);
@@ -57,7 +61,7 @@ object Bench {
     // executor; the one-time bucketed write cost is reported separately
     // because layout is amortized over every subsequent co-located join.
     val layout: Map[String, Double] = try {
-      import org.apache.spark.sql.functions.{col, sum}
+      import org.apache.spark.sql.functions.{col, lit, sum}
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
@@ -79,9 +83,39 @@ object Bench {
           graft.core.Tables.t(spark, sfDir, "orders")).collect())
         val bucketed = t2(joined(spark.table("bench_li"),
           spark.table("bench_o")).collect())
+        // Data skipping via write-time clustering: the SAME one-month
+        // aggregate over lineitem stored range-clustered by ship DATE
+        // (each file covers a narrow date slice, so parquet footer min/max
+        // stats let the reader skip ~31/32 files) vs the same rows spread
+        // date-blind across files (every file spans the full range —
+        // nothing skips). DATE, not the raw timestamp: the testdata
+        // timestamps are TIMESTAMP_NTZ and Spark never pushes NTZ
+        // predicates into parquet stats (PlanAuditSpec pins both facts).
+        // This is the scan-side complement of the bucketed join above:
+        // layout replaces the reference's pickup_datetime B-tree
+        // (sql/init.sql:45) at 100 TB.
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val narrow = graft.core.Tables.t(spark, sfDir, "lineitem")
+          .select(org.apache.spark.sql.functions.to_date(col("l_shipdate"))
+            .as("ship_date"), col("l_quantity"))
+        graft.ops.Partitioning.clusterBy(narrow, 32, "ship_date")
+          .write.mode("overwrite").parquet(s"$wh/skip_clustered")
+        narrow.repartition(32)
+          .write.mode("overwrite").parquet(s"$wh/skip_unclustered")
+        def monthAgg(p: String): Unit = {
+          spark.read.parquet(p)
+            .filter(col("ship_date") >= lit("1999-03-01").cast("date") &&
+              col("ship_date") < lit("1999-04-01").cast("date"))
+            .agg(sum(col("l_quantity"))).collect()
+          (): Unit
+        }
+        val clustered = t2(monthAgg(s"$wh/skip_clustered"))
+        val unclustered = t2(monthAgg(s"$wh/skip_unclustered"))
         Map("layout_join_shuffle" -> shuffled,
           "layout_join_bucketed" -> bucketed,
-          "layout_bucketed_write" -> writeSec)
+          "layout_bucketed_write" -> writeSec,
+          "layout_clustered_scan" -> clustered,
+          "layout_unclustered_scan" -> unclustered)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } catch { case _: Throwable => Map.empty }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Deliberately KEEP the INT96 default for the dumped result parquet:
+      // INT64-micros timestamps carry isAdjustedToUTC=true, which DuckDB
+      // surfaces as TIMESTAMP WITH TIME ZONE ("+00:00" suffix) — every
+      // timestamp-valued query then string-mismatches the oracle's naive
+      // TIMESTAMP. INT96 reads back naive on the DuckDB side and matches.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -180,6 +180,26 @@ object Scalars {
           .getField("u").as("roundtrip_uid"))
     }),
 
+    // struct family: construction (flat + nested), dotted field access,
+    // per-field extraction back to scalar columns, and a struct-valued
+    // conditional. Output is scalars only — the driver comparator sorts
+    // rows in pandas, where struct cells (dicts) are unhashable, same
+    // canonicalization rule as agg_collect.
+    "fn_struct" -> ((s, d) => {
+      val ev = t(s, d, "events").filter(col("event_id") <= 2000)
+      ev.select(col("event_id"),
+          struct(col("user_id").as("u"),
+            struct(col("event_type").as("et"),
+              (col("value") > 50.0).as("big")).as("detail")).as("s"))
+        .select(
+          col("event_id"),
+          col("s.u").as("uid"),
+          col("s.detail.et").as("etype"),
+          col("s.detail.big").as("is_big"),
+          when(col("s.detail.big"), col("s.u")).otherwise(lit(-1L))
+            .as("big_uid"))
+    }),
+
     // regexp_extract_all: every match as a canonical csv string
     "fn_regex2" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
@@ -380,6 +400,20 @@ object Scalars {
              'STRUCT<k: BIGINT>' AS props_schema,
              user_id AS roundtrip_uid
       FROM events""",
+
+    "fn_struct" -> """
+      SELECT event_id,
+             s.u AS uid,
+             s.detail.et AS etype,
+             s.detail.big AS is_big,
+             CASE WHEN s.detail.big THEN s.u ELSE -1 END AS big_uid
+      FROM (
+        SELECT event_id,
+               struct_pack(u := user_id,
+                 detail := struct_pack(et := event_type,
+                   big := value > 50.0)) AS s
+        FROM events WHERE event_id <= 2000
+      )""",
 
     "fn_regex2" -> """
       SELECT o_orderkey,

@@ -13,6 +13,10 @@ object TestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // INT96 (Spark's compatibility default) carries no usable parquet
+      // min/max stats, which silently disables footer-based data skipping
+      // on timestamp columns — write the modern INT64-micros form
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
