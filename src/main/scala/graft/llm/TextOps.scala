@@ -229,6 +229,46 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
+    // test-set decontamination: which TRAIN docs share any word 3-gram
+    // with a doc in the held-out TEST split (the standard eval-leakage
+    // check before training). Same deterministic split expressions as
+    // llm_split_assign, so "train" and "test" here are exactly the splits
+    // that query assigns. Shape: one shingle-keyed equi-join between the
+    // two split projections of the same shingle set — at 100 TB the test
+    // split's shingle set is the small side (≈10% of docs) and the right
+    // plan is a broadcast bloom/semi-join of its hashed shingles before
+    // the exact join; at bench scale Catalyst's hash join on the shingle
+    // key is already the non-quadratic shape (no doc×doc comparison).
+    "llm_decontaminate" -> ((s, d) => {
+      val byDoc = shingles(s, d)
+        .join(t(s, d, "documents")
+          .select(col("doc_id"), splitBucket.as("bucket")), Seq("doc_id"))
+      val train = byDoc.filter(col("bucket") < 80)
+        .select(col("doc_id").as("train_doc"), col("shingle"))
+      val heldOut = byDoc.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("eval_doc"), col("shingle"))
+      train.join(heldOut, Seq("shingle"))
+        .groupBy(col("train_doc"))
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("eval_doc")).as("n_eval_docs"))
+    }),
+
+    // intra-document repetition score: fraction of a doc's word 3-grams
+    // that are repeats (1 − distinct/total) — the Gopher/RefinedWeb-style
+    // boilerplate signal. One generator pass + one per-doc aggregate; the
+    // 100 TB shape is a free ride on the scan like the other doc stats.
+    "llm_repetition" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "word_shingles(text, 3) AS shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("shingle")).as("n_distinct"))
+        .withColumn("dup_ratio",
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_shingles").cast("double"))
+    }),
+
     // deterministic uniform k-sample: global order by a salted hash is a
     // reproducible "random" permutation — TakeOrdered top-k, no full sort
     // materialization, same sample on every engine/run/partitioning.
@@ -431,6 +471,62 @@ object TextOps {
         FROM survivors
       )
       GROUP BY 1, 2""",
+
+    "llm_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), buck AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                 1, 4)) AS INTEGER) % 100 AS bucket
+        FROM documents
+      ), tr AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN buck USING (doc_id)
+        WHERE buck.bucket < 80
+      ), ev AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN buck USING (doc_id)
+        WHERE buck.bucket >= 90
+      )
+      SELECT tr.doc_id AS train_doc,
+             count(DISTINCT tr.shingle) AS n_shared_shingles,
+             count(DISTINCT ev.doc_id) AS n_eval_docs
+      FROM tr JOIN ev ON tr.shingle = ev.shingle
+      GROUP BY tr.doc_id""",
+
+    "llm_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      )
+      SELECT doc_id,
+             count(*) AS n_shingles,
+             count(DISTINCT shingle) AS n_distinct,
+             1.0 - CAST(count(DISTINCT shingle) AS DOUBLE) / count(*)
+               AS dup_ratio
+      FROM sh GROUP BY doc_id""",
 
     "llm_sample_k" -> """
       SELECT doc_id, lang, source
