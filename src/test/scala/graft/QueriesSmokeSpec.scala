@@ -10,7 +10,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   // legitimately empty at sf0.001 (no matching rows in the tiny fixture)
   private val mayBeEmpty = Set("join_anti", "taxi_zone_pair_max",
-    "llm_simhash_clusters", "llm_embedding_neardup")
+    "llm_simhash_clusters")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes" + (if (mayBeEmpty(name)) "" else " and returns rows")) {
