@@ -344,8 +344,10 @@ object TextOps {
         .select(col("doc1"), col("doc2"), col("common"), col("jaccard"))
     }),
 
-    // deterministic rolling-hash document fingerprint (rows-only oracle:
-    // DuckDB 1.0 lacks list_reduce; validated by a ScalaTest golden value)
+    // deterministic rolling-hash document fingerprint. The DuckDB twin
+    // (driver DuckDB measured 1.0.0 — no list_reduce) uses the closed form
+    // fp = (7·31^n + Σ cp_i·31^(n-i)) mod p with a recursive-CTE power
+    // table; also golden-value tested in ScalaTest.
     "llm_fingerprint" -> ((s, d) => {
       spread(t(s, d, "documents")).select(
         col("doc_id"),
@@ -376,8 +378,8 @@ object TextOps {
     // language-ID: naive-Bayes over character trigrams, profiles learned
     // from the labeled corpus itself (fully distributed: profile fit is a
     // groupBy count, classification is explode→broadcast-join→argmax; no
-    // driver-side model object). Deterministic; rows-only oracle — the
-    // shape/determinism checks live in ScalaTest.
+    // driver-side model object). Deterministic relational math, so it has
+    // a full value-level DuckDB twin below; accuracy checks in ScalaTest.
     "llm_langid" -> ((s, d) => langidNaiveBayes(s, d))
   )
 
@@ -591,6 +593,82 @@ object TextOps {
       JOIN counts n1 ON doc1 = n1.doc_id
       JOIN counts n2 ON doc2 = n2.doc_id
       WHERE CAST(common AS DOUBLE) / CAST(n1.n_sh + n2.n_sh - common AS DOUBLE)
-            >= 0.2"""
+            >= 0.2""",
+
+    // value-level twin of [[langidNaiveBayes]]: same add-one smoothing,
+    // natural log (DuckDB `ln` — its `log` is log10), missing (gram, lang)
+    // profile cells contribute 0 (the inner join drops them, mirroring the
+    // Spark side's coalesce(pivot_cell, 0.0)), argmax tiebreak = smallest
+    // cand_lang. Trigrams via a lateral range over character positions,
+    // codepoint-identical to the char_grams generator.
+    "llm_langid" -> """
+      WITH grams AS (
+        SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS gram
+        FROM (
+          SELECT doc_id, lang, text,
+                 unnest(range(1, length(text) - 1)) AS i
+          FROM documents
+        )
+      ), gram_counts AS (
+        SELECT lang, gram, count(*) AS n FROM grams GROUP BY lang, gram
+      ), lang_totals AS (
+        SELECT lang, sum(n) AS lang_grams FROM gram_counts GROUP BY lang
+      ), vocab AS (
+        SELECT count(DISTINCT gram) AS v FROM gram_counts
+      ), profiles AS (
+        SELECT gc.lang AS cand_lang, gc.gram,
+               ln((gc.n + 1.0) / (lt.lang_grams + vocab.v)) AS logp
+        FROM gram_counts gc
+        JOIN lang_totals lt USING (lang)
+        CROSS JOIN vocab
+      ), scores AS (
+        SELECT g.doc_id, p.cand_lang, sum(p.logp) AS score
+        FROM grams g JOIN profiles p USING (gram)
+        GROUP BY g.doc_id, p.cand_lang
+      ), ranked AS (
+        -- argmax via ONE window pass (score DESC, cand_lang ASC tiebreak):
+        -- a max-score self-join would compare doubles produced by two
+        -- separate parallel-sum evaluations of the inlined CTE, whose
+        -- last-bit order drift breaks float equality
+        SELECT doc_id, cand_lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, cand_lang ASC) AS rn
+        FROM scores
+      )
+      SELECT d.doc_id, d.lang, r.cand_lang AS lang_guess, r.score
+      FROM documents d
+      JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1""",
+
+    // closed form of the Spark side's per-char fold acc←(acc·31+cp) mod p
+    // starting at 7: fp = (7·31^n + Σ cp_i·31^(n-i)) mod p. The 31-power
+    // table is a recursive CTE (driver DuckDB 1.0.0 lacks list_reduce);
+    // each term is reduced mod p so the per-doc sum stays ≪ 2^63. Final
+    // CAST to BIGINT: DuckDB sum(BIGINT) is HUGEINT, which hash-drifts
+    // against Spark's LongType (the round-2 tpch_q12 lesson).
+    "llm_fingerprint" -> """
+      WITH RECURSIVE pow31(i, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (v * 31) % 1000000007 FROM pow31
+        WHERE i < (SELECT max(length(text)) FROM documents)
+      ), chars AS (
+        SELECT doc_id,
+               unnest(string_split(text, '')) AS c,
+               generate_subscripts(string_split(text, ''), 1) AS pos,
+               length(text) AS n
+        FROM documents
+      ), sums AS (
+        SELECT ch.doc_id,
+               sum((CAST(ascii(ch.c) AS BIGINT) * p.v) % 1000000007) AS tsum
+        FROM chars ch JOIN pow31 p ON p.i = ch.n - ch.pos
+        GROUP BY ch.doc_id
+      )
+      SELECT d.doc_id,
+             CAST(((7 * pn.v) % 1000000007 +
+                   coalesce(s.tsum, 0) % 1000000007) % 1000000007 AS BIGINT)
+               AS fingerprint
+      FROM documents d
+      JOIN pow31 pn ON pn.i = length(d.text)
+      LEFT JOIN sums s ON d.doc_id = s.doc_id"""
   )
 }
