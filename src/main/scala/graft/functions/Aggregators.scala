@@ -70,11 +70,50 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** SimHash-64 as ONE partial+final aggregate over (already-hashed) token
+    * hashes: the buffer is the 64 bit-vote counters, one row per doc comes
+    * out. Replaces the explode(sequence(0,63)) formulation, which emitted
+    * 64 rows per (doc, token) into a two-stage aggregate — a 64× map-side
+    * row expansion this buffer does in a single pass. Semantics are pinned
+    * to the explode form (AggregatorsSpec): bit b of the result is set iff
+    * Σ_tokens (±1 by bit b of xxhash64(token)) ≥ 0. */
+  case class SimHashBuf(var votes: Array[Int])
+
+  object SimHashAgg extends Aggregator[Long, SimHashBuf, Long] {
+    override def zero: SimHashBuf = SimHashBuf(new Array[Int](64))
+    override def reduce(b: SimHashBuf, h: Long): SimHashBuf = {
+      var bit = 0
+      while (bit < 64) {
+        b.votes(bit) += (if (((h >>> bit) & 1L) == 1L) 1 else -1)
+        bit += 1
+      }
+      b
+    }
+    override def merge(a: SimHashBuf, b: SimHashBuf): SimHashBuf = {
+      var bit = 0
+      while (bit < 64) { a.votes(bit) += b.votes(bit); bit += 1 }
+      a
+    }
+    override def finish(b: SimHashBuf): Long = {
+      var sig = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (b.votes(bit) >= 0) sig |= (1L << bit)
+        bit += 1
+      }
+      sig
+    }
+    override def bufferEncoder: Encoder[SimHashBuf] =
+      Encoders.product[SimHashBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("kahan_sum", udaf(KahanSum))
     spark.udf.register("minhash16", udaf(new MinHashAgg(16)))
     // 64 permutations: feeds r=2/b=32 banding in Dedup (r·b = 64), which
     // needs the longer signature to keep recall ≥ 0.95 at J = 0.3
     spark.udf.register("minhash64", udaf(new MinHashAgg(64)))
+    spark.udf.register("simhash64", udaf(SimHashAgg))
   }
 }

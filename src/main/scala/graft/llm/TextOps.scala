@@ -355,24 +355,23 @@ object TextOps {
           .as("fingerprint"))
     }),
 
-    // SimHash-64: per-token xxhash64 bit votes → 64-bit signature.
-    // Engine-specific hash ⇒ rows-only oracle; ScalaTest checks
-    // hamming(simhash) correlates with exact Jaccard.
+    // SimHash-64: per-token xxhash64 bit votes → 64-bit signature, built
+    // by the simhash64 TypedImperativeAggregate (bit-vote array buffer,
+    // [[graft.functions.Aggregators.SimHashAgg]]) — ONE row per (doc,
+    // distinct token) into a single partial+final agg. The earlier
+    // explode(sequence(0, 63)) form expanded 64 rows per token map-side
+    // before a (doc, bit) + (doc) two-stage aggregate; AggregatorsSpec
+    // pins value-identity between the two. Engine-specific hash ⇒
+    // rows-only oracle; ScalaTest checks hamming(simhash) correlates with
+    // exact Jaccard.
     "llm_simhash" -> ((s, d) => {
-      val toks = spread(t(s, d, "documents"))
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      graft.functions.Aggregators.register(s)
+      spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
-      toks
-        .select(col("doc_id"), col("h"),
-          explode(expr("sequence(0, 63)")).as("bit"))
-        .withColumn("vote",
-          when(expr("(h >> bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(col("vote")).as("v"))
-        .withColumn("bitval",
-          when(col("v") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
         .groupBy(col("doc_id"))
-        .agg(sum(col("bitval")).as("simhash"))
+        .agg(expr("simhash64(h)").as("simhash"))
     }),
 
     // language-ID: naive-Bayes over character trigrams, profiles learned

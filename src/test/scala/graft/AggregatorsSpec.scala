@@ -48,6 +48,38 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out == Map("a" -> 4.0, "b" -> 4.25))
   }
 
+  test("simhash64 aggregate is value-identical to the explode formulation") {
+    Aggregators.register(spark)
+    import spark.implicits._
+    // real corpus tokens, multi-partition so partial/merge paths both run
+    val toks = graft.core.Tables.spread(
+        graft.core.Tables.t(spark, TestSession.sf, "documents"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .repartition(8)
+    val viaAgg = toks.groupBy(col("doc_id"))
+      .agg(expr("simhash64(h)").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the original two-stage explode(sequence(0,63)) formulation, kept
+    // here as the semantic pin for the one-pass aggregate
+    val viaExplode = toks
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 63)")).as("bit"))
+      .withColumn("vote",
+        when(expr("(h >> bit) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bitval",
+        when(col("v") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaExplode,
+      s"simhash drift on ${viaAgg.keySet.filter(k => viaAgg(k) != viaExplode.get(k).getOrElse(-1L)).take(5)}")
+  }
+
   test("minhash16 signature agreement estimates Jaccard") {
     Aggregators.register(spark)
     import spark.implicits._
