@@ -37,6 +37,17 @@ object Writers {
   def writeDimension(dim: DataFrame, path: String): Unit =
     dim.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** The SURVEY §1.2 NUMERIC escape hatch, made concrete: the reference's
+    * DDL declares money columns NUMERIC (`sql/init.sql:32-41`) while its
+    * loader materializes float64 — this engine stores double end-to-end
+    * and callers who need exact money semantics cast at the writer
+    * boundary. Downstream decimal sums are then order-independent
+    * (see the `agg_decimal_money` oracle query). */
+  def withMoneyDecimals(df: DataFrame, moneyCols: Seq[String],
+                        precision: Int = 12, scale: Int = 2): DataFrame =
+    moneyCols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, col(c).cast(s"decimal($precision,$scale)")))
+
   /** JDBC parity sinks (A8/A10) — same SaveMode semantics against a
     * database table; `truncate` avoids dropping indexes on overwrite.
     * Kept as the optional connector (no database in the test env). */

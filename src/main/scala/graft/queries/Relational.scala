@@ -47,6 +47,26 @@ object Relational {
           count(lit(1)).as("count_order"))
     }),
 
+    // DECIMAL money semantics (SURVEY §1.2 risk #1: the reference's DDL
+    // declares NUMERIC for fare columns; this engine is double end-to-end
+    // with a decimal escape hatch). Exercises the exact path: cast to
+    // DECIMAL(12,2) at the scan, sum in decimal — no FP drift whatever the
+    // aggregation order, the property NUMERIC buys a billing user. Spark
+    // widens sum(DECIMAL(12,2)) to DECIMAL(22,2) and the product to
+    // scale 4; DuckDB agrees on the scales, so values AND rendered text
+    // match exactly.
+    "agg_decimal_money" -> ((s, d) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc1 = (lit(1.0) - col("l_discount")).cast("decimal(12,2)")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(price).as("sum_price_dec"),
+          sum(price * disc1).as("sum_disc_price_dec"),
+          max(price).as("max_price_dec"),
+          count(lit(1)).as("n"))
+    }),
+
     // exact count-distinct (HLL/approx variant is bench-only: llm/approx)
     "agg_count_distinct" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -515,6 +535,16 @@ object Relational {
              count(DISTINCT l_orderkey) AS n_orders,
              count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
              count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_decimal_money" -> """
+      SELECT l_returnflag,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price_dec,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 CAST(1.0 - l_discount AS DECIMAL(12,2)))
+               AS sum_disc_price_dec,
+             max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price_dec,
+             count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
 
     "agg_rollup" -> """

@@ -50,4 +50,21 @@ class WritersSpec extends AnyFunSuite {
     val got = spark.read.parquet(dir).collect()
     assert(got.length == 1 && got(0).getInt(0) == 3)
   }
+
+  test("money decimal cast at the writer boundary round-trips exactly") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("graft-money").toString + "/trips"
+    // 0.10 is not representable in binary double; after the DECIMAL(12,2)
+    // writer cast, 1000 × 0.10 must sum to exactly 100.00 on read-back
+    val batch = trips((1 to 1000).map(i =>
+      f"2025-10-${i % 28 + 1}%02d 10:00:00" -> 0.10): _*)
+    Writers.writeTripsMonthly(
+      Writers.withMoneyDecimals(batch, Seq("total_amount")), dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("total_amount").dataType == DecimalType(12, 2),
+      s"writer cast lost: ${back.schema("total_amount").dataType}")
+    val total = back.agg(sum(col("total_amount"))).collect()(0).getDecimal(0)
+    assert(total.compareTo(new java.math.BigDecimal("100.00")) == 0,
+      s"decimal sum drifted: $total")
+  }
 }
