@@ -126,5 +126,21 @@ object GraftFunctions {
       "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "char_grams", es => CharGrams(es.head, es(1)), "built-in")
+    // Catalyst's own runtime-filter pair (internal registry only in stock
+    // Spark), surfaced for explicit semi-join pre-filters: bloom_agg builds
+    // the sketch distributed (TypedImperativeAggregate over xxhash64-ed
+    // keys), might_contain probes it; the sketch reaches executors as a
+    // scalar-subquery result, never a driver-collected set.
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg", es =>
+        if (es.length >= 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(es.head, es(1))
+        else new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain", es =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es.head, es(1)), "built-in")
   }
 }

@@ -100,6 +100,52 @@ object TextOps {
       best.as("score"))
   }
 
+  /** Test-set decontamination: which TRAIN docs share any word 3-gram with
+    * a doc in the held-out TEST split (the standard eval-leakage check
+    * before training). Same deterministic split expressions as
+    * llm_split_assign, so "train" and "test" here are exactly the splits
+    * that query assigns.
+    *
+    * Shape: one shingle-keyed equi-join between the two split projections
+    * of the same shingle set — never doc×doc. With `evalBloom` (the 100 TB
+    * default) the train side is pre-filtered by a Bloom sketch of the eval
+    * split's hashed shingles before the exact join: the sketch is built by
+    * a distributed `bloom_filter_agg` over the ≈10%-of-corpus eval side
+    * and shipped to executors as a scalar-subquery constant, so ~all
+    * non-leaking train shingles (the overwhelming majority) die at the
+    * scan instead of crossing the join shuffle. False positives only — the
+    * exact equi-join behind it keeps the result identical (asserted in
+    * PlanAuditSpec). Gate `evalBloom` off when the eval side is NOT small
+    * (sketch cost stops paying for itself once the eval split stops
+    * fitting a few MB of bloom bits). */
+  def decontaminate(s: SparkSession, d: String,
+                    evalBloom: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val byDoc = shingles(s, d)
+      .join(t(s, d, "documents")
+        .select(col("doc_id"), splitBucket.as("bucket")), Seq("doc_id"))
+    val train = byDoc.filter(col("bucket") < 80)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val heldOut = byDoc.filter(col("bucket") >= 90)
+      .select(col("doc_id").as("eval_doc"), col("shingle"))
+    val trainSide = if (evalBloom) {
+      // scalar subquery is the only surface that satisfies might_contain's
+      // constant-or-subquery contract, so this leg goes through SQL views
+      train.createOrReplaceTempView("graft_decontam_train")
+      heldOut.createOrReplaceTempView("graft_decontam_eval")
+      s.sql("""
+        SELECT train_doc, shingle FROM graft_decontam_train
+        WHERE graft_might_contain(
+          (SELECT graft_bloom_agg(xxhash64(shingle))
+           FROM graft_decontam_eval),
+          xxhash64(shingle))""")
+    } else train
+    trainSide.join(heldOut, Seq("shingle"))
+      .groupBy(col("train_doc"))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+  }
+
   val defs: Map[String, Q] = Map(
     // exact dedup: content-hash group (reference-style idempotent keeper =
     // min doc_id). At scale: one hash-partitioned aggregate, no sort.
@@ -229,29 +275,9 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     }),
 
-    // test-set decontamination: which TRAIN docs share any word 3-gram
-    // with a doc in the held-out TEST split (the standard eval-leakage
-    // check before training). Same deterministic split expressions as
-    // llm_split_assign, so "train" and "test" here are exactly the splits
-    // that query assigns. Shape: one shingle-keyed equi-join between the
-    // two split projections of the same shingle set — at 100 TB the test
-    // split's shingle set is the small side (≈10% of docs) and the right
-    // plan is a broadcast bloom/semi-join of its hashed shingles before
-    // the exact join; at bench scale Catalyst's hash join on the shingle
-    // key is already the non-quadratic shape (no doc×doc comparison).
-    "llm_decontaminate" -> ((s, d) => {
-      val byDoc = shingles(s, d)
-        .join(t(s, d, "documents")
-          .select(col("doc_id"), splitBucket.as("bucket")), Seq("doc_id"))
-      val train = byDoc.filter(col("bucket") < 80)
-        .select(col("doc_id").as("train_doc"), col("shingle"))
-      val heldOut = byDoc.filter(col("bucket") >= 90)
-        .select(col("doc_id").as("eval_doc"), col("shingle"))
-      train.join(heldOut, Seq("shingle"))
-        .groupBy(col("train_doc"))
-        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
-          countDistinct(col("eval_doc")).as("n_eval_docs"))
-    }),
+    // test-set decontamination — see [[decontaminate]]; the driver entry
+    // runs the bloom-pre-filtered path (the 100 TB shape).
+    "llm_decontaminate" -> ((s, d) => decontaminate(s, d, evalBloom = true)),
 
     // intra-document repetition score: fraction of a doc's word 3-grams
     // that are repeats (1 − distinct/total) — the Gopher/RefinedWeb-style

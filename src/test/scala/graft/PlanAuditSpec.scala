@@ -9,7 +9,8 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   * silently regress them: predicate pushdown must reach the parquet scans,
   * scans must prune to referenced columns, and no non-cross query may plan
   * a cartesian product. */
-class PlanAuditSpec extends AnyFunSuite {
+class PlanAuditSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSession.spark
   val sf = TestSession.sf
 
@@ -75,9 +76,20 @@ class PlanAuditSpec extends AnyFunSuite {
     go(df.queryExecution.executedPlan)
   }
 
+  // temp dirs for the two layout tests, deleted when the suite finishes
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+  private def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tmpDirs += d
+    d
+  }
+  override def afterAll(): Unit =
+    tmpDirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
   test("range-clustered layout skips parquet data outside the date filter") {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    val dir = tmpDir("graft-skip")
     // cluster on a DATE column: Spark's parquet filters only convert
     // predicates on isAdjustedToUTC=true timestamps, and the testdata
     // timestamps are TIMESTAMP_NTZ — NTZ predicates are never pushed to
@@ -119,7 +131,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // every row is read. Pinned so a future Spark upgrade that lifts the
     // limitation (or a regression that breaks DATE skipping) is noticed —
     // the clustering-key guidance in Partitioning/Bench rests on it.
-    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val dir = tmpDir("graft-ntz")
     val li = graft.core.Tables.t(spark, sf, "lineitem")
       .select(col("l_shipdate"), col("l_quantity"))
     graft.ops.Partitioning.clusterBy(li, 8, "l_shipdate")
@@ -134,6 +146,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scanned == total,
       s"NTZ scan read $scanned of $total rows — Spark now skips on NTZ " +
         "stats; the DATE-clustering guidance can be revisited")
+  }
+
+  test("decontaminate bloom pre-filter changes the plan, not the result") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloom = graft.llm.TextOps.decontaminate(spark, sf, evalBloom = true)
+    val plain = graft.llm.TextOps.decontaminate(spark, sf, evalBloom = false)
+    // the sketch probe must be IN the train-side plan (filter before join)
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom path lost its might_contain pre-filter")
+    assert(!plain.queryExecution.executedPlan.toString.contains("might_contain"))
+    // bloom admits false positives only; the exact join keeps results equal
+    assert(rows(bloom) == rows(plain),
+      "bloom pre-filter changed the decontamination result")
   }
 
   test("no cartesian product in any relational/window/scalar/event query") {
