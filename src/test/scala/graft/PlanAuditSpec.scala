@@ -162,18 +162,52 @@ class PlanAuditSpec extends AnyFunSuite
       "bloom pre-filter changed the decontamination result")
   }
 
-  test("no cartesian product in any relational/window/scalar/event query") {
-    val audited = SparkEntry.queries.keys.filter { n =>
-      (n.startsWith("agg_") || n.startsWith("join_") || n.startsWith("win_") ||
-       n.startsWith("fn_") || n.startsWith("set_") || n.startsWith("sub_") ||
-       n.startsWith("taxi_") || n.startsWith("evt_") || n.startsWith("tpch_") ||
-       n.startsWith("sort_") || n.startsWith("distinct_") ||
-       n.startsWith("dedup_")) && n != "join_cross"
+  test("whole registry: no scale-killer joins, dimensions never shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the only queries whose SEMANTICS are a product (driver entries that
+    // exist to exercise cross/theta joins)
+    val cartesianOk = Set("join_cross", "join_theta")
+    // every BroadcastNestedLoopJoin here is a DELIBERATE broadcast of a
+    // provably tiny side — scalar cutoff aggregates (quality_filter,
+    // curation_pipeline), 1-row vocab size (langid, tfidf), the k-row
+    // centroid table (ann_ivf), ≤50 query vectors (cosine_topk,
+    // knn_label) — streamed against the fact side, which is exactly the
+    // 100 TB plan. Any NEW query that plans a BNLJ must either justify
+    // itself onto this list or fix its join condition.
+    val bnljOk = Set("join_cross", "llm_cosine_topk", "llm_knn_label",
+      "llm_ann_ivf", "llm_quality_filter", "llm_curation_pipeline",
+      "llm_langid", "llm_tfidf")
+    def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case other => other +: (other.children ++ other.subqueries).flatMap(walk)
     }
-    val offenders = audited.filter { n =>
-      SparkEntry.queries(n)(spark, sf)
-        .queryExecution.executedPlan.toString.contains("CartesianProduct")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (n, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val s = plan.toString
+        val bad = Seq(
+          (s.contains("CartesianProduct") && !cartesianOk(n)) ->
+            "CartesianProduct",
+          (s.contains("BroadcastNestedLoopJoin") && !bnljOk(n)) ->
+            "BroadcastNestedLoopJoin",
+          // region/nation are bounded dimensions (25/5 rows at any SF):
+          // a shuffle over them means a join chose sort-merge/shuffled-hash
+          // where a broadcast was the only sane 100 TB plan
+          walk(plan).exists {
+            case ex: ShuffleExchangeExec => walk(ex).exists {
+              case f: FileSourceScanExec =>
+                f.metadata.get("Location").exists(l =>
+                  l.contains("region.parquet") || l.contains("nation.parquet"))
+              case _ => false
+            }
+            case _ => false
+          } -> "dimension-shuffle"
+        ).collect { case (true, tag) => s"$n: $tag" }
+        bad
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    assert(offenders.isEmpty,
+      s"scale-killer plans shipped:\n  ${offenders.mkString("\n  ")}")
   }
 }
