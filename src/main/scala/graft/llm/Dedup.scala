@@ -71,11 +71,11 @@ object Dedup {
     val sh = TextOps.shingles(s, d)
       .withColumn("h", xxhash64(col("shingle")))
       .select("doc_id", "h")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // sigs too (one row per doc): referenced by banding AND the n_sh joins
     val sigs = sh.groupBy(col("doc_id"))
       .agg(expr("minhash64(h)").as("sig"), count(lit(1)).as("n_sh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cands = bandedCandidates(sigs.select("doc_id", "sig"), r = 2, b = 32)
     // exact verification on candidates only
     val common = cands
@@ -133,9 +133,9 @@ object Dedup {
                           maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(col("doc1"), col("doc2"))
       .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -148,7 +148,7 @@ object Dedup {
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("new_label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       converged = stepped.filter(col("new_label") < col("label")).isEmpty
       labels = stepped.select(col("doc_id"), col("new_label").as("label"))
       iter += 1
@@ -181,7 +181,7 @@ object Dedup {
     // and/or more tables (e.g. cos 0.45: p ≈ 0.65, 16×4 → recall ≈ 0.96).
     val sigd = SimSearch.signatures(emb, nTables = nTables,
         bitsPerTable = bitsPerTable)
-      .localCheckpoint() // sigs computed once, reused by both join sides
+      .localCheckpoint(eager = false) // sigs computed once, reused by both join sides
     val buckets = sigd.select(col("vec_id"), explode(col("sigs")).as("sig"))
     val cands = buckets.select(col("vec_id").as("id1"), col("sig"))
       .join(buckets.select(col("vec_id").as("id2"), col("sig")), Seq("sig"))

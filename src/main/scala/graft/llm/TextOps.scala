@@ -68,7 +68,7 @@ object TextOps {
     // times: totals, vocab, profiles, scoring; now it's twice: fit + score)
     val gramCounts = grams.groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val langTotals = gramCounts.groupBy(col("lang"))
       .agg(sum(col("n")).as("lang_grams"))
     val vocabSize = gramCounts.select(countDistinct(col("gram")).as("v"))
@@ -235,7 +235,7 @@ object TextOps {
         .select(col("doc_id"), col("lang"),
           (size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")).cast("double")).as("distinct_ratio"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val cut = scored.agg(
         expr("percentile(distinct_ratio, 0.25)").as("cut"))
       scored.crossJoin(broadcast(cut))
@@ -353,7 +353,7 @@ object TextOps {
     "llm_ngram_jaccard" -> ((s, d) => {
       // shingle set materialized once (lineage cut) — referenced by the
       // per-doc counts and both sides of the pair join
-      val sh = shingles(s, d).localCheckpoint()
+      val sh = shingles(s, d).localCheckpoint(eager = false)
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
       val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
