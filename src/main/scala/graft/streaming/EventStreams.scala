@@ -214,6 +214,54 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class QuietAlert(user_id: Long, n_events: Long, quiet_since_ms: Long)
+
+  /** transformWithState TIMERS (the API surface flatMapGroupsWithState's
+    * setTimeoutDuration became): every batch of input re-arms a per-user
+    * processing-time timer `quietMs` ahead; if no input arrives before it
+    * fires, [[handleExpiredTimer]] emits one inactivity alert and clears
+    * the user's state — the push-based complement of [[sessionize]]'s
+    * timeout path. Timers are explicit here (register/delete, many per key
+    * allowed), vs the single implicit timeout slot of the old API. */
+  class InactivityAlertProcessor(quietMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, QuietAlert] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("seen",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[QuietAlert] = {
+      val prev = if (st.exists()) st.get() else SessionState(0L, 0.0, 0L)
+      var n = prev.n; var total = prev.total
+      rows.foreach { e => n += 1; total += e.value }
+      val now = timerValues.getCurrentProcessingTimeInMs()
+      st.update(SessionState(n, total, now))
+      // re-arm: drop any previously registered timer, set a fresh one
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(now + quietMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[QuietAlert] = {
+      val s = if (st.exists()) st.get() else SessionState(0L, 0.0, 0L)
+      st.clear()
+      Iterator.single(QuietAlert(key, s.n, expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  /** Inactivity alerts over a streaming Dataset[Ev] (processing time). */
+  def inactivityAlerts(events: Dataset[Ev], quietMs: Long): Dataset[QuietAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new InactivityAlertProcessor(quietMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Run any of the above to a memory sink, processing all available input
     * once (deterministic batch-replay for tests). Returns the sink table name. */
   def runToMemory(df: DataFrame, name: String,

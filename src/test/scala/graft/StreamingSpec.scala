@@ -313,6 +313,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState timers fire inactivity alerts for quiet users") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val prevProv = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // few partitions = few RocksDB instances per (frequent) timer batch
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val src = MemoryStream[EventStreams.Ev](spark)
+      val alerts = EventStreams.inactivityAlerts(src.toDS(), quietMs = 500L)
+      val q = alerts.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("quiet_alerts").start()
+      def ev(id: Long, uid: Long) = EventStreams.Ev(id,
+        new java.sql.Timestamp(1700000000000L + id), uid, "click", 1.0)
+      try {
+        // users 1 (two events) and 2 (one event) — timers armed. NOTE: with
+        // ProcessingTime TimeMode the engine keeps scheduling batches while
+        // timers are pending, so processAllAvailable() would NEVER return
+        // (shouldRunAnotherBatch stays true) — poll the sink instead.
+        src.addData(ev(1, 1), ev(2, 1), ev(3, 2))
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def alertsNow() = spark.table("quiet_alerts")
+          .select("user_id", "n_events").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        var got = alertsNow()
+        while (got.size < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(250)
+          q.exception.foreach(e => fail(s"query failed: $e"))
+          got = alertsNow()
+        }
+        // both users went quiet past 500ms → exactly one alert each,
+        // carrying the per-user event counts accumulated in state
+        assert(got == Map(1L -> 2L, 2L -> 1L),
+          s"expected quiet alerts for users 1 and 2, got $got")
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows via session_window: streamed subset of batch") {
     val stream = EventStreams.readEventStream(spark, replayDir)
     EventStreams.runToMemory(EventStreams.sessionAgg(stream), "sessions")
