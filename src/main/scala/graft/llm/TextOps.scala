@@ -121,9 +121,13 @@ object TextOps {
   def decontaminate(s: SparkSession, d: String,
                     evalBloom: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // one lazy materialization of (doc, shingle, bucket): three plan legs
+    // consume it (train side, the bloom-build subquery, the eval join
+    // side) and without the cut each would replay the scan+generate
     val byDoc = shingles(s, d)
       .join(t(s, d, "documents")
         .select(col("doc_id"), splitBucket.as("bucket")), Seq("doc_id"))
+      .localCheckpoint(eager = false)
     val train = byDoc.filter(col("bucket") < 80)
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val heldOut = byDoc.filter(col("bucket") >= 90)
