@@ -244,6 +244,30 @@ object Scalars {
         .select(col("p_partkey"), explode_outer(col("arr")).as("v"))
     }),
 
+    // SURVEY §2 scalar-matrix stragglers: bround (HALF_EVEN banker's
+    // rounding — exercised on exact .0/.5 ties so the semantics, not FP
+    // noise, are what's compared), any_value (deterministic here: one row
+    // per group), make_timestamp, zip_with (element-wise product folded
+    // with aggregate — the embeddings dot-product building block), initcap.
+    "fn_misc" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 500)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(
+          // any_value is only deterministic over a group-constant input —
+          // (orderkey, linenumber) is NOT unique in this fixture
+          expr("any_value(l_orderkey * 10 + l_linenumber)").as("any_const"),
+          sum(expr("bround(l_quantity / 2.0, 0)")).as("sum_bround"),
+          min(expr("make_timestamp(year(l_shipdate), month(l_shipdate), " +
+            "day(l_shipdate), 12, 30, 0)")).as("noon_ts"),
+          min(expr(
+            "aggregate(zip_with(sequence(1, CAST(l_linenumber AS INT)), " +
+              "sequence(2, CAST(l_linenumber AS INT) + 1), " +
+              "(x, y) -> CAST(x * y AS BIGINT)), CAST(0 AS BIGINT), " +
+              "(acc, v) -> acc + v)")).as("zip_dot"),
+          min(initcap(concat(lower(col("l_returnflag")), lit(" of "),
+            lower(col("l_linestatus"))))).as("cap_label"))
+    }),
+
     "fn_cast" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
         col("o_orderkey"),
@@ -453,6 +477,28 @@ object Scalars {
         FROM part
       ) t
       LEFT JOIN LATERAL unnest(t.arr) u(v) ON true""",
+
+    // bround ↔ round_even; initcap emulated per word (upper first char,
+    // inputs pre-lowercased); groups are single-row (orderkey, linenumber)
+    // so any_value/first are deterministic on both engines
+    "fn_misc" -> """
+      SELECT l_orderkey, l_linenumber,
+             any_value(l_orderkey * 10 + l_linenumber) AS any_const,
+             sum(round_even(l_quantity / 2.0, 0)) AS sum_bround,
+             min(make_timestamp(CAST(year(l_shipdate) AS BIGINT),
+               CAST(month(l_shipdate) AS BIGINT),
+               CAST(day(l_shipdate) AS BIGINT), 12, 30, 0.0)) AS noon_ts,
+             CAST(min(list_aggregate(list_transform(
+               list_zip(range(1, CAST(l_linenumber AS BIGINT) + 1),
+                        range(2, CAST(l_linenumber AS BIGINT) + 2)),
+               p -> p[1] * p[2]), 'sum')) AS BIGINT) AS zip_dot,
+             min(array_to_string(list_transform(
+               string_split(lower(l_returnflag) || ' of ' ||
+                 lower(l_linestatus), ' '),
+               w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' '))
+               AS cap_label
+      FROM lineitem WHERE l_orderkey <= 500
+      GROUP BY l_orderkey, l_linenumber""",
 
     "fn_cast" -> """
       SELECT o_orderkey,
