@@ -197,6 +197,33 @@ object SimSearch {
         .dropDuplicates("qid", "cid") // same pair may collide in >1 table
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
+    }),
+
+    // per-vector L2 norm + min/max component (embedding hygiene audit: a
+    // zero or exploding norm is a broken upstream encoder). One sequential
+    // fold per row inside codegen — a narrow scan projection, no shuffle,
+    // and the parquet reader only materializes the embedding column.
+    "llm_embed_norm" -> ((s, d) => {
+      t(s, d, "embeddings").selectExpr(
+        "vec_id", "label",
+        "size(embedding) AS n_dims",
+        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+          " AS l2_norm",
+        "CAST(array_min(embedding) AS DOUBLE) AS min_comp",
+        "CAST(array_max(embedding) AS DOUBLE) AS max_comp")
+    }),
+
+    // per-label centroids (class prototypes / IVF seeding): posexplode to
+    // (label, dim, x) then one hash aggregate keyed on (label, dim) —
+    // partial aggregation collapses the dim-fold row expansion map-side,
+    // so the shuffle carries only |labels|×dims rows at any corpus size.
+    "llm_embed_centroid" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("x").cast("double")).as("centroid"))
     })
   )
 
@@ -251,6 +278,26 @@ object SimSearch {
                row_number() OVER (PARTITION BY qid
                  ORDER BY votes DESC, clabel) AS vrn
         FROM votes
-      ) WHERE vrn = 1"""
+      ) WHERE vrn = 1""",
+
+    "llm_embed_norm" -> """
+      SELECT vec_id, label,
+             CAST(len(embedding) AS INT) AS n_dims,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+             CAST(list_min(embedding) AS DOUBLE) AS min_comp,
+             CAST(list_max(embedding) AS DOUBLE) AS max_comp
+      FROM embeddings""",
+
+    "llm_embed_centroid" -> """
+      SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
+             avg(CAST(x AS DOUBLE)) AS centroid
+      FROM (
+        SELECT label, unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+      GROUP BY label, i
+      """
   )
 }

@@ -341,6 +341,39 @@ object TextOps {
           floor((col("cum") - col("n_tokens")) / lit(8192)).as("bin"))
     }),
 
+    // fixed-budget sequence chunking with overlap (context-window prep):
+    // windows of 32 tokens at stride 24 (8-token overlap), last chunk
+    // ragged. Pure narrow map — split once, explode a chunk-index range,
+    // slice per index; no shuffle at any scale, chunk count rides the
+    // token count (the generator output is ~n_tokens/stride rows/doc, the
+    // same free-ride-on-the-scan shape as the other doc ops).
+    "llm_chunk" -> ((s, d) => {
+      spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", "toks",
+          "explode(sequence(0, int((size(toks) - 1) div 24))) AS chunk_idx")
+        .selectExpr("doc_id", "chunk_idx",
+          "array_join(slice(toks, chunk_idx * 24 + 1, 32), ' ') AS chunk_text",
+          "least(32, size(toks) - chunk_idx * 24) AS n_chunk_tokens")
+    }),
+
+    // cleanup normalization: collapse runs of a repeated token (the crude
+    // boilerplate-stutter fix), then strip stopwords, and account for the
+    // reduction. Both passes are index-aware array HOFs on the already-split
+    // token array — one narrow projection over the scan, no shuffle, and
+    // the whole expression tree stays inside whole-stage codegen.
+    "llm_clean_text" -> ((s, d) => {
+      spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", "size(toks) AS n_tokens",
+          // Spark lambda index i and arr[i] subscripts are both 0-based
+          "filter(toks, (x, i) -> i = 0 OR x != toks[i-1]) AS collapsed")
+        .selectExpr("doc_id", "n_tokens",
+          s"filter(collapsed, x -> NOT x IN ('$stopA', '$stopB')) AS kept")
+        .selectExpr("doc_id", "n_tokens", "size(kept) AS n_kept",
+          "array_join(kept, ' ') AS clean_text")
+    }),
+
     // language histogram (per-language corpus accounting)
     "llm_lang_stats" -> ((s, d) => {
       t(s, d, "documents")
@@ -585,6 +618,38 @@ object TextOps {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM documents
       )""",
+
+    "llm_chunk" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), ex AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, (len(toks) - 1) // 24)) AS chunk_idx
+        FROM toks
+      )
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+               AS chunk_text,
+             CAST(least(32, len(toks) - chunk_idx*24) AS INT)
+               AS n_chunk_tokens
+      FROM ex""",
+
+    "llm_clean_text" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      ), collapsed AS (
+        -- DuckDB lambda index i and list subscripts are both 1-based
+        SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+               list_filter(toks, (x, i) -> i = 1 OR x != toks[i-1]) AS c
+        FROM toks
+      ), kept AS (
+        SELECT doc_id, n_tokens,
+               list_filter(c, x -> NOT x IN ('the', 'a')) AS k
+        FROM collapsed
+      )
+      SELECT doc_id, n_tokens, CAST(len(k) AS INT) AS n_kept,
+             array_to_string(k, ' ') AS clean_text
+      FROM kept""",
 
     "llm_lang_stats" -> """
       SELECT lang, count(*) AS n_docs,
