@@ -203,12 +203,18 @@ object SimSearch {
     // zero or exploding norm is a broken upstream encoder). One sequential
     // fold per row inside codegen — a narrow scan projection, no shuffle,
     // and the parquet reader only materializes the embedding column.
+    // Degenerate-row semantic (ADVICE r4): an empty array or one carrying
+    // a NULL element is a broken row → l2_norm NULL, encoded explicitly on
+    // BOTH sides (Spark's fold would say 0.0/NULL, DuckDB's list_sum
+    // NULL/skip — the engines disagree unless the CASE pins it).
     "llm_embed_norm" -> ((s, d) => {
       t(s, d, "embeddings").selectExpr(
         "vec_id", "label",
         "size(embedding) AS n_dims",
-        "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE)," +
-          " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))" +
+        "CASE WHEN size(embedding) = 0" +
+          " OR exists(embedding, x -> x IS NULL) THEN CAST(NULL AS DOUBLE)" +
+          " ELSE sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) END" +
           " AS l2_norm",
         "CAST(array_min(embedding) AS DOUBLE) AS min_comp",
         "CAST(array_max(embedding) AS DOUBLE) AS max_comp")
@@ -283,8 +289,12 @@ object SimSearch {
     "llm_embed_norm" -> """
       SELECT vec_id, label,
              CAST(len(embedding) AS INT) AS n_dims,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+             CASE WHEN len(embedding) = 0
+                    OR len(list_filter(embedding, x -> x IS NULL)) > 0
+                  THEN CAST(NULL AS DOUBLE)
+                  ELSE sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END
+               AS l2_norm,
              CAST(list_min(embedding) AS DOUBLE) AS min_comp,
              CAST(list_max(embedding) AS DOUBLE) AS max_comp
       FROM embeddings""",

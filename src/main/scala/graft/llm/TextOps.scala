@@ -347,11 +347,16 @@ object TextOps {
     // slice per index; no shuffle at any scale, chunk count rides the
     // token count (the generator output is ~n_tokens/stride rows/doc, the
     // same free-ride-on-the-scan shape as the other doc ops).
+    // The index bound is the last window start that contributes a NEW
+    // token — ceil((n-32)/24), floored at 0 — so a doc whose tail is
+    // already fully covered by the previous 32-token window emits no
+    // redundant trailing chunk (ADVICE r4: size-idx*24 <= 8 tail).
     "llm_chunk" -> ((s, d) => {
       spread(t(s, d, "documents"))
         .selectExpr("doc_id", "split(text, ' ') AS toks")
         .selectExpr("doc_id", "toks",
-          "explode(sequence(0, int((size(toks) - 1) div 24))) AS chunk_idx")
+          "explode(sequence(0, greatest(0," +
+            " int(ceil((size(toks) - 32) / 24.0))))) AS chunk_idx")
         .selectExpr("doc_id", "chunk_idx",
           "array_join(slice(toks, chunk_idx * 24 + 1, 32), ' ') AS chunk_text",
           "least(32, size(toks) - chunk_idx * 24) AS n_chunk_tokens")
@@ -624,7 +629,8 @@ object TextOps {
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       ), ex AS (
         SELECT doc_id, toks,
-               unnest(generate_series(0, (len(toks) - 1) // 24)) AS chunk_idx
+               unnest(generate_series(0, greatest(0,
+                 CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)))) AS chunk_idx
         FROM toks
       )
       SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,

@@ -51,19 +51,23 @@ object Relational {
     // declares NUMERIC for fare columns; this engine is double end-to-end
     // with a decimal escape hatch). Exercises the exact path: cast to
     // DECIMAL(12,2) at the scan, sum in decimal — no FP drift whatever the
-    // aggregation order, the property NUMERIC buys a billing user. Spark
-    // widens sum(DECIMAL(12,2)) to DECIMAL(22,2) and the product to
-    // scale 4; DuckDB agrees on the scales, so values AND rendered text
-    // match exactly.
+    // aggregation order, the property NUMERIC buys a billing user. The
+    // FINAL projection casts back to DOUBLE for transport only: the
+    // driver's pandas bridge renders one side's decimals as float64 (the
+    // r2 HUGEINT lesson), so a scale-4 decimal with a trailing zero
+    // ("….8990" vs float64 "….899") hash-drifts even when the values are
+    // identical — r4's one red entry. Decimal→double is correctly rounded
+    // and deterministic on both engines, so the exact-in-decimal result
+    // survives the cast bit-for-bit.
     "agg_decimal_money" -> ((s, d) => {
       val price = col("l_extendedprice").cast("decimal(12,2)")
       val disc1 = (lit(1.0) - col("l_discount")).cast("decimal(12,2)")
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(price).as("sum_price_dec"),
-          sum(price * disc1).as("sum_disc_price_dec"),
-          max(price).as("max_price_dec"),
+          sum(price).cast("double").as("sum_price_dec"),
+          sum(price * disc1).cast("double").as("sum_disc_price_dec"),
+          max(price).cast("double").as("max_price_dec"),
           count(lit(1)).as("n"))
     }),
 
@@ -539,11 +543,13 @@ object Relational {
 
     "agg_decimal_money" -> """
       SELECT l_returnflag,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price_dec,
-             sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                 CAST(1.0 - l_discount AS DECIMAL(12,2)))
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price_dec,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
                AS sum_disc_price_dec,
-             max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price_dec,
+             CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS max_price_dec,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag""",
 

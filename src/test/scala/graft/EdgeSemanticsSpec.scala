@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.llm.{SimSearch, TextOps}
+
+/** Pins the edge-case semantics called out by the round-4 advisor:
+  * degenerate embeddings in llm_embed_norm and the chunk-index bound in
+  * llm_chunk. Both run the REGISTERED query over a tiny parquet fixture
+  * (same read path as the driver), not a re-derived expression.
+  */
+class EdgeSemanticsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-edge").toString
+
+  test("embed_norm: empty array or a NULL element yields NULL l2_norm") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    val rows = Seq(
+      Row(1L, Seq(3.0f, 4.0f), 0),   // healthy: norm exactly 5
+      Row(2L, Seq.empty[Float], 0),  // empty → NULL
+      Row(3L, Seq(1.0f, null), 0))   // NULL element → NULL
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SimSearch.defs("llm_embed_norm")(spark, dir)
+      .select("vec_id", "l2_norm").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(1L).exists(n => math.abs(n - 5.0) < 1e-12))
+    assert(out(2L).isEmpty, "empty embedding must yield NULL norm")
+    assert(out(3L).isEmpty, "NULL element must yield NULL norm")
+  }
+
+  test("chunk: no trailing chunk that is fully covered by the previous window") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // token counts straddling the 32-window / 24-stride boundaries
+    val docs = Seq(8, 32, 33, 56, 57).map { n =>
+      (n.toLong, (1 to n).map(i => s"t$i").mkString(" "), "en", "unit", n.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.defs("llm_chunk")(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("chunk_idx") * 24 + col("n_chunk_tokens")).cast("long").as("covered"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // expected chunk counts: ceil((n-32)/24) + 1, floored at 1
+    val expected = Map(8L -> 1L, 32L -> 1L, 33L -> 2L, 56L -> 2L, 57L -> 3L)
+    expected.foreach { case (id, want) =>
+      assert(out(id)._1 == want, s"doc $id: ${out(id)._1} chunks, want $want")
+      assert(out(id)._2 == id, s"doc $id: last chunk ends at ${out(id)._2}, want $id")
+    }
+  }
+}
