@@ -124,6 +124,13 @@ object GraftFunctions {
       "dot_product", es => DotProduct(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
+    // fused LSH signature kernel; trailing args must be integer literals
+    // (they parameterize the plane matrix baked into the plan)
+    reg.createOrReplaceTempFunction(
+      "hyperplane_sigs", es => HyperplaneSigs(es.head,
+        es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].intValue,
+        es(3).eval().asInstanceOf[Number].intValue), "built-in")
     reg.createOrReplaceTempFunction(
       "char_grams", es => CharGrams(es.head, es(1)), "built-in")
     // Catalyst's own runtime-filter pair (internal registry only in stock

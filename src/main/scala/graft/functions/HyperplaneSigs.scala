@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused multi-table random-hyperplane LSH signatures: one pass over an
+  * `array<float>` embedding computes ALL nTables×bits hyperplane dot
+  * products and packs them into `array<bigint>` (table index in the high
+  * bits, sign bits below — the layout `SimSearch.signatures` documents).
+  *
+  * Why fused: the composed formulation (nTables×bits separate
+  * `dot_product(embedding, typedlit(plane))` calls reduced through `when`
+  * chains) builds a ~100-node expression tree that re-reads the embedding
+  * array once PER PLANE and dominated the LSH queries' runtime (measured
+  * ~1.5 s of llm_ann_lsh's 2.5 s at sf0.1). Here the embedding is read
+  * once and the plane matrix lives in a reference object — a compact
+  * codegen'd triple loop, the same "kernel inside whole-stage codegen"
+  * rationale as [[CosineSimilarity]]. At the 100 TB design point this runs
+  * once per corpus row, so per-row constant factors are the whole cost.
+  *
+  * Plane components are Murmur3-derived pseudo-uniforms in [-0.5, 0.5) —
+  * deterministic plan constants, no RNG state to ship, reproducible across
+  * retries/repartitions at any parallelism (bit-identical to the previous
+  * formulation; pinned by ExpressionSpec).
+  */
+case class HyperplaneSigs(child: Expression, nTables: Int, bits: Int, dim: Int)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+
+  // recomputed per executor from (nTables, bits, dim) — tiny and deterministic
+  @transient private lazy val planes: Array[Array[Float]] =
+    Array.tabulate(nTables * bits)(p => HyperplaneSigs.planeVector(p, dim))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val sigs = new Array[Long](nTables)
+    var tt = 0
+    while (tt < nTables) {
+      var s = tt.toLong << bits
+      var j = 0
+      while (j < bits) {
+        val p = planes(tt * bits + j)
+        val m = math.min(n, p.length)
+        var dot = 0.0
+        var i = 0
+        while (i < m) { dot += x.getFloat(i).toDouble * p(i); i += 1 }
+        if (dot >= 0.0) s |= (1L << j)
+        j += 1
+      }
+      sigs(tt) = s
+      tt += 1
+    }
+    ArrayData.toArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pRef = ctx.addReferenceObj("hyperplanes", planes, "float[][]")
+      val n = ctx.freshName("n"); val sigs = ctx.freshName("sigs")
+      val tt = ctx.freshName("t"); val s = ctx.freshName("s")
+      val j = ctx.freshName("j"); val p = ctx.freshName("p")
+      val m = ctx.freshName("m"); val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = $a.numElements();
+        long[] $sigs = new long[$nTables];
+        for (int $tt = 0; $tt < $nTables; $tt++) {
+          long $s = ((long) $tt) << $bits;
+          for (int $j = 0; $j < $bits; $j++) {
+            float[] $p = $pRef[$tt * $bits + $j];
+            int $m = java.lang.Math.min($n, $p.length);
+            double $dot = 0.0;
+            for (int $i = 0; $i < $m; $i++) {
+              $dot += (double) $a.getFloat($i) * (double) $p[$i];
+            }
+            if ($dot >= 0.0) $s |= (1L << $j);
+          }
+          $sigs[$tt] = $s;
+        }
+        ${ev.value} =
+          org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($sigs);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSigs {
+  /** Deterministic hyperplane component for (plane p, dim i): Murmur3-derived
+    * pseudo-uniform in [-0.5, 0.5). The single source of truth for the plane
+    * matrix — `SimSearch` delegates here. */
+  def planeVector(plane: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashInt(plane * 1024 + i, 42)
+      (((h % 1000) + 1000) % 1000) / 1000.0f - 0.5f
+    }
+}

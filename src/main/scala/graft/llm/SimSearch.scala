@@ -22,18 +22,6 @@ import graft.functions.GraftFunctions
 object SimSearch {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic hyperplane component for (plane p, dim i): Murmur3-derived
-    * pseudo-uniform in [-0.5, 0.5). Computed ON THE DRIVER and shipped as a
-    * literal — the first (interpreted-HOF) implementation recomputed 4096
-    * hash() lambda calls per ROW and dominated the whole benchmark; as plan
-    * constants the per-row work is just nTables×bits codegen'd dot products. */
-  private def planeVector(plane: Int, dim: Int): Array[Float] =
-    Array.tabulate(dim) { i =>
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashInt(plane * 1024 + i, 42)
-      (((h % 1000) + 1000) % 1000) / 1000.0f - 0.5f
-    }
-
   /** Deterministic multi-table random-hyperplane signatures (the OR-of-ANDs
     * LSH construction: a neighbor is a candidate if it shares the FULL
     * signature in ANY table — recall grows with nTables, candidate-set
@@ -42,18 +30,18 @@ object SimSearch {
     *
     * Adds `sigs: array<bigint>` of length nTables; `sigs[t]` also encodes t
     * in the high bits so a single explode+equi-join keys on (table, bucket).
+    *
+    * The signature kernel is the fused codegen expression
+    * [[graft.functions.HyperplaneSigs]] — one pass over the embedding for
+    * all nTables×bits planes. The previous formulation (one `dot_product` +
+    * `when` chain per plane, 96 tree nodes at the ANN tuning) re-read the
+    * array per plane and was ~60% of llm_ann_lsh's runtime.
     */
   def signatures(df: DataFrame, nTables: Int = 24, bitsPerTable: Int = 4,
                  dim: Int = 64): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val sigCols: Seq[Column] = (0 until nTables).map { tt =>
-      (0 until bitsPerTable).map { j =>
-        val dot = call_function("dot_product",
-          col("embedding"), typedlit(planeVector(tt * bitsPerTable + j, dim)))
-        when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _) + lit(tt.toLong << bitsPerTable)
-    }
-    df.withColumn("sigs", array(sigCols: _*))
+    df.withColumn("sigs", call_function("hyperplane_sigs",
+      col("embedding"), lit(nTables), lit(bitsPerTable), lit(dim)))
   }
 
   /** Back-compat single-signature variant (table 0). */

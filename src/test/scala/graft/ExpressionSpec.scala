@@ -70,6 +70,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(math.abs(interpDot - r.getDouble(1)) < 1e-15)
   }
 
+  test("hyperplane_sigs fused kernel ≡ composed dot_product formulation") {
+    // the fused expression replaced a 96-node dot_product/when tree; the
+    // signatures must be BIT-IDENTICAL or every LSH bucket assignment moves
+    GraftFunctions.register(spark)
+    val nTables = 24; val bits = 4; val dim = 64
+    val emb = t(spark, TestSession.sf, "embeddings").limit(200)
+    val composed = (0 until nTables).map { tt =>
+      (0 until bits).map { j =>
+        val plane = graft.functions.HyperplaneSigs.planeVector(tt * bits + j, dim)
+        when(call_function("dot_product",
+          col("embedding"), typedLit(plane)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(tt.toLong << bits)
+    }
+    val diff = emb
+      .withColumn("fused", call_function("hyperplane_sigs",
+        col("embedding"), lit(nTables), lit(bits), lit(dim)))
+      .withColumn("composed", array(composed: _*))
+      .filter(expr("fused != composed"))
+      .count()
+    assert(diff == 0, s"$diff rows with signature drift")
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Array(0.3f, -1.2f, 2.5f, 0.0f, 0.7f)
+    val interp = graft.functions.HyperplaneSigs(
+        Literal.create(a, ArrayType(FloatType)), 4, 4, 5)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+    import spark.implicits._
+    val gen = Seq(Tuple1(a)).toDF("embedding")
+      .selectExpr("hyperplane_sigs(embedding, 4, 4, 5) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(interp == gen)
+  }
+
   test("interpreted eval agrees with codegen (fingerprint golden)") {
     // rolling-hash fingerprint must be stable across releases — golden value
     import spark.implicits._
