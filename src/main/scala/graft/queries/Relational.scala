@@ -448,6 +448,73 @@ object Relational {
         .agg((lit(100.0) *
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
           sum(rev)).as("promo_revenue_pct"))
+    }),
+
+    // Q8 shape (adapted to the fixture's reduced columns — no partsupp):
+    // national market share — the widest TPC-H join tree expressible here
+    // (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier ⋈ nation
+    // ⋈ part). Both nation legs and region are true dims → broadcast;
+    // part/customer/supplier are left to AQE (they scale with the facts).
+    // The share is two conditional sums in one final agg keyed on the
+    // order year — 2 result rows from a fact-sized input.
+    "tpch_q8_market_share" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val sup = t(s, d, "supplier")
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+      val p = t(s, d, "part").filter(col("p_type") === "STANDARD")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("2001-01-01").cast("timestamp"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          revenue.as("volume"), col("supp_nation"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(lit(0.0))) / sum(col("volume"))).as("mkt_share"))
+    }),
+
+    // Q13 shape: customer order-count distribution — the canonical
+    // outer-join-then-double-aggregate. The join condition carries the
+    // extra priority predicate (a join-side filter, NOT a post-join WHERE:
+    // a WHERE would turn the left join inner and drop zero-order
+    // customers). Second agg keys on the first agg's tiny output.
+    "tpch_q13_custdist" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q15 shape: top supplier by quarterly revenue — an aggregate consumed
+    // TWICE (rows + its own scalar max). localCheckpoint materializes the
+    // 100-row agg once; the max side is a 1-row broadcast, so the "equals
+    // the maximum" filter is a broadcast join, not a second fact scan.
+    // Double-equality on the max is safe: both legs read the SAME
+    // materialized sums, so there is no recomputation drift.
+    "tpch_q15_topsupp" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1999-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(revenue).as("total_revenue"))
+        .localCheckpoint(eager = false)
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      t(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     })
   )
 
@@ -521,6 +588,50 @@ object Relational {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1999-03-01'
         AND l_shipdate <  TIMESTAMP '1999-04-01'""",
+
+    // DuckDB year() is BIGINT; Spark's is INT — the cast pins the schema
+    "tpch_q8_market_share" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1.0 - l_discount)
+                      ELSE 0.0 END) /
+               sum(l_extendedprice * (1.0 - l_discount)) AS mkt_share
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate <  TIMESTAMP '2001-01-01'
+      GROUP BY 1""",
+
+    "tpch_q13_custdist" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+      )
+      GROUP BY c_count""",
+
+    "tpch_q15_topsupp" -> """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-04-01'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
 
     "agg_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,

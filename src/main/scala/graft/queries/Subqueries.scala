@@ -90,7 +90,71 @@ object Subqueries {
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey HAVING sum(l_quantity) > 150
       )
-      GROUP BY c_custkey, o_orderkey, o_totalprice""")
+      GROUP BY c_custkey, o_orderkey, o_totalprice""",
+
+    // TPC-H Q4 shape (adapted: no commit/receipt dates in the fixture —
+    // "late" = shipped after the order date): priority counts gated by a
+    // correlated EXISTS whose predicate mixes an equality (l_orderkey =
+    // o_orderkey) with a NON-equality outer reference (l_shipdate >
+    // o_orderdate) — the DecorrelateInnerQuery path beyond plain semi-join
+    "tpch_q4_priority" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-07-01'
+        AND o_orderdate <  TIMESTAMP '1999-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority""",
+
+    // TPC-H Q17 shape (p_size < 10 substitutes the fixture-less container
+    // filter): small-quantity revenue where the cutoff is a PER-PART
+    // correlated aggregate — Catalyst decorrelates to an aggregate join,
+    // i.e. the per-group-threshold pattern without a window
+    "tpch_q17_small_qty" -> """
+      SELECT sum(l_extendedprice) / 7.0 AS avg_yearly,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3' AND p_size < 10
+        AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)""",
+
+    // TPC-H Q21 shape (late = shipped >90 days after order date): the
+    // EXISTS + NOT EXISTS chain over the SAME fact table — multi-supplier
+    // orders where ONLY this supplier was late. Three lineitem legs; the
+    // correlated predicates carry the outer o_orderdate into both
+    // subqueries (non-equality correlation under negation)
+    "tpch_q21_waiting" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      GROUP BY s_name""",
+
+    // TPC-H Q22 shape (c_nationkey substitutes the phone country code;
+    // anti side = "no urgent order" — every fixture customer has SOME
+    // order): scalar average gate + NOT EXISTS + final aggregate
+    "tpch_q22_opportunity" -> """
+      SELECT c_nationkey AS cntry, count(*) AS numcust,
+             sum(c_acctbal) AS totacctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey""")
 
   val defs: Map[String, Q] = sqls.map { case (k, v) => k -> q(v) }
   val sql: Map[String, String] = sqls

@@ -116,9 +116,11 @@ class PlanAuditSpec extends AnyFunSuite
     }
     val clustered = scanRowsFor(s"$dir/clustered")
     val unclustered = scanRowsFor(s"$dir/unclustered")
-    // the one-month slice is ~1/80 of the data; clustered must read at
-    // most one file's worth while unclustered reads everything
-    assert(unclustered > 0 && clustered <= unclustered / 4,
+    // the one-month slice is ~1/80 of the data; clustered reads at most
+    // TWO files' worth (the month can straddle a range boundary, and the
+    // sampled range split drifts a few rows run-to-run) while unclustered
+    // reads everything — 3/8 = two 1/8-files plus drift headroom
+    assert(unclustered > 0 && clustered <= unclustered * 3 / 8,
       s"clustered scan read $clustered rows vs unclustered $unclustered — " +
         "footer-stats skipping did not engage")
   }
