@@ -267,8 +267,118 @@ object Dedup {
       docs.join(labels.filter(col("doc_id") === col("label"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // the ORACLE-CHECKABLE twin of llm_dedup_apply: same
+    // [[connectedComponents]] min-label machinery, but over the exact
+    // n-gram Jaccard pair graph (itself hash-green as llm_ngram_jaccard)
+    // instead of MinHash candidates — so the component labels are
+    // engine-independent and DuckDB can replay them with a recursive-CTE
+    // transitive closure. This converts the CC/survivor semantics from a
+    // rows-only check into a hash compare; llm_dedup_apply keeps the
+    // scale path (banded MinHash pairs) that the oracle can't reproduce.
+    "llm_dedup_exact" -> ((s, d) => {
+      val pairs = TextOps.defs("llm_ngram_jaccard")(s, d)
+        .select(col("doc1"), col("doc2"))
+      val docs = t(s, d, "documents")
+      val labels = connectedComponents(docs.select(col("doc_id")), pairs)
+      labels.select(col("doc_id"), col("label").as("survivor_id"),
+        (col("doc_id") === col("label")).as("is_survivor"))
+    }),
+
+    // the ORACLE-CHECKABLE twin of llm_embedding_neardup: bucket key =
+    // the sign octant of the first 8 dimensions (deterministic axis-aligned
+    // hyperplanes — the engine-independent special case of hyperplane LSH),
+    // exact double-precision cosine within buckets only. Same
+    // non-quadratic shape as the production path (equi-join on a coarse
+    // key, exact verify on candidates), but every step is replayable in
+    // DuckDB. Recall vs all-pairs is the sign-LSH collision rate — the
+    // seeded random-hyperplane variant above remains the production path.
+    "llm_embedding_neardup_exact" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val bucketed = spread(t(s, d, "embeddings"))
+        .select(col("vec_id"), col("embedding"),
+          (0 until 8).map(i =>
+            when(element_at(col("embedding"), i + 1) >= 0f, lit(1 << i))
+              .otherwise(lit(0))).reduce(_ + _).as("bucket"))
+      bucketed.select(col("vec_id").as("id1"), col("embedding").as("v1"),
+          col("bucket"))
+        .join(bucketed.select(col("vec_id").as("id2"),
+          col("embedding").as("v2"), col("bucket")), Seq("bucket"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cos", expr("cosine_similarity(v1, v2)"))
+        .filter(col("cos") >= 0.30)
+        .select(col("id1"), col("id2"), col("cos"))
     })
   )
 
-  val sql: Map[String, String] = Map.empty // engine-specific hashes: rows-only
+  // The MinHash/SimHash/random-hyperplane families stay rows-only (their
+  // hashes are engine-specific); the two _exact twins above are the
+  // DuckDB-replayable anchors for the same execution machinery.
+  val sql: Map[String, String] = Map(
+    "llm_dedup_exact" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), counts AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), jp AS (
+        SELECT doc1, doc2 FROM (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ) p
+        JOIN counts n1 ON doc1 = n1.doc_id
+        JOIN counts n2 ON doc2 = n2.doc_id
+        WHERE CAST(common AS DOUBLE) /
+              CAST(n1.n_sh + n2.n_sh - common AS DOUBLE) >= 0.2
+      ), edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM jp
+        UNION ALL
+        SELECT doc2, doc1 FROM jp
+      ), reach(node, r) AS (
+        -- transitive closure to a fixpoint (UNION dedups = termination);
+        -- min reachable id per node = the component's min-label, exactly
+        -- what iterative min-label propagation converges to
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+      ), comp AS (
+        SELECT node, min(r) AS survivor FROM reach GROUP BY node
+      )
+      SELECT d.doc_id,
+             coalesce(c.survivor, d.doc_id) AS survivor_id,
+             coalesce(c.survivor, d.doc_id) = d.doc_id AS is_survivor
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
+
+    "llm_embedding_neardup_exact" -> """
+      WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+             + 4 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+             + 8 * (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+             + 16 * (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END)
+             + 32 * (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END)
+             + 64 * (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END)
+             + 128 * (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END)
+               AS bucket
+        FROM embeddings
+      )
+      SELECT id1, id2, cos FROM (
+        SELECT a.vec_id AS id1, b2.vec_id AS id2,
+               list_cosine_similarity(a.v, b2.v) AS cos
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      ) WHERE cos >= 0.30"""
+  )
 }

@@ -170,4 +170,70 @@ class DedupSpec extends AnyFunSuite {
     assert(componentMins.subsetOf(kept))
     assert((inGraph -- componentMins).intersect(kept).isEmpty)
   }
+
+  test("dedup_exact labels: survivors are fixpoints, members map to component min") {
+    val labels = Dedup.defs("llm_dedup_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // is_survivor ⇔ doc_id == survivor_id; survivor ids are themselves docs
+    labels.foreach { case (doc, surv, isSurv) =>
+      assert(isSurv == (doc == surv))
+      assert(surv <= doc, s"label $surv above member $doc — not a min-label")
+    }
+    val docIds = labels.map(_._1).toSet
+    assert(labels.map(_._2).toSet.subsetOf(docIds))
+    // replay with driver-side union-find over the exact-Jaccard pair graph
+    val pairs = TextOps.defs("llm_ngram_jaccard")(spark, sf)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byDoc = labels.map(l => l._1 -> l._2).toMap
+    val groundTruth = parent.keySet.map(x => x -> {
+      // component min = min over members sharing the root
+      val root = find(x)
+      parent.keySet.filter(find(_) == root).min
+    }).toMap
+    groundTruth.foreach { case (doc, expectedMin) =>
+      assert(byDoc(doc) == expectedMin,
+        s"doc $doc labeled ${byDoc(doc)}, union-find says $expectedMin")
+    }
+  }
+
+  test("embedding neardup_exact: bucket-mates only, cosine verified, no misses in-bucket") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def octant(v: Array[Float]): Int =
+      (0 until 8).map(i => if (v(i) >= 0f) 1 << i else 0).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val got = Dedup.defs("llm_embedding_neardup_exact")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every emitted pair shares the sign octant and its cosine is exact
+    got.foreach { case ((a, b), c) =>
+      assert(octant(emb(a)) == octant(emb(b)))
+      assert(math.abs(c - cos(emb(a), emb(b))) < 1e-9)
+    }
+    // completeness within buckets: brute-force the same semantics
+    val expected = emb.toSeq.combinations(2).collect {
+      case Seq((a, va), (b, vb))
+        if octant(va) == octant(vb) && cos(va, vb) >= 0.30 =>
+          if (a < b) (a, b) else (b, a)
+    }.toSet
+    assert(got.keySet == expected,
+      s"got ${got.size} pairs, brute-force in-bucket says ${expected.size}")
+  }
 }
