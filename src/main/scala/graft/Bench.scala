@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // INT64-micros timestamps: INT96 (the compatibility default) has no
       // usable parquet stats. The skipping demo below does NOT depend on

@@ -106,6 +106,39 @@ object EventsBatch {
         .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"))
     }),
 
+    // the NATIVE as-of operator (graft.plans.AsOfJoin — logical node +
+    // strategy + sort-merge exec via SparkSessionExtensions), same
+    // semantics and same DuckDB ASOF oracle as the composed join_asof
+    // below: latest click strictly before each purchase, per user. The
+    // right side is re-read from source so the two sides carry distinct
+    // attribute ids.
+    "join_asof_native" -> ((s, d) => {
+      val purchases = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("last_click_ts"))
+      graft.plans.AsOfNative.joinAsOfNative(purchases, clicks,
+          Seq("user_id"), Seq("c_user_id"), "ts", "last_click_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_click_ts"))
+    }),
+
+    "join_asof_native_forward" -> ((s, d) => {
+      val purchases = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("next_click_ts"))
+      graft.plans.AsOfNative.joinAsOfNative(purchases, clicks,
+          Seq("user_id"), Seq("c_user_id"), "ts", "next_click_ts",
+          forward = true)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("next_click_ts"))
+    }),
+
     "join_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
@@ -193,6 +226,19 @@ object EventsBatch {
       SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        ON p.user_id = c.user_id AND c.ts < p.ts"""
+        ON p.user_id = c.user_id AND c.ts < p.ts""",
+
+    // native operator, same oracle semantics as join_asof[_forward]
+    "join_asof_native" -> """
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts < p.ts""",
+
+    "join_asof_native_forward" -> """
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts > p.ts"""
   )
 }

@@ -11,6 +11,7 @@ object TestSession {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       // INT96 (Spark's compatibility default) carries no usable parquet
