@@ -115,6 +115,21 @@ object SimSearch {
       .filter(col("rn") <= topK)
   }
 
+  /** Corpus-level recall of an ANN result against the exact top-k ground
+    * truth, as a 1-row contract frame: (n_queries, recall_ok). Both inputs
+    * carry (qid, cid); recall = |ann ∩ exact| / |exact|. */
+  private def annRecall(s: SparkSession, ann: DataFrame, exact: DataFrame,
+                        floor: Double): DataFrame = {
+    val hits = exact.select(col("qid"), col("cid"))
+      .join(ann.select(col("qid"), col("cid"), lit(1).as("hit")),
+        Seq("qid", "cid"), "left")
+    hits.agg(
+        countDistinct(col("qid")).as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)).cast("double")).as("recall"))
+      .select(col("n_queries"), (col("recall") >= floor).as("recall_ok"))
+  }
+
   val defs: Map[String, Q] = Map(
     // exact brute-force cosine top-5 per query vector
     "llm_cosine_topk" -> ((s, d) => {
@@ -187,6 +202,20 @@ object SimSearch {
         .filter(col("rn") <= 5)
     }),
 
+    // the ANN RECALL CONTRACTS, made oracle-checkable: corpus-level recall
+    // of each approximate index against the exact brute-force top-5 (the
+    // same ground truth the ScalaTest anchors use), emitted as
+    // (n_queries, recall_ok). DuckDB's twin computes the query count and
+    // literal TRUE — so an index regression that drops recall below the
+    // documented floor hash-fails the driver check rather than hiding
+    // behind a rows-only row count. Deterministic: planes/centroid seeds
+    // and tiebreaks are fixed, so recall is a pure function of the data.
+    "llm_ann_lsh_recall" -> ((s, d) => annRecall(s,
+      defs("llm_ann_lsh")(s, d), defs("llm_cosine_topk")(s, d), 0.8)),
+
+    "llm_ann_ivf_recall" -> ((s, d) => annRecall(s,
+      defs("llm_ann_ivf")(s, d), defs("llm_cosine_topk")(s, d), 0.7)),
+
     // per-vector L2 norm + min/max component (embedding hygiene audit: a
     // zero or exploding norm is a broken upstream encoder). One sequential
     // fold per row inside codegen — a narrow scan projection, no shuffle,
@@ -222,6 +251,18 @@ object SimSearch {
   )
 
   val sql: Map[String, String] = Map(
+    // recall contracts: DuckDB pins the query count; TRUE is the floor
+    // the Spark-side recall booleans must meet
+    "llm_ann_lsh_recall" -> """
+      SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 20""",
+
+    "llm_ann_ivf_recall" -> """
+      SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 20""",
+
     // same arithmetic, positional unnest join, all in double
     "llm_cosine_topk" -> """
       WITH pos AS (

@@ -82,6 +82,33 @@ object Extended {
                .as("approx_median_price"))
     }),
 
+    // the sketch ACCURACY CONTRACT, made oracle-checkable: emit the exact
+    // values (hash-compared against DuckDB) plus booleans asserting each
+    // approximate answer sits inside its documented error band — HLL++
+    // rsd 0.05 default / 0.01 explicit (3-sigma bands 15% / 3%),
+    // percentile_approx(accuracy=1000) within 1% of the exact median.
+    // DuckDB's twin computes the exact side and literal TRUEs, so a
+    // sketch regression (or a band violation on new data) hash-fails the
+    // driver check instead of hiding behind rows-only.
+    "agg_approx_bounds" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+             approx_count_distinct(col("l_orderkey")).as("a_orders"),
+             countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
+             expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+               .as("a_median"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          round(col("exact_median"), 4).as("exact_median_price"),
+          (abs(col("a_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("orders_in_band"),
+          (abs(col("a_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.03).as("parts_in_band"),
+          (abs(col("a_median") - col("exact_median")) <=
+            col("exact_median") * 0.01).as("median_in_band"))
+    }),
+
     // custom typed UDAF surface: Kahan-compensated sum (udaf(Aggregator))
     // running as a real partial+final aggregate; equals plain sum on this
     // data to oracle precision
@@ -117,6 +144,18 @@ object Extended {
   )
 
   val sql: Map[String, String] = Map(
+    // exact side computed by DuckDB; the *_in_band booleans are the
+    // accuracy contract the Spark sketches must satisfy
+    "agg_approx_bounds" -> """
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             round(median(l_extendedprice), 4) AS exact_median_price,
+             TRUE AS orders_in_band,
+             TRUE AS parts_in_band,
+             TRUE AS median_in_band
+      FROM lineitem GROUP BY l_returnflag""",
+
     "fn_map" -> """
       SELECT event_id,
              len(json_keys(props)) AS n_keys,

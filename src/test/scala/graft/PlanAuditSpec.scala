@@ -180,7 +180,10 @@ class PlanAuditSpec extends AnyFunSuite
     // itself onto this list or fix its join condition.
     val bnljOk = Set("join_cross", "llm_cosine_topk", "llm_knn_label",
       "llm_ann_ivf", "llm_quality_filter", "llm_curation_pipeline",
-      "llm_langid", "llm_tfidf")
+      "llm_langid", "llm_tfidf",
+      // recall contracts embed the brute-force ground truth, i.e. the
+      // same ≤20-query-vector broadcast as llm_cosine_topk
+      "llm_ann_lsh_recall", "llm_ann_ivf_recall")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
