@@ -48,6 +48,56 @@ object Writers {
     moneyCols.foldLeft(df)((acc, c) =>
       acc.withColumn(c, col(c).cast(s"decimal($precision,$scale)")))
 
+  /** Keyed MERGE (SCD type-1 upsert): rows of `updates` replace same-key
+    * rows of `existing`; unmatched existing rows are kept, unmatched
+    * updates are inserts. Expressed as anti-join ∪ updates — one shuffle
+    * on the key (or zero if `updates` broadcasts), no driver round-trip,
+    * and the exact algebraic form a MERGE INTO compiles to when every
+    * match updates all columns. Both inputs must share a schema; if
+    * `updates` can carry duplicate keys, dedup it first (the caller knows
+    * which row wins — this function must not guess). */
+  def mergeUpsert(existing: DataFrame, updates: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    existing.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** SCD type-2 history from a change log: per `key`, order rows by
+    * (`ts`, `tie`) and close each version at the next one's start —
+    * `effective_from`/`effective_to` half-open intervals, `is_current` on
+    * the open tail. One window over the key partition (millions of small
+    * partitions at scale, never a global sort); `tie` must make the order
+    * total or version attribution is nondeterministic. */
+  def scd2History(changes: DataFrame, key: String, ts: String,
+                  tie: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts), col(tie))
+    changes
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes/target⌉ files. The operational complement of the layout ops —
+    * streaming ingest and dynamic overwrite both strand small files, and
+    * at 100 TB a scan's task count (and the namenode's file count) follow
+    * file count, not data size. Rewrites into a sibling temp dir, then
+    * atomically swaps via rename; the read+repartition round-trip
+    * preserves rows, not intra-file order. Returns the new file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    fs.listStatus(hPath).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** JDBC parity sinks (A8/A10) — same SaveMode semantics against a
     * database table; `truncate` avoids dropping indexes on overwrite.
     * Kept as the optional connector (no database in the test env). */

@@ -108,6 +108,44 @@ object Aggregators {
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** Bounded top-k-per-group as ONE partial+final aggregate: the buffer is
+    * a ≤k array sorted by (ord DESC, tie ASC), so the map-side partial
+    * keeps at most k rows per (group, partition) and the shuffle carries
+    * ≤ k·|groups|·|partitions| rows instead of the whole table. The window
+    * formulation (`win_topk_per_group`) shuffles and sorts EVERY row of
+    * every group before the rank filter drops them — at 100 TB this
+    * aggregate is the difference between shuffling 100 TB and shuffling
+    * k rows per group. `tie` must be a unique-per-group total-order
+    * tiebreaker (same determinism rule as row_number over (ord, tie)).
+    */
+  case class TopKEntry(ord: Double, tie: Long)
+  case class TopKBuf(var entries: Seq[TopKEntry])
+
+  class TopKAgg(k: Int) extends Aggregator[TopKEntry, TopKBuf, Seq[TopKEntry]] {
+    private def beats(a: TopKEntry, b: TopKEntry): Boolean =
+      a.ord > b.ord || (a.ord == b.ord && a.tie < b.tie)
+    override def zero: TopKBuf = TopKBuf(Vector.empty)
+    override def reduce(b: TopKBuf, x: TopKEntry): TopKBuf = {
+      if (b.entries.size < k || beats(x, b.entries.last)) {
+        val i = b.entries.indexWhere(e => beats(x, e)) match {
+          case -1 => b.entries.size
+          case n  => n
+        }
+        b.entries = (b.entries.take(i) :+ x) ++ b.entries.drop(i)
+        if (b.entries.size > k) b.entries = b.entries.take(k)
+      }
+      b
+    }
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      b.entries.foreach(reduce(a, _))
+      a
+    }
+    override def finish(b: TopKBuf): Seq[TopKEntry] = b.entries
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[TopKEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKEntry]]()
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("kahan_sum", udaf(KahanSum))
     spark.udf.register("minhash16", udaf(new MinHashAgg(16)))
@@ -115,5 +153,6 @@ object Aggregators {
     // needs the longer signature to keep recall ≥ 0.95 at J = 0.3
     spark.udf.register("minhash64", udaf(new MinHashAgg(64)))
     spark.udf.register("simhash64", udaf(SimHashAgg))
+    spark.udf.register("topk3_by", udaf(new TopKAgg(3)))
   }
 }

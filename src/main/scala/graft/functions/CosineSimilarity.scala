@@ -133,6 +133,9 @@ object GraftFunctions {
         es(3).eval().asInstanceOf[Number].intValue), "built-in")
     reg.createOrReplaceTempFunction(
       "char_grams", es => CharGrams(es.head, es(1)), "built-in")
+    // Z-order (Morton) key of two 16-bit bucket ordinals — see ZOrder.scala
+    reg.createOrReplaceTempFunction(
+      "interleave_bits", es => InterleaveBits(es.head, es(1)), "built-in")
     // Catalyst's own runtime-filter pair (internal registry only in stock
     // Spark), surfaced for explicit semi-join pre-filters: bloom_agg builds
     // the sketch distributed (TypedImperativeAggregate over xxhash64-ed

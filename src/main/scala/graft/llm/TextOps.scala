@@ -442,6 +442,45 @@ object TextOps {
         .agg(expr("simhash64(h)").as("simhash"))
     }),
 
+    // SimHash with the engine-portable polynomial token hash (the
+    // llm_fingerprint hash, per token) instead of xxhash64: SAME bit-vote
+    // aggregate, but every value is DuckDB-replayable, so the simhash
+    // OPERATOR SEMANTICS (vote ≥ 0 ⇒ bit set, distinct-token weighting)
+    // are hash-checked end-to-end — the production xxhash64 entry above
+    // stays rows-only solely because its hash is engine-specific.
+    // h < 2^30, so bits 30..63 vote -1 per token and stay clear on both
+    // sides. Empty tokens (split artifacts) are dropped on both sides.
+    "llm_simhash_poly" -> ((s, d) => {
+      graft.functions.Aggregators.register(s)
+      spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h", expr(
+          "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(7 AS BIGINT), (acc, x) -> pmod(acc * 31 + x, 1000000007))"))
+        .groupBy(col("doc_id"))
+        .agg(expr("simhash64(h)").as("simhash"))
+    }),
+
+    // MinHash with the same portable hash: per-doc minimum of four affine
+    // permutations of the token hash — value-level DuckDB twin for the
+    // minhash signature semantics (min over a permuted hash, distinct
+    // tokens), mirroring what minhash16/64 do with the splitmix remix.
+    "llm_minhash_poly" -> ((s, d) => {
+      spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h", expr(
+          "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(7 AS BIGINT), (acc, x) -> pmod(acc * 31 + x, 1000000007))"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(col("h")).as("mh0"),
+          min(pmod(col("h") * 31 + 7, lit(1000000007L))).as("mh1"),
+          min(pmod(col("h") * 131 + 13, lit(1000000007L))).as("mh2"),
+          min(pmod(col("h") * 1031 + 101, lit(1000000007L))).as("mh3"))
+    }),
+
     // language-ID: naive-Bayes over character trigrams, profiles learned
     // from the labeled corpus itself (fully distributed: profile fit is a
     // groupBy count, classification is explode→broadcast-join→argmax; no
@@ -769,6 +808,88 @@ object TextOps {
                AS fingerprint
       FROM documents d
       JOIN pow31 pn ON pn.i = length(d.text)
-      LEFT JOIN sums s ON d.doc_id = s.doc_id"""
+      LEFT JOIN sums s ON d.doc_id = s.doc_id""",
+
+    // portable-hash simhash: fp-style polynomial hash per DISTINCT token,
+    // then the bit-vote rule (vote ≥ 0 ⇒ bit set) replayed bit by bit
+    "llm_simhash_poly" -> """
+      WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE length(tok) > 0
+      ), pow31(i, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (v * 31) % 1000000007 FROM pow31
+        WHERE i < (SELECT max(length(tok)) FROM toks)
+      ), chars AS (
+        SELECT doc_id, tok,
+               unnest(string_split(tok, '')) AS c,
+               generate_subscripts(string_split(tok, ''), 1) AS pos,
+               length(tok) AS n
+        FROM toks
+      ), csums AS (
+        SELECT doc_id, tok,
+               sum((CAST(ascii(c) AS BIGINT) * p.v) % 1000000007) AS tsum
+        FROM chars JOIN pow31 p ON p.i = chars.n - chars.pos
+        GROUP BY doc_id, tok
+      ), thash AS (
+        SELECT t.doc_id,
+               CAST(((7 * pn.v) % 1000000007 +
+                     coalesce(s.tsum, 0) % 1000000007) % 1000000007 AS BIGINT)
+                 AS h
+        FROM toks t
+        JOIN pow31 pn ON pn.i = length(t.tok)
+        LEFT JOIN csums s ON s.doc_id = t.doc_id AND s.tok = t.tok
+      ), votes AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM thash, generate_series(0, 63) b(bit)
+        GROUP BY doc_id, b.bit
+      )
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v >= 0
+                           THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id""",
+
+    // portable-hash minhash: min of four affine permutations of the same
+    // polynomial token hash
+    "llm_minhash_poly" -> """
+      WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE length(tok) > 0
+      ), pow31(i, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (v * 31) % 1000000007 FROM pow31
+        WHERE i < (SELECT max(length(tok)) FROM toks)
+      ), chars AS (
+        SELECT doc_id, tok,
+               unnest(string_split(tok, '')) AS c,
+               generate_subscripts(string_split(tok, ''), 1) AS pos,
+               length(tok) AS n
+        FROM toks
+      ), csums AS (
+        SELECT doc_id, tok,
+               sum((CAST(ascii(c) AS BIGINT) * p.v) % 1000000007) AS tsum
+        FROM chars JOIN pow31 p ON p.i = chars.n - chars.pos
+        GROUP BY doc_id, tok
+      ), thash AS (
+        SELECT t.doc_id,
+               CAST(((7 * pn.v) % 1000000007 +
+                     coalesce(s.tsum, 0) % 1000000007) % 1000000007 AS BIGINT)
+                 AS h
+        FROM toks t
+        JOIN pow31 pn ON pn.i = length(t.tok)
+        LEFT JOIN csums s ON s.doc_id = t.doc_id AND s.tok = t.tok
+      )
+      SELECT doc_id,
+             min(h) AS mh0,
+             min((h * 31 + 7) % 1000000007) AS mh1,
+             min((h * 131 + 13) % 1000000007) AS mh2,
+             min((h * 1031 + 101) % 1000000007) AS mh3
+      FROM thash GROUP BY doc_id"""
   )
 }

@@ -57,4 +57,47 @@ object Partitioning {
   def clusterBy(df: DataFrame, n: Int, cols: String*): DataFrame =
     df.repartitionByRange(n, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
+
+  /** Two-dimensional Z-order clustering: each column is min-max normalized
+    * to a 16-bit bucket ordinal, the Morton interleave of the two ordinals
+    * (`functions.InterleaveBits`, codegen'd) becomes the layout key, and
+    * rows are range-partitioned + sorted by it. Files then tile the
+    * (a, b) plane in rectangles, so parquet footer min/max stats prune on
+    * EITHER column (~√selectivity of the files), where `clusterBy(a)`
+    * prunes only on `a`. The min/max fetch is one 1-row aggregate —
+    * bounded driver traffic at any scale, same class as the quality-filter
+    * cutoff broadcast.
+    *
+    * Numeric/date columns only (anything castable to double). NULL ordinals
+    * sort first (bucket -1), keeping NULL rows co-located, not dropped. */
+  def clusterByZOrder(df: DataFrame, n: Int, colA: String, colB: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // date/timestamp keys go through an epoch-number view first (DATE has
+    // no direct double cast; NTZ reuses the session-UTC instant)
+    def num(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(c).cast("timestamp_ltz").cast("double")
+      case _ => col(c).cast("double")
+    }
+    val bounds = df.agg(
+      min(num(colA)).as("mna"), max(num(colA)).as("mxa"),
+      min(num(colB)).as("mnb"), max(num(colB)).as("mxb")).head()
+    // an all-NULL column yields NULL bounds → every ordinal hits the
+    // coalesce(-1) arm; 0.0 here just keeps the arithmetic well-defined
+    def b(i: Int): Double = if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
+    def ordinal(c: String, mn: Double, mx: Double): Column = {
+      val scaled =
+        if (mx > mn) ((num(c) - lit(mn)) / lit(mx - mn) * lit(65535.0))
+        else lit(0.0)
+      coalesce(scaled.cast("int"), lit(-1))
+    }
+    df.withColumn("__za", ordinal(colA, b(0), b(1)))
+      .withColumn("__zb", ordinal(colB, b(2), b(3)))
+      .withColumn("__zkey", expr("interleave_bits(__za, __zb)"))
+      .repartitionByRange(n, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__za", "__zb", "__zkey")
+  }
 }

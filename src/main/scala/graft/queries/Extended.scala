@@ -121,6 +121,35 @@ object Extended {
              expr("kahan_sum(l_quantity)").as("ksum_qty"))
     }),
 
+    // keyed MERGE (SCD1 upsert) on its algebraic form (anti-join ∪
+    // updates, etl.Writers.mergeUpsert): "existing" and "updates" are
+    // deterministic key-modulo slices of orders, updates win on key
+    // collision (status flipped to 'U' marks them), unmatched existing
+    // rows survive, new keys append. The DuckDB twin spells out the same
+    // NOT EXISTS ∪ UNION ALL algebra.
+    "etl_merge_upsert" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val existing = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val updates = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+      graft.etl.Writers.mergeUpsert(existing, updates, Seq("o_orderkey"))
+    }),
+
+    // SCD type-2 history derivation (etl.Writers.scd2History): each
+    // customer's orders become versioned rows with half-open
+    // effective_from/effective_to intervals and is_current on the open
+    // tail — the dimension-history operator a warehouse ETL runs on every
+    // load, as one key-partitioned window (no global sort).
+    "etl_scd2_history" -> ((s, d) => {
+      val changes = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      graft.etl.Writers.scd2History(changes, "o_custkey", "o_orderdate",
+          "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"), col("effective_from"),
+          col("effective_to"), col("is_current"))
+    }),
+
     // TF-IDF top-3 terms per document (pure relational formulation —
     // explode → tf counts → df counts → broadcast(N) — so the oracle can
     // replicate it; the ml HashingTF/IDF pipeline variant is in TfIdfSpec)
@@ -198,6 +227,25 @@ object Extended {
              round(sum(l_extendedprice), 2) AS ksum_price,
              sum(l_quantity) AS ksum_qty
       FROM lineitem GROUP BY l_returnflag""",
+
+    "etl_merge_upsert" -> """
+      SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice
+      FROM orders a
+      WHERE a.o_orderkey % 10 <> 0
+        AND NOT EXISTS (SELECT 1 FROM orders b
+                        WHERE b.o_orderkey % 3 = 0
+                          AND b.o_orderkey = a.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0""",
+
+    "etl_scd2_history" -> """
+      SELECT o_custkey, o_orderkey,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER w AS effective_to,
+             (lead(o_orderdate) OVER w IS NULL) AS is_current
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
 
     "llm_tfidf" -> """
       WITH toks AS (

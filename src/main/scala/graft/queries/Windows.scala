@@ -116,6 +116,22 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
+    }),
+
+    // the SAME top-3-per-customer via the bounded-heap aggregate
+    // (functions.Aggregators.TopKAgg): map-side partials keep ≤3 rows per
+    // (customer, partition), so the shuffle carries ≤ 3·|groups|·P rows
+    // where the window form above shuffles and sorts the ENTIRE table —
+    // the 100 TB-safe formulation of top-k. Oracle: identical SQL to
+    // win_topk_per_group.
+    "win_topk_agg" -> ((s, d) => {
+      graft.functions.Aggregators.register(s)
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr("topk3_by(o_totalprice, o_orderkey)").as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.tie").as("o_orderkey"),
+          col("col.ord").as("o_totalprice"), (col("pos") + 1).as("rn"))
     })
   )
 
@@ -192,6 +208,14 @@ object Windows {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
 
     "win_topk_per_group" -> """
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn <= 3""",
+
+    "win_topk_agg" -> """
       SELECT * FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey

@@ -80,6 +80,44 @@ class AggregatorsSpec extends AnyFunSuite {
       s"simhash drift on ${viaAgg.keySet.filter(k => viaAgg(k) != viaExplode.get(k).getOrElse(-1L)).take(5)}")
   }
 
+  test("topk3_by heap aggregate ≡ window row_number top-3") {
+    Aggregators.register(spark)
+    // multi-partition input so the ≤k partial buffers really merge; ties
+    // in the order value broken by the unique key, same as the window form
+    val orders = graft.core.Tables.spread(
+      graft.core.Tables.t(spark, TestSession.sf, "orders")).repartition(8)
+    val viaAgg = orders.groupBy(col("o_custkey"))
+      .agg(expr("topk3_by(o_totalprice, o_orderkey)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.tie").as("k"), (col("pos") + 1).as("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWin = orders
+      .select(col("o_custkey"), col("o_orderkey").as("k"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWin)
+  }
+
+  test("topk3_by runs as a partial+final aggregate (map-side combine)") {
+    Aggregators.register(spark)
+    val df = graft.core.Tables.t(spark, TestSession.sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(expr("topk3_by(o_totalprice, o_orderkey)").as("top"))
+    df.collect()
+    // two ObjectHashAggregate stages around the exchange: the partial one
+    // is what bounds the shuffle to ≤k rows per (group, partition)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ObjectHashAggregate") || s.contains("SortAggregate"),
+      s"unexpected aggregate physical operator:\n$s")
+    assert("partial_topk3_by|partial_topkagg".r.findFirstIn(s.toLowerCase)
+      .isDefined || s.toLowerCase.contains("partial"),
+      s"no partial aggregation stage found:\n$s")
+  }
+
   test("minhash16 signature agreement estimates Jaccard") {
     Aggregators.register(spark)
     import spark.implicits._

@@ -98,6 +98,31 @@ class IoSpec extends AnyFunSuite {
     assert(mdf.count() == 2)
   }
 
+  test("orc roundtrip preserves schema and values; predicate reaches the scan") {
+    // ORC is Spark's second first-class columnar format (bundled
+    // orc-core): same writer/reader contract as parquet, including
+    // format-level predicate pushdown — pinned here so the engine's
+    // source matrix isn't parquet-monoculture by accident.
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t"
+    val src = spark.range(1000).selectExpr(
+      "id", "CAST(id AS DOUBLE) * 1.5 AS v",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('s', id) END AS s")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    // file formats read back with relaxed nullability — compare name/type
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 1000)
+    assert(back.filter(col("s").isNull).count() == 143)
+    val filtered = back.filter(col("id") < 100)
+    assert(filtered.count() == 100)
+    // the pushed predicate must appear in the ORC scan node
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), LessThan(id,100)]") ||
+      plan.contains("LessThan(id,100)"),
+      s"id predicate did not reach the ORC scan:\n$plan")
+  }
+
   test("parquet roundtrip preserves schema and values") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pq").toString + "/t"

@@ -125,6 +125,69 @@ class PlanAuditSpec extends AnyFunSuite
         "footer-stats skipping did not engage")
   }
 
+  test("z-order layout skips on EITHER clustered column; linear layout on one") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft-zorder")
+    // two independent dimensions: ship DATE (as in the test above) and
+    // part key. Linear clustering by date gives date-skipping only; the
+    // Morton layout (Partitioning.clusterByZOrder) tiles the
+    // (date, partkey) plane so footer stats prune on BOTH predicates.
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_date"), col("l_partkey"),
+        col("l_quantity"))
+    graft.ops.Partitioning.clusterBy(li, 16, "ship_date")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    graft.ops.Partitioning.clusterByZOrder(li, 16, "ship_date", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(pred).agg(sum(col("l_quantity")))
+      df.collect()
+      executedScans(df).head.metrics("numOutputRows").value
+    }
+    val total = li.count()
+    // ~1/20 slice of the part-key domain
+    val maxPart = li.agg(max(col("l_partkey"))).head().getLong(0)
+    val partPred = col("l_partkey") < lit(maxPart / 20 + 1)
+    val datePred = col("ship_date") >= lit("1999-03-01").cast("date") &&
+      col("ship_date") < lit("1999-04-01").cast("date")
+    // date-clustered files each span the whole partkey domain → the
+    // partkey predicate cannot skip anything
+    val linearPart = scanRows(s"$dir/linear", partPred)
+    assert(linearPart == total,
+      s"linear layout unexpectedly skipped on partkey ($linearPart of $total)")
+    // the z-order layout must skip on partkey (≤ half the rows — at 16
+    // files a 1/20 slice touches ~the files whose partkey range overlaps,
+    // far below full scan) AND still skip on date
+    val zPart = scanRows(s"$dir/zorder", partPred)
+    val zDate = scanRows(s"$dir/zorder", datePred)
+    assert(zPart <= total / 2,
+      s"z-order did not skip on partkey: read $zPart of $total rows")
+    assert(zDate <= total / 2,
+      s"z-order did not skip on date: read $zDate of $total rows")
+  }
+
+  test("interleave_bits: bit-exact Morton order, codegen ≡ interpreted") {
+    import graft.functions.ZOrderBits
+    // closed-form checks of the spread/interleave math
+    assert(ZOrderBits.interleave16(0, 0) == 0L)
+    assert(ZOrderBits.interleave16(1, 0) == 1L)
+    assert(ZOrderBits.interleave16(0, 1) == 2L)
+    assert(ZOrderBits.interleave16(0xFFFF, 0) == 0x55555555L)
+    assert(ZOrderBits.interleave16(0, 0xFFFF) == 0xAAAAAAAAL)
+    assert(ZOrderBits.interleave16(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+    // masking: only the low 16 bits participate
+    assert(ZOrderBits.interleave16(0x1FFFF, 0) == 0x55555555L)
+    graft.functions.GraftFunctions.register(spark)
+    val rows = spark.range(1000)
+      .selectExpr("cast(id % 97 as int) a", "cast(id % 89 as int) b")
+      .selectExpr("a", "b", "interleave_bits(a, b) z")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) ==
+        ZOrderBits.interleave16(r.getInt(0), r.getInt(1)))
+    }
+  }
+
   test("pinned limitation: TIMESTAMP_NTZ predicates do not engage parquet skipping") {
     import org.apache.spark.sql.functions._
     // Spark's ParquetFilters only converts predicates on

@@ -51,6 +51,60 @@ class WritersSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getInt(0) == 3)
   }
 
+  test("mergeUpsert: updates win, inserts append, untouched rows survive; idempotent") {
+    import spark.implicits._
+    val existing = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 20.0), (4L, "D", 40.0)).toDF("k", "s", "v")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val once = Writers.mergeUpsert(existing, updates, Seq("k"))
+    assert(toMap(once) == Map(
+      1L -> ("a", 1.0), 2L -> ("B", 20.0), 3L -> ("c", 3.0), 4L -> ("D", 40.0)))
+    // merge∘merge with the same updates ≡ merge (re-run-safe, like the
+    // monthly overwrite above)
+    val twice = Writers.mergeUpsert(once, updates, Seq("k"))
+    assert(toMap(twice) == toMap(once))
+  }
+
+  test("scd2History: half-open versions chain, single current per key") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, "2025-01-01 00:00:00"), (1L, 11L, "2025-02-01 00:00:00"),
+      (1L, 12L, "2025-03-01 00:00:00"), (2L, 20L, "2025-06-01 00:00:00"))
+      .toDF("key", "ver", "ts_s")
+      .select(col("key"), col("ver"), col("ts_s").cast("timestamp").as("ts"))
+    val hist = Writers.scd2History(changes, "key", "ts", "ver")
+      .select(col("key"), col("ver"), col("effective_from"),
+        col("effective_to"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    // each version closes at the next one's start; tails stay open
+    val k1 = hist.filter(_._1 == 1L).sortBy(_._2)
+    assert(k1.map(_._4).toSeq == Seq(false, false, true))
+    assert(k1(0)._3.contains(java.sql.Timestamp.valueOf("2025-02-01 00:00:00")))
+    assert(k1(1)._3.contains(java.sql.Timestamp.valueOf("2025-03-01 00:00:00")))
+    assert(k1(2)._3.isEmpty)
+    assert(hist.count(h => h._1 == 2L && h._4) == 1)
+  }
+
+  test("compactParquet: shrinks file count, preserves rows, swaps atomically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(32).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 32)
+    // target sized so ~32 small files fold into very few
+    val after = Writers.compactParquet(spark, dir, targetBytes = 8L << 20)
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) ==
+      (1 to 10000).map(_.toLong).sum)
+  }
+
   test("money decimal cast at the writer boundary round-trips exactly") {
     import org.apache.spark.sql.types.DecimalType
     val dir = Files.createTempDirectory("graft-money").toString + "/trips"
