@@ -127,11 +127,36 @@ object Bench {
         }
         val clustered = t2(monthAgg(s"$wh/skip_clustered"))
         val unclustered = t2(monthAgg(s"$wh/skip_unclustered"))
+        // Z-order vs linear clustering: same narrow lineitem projection
+        // plus the part key, laid out (a) range-clustered by date only,
+        // (b) Morton-interleaved on (date, partkey). A partkey-range
+        // aggregate then skips only under (b) — one layout serving BOTH
+        // predicate dimensions (PlanAuditSpec asserts the row counts;
+        // these numbers make the skip measurable).
+        val narrow2 = graft.core.Tables.t(spark, sfDir, "lineitem")
+          .select(org.apache.spark.sql.functions.to_date(col("l_shipdate"))
+            .as("ship_date"), col("l_partkey"), col("l_quantity"))
+        graft.ops.Partitioning.clusterBy(narrow2, 32, "ship_date")
+          .write.mode("overwrite").parquet(s"$wh/skip_linear2")
+        graft.ops.Partitioning.clusterByZOrder(narrow2, 32, "ship_date", "l_partkey")
+          .write.mode("overwrite").parquet(s"$wh/skip_zorder")
+        val maxPart = narrow2.agg(
+          org.apache.spark.sql.functions.max(col("l_partkey"))).head().getLong(0)
+        def partAgg(p: String): Unit = {
+          spark.read.parquet(p)
+            .filter(col("l_partkey") < lit(maxPart / 20 + 1))
+            .agg(sum(col("l_quantity"))).collect()
+          (): Unit
+        }
+        val zorderPart = t2(partAgg(s"$wh/skip_zorder"))
+        val linearPart = t2(partAgg(s"$wh/skip_linear2"))
         Map("layout_join_shuffle" -> shuffled,
           "layout_join_bucketed" -> bucketed,
           "layout_bucketed_write" -> writeSec,
           "layout_clustered_scan" -> clustered,
-          "layout_unclustered_scan" -> unclustered)
+          "layout_unclustered_scan" -> unclustered,
+          "layout_zorder_scan_part" -> zorderPart,
+          "layout_linear_scan_part" -> linearPart)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } catch { case _: Throwable => Map.empty }
     // Locale.ROOT: the f-interpolator uses the JVM default locale, which

@@ -43,6 +43,21 @@ object TextOps {
     * via the [[graft.functions.WordShingles]] generator (UDTF); the first
     * formulation (posexplode + lead().over(doc_id, pos)) paid a full hash
     * shuffle + per-doc sort just to pair neighboring tokens. */
+  // engine-portable PII patterns (Java regex ∩ RE2 — no lookarounds, no
+  // backrefs, so Spark and DuckDB agree construct for construct)
+  private[llm] val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[llm] val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Email/phone masking + per-row match counts over `c` — the PII-scrub
+    * pass every curation pipeline runs before training. Pure codegen'd
+    * string expressions (no UDF), counts taken on the original text. */
+  def piiScrub(df: DataFrame, c: String): DataFrame =
+    df.withColumn("n_emails", regexp_count(col(c), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col(c), lit(phoneRe)))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col(c), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+
   def shingles(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     spread(t(s, d, "documents"))
@@ -410,6 +425,49 @@ object TextOps {
             (col("n1") + col("n2") - col("common")).cast("double"))
         .filter(col("jaccard") >= 0.2)
         .select(col("doc1"), col("doc2"), col("common"), col("jaccard"))
+    }),
+
+    // PII scrub: email/phone masking with engine-portable regexes (Java
+    // regex and DuckDB's RE2 agree on these constructs; DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all). The corpus carries
+    // no PII, so the honest result is unchanged text with zero counts —
+    // the oracle still checks the regex parity and the zero-match path;
+    // TextOpsSpec drives the same scrubber over a planted-PII fixture to
+    // prove the masking itself.
+    "llm_pii_scrub" -> ((s, d) => {
+      val out = piiScrub(spread(t(s, d, "documents")), "text")
+      out.select(col("doc_id"), col("scrubbed"), col("n_emails"),
+        col("n_phones"))
+    }),
+
+    // corpus-LM document scoring: add-one-smoothed bigram log-likelihood,
+    // avg ln((c(w1,w2)+1)/(c(w1)+V)) per doc — the classic cheap
+    // "perplexity-ish" quality signal a curation pipeline runs next to
+    // heuristic quality scores. Fully relational: lag window for bigrams
+    // (one key-partitioned shuffle), two count aggregates, equi-joins back
+    // (bigram/unigram count tables shuffle-join — vocabulary-sized, never
+    // collected), V as a 1-row broadcast like llm_tfidf's doc count.
+    "llm_lm_score" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigrams = toks
+        .withColumn("w1", lag(col("tok"), 1).over(w))
+        .filter(col("w1").isNotNull)
+        .select(col("doc_id"), col("w1"), col("tok").as("w2"))
+      val bc = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_big"))
+      val uc = toks.groupBy(col("tok").as("w1"))
+        .agg(count(lit(1)).as("c_uni"))
+      val v = toks.agg(countDistinct(col("tok")).as("vsize"))
+      bigrams.join(bc, Seq("w1", "w2"))
+        .join(uc, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          avg(log((col("c_big") + 1.0) / (col("c_uni") + col("vsize"))))
+            .as("lm_score"))
     }),
 
     // deterministic rolling-hash document fingerprint. The DuckDB twin
@@ -809,6 +867,46 @@ object TextOps {
       FROM documents d
       JOIN pow31 pn ON pn.i = length(d.text)
       LEFT JOIN sums s ON d.doc_id = s.doc_id""",
+
+    "llm_pii_scrub" -> """
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>',
+               'g'), '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+               AS scrubbed,
+             CAST(len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phones
+      FROM documents""",
+
+    "llm_lm_score" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), bigrams AS (
+        SELECT doc_id,
+               lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               tok AS w2
+        FROM toks
+        QUALIFY w1 IS NOT NULL
+      ), bc AS (
+        SELECT w1, w2, count(*) AS c_big FROM bigrams GROUP BY 1, 2
+      ), uc AS (
+        SELECT tok AS w1, count(*) AS c_uni FROM toks GROUP BY 1
+      ), v AS (
+        SELECT count(DISTINCT tok) AS vsize FROM toks
+      )
+      SELECT b.doc_id,
+             count(*) AS n_bigrams,
+             avg(ln((bc.c_big + 1.0) / (uc.c_uni + v.vsize))) AS lm_score
+      FROM bigrams b
+      JOIN bc USING (w1, w2)
+      JOIN uc USING (w1), v
+      GROUP BY b.doc_id""",
 
     // portable-hash simhash: fp-style polynomial hash per DISTINCT token,
     // then the bit-vote rule (vote ≥ 0 ⇒ bit set) replayed bit by bit

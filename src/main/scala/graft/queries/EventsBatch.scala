@@ -139,6 +139,32 @@ object EventsBatch {
           col("next_click_ts"))
     }),
 
+    // time-series resample + gap-fill: per-user hourly grid spanning the
+    // user's observed range (sequence generator — no driver loop), left
+    // join of the hourly averages, forward-fill via last(ignoreNulls) over
+    // an unbounded-preceding frame. The canonical sensor/metrics
+    // regularization operator; one shuffle for the hourly agg + one
+    // key-partitioned window. The hourly average is rounded BEFORE the
+    // fill so both engines propagate identical values through gaps.
+    "evt_resample_ffill" -> ((s, d) => {
+      val obs = t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          col("value"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(round(avg(col("value")), 6).as("obs_avg"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hr"), "left")
+        .withColumn("filled",
+          last(col("obs_avg"), ignoreNulls = true).over(w))
+        .withColumn("is_gap", col("obs_avg").isNull)
+        .select(col("user_id"), col("hr"), col("filled"), col("is_gap"))
+    }),
+
     "join_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
@@ -158,6 +184,25 @@ object EventsBatch {
   )
 
   val sql: Map[String, String] = Map(
+    "evt_resample_ffill" -> """
+      WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               round(avg(value), 6) AS obs_avg
+        FROM events GROUP BY 1, 2
+      ), span AS (
+        SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM obs GROUP BY 1
+      ), grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        FROM span
+      )
+      SELECT g.user_id, g.hr,
+             last_value(o.obs_avg IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             (o.obs_avg IS NULL) AS is_gap
+      FROM grid g
+      LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr""",
+
     "evt_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS win_start, event_type,
              count(*) AS n, sum(value) AS sum_value

@@ -121,6 +121,34 @@ object Extended {
              expr("kahan_sum(l_quantity)").as("ksum_qty"))
     }),
 
+    // Count-Min sketch accuracy CONTRACT in the agg_approx_bounds mold:
+    // the sketch is built distributed (count_min_sketch aggregate, fixed
+    // seed), then probed for each group key. CMS guarantees
+    // exact ≤ estimate ≤ exact + ε·N with prob ≥ confidence; both bounds
+    // are emitted as booleans next to the DuckDB-checked exact counts, so
+    // a sketch regression hash-fails the driver. The driver-side traffic
+    // is ONE serialized sketch + |distinct flags| rows (3) — bounded at
+    // any scale, same class as the IVF centroid collect.
+    "agg_cms_bounds" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val eps = 0.005; val conf = 0.99
+      val bytes = li.agg(count_min_sketch(col("l_returnflag"),
+          lit(eps), lit(conf), lit(42)).as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_cnt")).collect()
+      val n = exact.map(_.getLong(1)).sum
+      val rows = exact.map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1),
+          est >= r.getLong(1), est <= r.getLong(1) + (eps * n).toLong)
+      }.toSeq
+      s.createDataFrame(rows)
+        .toDF("l_returnflag", "exact_cnt", "lower_ok", "upper_ok")
+    }),
+
     // keyed MERGE (SCD1 upsert) on its algebraic form (anti-join ∪
     // updates, etl.Writers.mergeUpsert): "existing" and "updates" are
     // deterministic key-modulo slices of orders, updates win on key
@@ -226,6 +254,13 @@ object Extended {
       SELECT l_returnflag,
              round(sum(l_extendedprice), 2) AS ksum_price,
              sum(l_quantity) AS ksum_qty
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_cms_bounds" -> """
+      SELECT l_returnflag,
+             count(*) AS exact_cnt,
+             TRUE AS lower_ok,
+             TRUE AS upper_ok
       FROM lineitem GROUP BY l_returnflag""",
 
     "etl_merge_upsert" -> """

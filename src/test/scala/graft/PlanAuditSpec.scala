@@ -244,6 +244,8 @@ class PlanAuditSpec extends AnyFunSuite
     val bnljOk = Set("join_cross", "llm_cosine_topk", "llm_knn_label",
       "llm_ann_ivf", "llm_quality_filter", "llm_curation_pipeline",
       "llm_langid", "llm_tfidf",
+      // 1-row vocabulary-size broadcast, same as llm_tfidf's doc count
+      "llm_lm_score",
       // recall contracts embed the brute-force ground truth, i.e. the
       // same ≤20-query-vector broadcast as llm_cosine_topk
       "llm_ann_lsh_recall", "llm_ann_ivf_recall")

@@ -216,6 +216,49 @@ class StreamingSpec extends AnyFunSuite {
       want.agg(sum("value")).collect()(0).getDouble(0)) < 1e-6)
   }
 
+  test("foreachBatch + mergeUpsert: streaming CDC apply keeps one row per key") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the streaming upsert sink: each micro-batch's per-user totals are
+    // MERGED into a keyed parquet table (Writers.mergeUpsert), so the
+    // table holds exactly one current row per user however many batches
+    // replayed — the CDC-apply pattern over a plain parquet warehouse
+    val target = Files.createTempDirectory("graft-ups").toString + "/totals"
+    val ckpt = Files.createTempDirectory("graft-ups-ckpt").toString
+    val stream = EventStreams.readEventStream(spark, replayDir)
+      .select("user_id", "value")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.groupBy("user_id")
+          .agg(sum("value").as("total"), count(lit(1)).as("n"))
+        val merged =
+          if (new java.io.File(target).exists()) {
+            val cur = spark.read.parquet(target)
+            // additive merge: combine the existing row with the delta,
+            // then upsert the combined rows by key
+            val combined = cur.join(delta, Seq("user_id"), "inner")
+              .select(col("user_id"),
+                (cur("total") + delta("total")).as("total"),
+                (cur("n") + delta("n")).as("n"))
+              .unionByName(delta.join(cur, Seq("user_id"), "left_anti"))
+            graft.etl.Writers.mergeUpsert(cur, combined, Seq("user_id"))
+          } else delta
+        // localCheckpoint breaks the lineage onto the files being replaced
+        graft.etl.Writers.writeDimension(merged.localCheckpoint(), target)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val back = spark.read.parquet(target)
+    val want = t(spark, sf, "events").groupBy("user_id")
+      .agg(sum("value").as("total"), count(lit(1)).as("n"))
+    assert(back.count() == want.count(), "one row per user")
+    val diff = back.as("b").join(want.as("w"), "user_id")
+      .filter(abs(col("b.total") - col("w.total")) > 1e-6 ||
+        col("b.n") =!= col("w.n"))
+    assert(diff.isEmpty, "merged totals must equal the batch ground truth")
+  }
+
   test("left-outer stream-stream join: matches exact, null-extension watermark-gated") {
     val clicks = EventStreams.readEventStream(spark, replayDir)
       .filter(col("event_type") === "click")
