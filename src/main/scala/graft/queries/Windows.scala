@@ -120,10 +120,13 @@ object Windows {
 
     // the SAME top-3-per-customer via the bounded-heap aggregate
     // (functions.Aggregators.TopKAgg): map-side partials keep ≤3 rows per
-    // (customer, partition), so the shuffle carries ≤ 3·|groups|·P rows
-    // where the window form above shuffles and sorts the ENTIRE table —
-    // the 100 TB-safe formulation of top-k. Oracle: identical SQL to
-    // win_topk_per_group.
+    // (customer, partition), so the shuffle carries ≤ 3·|groups|·P rows.
+    // Honest comparison (PlanAuditSpec pins it): Spark 4 ALREADY bounds
+    // the window form's shuffle the same way via Partial WindowGroupLimit
+    // — the aggregate's remaining edge is that the window plan must SORT
+    // every partition (O(n log n)) before its partial limit, while the
+    // heap does O(n log k) updates with no sort and no final
+    // sort+window pass. Oracle: identical SQL to win_topk_per_group.
     "win_topk_agg" -> ((s, d) => {
       graft.functions.Aggregators.register(s)
       t(s, d, "orders")

@@ -125,6 +125,20 @@ class PlanAuditSpec extends AnyFunSuite
         "footer-stats skipping did not engage")
   }
 
+  test("pinned: Spark bounds rank-filter windows with a Partial WindowGroupLimit") {
+    // Spark's InsertWindowGroupLimit turns `row_number() ≤ k` into a
+    // map-side group limit BEFORE the exchange — the shuffle already
+    // carries ≤ k rows per (group, partition). Pinned because the
+    // win_topk_agg story rests on the corrected comparison (the heap
+    // aggregate's edge is avoiding the full partition sorts, not the
+    // shuffle volume) and because losing this optimization (conf/regress)
+    // would silently turn every top-k window back into a full shuffle.
+    val df = SparkEntry.queries("win_topk_per_group")(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"Partial WindowGroupLimit missing from the top-k window plan:\n$s")
+  }
+
   test("z-order layout skips on EITHER clustered column; linear layout on one") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("graft-zorder")
