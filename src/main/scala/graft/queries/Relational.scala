@@ -360,6 +360,37 @@ object Relational {
           bool_and(col("o_orderpriority").isNotNull).as("all_prioritized"))
     }),
 
+    // fuzzy self-join (entity resolution): all name pairs within hamming
+    // distance 1, found by deletion-neighborhood blocking — each name
+    // emits length(name) masked variants; equal-length names differing in
+    // exactly one position collide on exactly the variant masking that
+    // position, so recall is pigeonhole-EXACT and the candidate volume is
+    // O(N·L + true pairs) instead of the O(N²) all-pairs comparison. The
+    // DuckDB oracle IS the brute force, so the driver hash-check proves
+    // blocked ≡ brute-force on real data. The levenshtein verify is
+    // provably redundant (variant equality ⇒ hamming ≤ 1) but kept as the
+    // candidate-verify stage every blocking scheme needs once recall is
+    // probabilistic.
+    "join_fuzzy_hamming" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val masked = c
+        .select(col("id"), col("name"),
+          explode(expr("sequence(1, length(name))")).as("p"))
+        .withColumn("variant",
+          concat(expr("substring(name, 1, p - 1)"), lit(""),
+            expr("substring(name, p + 1)")))
+        .select(col("id"), col("name"), col("variant"))
+      masked.select(col("id").as("id1"), col("name").as("n1"), col("variant"))
+        .join(masked.select(col("id").as("id2"), col("name").as("n2"),
+          col("variant")), Seq("variant"))
+        .filter(col("id1") < col("id2"))
+        .dropDuplicates("id1", "id2")
+        .filter(levenshtein(col("n1"), col("n2")) <= 1)
+        .select(col("id1"), col("id2"),
+          levenshtein(col("n1"), col("n2")).as("dist"))
+    }),
+
     // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // match each other, unlike plain = — the standard trap when joining
     // on nullable dimensions.
@@ -550,6 +581,15 @@ object Relational {
              bool_or(o_totalprice > 450000.0) AS any_over_450k,
              bool_and(o_orderpriority IS NOT NULL) AS all_prioritized
       FROM orders GROUP BY o_orderstatus""",
+
+    "join_fuzzy_hamming" -> """
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a
+      JOIN customer b
+        ON length(a.c_name) = length(b.c_name)
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1""",
 
     "join_null_safe" -> """
       SELECT a.k AS status_or_null, count(*) AS n_orders,

@@ -262,6 +262,48 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** transformWithState MAP STATE: per-user map keyed by event_type — the
+    * composite-state shape ValueState can't express without packing the
+    * whole map into one blob (and rewriting it wholesale every batch).
+    * MapState reads/writes only the touched keys — on the RocksDB store
+    * each map entry is its own KV pair, so a user with thousands of
+    * event types pays per-key, not per-map, I/O. Emits the updated
+    * (user, type, count) rows per batch. */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, TypeCount] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val cur = touched.getOrElse(e.event_type,
+          if (st.containsKey(e.event_type)) st.getValue(e.event_type) else 0L)
+        touched(e.event_type) = cur + 1L
+      }
+      touched.foreach { case (t, n) => st.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** Per-(user, event_type) streaming counts via MapState. */
+  def typeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Run any of the above to a memory sink, processing all available input
     * once (deterministic batch-replay for tests). Returns the sink table name. */
   def runToMemory(df: DataFrame, name: String,

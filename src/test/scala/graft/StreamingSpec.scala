@@ -328,6 +328,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(want), s"phantom sessions: ${got -- want}")
   }
 
+  test("transformWithState MapState per-type counts equal batch aggregates") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = EventStreams.readEventStream(spark, replayDir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Ev]
+      EventStreams.runToMemory(EventStreams.typeCounts(src).toDF(), "tws_types")
+      // append mode re-emits a (user, type) row per touching batch with the
+      // RUNNING count — the max per pair is the final count
+      val got = spark.table("tws_types")
+        .groupBy("user_id", "event_type").agg(max("n").as("n"))
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      val want = t(spark, sf, "events").groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running totals equal batch per-user aggregates") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
