@@ -247,10 +247,72 @@ object SimSearch {
         .groupBy(col("label"), col("dim"))
         .agg(count(lit(1)).as("n"),
           avg(col("x").cast("double")).as("centroid"))
+    }),
+
+    // int8 scalar quantization round-trip (embedding compression for
+    // ANN serving: 4× smaller than float32, 8× than float64): per-vector
+    // min/max affine codes q = round((x-vmin)/scale) with the
+    // reconstruction-error CONTRACT max|x-x̂| ≤ scale/2 emitted as an
+    // oracle-checked boolean. All element-wise HOFs inside codegen on a
+    // narrow scan — zero shuffle at any corpus size. Every arithmetic
+    // step is order-independent double math (no accumulation
+    // reordering), so Spark and DuckDB agree bit-for-bit; the one
+    // accumulated value (code_sum) is exact integer arithmetic. The
+    // vmax = vmin degenerate vector pins scale = 0 → all-zero codes,
+    // error 0 on both engines.
+    "llm_embed_quantize" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .filter(size(col("embedding")) > 0)
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS e")
+        .selectExpr("vec_id", "e", "size(e) AS n_dims",
+          "array_min(e) AS vmin", "array_max(e) AS vmax")
+        .selectExpr("vec_id", "e", "n_dims", "vmin", "vmax",
+          "CASE WHEN vmax = vmin THEN CAST(0.0 AS DOUBLE)" +
+            " ELSE (vmax - vmin) / 255.0 END AS scale")
+        .selectExpr("vec_id", "e", "n_dims", "vmin", "vmax", "scale",
+          "CASE WHEN scale = 0.0 THEN transform(e, x -> 0)" +
+            " ELSE transform(e, x ->" +
+            " CAST(floor((x - vmin) / scale + 0.5) AS INT)) END AS codes")
+        .selectExpr("vec_id", "n_dims", "vmin", "vmax", "scale",
+          "aggregate(codes, 0L, (acc, q) -> acc + q) AS code_sum",
+          "aggregate(zip_with(e, codes," +
+            " (x, q) -> abs(x - (vmin + q * scale)))," +
+            " CAST(0.0 AS DOUBLE), (acc, v) -> greatest(acc, v))" +
+            " AS max_abs_err")
+        .withColumn("within_bound",
+          col("max_abs_err") <= col("scale") * lit(0.5) + lit(1e-12))
     })
   )
 
   val sql: Map[String, String] = Map(
+    "llm_embed_quantize" -> """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE len(embedding) > 0
+      ), mm AS (
+        SELECT vec_id, e, len(e) AS n_dims,
+               list_min(e) AS vmin, list_max(e) AS vmax
+        FROM e
+      ), sc AS (
+        SELECT *, CASE WHEN vmax = vmin THEN 0.0
+                       ELSE (vmax - vmin) / 255.0 END AS scale
+        FROM mm
+      ), cd AS (
+        SELECT *, CASE WHEN scale = 0.0 THEN list_transform(e, x -> 0)
+                       ELSE list_transform(e, x ->
+                         CAST(floor((x - vmin) / scale + 0.5) AS INT))
+                  END AS codes
+        FROM sc
+      ), err AS (
+        SELECT *, list_max(list_transform(list_zip(e, codes),
+                    p -> abs(p[1] - (vmin + p[2] * scale)))) AS max_abs_err
+        FROM cd
+      )
+      SELECT vec_id, CAST(n_dims AS INT) AS n_dims, vmin, vmax, scale,
+             CAST(list_sum(codes) AS BIGINT) AS code_sum, max_abs_err,
+             max_abs_err <= scale * 0.5 + 1e-12 AS within_bound
+      FROM err""",
+
     // recall contracts: DuckDB pins the query count; TRUE is the floor
     // the Spark-side recall booleans must meet
     "llm_ann_lsh_recall" -> """

@@ -314,6 +314,36 @@ object TextOps {
             col("n_shingles").cast("double"))
     }),
 
+    // corpus-level boilerplate detection (the C4/RefinedWeb cross-doc
+    // signal, complementing llm_repetition's intra-doc one): a word
+    // 3-gram is boilerplate when it appears in ≥ 3 DISTINCT docs; each
+    // doc then reports what fraction of its shingle stream is
+    // boilerplate. Plan shape: the instance stream is materialized once
+    // (lazy localCheckpoint — generator runs one time, not three), the
+    // document-frequency agg runs on the deduped (doc, shingle) pairs,
+    // and the flagged-shingle set joins back instance-level as a plain
+    // equi-join: at 100 TB the boilerplate list shrinks as the threshold
+    // rises (high-df shingles are rare), so AQE broadcasts it when small
+    // and degrades to a bounded hash join when a pathological corpus
+    // makes it large — never a collect.
+    "llm_boilerplate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val inst = spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "word_shingles(text, 3) AS shingle")
+        .localCheckpoint(eager = false)
+      val boiler = inst.select(col("doc_id"), col("shingle")).distinct()
+        .groupBy(col("shingle")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 3)
+        .select(col("shingle"), lit(1L).as("is_boiler"))
+      inst.join(boiler, Seq("shingle"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+        .withColumn("flagged", col("boiler_ratio") > 0.5)
+    }),
+
     // deterministic uniform k-sample: global order by a salted hash is a
     // reproducible "random" permutation — TakeOrdered top-k, no full sort
     // materialization, same sample on every engine/run/partitioning.
@@ -670,6 +700,38 @@ object TextOps {
              count(DISTINCT ev.doc_id) AS n_eval_docs
       FROM tr JOIN ev ON tr.shingle = ev.shingle
       GROUP BY tr.doc_id""",
+
+    "llm_boilerplate" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), inst AS (
+        SELECT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), boiler AS (
+        SELECT shingle FROM (
+          SELECT shingle, count(DISTINCT doc_id) AS ndocs
+          FROM inst GROUP BY shingle
+        ) WHERE ndocs >= 3
+      )
+      SELECT doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN boiler.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_boiler,
+             CAST(sum(CASE WHEN boiler.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) AS boiler_ratio,
+             CAST(sum(CASE WHEN boiler.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) > 0.5 AS flagged
+      FROM inst LEFT JOIN boiler ON inst.shingle = boiler.shingle
+      GROUP BY doc_id""",
 
     "llm_repetition" -> """
       WITH toks AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.t
 
@@ -546,6 +547,121 @@ object Relational {
         .join(rev, col("s_suppkey") === col("supplier_no"))
         .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // Q2 shape (adapted: fixture has no partsupp, so "supply cost" is the
+    // minimum observed sale price per (part, supplier) pair in lineitem):
+    // min-cost supplier per part within one region. Aggregate first, then
+    // a per-part window min + equality filter keeps EVERY supplier tied at
+    // the minimum — the window re-shuffles only the region-pruned
+    // aggregate output, never the fact table, and the min is an exact
+    // value picked from the data (no arithmetic) so the FP equality is
+    // safe on both engines. The limit rides a total order with a unique
+    // (p_partkey, s_suppkey) tiebreaker.
+    "tpch_q2_mincost" -> ((s, d) => {
+      val cost = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supply_cost"))
+      val euro = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val p = t(s, d, "part").filter(col("p_size").between(10, 20))
+      cost.join(p, col("l_partkey") === col("p_partkey"))
+        .join(euro, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("min_cost",
+          min(col("supply_cost")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("supply_cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"), col("supply_cost"))
+        .orderBy(desc("s_acctbal"), asc("p_partkey"), asc("s_suppkey"))
+        .limit(20)
+    }),
+
+    // Q9 shape (adapted: no partsupp → unit cost proxied by a fixed
+    // retailprice fraction): profit by supplier nation × ship year over a
+    // name-filtered part family. The LIKE filter prunes part before the
+    // join (pushed to the scan); nation broadcasts; part/supplier are
+    // AQE-sized since they scale with the facts.
+    "tpch_q9_profit" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_name").like("%gear%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.1) * col("l_quantity") * col("p_retailprice"))
+          .as("sum_profit"))
+    }),
+
+    // Q11 shape (adapted: "inventory value" = price×qty shipped by one
+    // nation's suppliers): per-part value kept only where it exceeds a
+    // fixed fraction of the national total. The agg output is
+    // materialized once (lazy localCheckpoint) and consumed twice — rows
+    // + its own grand total; the 1-row total broadcasts into a theta
+    // join, so the second consumption costs no fact re-scan (Q15's
+    // reuse pattern with a > instead of =).
+    "tpch_q11_important" -> ((s, d) => {
+      val vals = t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice") * col("l_quantity")).as("part_value"))
+        .localCheckpoint(eager = false)
+      val thr = vals.agg((sum(col("part_value")) * lit(0.002)).as("threshold"))
+      vals.join(broadcast(thr), col("part_value") > col("threshold"))
+        .select(col("partkey"), col("part_value"))
+    }),
+
+    // Q16 shape (adapted): distinct-supplier counts per part descriptor
+    // over the observed (part, supplier) sale pairs, excluding
+    // negative-balance suppliers via an anti-join — the NOT IN subquery's
+    // scale-safe form (stays a bounded shuffle even if the exclusion
+    // list grew fact-sized, where a broadcast NOT IN would OOM).
+    "tpch_q16_suppcnt" -> ((s, d) => {
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+      pairs.join(t(s, d, "part").filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q20 shape (adapted): suppliers who shipped excess volume of a
+    // name-matched part family in one year — two nested semi-joins. The
+    // part family semi-prunes the qty aggregate's INPUT (filter before
+    // shuffle), the >threshold pair aggregate then semi-prunes supplier;
+    // both IN subqueries plan as LeftSemi hash joins and nothing wider
+    // than the qualifying pair list ever materializes. The threshold
+    // compares sums of integral quantities — exact in FP.
+    "tpch_q20_excess" -> ((s, d) => {
+      val partsLike = t(s, d, "part")
+        .filter(col("p_name").like("%small%")).select(col("p_partkey"))
+      val shipped = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("2000-01-01").cast("timestamp"))
+        .join(partsLike, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 60)
+        .select(col("l_suppkey")).distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").filter(col("n_name").isin(
+          "NATION_1", "NATION_6", "NATION_11", "NATION_16", "NATION_21"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
     })
   )
 
@@ -672,6 +788,82 @@ object Relational {
       SELECT s_suppkey, s_name, total_revenue
       FROM supplier JOIN revenue ON s_suppkey = supplier_no
       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+
+    "tpch_q2_mincost" -> """
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+        FROM lineitem GROUP BY 1, 2
+      ), euro AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+      ), ranked AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+               supply_cost,
+               min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM cost
+        JOIN part ON l_partkey = p_partkey
+        JOIN euro ON l_suppkey = s_suppkey
+        WHERE p_size BETWEEN 10 AND 20
+      )
+      SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+             supply_cost
+      FROM ranked WHERE supply_cost = min_cost
+      ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 20""",
+
+    "tpch_q9_profit" -> """
+      SELECT n_name AS nation, year(l_shipdate) AS o_year,
+             sum(l_extendedprice * (1.0 - l_discount)
+                 - 0.1 * l_quantity * p_retailprice) AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY 1, 2""",
+
+    "tpch_q11_important" -> """
+      WITH vals AS (
+        SELECT l_partkey AS partkey,
+               sum(l_extendedprice * l_quantity) AS part_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY 1
+      )
+      SELECT partkey, part_value FROM vals
+      WHERE part_value > (SELECT sum(part_value) * 0.002 FROM vals)""",
+
+    "tpch_q16_suppcnt" -> """
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+        AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3""",
+
+    "tpch_q20_excess" -> """
+      WITH shipped AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l_shipdate <  TIMESTAMP '2000-01-01'
+          AND l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE '%small%')
+        GROUP BY 1, 2
+      )
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_6', 'NATION_11', 'NATION_16',
+                       'NATION_21')
+        AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 60)""",
 
     "agg_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
