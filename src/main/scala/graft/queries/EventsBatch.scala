@@ -45,6 +45,40 @@ object EventsBatch {
                 col("n_events"), col("session_value"))
     }),
 
+    // chained window aggregation, batch twin: 15-min (bucket, type)
+    // counts rolled into hourly activity summaries — runs
+    // EventStreams.chainedWindowCounts VERBATIM (watermark is a no-op in
+    // batch), so this oracle hash certifies the two-stage stateful
+    // streaming semantics; StreamingSpec proves streamed ≡ this.
+    "evt_chained_windows" -> ((s, d) =>
+      graft.streaming.EventStreams.chainedWindowCounts(t(s, d, "events"))),
+
+    // ordered conversion funnel (view → click → purchase): stage k's
+    // earliest qualifying event must follow stage k-1's. Three user-keyed
+    // aggregates joined forward — every shuffle is on user_id, so AQE
+    // co-partitions the chain and there is no window pass over the raw
+    // event stream. Left joins keep users who stall mid-funnel; `stage`
+    // records how deep each user converted.
+    "evt_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .join(v, col("cu") === col("user_id") && col("cts") > col("t_view"))
+        .groupBy(col("cu")).agg(min(col("cts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+        .join(c, col("pu") === col("cu") && col("pts") > col("t_click"))
+        .groupBy(col("pu")).agg(min(col("pts")).as("t_purchase"))
+      v.join(c, col("user_id") === col("cu"), "left_outer")
+        .join(p, col("user_id") === col("pu"), "left_outer")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
     // stream-stream join, batch twin (SURVEY §2 streaming table): runs the
     // EXACT code of EventStreams.attributeClicks — watermarks are no-ops in
     // batch, so the oracle hash here certifies the streaming semantics too
@@ -207,6 +241,39 @@ object EventsBatch {
       SELECT date_trunc('hour', ts) AS win_start, event_type,
              count(*) AS n, sum(value) AS sum_value
       FROM events GROUP BY 1, 2""",
+
+    "evt_chained_windows" -> """
+      WITH b AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS b15,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+      SELECT time_bucket(INTERVAL '1 hour', b15) AS win_start,
+             count(*) AS n_type_buckets,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM b GROUP BY 1""",
+
+    "evt_funnel" -> """
+      WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+      ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+      ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+      )
+      SELECT v.user_id, t_view, t_click, t_purchase,
+             1 + CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS stage
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id""",
 
     "evt_sliding_window" -> """
       SELECT win_start, count(*) AS n, avg(value) AS avg_value

@@ -58,6 +58,24 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
+  /** Chained stateful aggregations (Spark ≥ 3.4: multiple stateful
+    * operators in one streaming query): 15-min per-type counts rolled up
+    * into 1-hour activity summaries. The second groupBy keys on
+    * window_time(window) — the first aggregate's event-time column — so
+    * both stages share one watermark lineage and evict state
+    * independently. At scale the second stage's input is already tiny
+    * (≤ |event types| rows per 15-min bucket whatever the event rate), so
+    * the chain costs one extra bounded shuffle. */
+  def chainedWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(count(lit(1)).as("n_type_buckets"), sum(col("n")).as("n_events"))
+      .select(col("window.start").as("win_start"),
+        col("n_type_buckets"), col("n_events"))
+
   /** Stateful exact-once dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

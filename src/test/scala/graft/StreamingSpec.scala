@@ -40,6 +40,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.size >= b.size - 10, s"too few emitted windows: ${s.size} vs ${b.size}")
   }
 
+  test("streamed chained window aggregation equals batch (two stateful ops)") {
+    val stream = EventStreams.readEventStream(spark, replayDir)
+    EventStreams.runToMemory(
+      EventStreams.chainedWindowCounts(stream), "chained",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val streamed = spark.table("chained")
+    val batch = graft.queries.EventsBatch.defs("evt_chained_windows")(spark, sf)
+    val s = streamed.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val b = batch.collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    // append mode emits only watermark-finalized hours: subset of batch,
+    // short of it by at most the unfinalized frontier hour(s)
+    assert(s.subsetOf(b), "streamed chained windows must match batch")
+    assert(s.size >= b.size - 3, s"too few emitted hours: ${s.size} vs ${b.size}")
+  }
+
   test("complete and update output modes; parquet sink with AvailableNow") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     // complete mode: every trigger re-emits the full aggregate
