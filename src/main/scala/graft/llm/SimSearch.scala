@@ -115,6 +115,109 @@ object SimSearch {
       .filter(col("rn") <= topK)
   }
 
+  /** A fitted product-quantization index: per-vector code arrays + the
+    * (m × ksub rows, always-broadcast) sub-codebook table. */
+  case class PqIndex(codes: DataFrame, codebooks: DataFrame,
+                     m: Int, dsub: Int, ksub: Int)
+
+  /** Product-quantization fit (the third ANN family next to hyperplane
+    * LSH and IVF): the embedding splits into m sub-vectors of dsub dims,
+    * each sub-space gets its own ksub-cell k-means codebook, and a vector
+    * compresses to m small codes (m=8 × ksub=16 → 8 nibbles ≈ 16× smaller
+    * than float32). Like [[ivfFit]] this is an INDEX BUILD, cached per
+    * corpus and amortized over every search.
+    *
+    * Encoding is fully relational: the corpus explodes to (vector, sub)
+    * sub-vectors, joins the broadcast codebook, and a min-struct aggregate
+    * picks the nearest cell — the ksub-way expansion is collapsed by
+    * map-side partial aggregation before any shuffle, and the (d2, code)
+    * struct-min makes nearest-cell ties deterministic. */
+  def pqFit(s: SparkSession, emb: DataFrame, m: Int = 8, ksub: Int = 16,
+            dim: Int = 64, seed: Long = 42L): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dsub = dim / m
+    GraftFunctions.register(s)
+    val books = (0 until m).flatMap { j =>
+      val sv = emb
+        .select(slice(col("embedding"), j * dsub + 1, dsub).as("subvec"))
+        .withColumn("fv", array_to_vector(col("subvec")))
+      val model = new KMeans().setK(ksub).setSeed(seed + j)
+        .setFeaturesCol("fv").setPredictionCol("code").setMaxIter(10)
+        .fit(sv)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (j, i, c.toArray.map(_.toFloat)) }
+    }
+    val codebooks = s.createDataFrame(books).toDF("sub", "code", "centroid")
+    val exploded = emb.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1})," +
+          s" j -> slice(embedding, j * $dsub + 1, $dsub))"))
+      .as(Seq("sub", "subvec")))
+    val codes = exploded.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(subvec, centroid, (x, c) -> (x - c) * (x - c))," +
+          " CAST(0.0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE))"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
+        " p -> p.code)").as("codes"))
+    PqIndex(codes.localCheckpoint(eager = false), codebooks, m, dsub, ksub)
+  }
+
+  // one fit per corpus per JVM (same amortization story as ivfCache)
+  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, PqIndex]
+
+  def pqIndexFor(s: SparkSession, d: String): PqIndex =
+    pqCache.getOrElseUpdate(d, pqFit(s, t(s, d, "embeddings")))
+
+  /** PQ-ADC search: each query builds an (m × ksub) lookup table of
+    * sub-dot-products against the broadcast codebooks; a candidate's
+    * approximate dot product is then the sum of m LUT entries addressed by
+    * its codes — NO candidate embedding is touched until the exact cosine
+    * re-rank over the rerankFactor·topK ADC survivors. Scale shape: the
+    * LUT is |Q|·m·ksub rows (broadcast); the corpus side carries only
+    * (cid, sub, code) rows whose LUT join + (qid, cid) sum both map-side
+    * combine; full-width embeddings rejoin for the tiny survivor set only.
+    * That is the PQ trade: scan compressed codes, not vectors. */
+  def pqSearch(index: PqIndex, corpus: DataFrame, queryPred: Column,
+               topK: Int = 5, rerankFactor: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val m = index.m; val dsub = index.dsub
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val lut = queries.select(col("qid"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1})," +
+          s" j -> slice(qvec, j * $dsub + 1, $dsub))"))
+        .as(Seq("sub", "qsub")))
+      .join(broadcast(index.codebooks), Seq("sub"))
+      .withColumn("contrib", expr("dot_product(qsub, centroid)"))
+      .select(col("qid"), col("sub"), col("code"), col("contrib"))
+    // every (cid, sub) matches exactly one LUT row per qid, so the
+    // (qid, cid) aggregate sums exactly m contributions — ADC complete
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dot").desc, col("cid"))
+    val survivors = index.codes
+      .select(col("vec_id").as("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("contrib")).as("adc_dot"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= topK * rerankFactor)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    survivors
+      .join(broadcast(queries), Seq("qid"))
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        Seq("cid"))
+      .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+      .select(col("qid"), col("cid"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+  }
+
   /** Corpus-level recall of an ANN result against the exact top-k ground
     * truth, as a 1-row contract frame: (n_queries, recall_ok). Both inputs
     * carry (qid, cid); recall = |ann ∩ exact| / |exact|. */
@@ -210,11 +313,22 @@ object SimSearch {
     // documented floor hash-fails the driver check rather than hiding
     // behind a rows-only row count. Deterministic: planes/centroid seeds
     // and tiebreaks are fixed, so recall is a pure function of the data.
+    // ANN via product quantization + asymmetric distance computation —
+    // [[pqIndexFor]] (fit, cached) + [[pqSearch]]. Completes the ANN
+    // family: brute force (exact), LSH (bucketing), IVF (coarse cells),
+    // PQ (compressed-domain scan + exact re-rank).
+    "llm_ann_pq" -> ((s, d) =>
+      pqSearch(pqIndexFor(s, d), spread(t(s, d, "embeddings")),
+        queryPred = col("vec_id") < 20)),
+
     "llm_ann_lsh_recall" -> ((s, d) => annRecall(s,
       defs("llm_ann_lsh")(s, d), defs("llm_cosine_topk")(s, d), 0.8)),
 
     "llm_ann_ivf_recall" -> ((s, d) => annRecall(s,
       defs("llm_ann_ivf")(s, d), defs("llm_cosine_topk")(s, d), 0.7)),
+
+    "llm_ann_pq_recall" -> ((s, d) => annRecall(s,
+      defs("llm_ann_pq")(s, d), defs("llm_cosine_topk")(s, d), 0.6)),
 
     // per-vector L2 norm + min/max component (embedding hygiene audit: a
     // zero or exploding norm is a broken upstream encoder). One sequential
@@ -321,6 +435,11 @@ object SimSearch {
       FROM embeddings WHERE vec_id < 20""",
 
     "llm_ann_ivf_recall" -> """
+      SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 20""",
+
+    "llm_ann_pq_recall" -> """
       SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
              TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 20""",

