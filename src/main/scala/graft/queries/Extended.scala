@@ -178,6 +178,83 @@ object Extended {
           col("effective_to"), col("is_current"))
     }),
 
+    // exact distinct via mergeable bitmaps (the exact twin of the HLL
+    // sketch family): keys bucket by bitmap_bucket_number (32k-bit
+    // segments), each (group, bucket) folds into ONE bitmap via
+    // bitmap_construct_agg — a mergeable partial-aggregating structure,
+    // Spark's native roaring-bitmap pattern — and per-bucket
+    // bitmap_count sums roll up to the exact distinct count. The 100 TB
+    // point: this exact-distinct never carries raw keys through the
+    // shuffle (each segment is ≤ 4 KB whatever the row count), unlike
+    // countDistinct's Expand+exchange of every distinct value. The
+    // oracle pins bitmap == DuckDB count(DISTINCT) per group.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val buckets = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_suppkey)").as("bucket"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(" +
+          "bitmap_bit_position(l_suppkey)))").as("bucket_distinct"))
+      val exact = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp_exact"))
+      buckets.groupBy(col("l_returnflag"))
+        .agg(sum(col("bucket_distinct")).as("n_supp_bitmap"))
+        .join(broadcast(exact), Seq("l_returnflag"))
+        .withColumn("bitmap_matches",
+          col("n_supp_bitmap") === col("n_supp_exact"))
+    }),
+
+    // one-pass column profiler (reference A12 row accounting generalized
+    // to the dbt/Deequ-style profile a warehouse emits per load): ALL
+    // per-column aggregates compute in ONE scan (the multi-distinct
+    // Expand plan, collapsed map-side), and the 1×N stat row unpivots
+    // via stack() into the (column, stats) table AFTER aggregation — the
+    // reshape costs nothing at any scale.
+    "etl_profile" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max")))
+      t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("stack(" + cols.size + ", " + cols.map(c =>
+          s"'$c', n_rows, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+          .mkString(", ") + ") AS (column_name, n_rows, n_nulls," +
+          " n_distinct, min_value, max_value)")
+    }),
+
+    // declarative data-quality assertions (dbt-test / Deequ-check
+    // shape): every row-level rule folds into one conditional-sum pass
+    // over the scan; the key-uniqueness rule is the single aggregate
+    // that needs a shuffle (count>1 groups). Emits the
+    // (rule, n_violations, passed) contract table a pipeline gates a
+    // load on — the engine-level form of the reference's manual
+    // validation queries (B1).
+    "etl_assert_rules" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val rowRules = li.agg(
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+          .as("v_qty"),
+        sum(when(!col("l_discount").between(0.0, 1.0), 1L).otherwise(0L))
+          .as("v_disc"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+        sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L))
+          .as("v_price"))
+        .selectExpr("stack(4," +
+          " 'quantity_in_range', v_qty, 'discount_in_range', v_disc," +
+          " 'shipdate_not_null', v_ship, 'price_positive', v_price)" +
+          " AS (rule, n_violations)")
+      val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+        .select(lit("order_line_unique").as("rule"), col("n_violations"))
+      rowRules.unionByName(dupKeys)
+        .withColumn("passed", col("n_violations") === 0L)
+    }),
+
     // TF-IDF top-3 terms per document (pure relational formulation —
     // explode → tf counts → df counts → broadcast(N) — so the oracle can
     // replicate it; the ml HashingTF/IDF pipeline variant is in TfIdfSpec)
@@ -262,6 +339,84 @@ object Extended {
              TRUE AS lower_ok,
              TRUE AS upper_ok
       FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_bitmap_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_suppkey) AS n_supp_bitmap,
+             count(DISTINCT l_suppkey) AS n_supp_exact,
+             TRUE AS bitmap_matches
+      FROM lineitem GROUP BY 1""",
+
+    "etl_profile" -> """
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR),
+               CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*),
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR),
+               CAST(max(o_orderdate) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+      )""",
+
+    "etl_assert_rules" -> """
+      SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'quantity_in_range' AS rule,
+               CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_in_range',
+               CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 1.0
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_not_null',
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_positive',
+               CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+                 AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'order_line_unique',
+               CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+          SELECT count(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      )""",
 
     "etl_merge_upsert" -> """
       SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice

@@ -262,7 +262,10 @@ class PlanAuditSpec extends AnyFunSuite
       "llm_lm_score",
       // recall contracts embed the brute-force ground truth, i.e. the
       // same ≤20-query-vector broadcast as llm_cosine_topk
-      "llm_ann_lsh_recall", "llm_ann_ivf_recall")
+      "llm_ann_lsh_recall", "llm_ann_ivf_recall", "llm_ann_pq_recall",
+      // 1-row national-total threshold broadcast into a theta join —
+      // the Q15/quality_filter scalar-reuse pattern
+      "tpch_q11_important")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
