@@ -309,6 +309,20 @@ object Dedup {
         .withColumn("cos", expr("cosine_similarity(v1, v2)"))
         .filter(col("cos") >= 0.30)
         .select(col("id1"), col("id2"), col("cos"))
+    }),
+
+    // streaming ingest gate, batch twin: 10% of docs (doc_id % 10 = 9)
+    // replay as the "incoming" side against the static (band, sig) index of
+    // the other 90% — [[graft.streaming.DedupGate]] runs this IDENTICAL
+    // stateless plan under readStream (DedupGateSpec: streamed ≡ this batch
+    // result). Signatures use the portable polynomial hash, so unlike the
+    // xxhash-based families above this one has a full DuckDB value twin.
+    "llm_neardup_gate" -> ((s, d) => {
+      import graft.streaming.DedupGate
+      val docs = spread(t(s, d, "documents"))
+      val index = DedupGate.corpusIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 9))
+      DedupGate.gate(docs.filter(pmod(col("doc_id"), lit(10)) === 9), index,
+        minJaccard = 0.2)
     })
   )
 
@@ -379,6 +393,102 @@ object Dedup {
         SELECT a.vec_id AS id1, b2.vec_id AS id2,
                list_cosine_similarity(a.v, b2.v) AS cos
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-      ) WHERE cos >= 0.30"""
+      ) WHERE cos >= 0.30""",
+
+    // value twin of the DedupGate batch replay: shingles via the same
+    // lead-window pattern as llm_ngram_jaccard, per-shingle portable
+    // poly hash (llm_minhash_poly CTE shape), band explode via UNION ALL,
+    // the same stateless first-matching-band pair-dedup, and exact
+    // shingle-Jaccard verification computed relationally.
+    "llm_neardup_gate" -> """
+      WITH RECURSIVE rawtoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), toks AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM rawtoks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), pow31(i, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (v * 31) % 1000000007 FROM pow31
+        WHERE i < (SELECT max(length(shingle)) FROM toks)
+      ), chars AS (
+        SELECT doc_id, shingle,
+               unnest(string_split(shingle, '')) AS c,
+               generate_subscripts(string_split(shingle, ''), 1) AS pos,
+               length(shingle) AS n
+        FROM toks
+      ), csums AS (
+        SELECT doc_id, shingle,
+               sum((CAST(ascii(c) AS BIGINT) * p.v) % 1000000007) AS tsum
+        FROM chars JOIN pow31 p ON p.i = chars.n - chars.pos
+        GROUP BY doc_id, shingle
+      ), thash AS (
+        SELECT t.doc_id, t.shingle,
+               CAST(((7 * pn.v) % 1000000007 +
+                     coalesce(s.tsum, 0) % 1000000007) % 1000000007 AS BIGINT)
+                 AS h
+        FROM toks t
+        JOIN pow31 pn ON pn.i = length(t.shingle)
+        LEFT JOIN csums s ON s.doc_id = t.doc_id AND s.shingle = t.shingle
+      ), m AS (
+        SELECT doc_id,
+               min(h) AS mh0,
+               min((h * 31 + 7) % 1000000007) AS mh1,
+               min((h * 131 + 13) % 1000000007) AS mh2,
+               min((h * 1031 + 101) % 1000000007) AS mh3,
+               min((h * 8191 + 19) % 1000000007) AS mh4,
+               min((h * 131071 + 29) % 1000000007) AS mh5,
+               min((h * 524287 + 37) % 1000000007) AS mh6,
+               min((h * 2097143 + 43) % 1000000007) AS mh7,
+               count(*) AS n_sh
+        FROM thash GROUP BY doc_id
+      ), bands AS (
+        SELECT doc_id, 0 AS band, mh0 AS sig FROM m
+        UNION ALL SELECT doc_id, 1, mh1 FROM m
+        UNION ALL SELECT doc_id, 2, mh2 FROM m
+        UNION ALL SELECT doc_id, 3, mh3 FROM m
+        UNION ALL SELECT doc_id, 4, mh4 FROM m
+        UNION ALL SELECT doc_id, 5, mh5 FROM m
+        UNION ALL SELECT doc_id, 6, mh6 FROM m
+        UNION ALL SELECT doc_id, 7, mh7 FROM m
+      ), cand AS (
+        SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, n.band
+        FROM bands n JOIN bands c ON n.band = c.band AND n.sig = c.sig
+        WHERE n.doc_id % 10 = 9 AND c.doc_id % 10 < 9
+      ), firstmatch AS (
+        SELECT cd.new_id, cd.corpus_id FROM cand cd
+        JOIN m a ON a.doc_id = cd.new_id
+        JOIN m b ON b.doc_id = cd.corpus_id
+        WHERE cd.band = CASE WHEN a.mh0 = b.mh0 THEN 0
+                             WHEN a.mh1 = b.mh1 THEN 1
+                             WHEN a.mh2 = b.mh2 THEN 2
+                             WHEN a.mh3 = b.mh3 THEN 3
+                             WHEN a.mh4 = b.mh4 THEN 4
+                             WHEN a.mh5 = b.mh5 THEN 5
+                             WHEN a.mh6 = b.mh6 THEN 6 ELSE 7 END
+      ), common AS (
+        SELECT f.new_id, f.corpus_id, count(*) AS n_common
+        FROM firstmatch f
+        JOIN toks x ON x.doc_id = f.new_id
+        JOIN toks y ON y.doc_id = f.corpus_id AND y.shingle = x.shingle
+        GROUP BY f.new_id, f.corpus_id
+      )
+      SELECT f.new_id, f.corpus_id AS dup_of,
+             CAST(co.n_common AS DOUBLE) /
+               CAST(na.n_sh + nb.n_sh - co.n_common AS DOUBLE) AS jaccard
+      FROM firstmatch f
+      JOIN common co ON co.new_id = f.new_id AND co.corpus_id = f.corpus_id
+      JOIN m na ON na.doc_id = f.new_id
+      JOIN m nb ON nb.doc_id = f.corpus_id
+      WHERE CAST(co.n_common AS DOUBLE) /
+              CAST(na.n_sh + nb.n_sh - co.n_common AS DOUBLE) >= 0.2"""
   )
 }
