@@ -165,6 +165,29 @@ object SimSearch {
     PqIndex(codes.localCheckpoint(eager = false), codebooks, m, dsub, ksub)
   }
 
+  /** Persist a fitted IVF index. The assignment table is written
+    * PARTITIONED BY cell: an [[ivfSearch]] over the loaded index joins the
+    * corpus side on `cell` against the broadcast probe list, so Spark's
+    * dynamic partition pruning reads ONLY the nProbe/k probed directories —
+    * at 1B vectors a 16-of-30k probe touches 0.05% of the index files.
+    * That physical layout is the point of persisting (an in-memory fit is
+    * partitioned however the fit shuffle left it). */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+    index.centroids.withColumn("k", lit(index.k))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index (see [[ivfSave]]). */
+  def ivfLoad(s: SparkSession, path: String): IvfIndex = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val k = cents.select(max(col("k"))).head.getInt(0)
+    IvfIndex(s.read.parquet(s"$path/assigned")
+        .select(col("vec_id"), col("embedding"), col("cell")),
+      cents.select(col("cell"), col("centroid")), k)
+  }
+
   // one fit per corpus per JVM (same amortization story as ivfCache)
   private val pqCache = scala.collection.concurrent.TrieMap.empty[String, PqIndex]
 

@@ -66,4 +66,26 @@ class SimSearchSpec extends AnyFunSuite {
     // genuinely close neighbors (cos ≥ 0.8) fewer, longer tables would do
     assert(recall >= 0.8, s"ANN recall too low: $recall")
   }
+
+  test("persisted IVF index: loaded search ≡ fit search, cell layout prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val fit = SimSearch.ivfIndexFor(spark, sf, 16)
+    SimSearch.ivfSave(fit, dir)
+    val loaded = SimSearch.ivfLoad(spark, dir)
+    assert(loaded.k == fit.k)
+
+    def results(ix: SimSearch.IvfIndex) =
+      SimSearch.ivfSearch(ix, col("vec_id") < 20, nProbe = 8)
+        .select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(results(loaded) == results(fit),
+      "search over the persisted index must equal search over the fit index")
+
+    // the cell-partitioned layout is what makes nProbe/k pruning physical:
+    // a static cell predicate must reach the scan as a partition filter
+    val pruned = loaded.assigned.filter(col("cell") === 3)
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell predicate did not become a partition filter:\n$pruned")
+  }
 }
