@@ -66,9 +66,14 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> median(Seq.fill(reps)(time(fn)))
-    }
+    // dev convenience mirroring Verify: trailing args restrict the timed
+    // set to named queries (the driver always invokes with no args = all)
+    val only = args.toSet
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        name -> median(Seq.fill(reps)(time(fn)))
+      }
     // Layout demonstration (SURVEY §2 partitioning): the SAME fact⋈fact
     // join (lineitem⋈orders on orderkey) timed over raw parquet (both
     // sides shuffle) vs tables pre-bucketed on the join key (zero

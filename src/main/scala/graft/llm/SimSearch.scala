@@ -312,18 +312,23 @@ object SimSearch {
       val emb = signatures(spread(t(s, d, "embeddings")))
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          explode(col("sigs")).as("sig"))
+          col("sigs").as("qsigs"), explode(col("sigs")).as("sig"))
       val cands = emb
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-          explode(col("sigs")).as("sig"))
+          col("sigs").as("csigs"), explode(col("sigs")).as("sig"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
       cands.join(broadcast(queries), Seq("sig"))
         .filter(col("cid") =!= col("qid"))
-        // cosine BEFORE dedup: re-scoring a multi-table collision is cheaper
-        // than shuffling the embedding arrays through dropDuplicates
+        // stateless multi-table dedup (the DedupGate first-band trick): the
+        // table index lives in each sig's high bits, so the LOWEST matching
+        // sig identifies a collision pair's first shared table — keep the
+        // row only in that table. One surviving row per pair with no
+        // dropDuplicates exchange, and the cosine kernel runs once per
+        // pair instead of once per collision.
+        .filter(col("sig") === array_min(zip_with(col("qsigs"), col("csigs"),
+          (a, b) => when(a === b, a))))
         .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
         .select(col("qid"), col("cid"), col("sim"))
-        .dropDuplicates("qid", "cid") // same pair may collide in >1 table
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
     }),
