@@ -188,6 +188,29 @@ object SimSearch {
       cents.select(col("cell"), col("centroid")), k)
   }
 
+  /** Persist a fitted PQ index: the 8-byte code rows ARE the scan at
+    * search time (ADC never touches raw embeddings until re-rank), so the
+    * persisted codes table is the whole point — 16× smaller than the
+    * corpus it stands in for. Unlike [[ivfSave]] there is no pruning key:
+    * ADC scans every code row by design. */
+  def pqSave(index: PqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.codebooks
+      .withColumn("m", lit(index.m)).withColumn("dsub", lit(index.dsub))
+      .withColumn("ksub", lit(index.ksub))
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load a persisted PQ index (see [[pqSave]]). */
+  def pqLoad(s: SparkSession, path: String): PqIndex = {
+    val books = s.read.parquet(s"$path/codebooks")
+    val meta = books.select(max(col("m")), max(col("dsub")), max(col("ksub")))
+      .head
+    PqIndex(s.read.parquet(s"$path/codes"),
+      books.select(col("sub"), col("code"), col("centroid")),
+      meta.getInt(0), meta.getInt(1), meta.getInt(2))
+  }
+
   // one fit per corpus per JVM (same amortization story as ivfCache)
   private val pqCache = scala.collection.concurrent.TrieMap.empty[String, PqIndex]
 

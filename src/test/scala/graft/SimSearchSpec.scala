@@ -88,4 +88,19 @@ class SimSearchSpec extends AnyFunSuite {
     assert(pruned.contains("PartitionFilters: [isnotnull(cell"),
       s"cell predicate did not become a partition filter:\n$pruned")
   }
+
+  test("persisted PQ index: loaded search ≡ fit search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val corpus = graft.core.Tables.t(spark, sf, "embeddings")
+    val fit = SimSearch.pqIndexFor(spark, sf)
+    SimSearch.pqSave(fit, dir)
+    val loaded = SimSearch.pqLoad(spark, dir)
+    assert((loaded.m, loaded.dsub, loaded.ksub) == (fit.m, fit.dsub, fit.ksub))
+    def results(ix: SimSearch.PqIndex) =
+      SimSearch.pqSearch(ix, corpus, col("vec_id") < 20)
+        .select("qid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(results(loaded) == results(fit),
+      "search over the persisted PQ index must equal search over the fit index")
+  }
 }
