@@ -214,6 +214,28 @@ object EventsBatch {
             .over(w))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+    }),
+
+    // CEP-lite sequence pattern match (the MATCH_RECOGNIZE shape): each
+    // user's event history becomes an ordered journey string (one letter
+    // per event — the five types have distinct initials; (user_id, ts) is
+    // tie-free in the fixture, so the order is total) and conversions are
+    // counted as non-overlapping regex matches of view→clicks*→purchase.
+    // Scale shape: ONE user-keyed aggregate; the per-user sort happens
+    // inside array_sort on the collected (bounded) history, not as a
+    // global sort — same cost class as the sessionize operators. The
+    // regex runs once per user on the journey, not per event.
+    "evt_pattern_match" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"),
+          upper(substring(col("event_type"), 1, 1)).as("code"))
+        .groupBy(col("user_id"))
+        .agg(concat_ws("",
+          expr("transform(array_sort(collect_list(struct(ts, code)))," +
+            " p -> p.code)")).as("journey"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("journey"), col("n_events"),
+          regexp_count(col("journey"), lit("VC*P")).as("n_conversions"))
     })
   )
 
@@ -351,6 +373,16 @@ object EventsBatch {
       SELECT p.event_id, p.user_id, p.ts, c.ts AS next_click_ts
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        ON p.user_id = c.user_id AND c.ts > p.ts"""
+        ON p.user_id = c.user_id AND c.ts > p.ts""",
+
+    "evt_pattern_match" -> """
+      SELECT user_id,
+             string_agg(upper(substr(event_type, 1, 1)), '' ORDER BY ts)
+               AS journey,
+             count(*) AS n_events,
+             CAST(len(regexp_extract_all(
+               string_agg(upper(substr(event_type, 1, 1)), '' ORDER BY ts),
+               'VC*P')) AS INT) AS n_conversions
+      FROM events GROUP BY user_id"""
   )
 }

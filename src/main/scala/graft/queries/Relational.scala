@@ -134,6 +134,27 @@ object Relational {
           max(col("l_tax")).as("max_tax"))
     }),
 
+    // OLS regression + distribution-shape aggregates. regr_* are the
+    // standard least-squares definitions in both engines; skewness and
+    // kurtosis are POPULATION moments in Spark vs sample-adjusted in
+    // DuckDB, so the twin recomputes them from raw moments — and the
+    // regressand is l_discount (magnitude ≤ 0.1) so every emitted double
+    // sits comfortably inside the comparator's 6-decimal rounding.
+    "agg_stats2" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("regr_slope(l_discount, l_quantity)").as("slope_dq"),
+          expr("regr_intercept(l_discount, l_quantity)").as("icept_dq"),
+          expr("regr_r2(l_discount, l_quantity)").as("r2_dq"),
+          expr("regr_count(l_discount, l_quantity)").cast("long")
+            .as("n_pairs"),
+          expr("regr_avgx(l_discount, l_quantity)").as("avg_qty"),
+          expr("regr_avgy(l_discount, l_quantity)").as("avg_disc"),
+          skewness(col("l_discount")).as("skew_disc"),
+          kurtosis(col("l_discount")).as("kurt_disc"))
+    }),
+
     // exact percentiles (interpolating, = SQL percentile_cont)
     "agg_percentile" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -930,6 +951,29 @@ object Relational {
              min(l_discount) AS min_disc,
              max(l_tax) AS max_tax
       FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_stats2" -> """
+      WITH mom AS (
+        SELECT l_returnflag,
+               regr_slope(l_discount, l_quantity) AS slope_dq,
+               regr_intercept(l_discount, l_quantity) AS icept_dq,
+               regr_r2(l_discount, l_quantity) AS r2_dq,
+               CAST(regr_count(l_discount, l_quantity) AS BIGINT) AS n_pairs,
+               regr_avgx(l_discount, l_quantity) AS avg_qty,
+               regr_avgy(l_discount, l_quantity) AS avg_disc,
+               avg(l_discount) AS mu,
+               avg(l_discount * l_discount) AS m2r,
+               avg(l_discount * l_discount * l_discount) AS m3r,
+               avg(l_discount * l_discount * l_discount * l_discount) AS m4r
+        FROM lineitem GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, slope_dq, icept_dq, r2_dq, n_pairs, avg_qty,
+             avg_disc,
+             (m3r - 3 * mu * m2r + 2 * mu * mu * mu)
+               / pow(m2r - mu * mu, 1.5) AS skew_disc,
+             (m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * pow(mu, 4))
+               / pow(m2r - mu * mu, 2) - 3 AS kurt_disc
+      FROM mom""",
 
     "agg_percentile" -> """
       SELECT l_linestatus,

@@ -297,4 +297,38 @@ class PlanAuditSpec extends AnyFunSuite
     assert(offenders.isEmpty,
       s"scale-killer plans shipped:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("ANALYZE TABLE column statistics drive CBO cardinality estimates") {
+    import org.apache.spark.sql.functions.col
+    val conf = Seq("spark.sql.cbo.enabled" -> "true")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+      graft.core.Tables.t(spark, sf, "orders").write.saveAsTable("cbo_orders")
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS" +
+        " FOR COLUMNS o_orderkey, o_totalprice")
+      val full = spark.table("cbo_orders")
+      val n = full.count()
+      // row-count statistics reach the optimizer verbatim...
+      assert(full.queryExecution.optimizedPlan.stats.rowCount
+          .contains(BigInt(n)),
+        s"catalog rowCount did not reach the optimizer (n=$n)")
+      // ...and column min/max make a range filter's estimate selective:
+      // without stats Spark guesses a fixed fraction of an unknown size;
+      // with them the estimated cardinality lands inside (0, n) — the
+      // signal CBO join ordering and broadcast decisions are built on
+      val cheap = full.filter(col("o_totalprice") < 1000.0)
+      val est = cheap.queryExecution.optimizedPlan.stats.rowCount
+      assert(est.isDefined, "filter estimate lost the row count")
+      assert(est.get >= BigInt(0) && est.get < BigInt(n) / 10,
+        s"min/max-based estimate not selective: ${est.get} of $n")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    }
+  }
 }
