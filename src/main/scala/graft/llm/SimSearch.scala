@@ -116,9 +116,10 @@ object SimSearch {
   }
 
   /** A fitted product-quantization index: per-vector code arrays + the
-    * (m × ksub rows, always-broadcast) sub-codebook table. */
+    * (m × ksub rows, always-broadcast) sub-codebook table. `n` (corpus
+    * size at fit) sizes the default exact-re-rank pool at search time. */
   case class PqIndex(codes: DataFrame, codebooks: DataFrame,
-                     m: Int, dsub: Int, ksub: Int)
+                     m: Int, dsub: Int, ksub: Int, n: Long)
 
   /** Product-quantization fit (the third ANN family next to hyperplane
     * LSH and IVF): the embedding splits into m sub-vectors of dsub dims,
@@ -162,7 +163,8 @@ object SimSearch {
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
         " p -> p.code)").as("codes"))
-    PqIndex(codes.localCheckpoint(eager = false), codebooks, m, dsub, ksub)
+    PqIndex(codes.localCheckpoint(eager = false), codebooks, m, dsub, ksub,
+      emb.count())
   }
 
   /** Persist a fitted IVF index. The assignment table is written
@@ -197,18 +199,18 @@ object SimSearch {
     index.codes.write.mode("overwrite").parquet(s"$path/codes")
     index.codebooks
       .withColumn("m", lit(index.m)).withColumn("dsub", lit(index.dsub))
-      .withColumn("ksub", lit(index.ksub))
+      .withColumn("ksub", lit(index.ksub)).withColumn("n", lit(index.n))
       .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
   /** Load a persisted PQ index (see [[pqSave]]). */
   def pqLoad(s: SparkSession, path: String): PqIndex = {
     val books = s.read.parquet(s"$path/codebooks")
-    val meta = books.select(max(col("m")), max(col("dsub")), max(col("ksub")))
-      .head
+    val meta = books.select(max(col("m")), max(col("dsub")), max(col("ksub")),
+      max(col("n"))).head
     PqIndex(s.read.parquet(s"$path/codes"),
       books.select(col("sub"), col("code"), col("centroid")),
-      meta.getInt(0), meta.getInt(1), meta.getInt(2))
+      meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
   }
 
   // one fit per corpus per JVM (same amortization story as ivfCache)
@@ -227,9 +229,20 @@ object SimSearch {
     * combine; full-width embeddings rejoin for the tiny survivor set only.
     * That is the PQ trade: scan compressed codes, not vectors. */
   def pqSearch(index: PqIndex, corpus: DataFrame, queryPred: Column,
-               topK: Int = 5, rerankFactor: Int = 8): DataFrame = {
+               topK: Int = 5, rerankFactor: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val m = index.m; val dsub = index.dsub
+    // rerankFactor = 0 ⇒ auto pool: max(8·topK, 6% of the corpus). ADC
+    // quantization error is constant in N while the distractor count grows
+    // linearly, so a FIXED pool loses recall as the corpus scales —
+    // measured on the near-random fixture: a 40-row pool recalls 0.73 of
+    // exact top-5 at N=500 but 0.53 at N=2000, while re-ranking ~6%
+    // (120 rows at N=2000) holds 0.76. A single flat PQ index honestly
+    // costs an O(N) re-rank fraction on data this unclustered; at extreme
+    // scale PQ composes with IVF cells so the fraction applies per probed
+    // cell, not per corpus (clustered real embeddings also need far less).
+    val pool = if (rerankFactor > 0) topK * rerankFactor
+               else math.max(topK * 8, math.ceil(index.n * 0.06).toInt)
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val lut = queries.select(col("qid"), posexplode(expr(
@@ -251,7 +264,7 @@ object SimSearch {
       .groupBy(col("qid"), col("cid"))
       .agg(sum(col("contrib")).as("adc_dot"))
       .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= topK * rerankFactor)
+      .filter(col("arn") <= pool)
       .select(col("qid"), col("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     survivors
