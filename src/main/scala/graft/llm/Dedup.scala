@@ -323,6 +323,20 @@ object Dedup {
       val index = DedupGate.corpusIndex(docs.filter(pmod(col("doc_id"), lit(10)) < 9))
       DedupGate.gate(docs.filter(pmod(col("doc_id"), lit(10)) === 9), index,
         minJaccard = 0.2)
+    }),
+
+    // the embedding-side streaming gate, batch twin: 10% of vectors replay
+    // as the incoming stream against the sign-octant index of the rest —
+    // same deterministic buckets as llm_embedding_neardup_exact, so the
+    // whole gate (bucket join + exact cosine ≥ 0.3) is DuckDB-replayable.
+    // DedupGateSpec runs the identical stateless plan under readStream.
+    "llm_embed_gate" -> ((s, d) => {
+      import graft.streaming.DedupGate
+      val emb = spread(t(s, d, "embeddings"))
+      DedupGate.embedGate(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 9),
+        DedupGate.embedIndex(emb.filter(pmod(col("vec_id"), lit(10)) < 9)),
+        minCos = 0.30)
     })
   )
 
@@ -489,6 +503,27 @@ object Dedup {
       JOIN m na ON na.doc_id = f.new_id
       JOIN m nb ON nb.doc_id = f.corpus_id
       WHERE CAST(co.n_common AS DOUBLE) /
-              CAST(na.n_sh + nb.n_sh - co.n_common AS DOUBLE) >= 0.2"""
+              CAST(na.n_sh + nb.n_sh - co.n_common AS DOUBLE) >= 0.2""",
+
+    "llm_embed_gate" -> """
+      WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+             + 4 * (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+             + 8 * (CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+             + 16 * (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END)
+             + 32 * (CASE WHEN embedding[6] >= 0 THEN 1 ELSE 0 END)
+             + 64 * (CASE WHEN embedding[7] >= 0 THEN 1 ELSE 0 END)
+             + 128 * (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END)
+               AS bucket
+        FROM embeddings
+      )
+      SELECT n.vec_id AS new_id, c.vec_id AS match_id,
+             list_cosine_similarity(n.v, c.v) AS cos
+      FROM b n JOIN b c ON n.bucket = c.bucket
+      WHERE n.vec_id % 10 = 9 AND c.vec_id % 10 < 9
+        AND n.vec_id <> c.vec_id
+        AND list_cosine_similarity(n.v, c.v) >= 0.30"""
   )
 }

@@ -190,6 +190,34 @@ object SimSearch {
       cents.select(col("cell"), col("centroid")), k)
   }
 
+  /** Nearest-centroid cell assignment as a PURE SCALAR column: the k
+    * centroids are folded into the plan as a literal (bounded, like the
+    * LSH plane constants), squared-L2 to each is a zip_with/aggregate
+    * chain, and the (d2, cell) struct-min makes ties deterministic
+    * (lowest cell). Because no aggregate or model object is involved,
+    * the SAME expression assigns cells in batch and under `readStream`
+    * with zero state — the streaming ingest path of the vector index:
+    * `stream.withColumn("cell", ivfAssignCol(index))
+    *        .writeStream.partitionBy("cell")` appends new vectors into
+    * exactly the cell-partitioned layout [[ivfSave]] produces. */
+  def ivfAssignCol(index: IvfIndex): Column = {
+    val cents: Seq[Seq[Double]] = index.centroids
+      .orderBy(col("cell")).collect()  // k rows — bounded by construction
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val c = typedlit(cents)
+    aggregate(
+      transform(sequence(lit(0), lit(index.k - 1)), i =>
+        struct(
+          aggregate(
+            zip_with(col("embedding"), element_at(c, i + 1),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v).as("d2"),
+          i.as("cell"))),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
+      (best, cand) => when(cand("d2") < best("d2"), cand).otherwise(best))
+      .getField("cell")
+  }
+
   /** Persist a fitted PQ index: the 8-byte code rows ARE the scan at
     * search time (ADC never touches raw embeddings until re-rank), so the
     * persisted codes table is the whole point — 16× smaller than the

@@ -112,4 +112,36 @@ object DedupGate {
       .filter(col("jaccard") >= minJaccard)
       .select(col("new_id"), col("corpus_id").as("dup_of"), col("jaccard"))
   }
+
+  /** Sign-octant bucket of an embedding's first 8 dimensions — the
+    * deterministic (engine-independent) axis-aligned special case of
+    * hyperplane LSH, shared with `llm_embedding_neardup_exact`. A scalar
+    * expression, so it buckets batch and streaming rows identically. */
+  def signOctant(embedding: Column): Column =
+    (0 until 8).map(i =>
+      when(element_at(embedding, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Static side of the embedding gate: one row per corpus vector keyed by
+    * its octant bucket. Persist partitioned by `bucket` at scale. */
+  def embedIndex(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("cvec"), signOctant(col("embedding")).as("bucket"))
+
+  /** Streaming similarity alert: incoming vectors that are ≥ `minCos` to
+    * any indexed corpus vector. One bucket per vector ⇒ no multi-band
+    * collisions to dedup — a single stateless equi-join + exact cosine,
+    * append-safe under readStream like [[gate]]. */
+  def embedGate(incoming: DataFrame, index: DataFrame,
+                minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    incoming
+      .select(col("vec_id").as("new_id"), col("embedding").as("qvec"),
+        signOctant(col("embedding")).as("bucket"))
+      .join(index, Seq("bucket"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .withColumn("cos", expr("cosine_similarity(qvec, cvec)"))
+      .filter(col("cos") >= minCos)
+      .select(col("new_id"), col("corpus_id").as("match_id"), col("cos"))
+  }
 }

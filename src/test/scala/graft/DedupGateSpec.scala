@@ -73,6 +73,34 @@ class DedupGateSpec extends AnyFunSuite {
       "novel doc must pass the gate unflagged")
   }
 
+  test("streamed embedding gate over file replay equals the batch twin exactly") {
+    import org.apache.spark.sql.types._
+    val emb = t(spark, sf, "embeddings")
+    val index = graft.streaming.DedupGate.embedIndex(
+      emb.filter(pmod(col("vec_id"), lit(10)) < 9)).localCheckpoint()
+
+    val incomingDir =
+      Files.createTempDirectory("graft-egate").toString + "/incoming"
+    emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+      .select("vec_id", "embedding").write.parquet(incomingDir)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema).parquet(incomingDir)
+    EventStreams.runToMemory(
+      graft.streaming.DedupGate.embedGate(stream, index, minCos = 0.30),
+      "egate_out")
+
+    val streamed = spark.table("egate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val batch = graft.llm.Dedup.defs("llm_embed_gate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size} rows")
+  }
+
   test("the gate plan is stateless: no state store operators under streaming") {
     val docs = t(spark, sf, "documents")
     val index = DedupGate.corpusIndex(
