@@ -45,6 +45,23 @@ object EventsBatch {
                 col("n_events"), col("session_value"))
     }),
 
+    // DYNAMIC-gap session windows: each event extends its session by its
+    // own gap (errors cool off in 10 min, everything else in 30), so the
+    // session end is the running max of ts+gap — the twin's island flag
+    // therefore compares against max(ts+gap) over ALL prior rows, not
+    // lag(ts): an earlier long-gap event can out-reach the previous row.
+    "evt_session_dynamic" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "error", "10 minutes")
+            .otherwise("30 minutes")), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("session_value"))
+    }),
+
     // chained window aggregation, batch twin: 15-min (bucket, type)
     // counts rolled into hourly activity summaries — runs
     // EventStreams.chainedWindowCounts VERBATIM (watermark is a no-op in
@@ -321,6 +338,32 @@ object EventsBatch {
         FROM flagged
       )
       SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+             count(*) AS n_events, sum(value) AS session_value
+      FROM numbered GROUP BY user_id, sid""",
+
+    "evt_session_dynamic" -> """
+      WITH ends AS (
+        SELECT user_id, ts, value,
+               ts + CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+                         ELSE INTERVAL 30 MINUTE END AS reach
+        FROM events
+      ), flagged AS (
+        SELECT user_id, ts, value, reach,
+               CASE WHEN max(reach) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                     OR ts >= max(reach) OVER (PARTITION BY user_id
+                      ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ends
+      ), numbered AS (
+        SELECT user_id, ts, value, reach,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+      )
+      SELECT user_id, min(ts) AS session_start, max(reach) AS session_end,
              count(*) AS n_events, sum(value) AS session_value
       FROM numbered GROUP BY user_id, sid""",
 

@@ -313,6 +313,47 @@ object EventStreams {
     }
   }
 
+  case class RecentOut(user_id: Long, ts: java.sql.Timestamp, recent: String)
+
+  /** ListState processor (the third transformWithState state shape next to
+    * ValueState and MapState): a bounded per-user rolling history — after
+    * each event the list holds the last ≤3 event-type initials, emitted as
+    * a comma-joined trail. appendValue + a trim-on-overflow rewrite keeps
+    * the stored list at k elements whatever the stream length; rows within
+    * a micro-batch are sorted by ts because arrival order per key inside a
+    * batch is not guaranteed. */
+  class RecentEventsProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, RecentOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ListState[String] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getListState[String]("recent",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RecentOut] = {
+      var cur = st.get().toVector
+      val out = rows.toVector
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos)).map { e =>
+        cur = (cur :+ e.event_type.substring(0, 1).toUpperCase).takeRight(k)
+        RecentOut(key, e.ts, cur.mkString(","))
+      }
+      st.put(cur.toArray)
+      out.iterator
+    }
+  }
+
+  /** Per-user rolling last-3 trail via ListState. */
+  def recentEvents(events: Dataset[Ev], k: Int = 3): Dataset[RecentOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Per-(user, event_type) streaming counts via MapState. */
   def typeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
     import events.sparkSession.implicits._

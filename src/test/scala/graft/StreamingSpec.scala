@@ -372,6 +372,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState rolling trail equals batch window collect") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = EventStreams.readEventStream(spark, replayDir)
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Ev]
+      EventStreams.runToMemory(EventStreams.recentEvents(src).toDF(), "tws_recent")
+      val got = spark.table("tws_recent")
+        .select("user_id", "ts", "recent").collect()
+        .map(r => ((r.getLong(0), r.getTimestamp(1)), r.getString(2))).toMap
+      // batch twin: last-3 trail via a rows-frame window collect
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      val want = t(spark, sf, "events")
+        .withColumn("code", upper(substring(col("event_type"), 1, 1)))
+        .withColumn("recent",
+          concat_ws(",", collect_list(col("code")).over(w)))
+        .select("user_id", "ts", "recent").collect()
+        .map(r => ((r.getLong(0), r.getTimestamp(1)), r.getString(2))).toMap
+      assert(got.size == want.size)
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running totals equal batch per-user aggregates") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
