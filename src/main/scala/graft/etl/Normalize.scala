@@ -91,6 +91,25 @@ object Normalize {
     raw.select(resolve(raw, tripColumns): _*)
       .filter(col("pickup_datetime").isNotNull)
 
+  /** Trip normalization with in-flight load metrics: `observe` attaches
+    * accumulator-backed aggregates to the SAME pass that writes the data,
+    * so row accounting (reference A12, `ingest_data.py` printed counts)
+    * costs zero extra scans at any scale — unlike a count() before and
+    * after, which would re-read the source twice. Read the metrics off
+    * the returned Observation AFTER an action on the frame. */
+  def normalizeTripsObserved(raw: DataFrame)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("trip_load")
+    val resolved = raw.select(resolve(raw, tripColumns): _*)
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(when(col("pickup_datetime").isNull, 1L).otherwise(0L))
+          .as("rows_rejected"),
+        sum(when(col("passenger_count").isNull, 1L).otherwise(0L))
+          .as("null_passengers"))
+    (resolved.filter(col("pickup_datetime").isNotNull), obs)
+  }
+
   /** Zone dimension normalization (ingest_data.py:95-102). */
   def normalizeZones(raw: DataFrame): DataFrame =
     raw.select(resolve(raw, zoneColumns): _*)

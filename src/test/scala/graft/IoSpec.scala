@@ -144,4 +144,25 @@ class IoSpec extends AnyFunSuite {
     val rows = df.orderBy("id").collect()
     assert(rows(0).isNullAt(1) && rows(1).getInt(1) == 5)
   }
+
+  test("corrupt parquet file: loud by default, skipped under ignoreCorruptFiles") {
+    // at 100 TB some file WILL arrive truncated; the default must fail the
+    // job (silent data loss is worse), and the recovery lever must read
+    // everything else
+    val dir = Files.createTempDirectory("graft-corrupt").toString + "/data"
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(dir)
+    Files.write(java.nio.file.Paths.get(dir, "part-corrupt.parquet"),
+      "this is not a parquet file".getBytes)
+    val boom = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    assert(boom.getMessage != null)
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(dir).count() == 10)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
 }

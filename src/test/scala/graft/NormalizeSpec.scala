@@ -48,6 +48,28 @@ class NormalizeSpec extends AnyFunSuite {
     assert(got(0).isNullAt(got(0).fieldIndex("congestion_surcharge")))
   }
 
+  test("observed normalization reports load metrics from the same pass") {
+    val schema = StructType(Seq(
+      StructField("VendorID", IntegerType),
+      StructField("lpep_pickup_datetime", StringType),
+      StructField("lpep_dropoff_datetime", StringType),
+      StructField("Passenger_count", IntegerType)))
+    val rows = Seq(
+      Row(Integer.valueOf(2), "2025-11-03 10:00:00", "2025-11-03 10:20:00",
+        Integer.valueOf(1)),
+      Row(Integer.valueOf(1), "2025-11-04 08:00:00", "not-a-date", null),
+      Row(Integer.valueOf(1), null, "2025-11-04 09:00:00",
+        Integer.valueOf(3)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val (out, obs) = Normalize.normalizeTripsObserved(raw)
+    assert(out.count() == 2)
+    val m = obs.get
+    assert(m("rows_in") == 3L, s"rows_in: $m")
+    assert(m("rows_rejected") == 1L, s"rows_rejected: $m")
+    assert(m("null_passengers") == 1L, s"null_passengers: $m")
+  }
+
   test("yellow-taxi spellings resolve to the same contract") {
     val schema = StructType(Seq(
       StructField("tpep_pickup_datetime", TimestampType),
