@@ -165,7 +165,70 @@ object TextOps {
         countDistinct(col("eval_doc")).as("n_eval_docs"))
   }
 
+  /** Distributed BPE tokenizer training: learn the top `nMerges` byte-pair
+    * merge rules from the corpus. The working set after the first
+    * aggregate is the VOCABULARY (distinct words + frequencies), not the
+    * corpus — the standard trainer shape, so corpus size only affects the
+    * initial word count. Each round is one bounded job: adjacent-pair
+    * counts (a (left,right)-keyed aggregate over the vocabulary, partial
+    * map-side), a 1-row argmax collect (the merge RULE is global state,
+    * like connectedComponents' convergence probe), and a narrow greedy
+    * left-to-right fold that applies the merge inside each word's symbol
+    * array. localCheckpoint per round cuts the 10-deep lineage.
+    * Ties break deterministically (count desc, then left, right).
+    * Engine-specific only in being iterative — DedupSpec-style oracle SQL
+    * can't express the loop, so the driver entry is rows-only and
+    * EdgeSemanticsSpec anchors it against an in-test reference implementation. */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    var cur = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("w"), "").as("syms"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = cur.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS l," +
+            " element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("rr"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("rr"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, l, rr, c))
+        val merged = l + rr
+        // greedy left-to-right merge: fold symbols, replacing a trailing
+        // `l` when the next symbol is `rr` — "aaa" under (a,a) becomes
+        // [aa, a], exactly the reference BPE apply order
+        cur = cur.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(l)
+                && x === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(eager = false)
+        r += 1
+      }
+    }
+    s.createDataFrame(merges.toSeq)
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   val defs: Map[String, Q] = Map(
+    // BPE tokenizer training (see [[bpeTrain]]) — rows-only driver check
+    // (iterative; no SQL twin), value-anchored in TextOpsSpec against a
+    // from-scratch reference implementation
+    "llm_bpe_train" -> ((s, d) => bpeTrain(spread(t(s, d, "documents")))),
+
     // exact dedup: content-hash group (reference-style idempotent keeper =
     // min doc_id). At scale: one hash-partitioned aggregate, no sort.
     "llm_exact_dedup" -> ((s, d) => {

@@ -79,4 +79,52 @@ class EdgeSemanticsSpec extends AnyFunSuite {
       assert(out(id)._2 == id, s"doc $id: last chunk ends at ${out(id)._2}, want $id")
     }
   }
+
+  /** From-scratch single-machine BPE trainer: same greedy left-to-right
+    * apply and (count desc, left, right) tiebreak the operator documents. */
+  private def refBpe(corpus: Seq[String], k: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        w.split("").toVector -> ws.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        words = words.map { case (syms, n) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (merged.nonEmpty && merged.last == l && x == r) {
+              merged(merged.size - 1) = l + r
+            } else merged += x
+          }
+          merged.toVector -> n
+        }.groupBy(_._1).map { case (s, m) => s -> m.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe trainer learns the reference merge sequence on a planted corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      "the cat sat on the mat",
+      "the hat and the bat",
+      "that cat that hat",
+      "thin thing things")
+    val want = refBpe(corpus, 6)
+    val got = TextOps.bpeTrain(corpus.toDF("text"), nMerges = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // (a,t) and (t,h) tie at 9 occurrences; the documented lexicographic
+    // tiebreak must pick (a,t) in both implementations
+    assert(got.head._1 == "a" && got.head._2 == "t")
+  }
 }
