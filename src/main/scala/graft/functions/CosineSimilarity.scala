@@ -114,43 +114,46 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** SQL registration so queries can say `cosine_similarity(a, b)` /
-  * `dot_product(a, b)` via `expr(...)` without touching Column internals. */
+  * `dot_product(a, b)` via `expr(...)` without touching Column internals.
+  * ONE builder list feeds both paths: [[register]] (temp functions on an
+  * existing session) and [[graft.plans.GraftExtensions]]' `injectFunction`
+  * (present from session build when `spark.sql.extensions` is set, no
+  * manual call needed). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "dot_product", es => DotProduct(es.head, es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
+
+  /** name → expression builder, the single source of truth. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es.head, es(1))),
+    "dot_product" -> (es => DotProduct(es.head, es(1))),
+    "word_shingles" -> (es => WordShingles(es.head, es(1))),
     // fused LSH signature kernel; trailing args must be integer literals
     // (they parameterize the plane matrix baked into the plan)
-    reg.createOrReplaceTempFunction(
-      "hyperplane_sigs", es => HyperplaneSigs(es.head,
-        es(1).eval().asInstanceOf[Number].intValue,
-        es(2).eval().asInstanceOf[Number].intValue,
-        es(3).eval().asInstanceOf[Number].intValue), "built-in")
-    reg.createOrReplaceTempFunction(
-      "char_grams", es => CharGrams(es.head, es(1)), "built-in")
+    "hyperplane_sigs" -> (es => HyperplaneSigs(es.head,
+      es(1).eval().asInstanceOf[Number].intValue,
+      es(2).eval().asInstanceOf[Number].intValue,
+      es(3).eval().asInstanceOf[Number].intValue)),
+    "char_grams" -> (es => CharGrams(es.head, es(1))),
     // Z-order (Morton) key of two 16-bit bucket ordinals — see ZOrder.scala
-    reg.createOrReplaceTempFunction(
-      "interleave_bits", es => InterleaveBits(es.head, es(1)), "built-in")
+    "interleave_bits" -> (es => InterleaveBits(es.head, es(1))),
     // Catalyst's own runtime-filter pair (internal registry only in stock
     // Spark), surfaced for explicit semi-join pre-filters: bloom_agg builds
     // the sketch distributed (TypedImperativeAggregate over xxhash64-ed
     // keys), might_contain probes it; the sketch reaches executors as a
     // scalar-subquery result, never a driver-collected set.
-    reg.createOrReplaceTempFunction(
-      "graft_bloom_agg", es =>
-        if (es.length >= 2)
-          new org.apache.spark.sql.catalyst.expressions.aggregate
-            .BloomFilterAggregate(es.head, es(1))
-        else new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_might_contain", es =>
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(es.head, es(1)), "built-in")
+    "graft_bloom_agg" -> (es =>
+      if (es.length >= 2)
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es.head, es(1))
+      else new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es.head)),
+    "graft_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es.head, es(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }

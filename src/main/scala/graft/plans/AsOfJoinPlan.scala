@@ -223,11 +223,20 @@ case class AsOfJoinExec(
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — installs the
-  * as-of strategy and the key-mirror optimizer rule at session build. */
+  * as-of strategy, the key-mirror optimizer rule, and every graft SQL
+  * function at session build (so `spark.sql("SELECT cosine_similarity…")`
+  * works with no registration call). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfJoinKeyPushdown)
+    graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name),
+        b))
+    }
   }
 }
 

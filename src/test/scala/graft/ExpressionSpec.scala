@@ -115,4 +115,17 @@ class ExpressionSpec extends AnyFunSuite {
     // 7*31+97=314; 314*31+98=9832; 9832*31+99=304891
     assert(fp == 304891L)
   }
+
+  test("extension-injected functions resolve in a fresh session without register()") {
+    // newSession() rebuilds session state from spark.sql.extensions alone —
+    // temp functions registered elsewhere in the suite don't carry over, so
+    // resolution here proves the injectFunction path, not a leftover
+    val fresh = spark.newSession()
+    val sim = fresh.sql(
+      "SELECT cosine_similarity(array(3.0F, 4.0F), array(3.0F, 4.0F))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-9)
+    val sh = fresh.sql("SELECT word_shingles('a b c d', 3)")
+    assert(sh.count() == 2)
+  }
 }
