@@ -179,6 +179,46 @@ object TextOps {
     * Engine-specific only in being iterative — DedupSpec-style oracle SQL
     * can't express the loop, so the driver entry is rows-only and
     * EdgeSemanticsSpec anchors it against an in-test reference implementation. */
+  /** Greedy left-to-right application of ONE merge rule inside a symbol
+    * array: fold symbols, replacing a trailing `l` when the next symbol is
+    * `r` — "aaa" under (a,a) becomes [aa, a], exactly the reference BPE
+    * apply order. Shared by the trainer and [[bpeEncode]]. */
+  private def applyMerge(syms: org.apache.spark.sql.Column, l: String,
+                         r: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Tokenize under a trained merge table: per-word symbol arrays folded
+    * through the merge rules IN RANK ORDER (each rule is one narrow
+    * projection — the whole encode is a scan-side map, no shuffle until
+    * the per-doc aggregate). Emits per-doc token accounting — the cost
+    * model every training-data pipeline runs before a tokenizer change. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("syms", split(col("w"), ""))
+    val folded = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("syms", applyMerge(col("syms"), l, r))
+    }
+    folded.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_words"),
+      sum(size(col("syms"))).as("n_bpe_tokens"),
+      sum(length(col("w"))).as("n_chars"))
+  }
+
+  // one trained merge table per corpus per JVM (the ivfCache amortization
+  // pattern: Verify/Bench time ENCODE, not repeated training)
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
+  def bpeMergesFor(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeCache.getOrElseUpdate(d,
+      bpeTrain(spread(t(s, d, "documents"))).orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
   def bpeTrain(docs: DataFrame, nMerges: Int = 10): DataFrame = {
     val s = docs.sparkSession
     var cur = docs
@@ -205,16 +245,7 @@ object TextOps {
         val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r, l, rr, c))
-        val merged = l + rr
-        // greedy left-to-right merge: fold symbols, replacing a trailing
-        // `l` when the next symbol is `rr` — "aaa" under (a,a) becomes
-        // [aa, a], exactly the reference BPE apply order
-        cur = cur.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(l)
-                && x === lit(rr),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-              .otherwise(concat(acc, array(x)))))
+        cur = cur.withColumn("syms", applyMerge(col("syms"), l, rr))
           .localCheckpoint(eager = false)
         r += 1
       }
@@ -228,6 +259,12 @@ object TextOps {
     // (iterative; no SQL twin), value-anchored in TextOpsSpec against a
     // from-scratch reference implementation
     "llm_bpe_train" -> ((s, d) => bpeTrain(spread(t(s, d, "documents")))),
+
+    // tokenize the corpus under the trained merges (cached per dir, so
+    // this entry times ENCODE): per-doc token accounting. Rows-only for
+    // the same iterative-training reason as llm_bpe_train.
+    "llm_bpe_encode" -> ((s, d) =>
+      bpeEncode(spread(t(s, d, "documents")), bpeMergesFor(s, d))),
 
     // exact dedup: content-hash group (reference-style idempotent keeper =
     // min doc_id). At scale: one hash-partitioned aggregate, no sort.

@@ -127,4 +127,31 @@ class EdgeSemanticsSpec extends AnyFunSuite {
     // tiebreak must pick (a,t) in both implementations
     assert(got.head._1 == "a" && got.head._2 == "t")
   }
+
+  test("bpe encode: lossless round-trip, fewer tokens than chars, zero merges = chars") {
+    import spark.implicits._
+    val corpus = Seq(
+      "the cat sat on the mat",
+      "the hat and the bat",
+      "that cat that hat",
+      "thin thing things")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, nMerges = 6).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextOps.bpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      val (nw, nt, nc) = enc(i.toLong)
+      assert(nw == words.length)
+      assert(nc == words.map(_.length).sum.toLong, "round-trip chars")
+      assert(nt < nc, s"doc $i: merges must compress ($nt vs $nc)")
+      assert(nt >= nw, "at least one token per word")
+    }
+    // zero merges degenerate to character tokenization
+    val raw = TextOps.bpeEncode(docs, Seq.empty).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    raw.values.foreach { case (nt, nc) => assert(nt == nc) }
+  }
 }
