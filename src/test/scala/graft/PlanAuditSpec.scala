@@ -298,6 +298,23 @@ class PlanAuditSpec extends AnyFunSuite
       s"scale-killer plans shipped:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // the other half of the AQE story next to PartitioningSpec's skew
+    // split: a tiny aggregate under 32 shuffle partitions must NOT run 32
+    // reduce tasks — AQE folds them into a handful sized by
+    // advisoryPartitionSizeInBytes. At 100 TB this is what keeps
+    // shuffle.partitions=2000-style global settings from drowning small
+    // stages in empty tasks.
+    val df = graft.core.Tables.t(spark, sf, "nation")
+      .groupBy(org.apache.spark.sql.functions.col("n_regionkey"))
+      .count()
+    val qe = df.queryExecution
+    assert(qe.executedPlan.execute().count() == 5)
+    val finalPlan = qe.executedPlan.toString
+    assert(finalPlan.contains("AQEShuffleRead coalesced"),
+      s"AQE did not coalesce the tiny shuffle:\n$finalPlan")
+  }
+
   test("ANALYZE TABLE column statistics drive CBO cardinality estimates") {
     import org.apache.spark.sql.functions.col
     val conf = Seq("spark.sql.cbo.enabled" -> "true")
