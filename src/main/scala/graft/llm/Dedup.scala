@@ -286,6 +286,33 @@ object Dedup {
         (col("doc_id") === col("label")).as("is_survivor"))
     }),
 
+    // QUALITY-AWARE dedup execution: same connected components over the
+    // exact-Jaccard pair graph as llm_dedup_exact, but the survivor of
+    // each duplicate cluster is the highest-quality member (distinct-token
+    // ratio, the llm_quality_score signal; doc_id tiebreak) instead of the
+    // arbitrary min-id — what a production curation pipeline actually
+    // keeps. Ratio is an exact-int division on both engines, so the
+    // DuckDB twin is bit-identical and this stays hash-checkable.
+    "llm_dedup_quality" -> ((s, d) => {
+      val pairs = TextOps.defs("llm_ngram_jaccard")(s, d)
+        .select(col("doc1"), col("doc2"))
+      val docs = t(s, d, "documents")
+      val labels = connectedComponents(docs.select(col("doc_id")), pairs)
+      val q = docs.withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")).as("dr"))
+      val labeled = labels.join(q, Seq("doc_id"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("dr").desc, col("doc_id"))
+      val surv = labeled.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("doc_id").as("survivor_id"))
+      labeled.join(surv, Seq("label"))
+        .select(col("doc_id"), col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("is_survivor"))
+    }),
+
     // the ORACLE-CHECKABLE twin of llm_embedding_neardup: bucket key =
     // the sign octant of the first 8 dimensions (deterministic axis-aligned
     // hyperplanes — the engine-independent special case of hyperplane LSH),
@@ -504,6 +531,63 @@ object Dedup {
       JOIN m nb ON nb.doc_id = f.corpus_id
       WHERE CAST(co.n_common AS DOUBLE) /
               CAST(na.n_sh + nb.n_sh - co.n_common AS DOUBLE) >= 0.2""",
+
+    "llm_dedup_quality" -> """
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), counts AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), jp AS (
+        SELECT doc1, doc2 FROM (
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ) p
+        JOIN counts n1 ON doc1 = n1.doc_id
+        JOIN counts n2 ON doc2 = n2.doc_id
+        WHERE CAST(common AS DOUBLE) /
+              CAST(n1.n_sh + n2.n_sh - common AS DOUBLE) >= 0.2
+      ), edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM jp
+        UNION ALL
+        SELECT doc2, doc1 FROM jp
+      ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+      ), comp AS (
+        SELECT node, min(r) AS label FROM reach GROUP BY node
+      ), q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
+        FROM documents
+      ), labeled AS (
+        SELECT d.doc_id, coalesce(c.label, d.doc_id) AS label, q.dr
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.node
+        JOIN q ON q.doc_id = d.doc_id
+      ), ranked AS (
+        SELECT doc_id, label,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY dr DESC, doc_id) AS rn
+        FROM labeled
+      )
+      SELECT l.doc_id, s.doc_id AS survivor_id,
+             l.doc_id = s.doc_id AS is_survivor
+      FROM labeled l
+      JOIN ranked s ON s.label = l.label AND s.rn = 1""",
 
     "llm_embed_gate" -> """
       WITH b AS (

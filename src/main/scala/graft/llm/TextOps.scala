@@ -398,6 +398,33 @@ object TextOps {
     // runs the bloom-pre-filtered path (the 100 TB shape).
     "llm_decontaminate" -> ((s, d) => decontaminate(s, d, evalBloom = true)),
 
+    // graded decontamination: instead of flagging ANY shared shingle, emit
+    // (train, eval) pairs whose overlap covers ≥ 20% of the EVAL doc's
+    // shingles — the thresholded form real pipelines use to separate
+    // verbatim leakage from incidental phrase reuse. Same shingle-keyed
+    // equi-join shape as llm_decontaminate (never doc×doc); the eval-side
+    // shingle totals ride the same frame.
+    "llm_decontaminate_frac" -> ((s, d) => {
+      val byDoc = shingles(s, d)
+        .join(t(s, d, "documents")
+          .select(col("doc_id"), splitBucket.as("bucket")), Seq("doc_id"))
+        .localCheckpoint(eager = false)
+      val train = byDoc.filter(col("bucket") < 80)
+        .select(col("doc_id").as("train_doc"), col("shingle"))
+      val ev = byDoc.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("eval_doc"), col("shingle"))
+      val evCounts = ev.groupBy(col("eval_doc")).agg(count(lit(1)).as("n_ev"))
+      train.join(ev, Seq("shingle"))
+        .groupBy(col("train_doc"), col("eval_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(evCounts, Seq("eval_doc"))
+        .withColumn("overlap_frac",
+          col("n_shared").cast("double") / col("n_ev").cast("double"))
+        .filter(col("overlap_frac") >= 0.2)
+        .select(col("train_doc"), col("eval_doc"), col("n_shared"),
+          col("overlap_frac"))
+    }),
+
     // intra-document repetition score: fraction of a doc's word 3-grams
     // that are repeats (1 − distinct/total) — the Gopher/RefinedWeb-style
     // boilerplate signal. One generator pass + one per-doc aggregate; the
@@ -800,6 +827,46 @@ object TextOps {
              count(DISTINCT ev.doc_id) AS n_eval_docs
       FROM tr JOIN ev ON tr.shingle = ev.shingle
       GROUP BY tr.doc_id""",
+
+    "llm_decontaminate_frac" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), buck AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)),
+                 1, 4)) AS INTEGER) % 100 AS bucket
+        FROM documents
+      ), tr AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN buck USING (doc_id)
+        WHERE buck.bucket < 80
+      ), ev AS (
+        SELECT sh.doc_id, sh.shingle FROM sh JOIN buck USING (doc_id)
+        WHERE buck.bucket >= 90
+      ), evn AS (
+        SELECT doc_id AS eval_doc, count(*) AS n_ev FROM ev GROUP BY doc_id
+      ), ov AS (
+        SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+               count(*) AS n_shared
+        FROM tr JOIN ev ON tr.shingle = ev.shingle
+        GROUP BY tr.doc_id, ev.doc_id
+      )
+      SELECT ov.train_doc, ov.eval_doc, ov.n_shared,
+             CAST(ov.n_shared AS DOUBLE) / CAST(evn.n_ev AS DOUBLE)
+               AS overlap_frac
+      FROM ov JOIN evn ON evn.eval_doc = ov.eval_doc
+      WHERE CAST(ov.n_shared AS DOUBLE) / CAST(evn.n_ev AS DOUBLE) >= 0.2""",
 
     "llm_boilerplate" -> """
       WITH toks AS (
