@@ -486,8 +486,14 @@ object Relational {
             col("l_quantity").between(1, 20)) ||
           (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
             col("l_quantity").between(10, 40)))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("revenue"), count(lit(1)).as("n_lines"))
+        // decimal-exact revenue (the agg_decimal_money pattern): a single
+        // corpus-wide double sum of ~5e8 drifts past the comparator's 6th
+        // decimal once the row count reaches sf0.1 — summation order is
+        // not associative in IEEE doubles. Exact DECIMAL accumulation is
+        // engine-independent; cast back to double only at the end.
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(12,2)"))
+          .cast("double").as("revenue"), count(lit(1)).as("n_lines"))
     }),
 
     // Q14 shape: promo revenue share in a ship-month — scalar percentage
@@ -748,7 +754,9 @@ object Relational {
         AND l_quantity < 30""",
 
     "tpch_q19_brands" -> """
-      SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue,
              count(*) AS n_lines
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
