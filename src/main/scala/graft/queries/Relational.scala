@@ -471,7 +471,11 @@ object Relational {
                 col("l_shipdate") <  lit("2000-01-01").cast("timestamp") &&
                 col("l_discount").between(0.02, 0.06) &&
                 col("l_quantity") < 30)
-        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        // decimal-exact accumulation: same sf0.1-scale drift class as Q19
+        // (global sum ~4e8); see the note there
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(12,2)"))
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -745,7 +749,9 @@ object Relational {
       GROUP BY a.k""",
 
     "tpch_q6_forecast" -> """
-      SELECT sum(l_extendedprice * l_discount) AS revenue,
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue,
              count(*) AS n_lines
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1999-01-01'
