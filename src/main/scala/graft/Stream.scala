@@ -30,7 +30,8 @@ object Stream {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val src = EventStreams.readEventStream(spark, dir)
+    // lazy: the `gate` mode takes an sf dir, not an events parquet dir
+    lazy val src = EventStreams.readEventStream(spark, dir)
     import spark.implicits._
     val (out, mode) = op match {
       case "tumbling" => (EventStreams.tumblingCounts(src), OutputMode.Append)
@@ -50,8 +51,27 @@ object Stream {
       case "sessions_et" => (EventStreams.sessionizeEventTime(
         src.selectExpr("event_id", "ts", "user_id", "event_type", "value")
           .as[EventStreams.Ev]).toDF(), OutputMode.Append)
+      case "gate" =>
+        // near-dup ingest gate: args(0) is an sf dir; 10% of documents
+        // replay as the incoming stream against the other 90%'s LSH index
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val docs = graft.core.Tables.t(spark, args(0), "documents")
+        val index = graft.streaming.DedupGate.corpusIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 9)).localCheckpoint()
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-gate-cli").toString + "/in"
+        docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+          .select("doc_id", "text").write.parquet(tmp)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val incoming = spark.readStream.schema(schema).parquet(tmp)
+        (graft.streaming.DedupGate.gate(incoming, index, minJaccard = 0.2),
+          OutputMode.Append)
       case other => sys.error(
-        s"unknown op '$other' (tumbling|sliding|session|dedup|totals|join|sessions_et)")
+        s"unknown op '$other' (tumbling|sliding|session|dedup|totals|join|sessions_et|gate)")
     }
     EventStreams.runToMemory(out, "stream_out", mode)
     val result = spark.table("stream_out")
