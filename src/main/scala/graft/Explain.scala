@@ -14,7 +14,9 @@ object Explain {
     "taxi_bucket_segmentation", "win_topk_per_group", "llm_cosine_topk",
     "join_asof", "llm_ngram_jaccard", "llm_minhash_pairs", "llm_ann_lsh",
     "sub_correlated", "tpch_q3_shipping", "llm_embedding_neardup",
-    "evt_stream_join", "llm_langid")
+    "evt_stream_join", "llm_langid",
+    "llm_neardup_gate", "llm_embed_gate", "llm_ann_pq", "llm_dedup_quality",
+    "evt_pattern_match", "evt_session_dynamic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

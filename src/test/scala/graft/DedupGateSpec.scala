@@ -73,6 +73,32 @@ class DedupGateSpec extends AnyFunSuite {
       "novel doc must pass the gate unflagged")
   }
 
+  test("gate is micro-batch-boundary invariant: maxFilesPerTrigger=1 ≡ one batch") {
+    val docs = t(spark, sf, "documents")
+    val index = DedupGate.corpusIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 9)).localCheckpoint()
+    // several single-file drops → several micro-batches
+    val dir = Files.createTempDirectory("graft-gate-mb").toString + "/incoming"
+    docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select("doc_id", "text").repartition(4).write.parquet(dir)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = DedupGate.gate(stream, index, minJaccard = 0.2)
+      .writeStream.format("memory").queryName("gate_mb").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches > 1, s"expected several micro-batches, got $batches")
+    val streamed = spark.table("gate_mb").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val batch = graft.llm.Dedup.defs("llm_neardup_gate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(streamed == batch,
+      "result must not depend on where micro-batch boundaries fall")
+  }
+
   test("streamed embedding gate over file replay equals the batch twin exactly") {
     import org.apache.spark.sql.types._
     val emb = t(spark, sf, "embeddings")
