@@ -233,6 +233,52 @@ object EventsBatch {
         .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
     }),
 
+    // trailing-window anomaly detection: each (type, hour) bucket scores
+    // against the mean/stddev of its own trailing 24 buckets (ROWS frame
+    // excludes the current row, so a spike can't mask itself). One
+    // aggregate + one per-type window — the hourly frame is tiny whatever
+    // the raw event rate, so the window sort never sees raw events.
+    "evt_anomaly" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(avg(col("value")).as("hourly_avg"),
+          count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("base_mean", avg(col("hourly_avg")).over(w))
+        .withColumn("base_sd", stddev_samp(col("hourly_avg")).over(w))
+        .withColumn("z", (col("hourly_avg") - col("base_mean")) / col("base_sd"))
+        .filter(col("base_sd").isNotNull && col("base_sd") > 0)
+        .select(col("event_type"), col("hr"), col("hourly_avg"),
+          col("n_events"), col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
+    }),
+
+    // cohort retention: users grouped by first-seen week; retention at
+    // offset k = fraction of the cohort active k weeks later. Two
+    // user-keyed aggregates and one (cohort, week) count — the join chain
+    // is keyed on user_id throughout, so AQE co-partitions it.
+    "evt_retention_cohorts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val active = ev.distinct()
+      val byOffset = active.join(cohorts, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cohorts.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      byOffset.join(sizes, Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          (col("n_active").cast("double") /
+            col("cohort_size").cast("double")).as("retention"))
+    }),
+
     // CEP-lite sequence pattern match (the MATCH_RECOGNIZE shape): each
     // user's event history becomes an ordered journey string (one letter
     // per event — the five types have distinct initials; (user_id, ts) is
@@ -417,6 +463,49 @@ object EventsBatch {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts > p.ts""",
+
+    "evt_anomaly" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               avg(value) AS hourly_avg, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+      ), scored AS (
+        SELECT event_type, hr, hourly_avg, n_events,
+               avg(hourly_avg) OVER w AS base_mean,
+               stddev_samp(hourly_avg) OVER w AS base_sd
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      )
+      SELECT event_type, hr, hourly_avg, n_events,
+             (hourly_avg - base_mean) / base_sd AS z,
+             abs((hourly_avg - base_mean) / base_sd) > 3.0 AS is_anomaly
+      FROM scored
+      WHERE base_sd IS NOT NULL AND base_sd > 0""",
+
+    "evt_retention_cohorts" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+      ), cohorts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+      ), active AS (
+        SELECT DISTINCT user_id, wk FROM ev
+      ), by_offset AS (
+        SELECT c.cohort_wk,
+               CAST(date_diff('day', c.cohort_wk, a.wk) / 7 AS INT)
+                 AS week_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+      ), sizes AS (
+        SELECT cohort_wk, count(DISTINCT user_id) AS cohort_size
+        FROM cohorts GROUP BY 1
+      )
+      SELECT b.cohort_wk, b.week_offset, b.n_active, s.cohort_size,
+             CAST(b.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+      FROM by_offset b JOIN sizes s ON b.cohort_wk = s.cohort_wk""",
 
     "evt_pattern_match" -> """
       SELECT user_id,
