@@ -155,6 +155,68 @@ object Relational {
           kurtosis(col("l_discount")).as("kurt_disc"))
     }),
 
+    // market-basket co-occurrence: part pairs appearing in the same order,
+    // with support and lift. The pair generator is a self-join keyed on
+    // l_orderkey — quadratic only in LINES PER ORDER (bounded, ~4), never
+    // in orders; per-part totals broadcast-join back for lift. Top 50 by
+    // (count, pair) is a deterministic TakeOrdered.
+    "join_basket_pairs" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = li.select(countDistinct(col("ok")).as("n_orders"))
+      val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
+      val pairs = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(perPart.select(col("pk").as("p1"), col("n_pk").as("n_p1")), Seq("p1"))
+        .join(perPart.select(col("pk").as("p2"), col("n_pk").as("n_p2")), Seq("p2"))
+        .crossJoin(nOrders)
+        .select(col("p1"), col("p2"), col("n_both"),
+          (col("n_both").cast("double") / col("n_orders").cast("double"))
+            .as("support"),
+          (col("n_both").cast("double") * col("n_orders").cast("double") /
+            (col("n_p1").cast("double") * col("n_p2").cast("double")))
+            .as("lift"))
+        .orderBy(col("n_both").desc, col("p1"), col("p2"))
+        .limit(50)
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary value
+    // quartiles (the classic CRM cut). Deliberately NOT ntile: a
+    // partition-less ntile window is a single-task global sort — the one
+    // plan shape this registry bans. Instead the three quartile cutoffs
+    // come from ONE exact-percentile aggregate (parallel partial/final)
+    // and ride to the scan as a broadcast 1-row cross join; assignment is
+    // then a pure comparison, so the whole query is two aggregates and a
+    // map whatever the customer count.
+    "agg_rfm_segments" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val asOf = o.select(max(col("o_orderdate")).as("as_of"))
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(asOf))
+        .withColumn("recency_days",
+          datediff(col("as_of"), col("last_order")).cast("int"))
+      val cuts = rfm.agg(
+        expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rc"),
+        expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fc"),
+        expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mc"))
+      def q(c: org.apache.spark.sql.Column, cut: String) =
+        when(c <= expr(s"$cut[0]"), 1).when(c <= expr(s"$cut[1]"), 2)
+          .when(c <= expr(s"$cut[2]"), 3).otherwise(4)
+      rfm.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"),
+          q(col("recency_days"), "rc").as("r_quartile"),
+          q(col("frequency"), "fc").as("f_quartile"),
+          q(col("monetary"), "mc").as("m_quartile"))
+    }),
+
     // exact percentiles (interpolating, = SQL percentile_cont)
     "agg_percentile" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -988,6 +1050,56 @@ object Relational {
              (m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * pow(mu, 4))
                / pow(m2r - mu * mu, 2) - 3 AS kurt_disc
       FROM mom""",
+
+    "join_basket_pairs" -> """
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      ), n AS (
+        SELECT count(DISTINCT ok) AS n_orders FROM li
+      ), per_part AS (
+        SELECT pk, count(*) AS n_pk FROM li GROUP BY pk
+      ), pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+      )
+      SELECT p1, p2, n_both,
+             CAST(n_both AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+             CAST(n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+               (CAST(pa.n_pk AS DOUBLE) * CAST(pb.n_pk AS DOUBLE)) AS lift
+      FROM pairs
+      JOIN per_part pa ON pa.pk = p1
+      JOIN per_part pb ON pb.pk = p2
+      CROSS JOIN n
+      ORDER BY n_both DESC, p1, p2
+      LIMIT 50""",
+
+    "agg_rfm_segments" -> """
+      WITH rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate),
+                 (SELECT max(o_orderdate) FROM orders)) AS INT)
+                 AS recency_days,
+               count(*) AS frequency,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey
+      ), cuts AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+        FROM rfm
+      )
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CASE WHEN recency_days <= rc[1] THEN 1
+                  WHEN recency_days <= rc[2] THEN 2
+                  WHEN recency_days <= rc[3] THEN 3 ELSE 4 END AS r_quartile,
+             CASE WHEN frequency <= fc[1] THEN 1
+                  WHEN frequency <= fc[2] THEN 2
+                  WHEN frequency <= fc[3] THEN 3 ELSE 4 END AS f_quartile,
+             CASE WHEN monetary <= mc[1] THEN 1
+                  WHEN monetary <= mc[2] THEN 2
+                  WHEN monetary <= mc[3] THEN 3 ELSE 4 END AS m_quartile
+      FROM rfm CROSS JOIN cuts""",
 
     "agg_percentile" -> """
       SELECT l_linestatus,
