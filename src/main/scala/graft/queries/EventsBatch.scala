@@ -233,6 +233,63 @@ object EventsBatch {
         .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
     }),
 
+    // A/B-test readout: users split into two deterministic variants
+    // (user_id parity stands in for the assignment column a real
+    // experiment logs); conversion = a high-value purchase (> 150 — every
+    // user makes SOME purchase in this fixture, and a degenerate pooled
+    // rate of 1.0 zeroes the z denominator). Per-variant counts
+    // come from ONE user-keyed aggregate, and the pooled two-proportion
+    // z-statistic is computed relationally from the 2-row variant table
+    // (conditional sums — no per-variant collect).
+    "evt_ab_test" -> ((s, d) => {
+      val byUser = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150.0,
+          1).otherwise(0)).as("converted"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+      val variants = byUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+        .withColumn("cvr",
+          col("n_conv").cast("double") / col("n_users").cast("double"))
+      val pooled = variants.agg(
+        sum(col("n_conv")).cast("double").as("conv_all"),
+        sum(col("n_users")).cast("double").as("n_all"),
+        sum(when(col("variant") === 0, col("n_conv"))).cast("double").as("c0"),
+        sum(when(col("variant") === 0, col("n_users"))).cast("double").as("u0"),
+        sum(when(col("variant") === 1, col("n_conv"))).cast("double").as("c1"),
+        sum(when(col("variant") === 1, col("n_users"))).cast("double").as("u1"))
+        .select((col("conv_all") / col("n_all")).as("p_pool"),
+          col("c0"), col("u0"), col("c1"), col("u1"))
+        .select(when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+          (col("c1") / col("u1") - col("c0") / col("u0")) /
+            sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+              (lit(1.0) / col("u0") + lit(1.0) / col("u1"))))
+          .as("z_stat"))
+      variants.crossJoin(broadcast(pooled))
+        .select(col("variant"), col("n_users"), col("n_conv"), col("cvr"),
+          col("z_stat"))
+    }),
+
+    // per-type activity trend: OLS slope/intercept/r2 of hourly event
+    // counts against hours-since-first — "is this event type growing?".
+    // Hourly aggregate then one regr_* pass per type; trend math never
+    // touches raw events.
+    "evt_trend" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val t0 = hourly.agg(min(col("hr")).as("t0"))
+      hourly.crossJoin(broadcast(t0))
+        .withColumn("h_idx",
+          ((unix_timestamp(col("hr")) - unix_timestamp(col("t0"))) / 3600L)
+            .cast("double"))
+        .groupBy(col("event_type"))
+        .agg(expr("regr_slope(n, h_idx)").as("slope"),
+          expr("regr_intercept(n, h_idx)").as("intercept"),
+          expr("regr_r2(n, h_idx)").as("r2"),
+          count(lit(1)).as("n_hours"))
+    }),
+
     // trailing-window anomaly detection: each (type, hour) bucket scores
     // against the mean/stddev of its own trailing 24 buckets (ROWS frame
     // excludes the current row, so a spike can't mask itself). One
@@ -463,6 +520,51 @@ object EventsBatch {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts > p.ts""",
+
+    "evt_ab_test" -> """
+      WITH by_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted,
+               CAST(user_id % 2 AS INT) AS variant
+        FROM events GROUP BY user_id
+      ), variants AS (
+        SELECT variant, count(*) AS n_users, sum(converted) AS n_conv,
+               CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS cvr
+        FROM by_user GROUP BY variant
+      ), pooled AS (
+        SELECT (CAST(sum(n_conv) AS DOUBLE) / CAST(sum(n_users) AS DOUBLE))
+                 AS p_pool,
+               CAST(sum(CASE WHEN variant = 0 THEN n_conv END) AS DOUBLE) AS c0,
+               CAST(sum(CASE WHEN variant = 0 THEN n_users END) AS DOUBLE) AS u0,
+               CAST(sum(CASE WHEN variant = 1 THEN n_conv END) AS DOUBLE) AS c1,
+               CAST(sum(CASE WHEN variant = 1 THEN n_users END) AS DOUBLE) AS u1
+        FROM variants
+      )
+      SELECT v.variant, v.n_users, v.n_conv, v.cvr,
+             CASE WHEN p.p_pool > 0.0 AND p.p_pool < 1.0 THEN
+               ((p.c1 / p.u1 - p.c0 / p.u0) /
+                sqrt(p.p_pool * (1.0 - p.p_pool) *
+                     (1.0 / p.u0 + 1.0 / p.u1))) END AS z_stat
+      FROM variants v CROSS JOIN pooled p""",
+
+    "evt_trend" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ), t0 AS (
+        SELECT min(hr) AS t0 FROM hourly
+      )
+      SELECT event_type,
+             regr_slope(n, CAST(date_diff('hour', t0.t0, hr) AS DOUBLE))
+               AS slope,
+             regr_intercept(n, CAST(date_diff('hour', t0.t0, hr) AS DOUBLE))
+               AS intercept,
+             regr_r2(n, CAST(date_diff('hour', t0.t0, hr) AS DOUBLE)) AS r2,
+             count(*) AS n_hours
+      FROM hourly CROSS JOIN t0
+      GROUP BY event_type""",
 
     "evt_anomaly" -> """
       WITH hourly AS (
