@@ -217,6 +217,24 @@ object Relational {
           q(col("monetary"), "mc").as("m_quartile"))
     }),
 
+    // equi-width histogram: 20 bins over the observed [min, max] range.
+    // Bounds come from one aggregate and broadcast; bin assignment is a
+    // floor expression on the scan (identical IEEE math in both engines),
+    // so the histogram is two aggregates end to end at any scale.
+    "agg_histogram" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val bounds = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(lit(19),
+          floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / 20.0))).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("bin_min"),
+          max(col("o_totalprice")).as("bin_max"))
+    }),
+
     // exact percentiles (interpolating, = SQL percentile_cont)
     "agg_percentile" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -1100,6 +1118,18 @@ object Relational {
                   WHEN monetary <= mc[2] THEN 2
                   WHEN monetary <= mc[3] THEN 3 ELSE 4 END AS m_quartile
       FROM rfm CROSS JOIN cuts""",
+
+    "agg_histogram" -> """
+      WITH b AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+      )
+      SELECT CAST(least(19, floor((o_totalprice - mn) / ((mx - mn) / 20.0)))
+               AS INT) AS bin,
+             count(*) AS n,
+             min(o_totalprice) AS bin_min,
+             max(o_totalprice) AS bin_max
+      FROM orders CROSS JOIN b
+      GROUP BY 1""",
 
     "agg_percentile" -> """
       SELECT l_linestatus,
