@@ -270,6 +270,31 @@ class PlanAuditSpec extends AnyFunSuite
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
     }
+    // structural exception, no allowlisting needed: a BNLJ whose broadcast
+    // side contains a grouping-less aggregate is PROVABLY one row (global
+    // aggregates emit exactly one) — the scalar-broadcast pattern
+    // (bounds / cutoffs / pooled stats attached to every fact row), O(n·1)
+    // at any scale
+    def allBnljBuildsAreScalar(pl: SparkPlan): Boolean = {
+      import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      def scalarAgg(p: SparkPlan): Boolean = walk(p).exists {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+          h.groupingExpressions.isEmpty
+        case h: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+          h.groupingExpressions.isEmpty
+        case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+          h.groupingExpressions.isEmpty
+        case _ => false
+      }
+      walk(pl).collect { case b: BroadcastNestedLoopJoinExec => b }
+        .forall { b =>
+          scalarAgg(b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          })
+        }
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (n, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan
@@ -277,7 +302,8 @@ class PlanAuditSpec extends AnyFunSuite
         val bad = Seq(
           (s.contains("CartesianProduct") && !cartesianOk(n)) ->
             "CartesianProduct",
-          (s.contains("BroadcastNestedLoopJoin") && !bnljOk(n)) ->
+          (s.contains("BroadcastNestedLoopJoin") && !bnljOk(n) &&
+            !allBnljBuildsAreScalar(plan)) ->
             "BroadcastNestedLoopJoin",
           // region/nation are bounded dimensions (25/5 rows at any SF):
           // a shuffle over them means a join chose sort-merge/shuffled-hash
