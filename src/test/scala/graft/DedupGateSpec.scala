@@ -127,6 +127,24 @@ class DedupGateSpec extends AnyFunSuite {
       s"streamed ${streamed.size} rows != batch ${batch.size} rows")
   }
 
+  test("gate hits agree with the exact-Jaccard anchor (subset, same values)") {
+    // cross-operator invariant: every pair the gate admits must exist in
+    // llm_ngram_jaccard's exact pair set with the SAME jaccard — the gate
+    // is a recall-bounded view of the anchor, never a different metric
+    val gate = graft.llm.Dedup.defs("llm_neardup_gate")(spark, sf).collect()
+      .map(r => ((math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))),
+        math.round(r.getDouble(2) * 1e9))).toMap
+    val exact = graft.llm.TextOps.defs("llm_ngram_jaccard")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        math.round(r.getDouble(3) * 1e9))).toMap
+    gate.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j),
+        s"gate pair $pair (j=$j) missing or different in the exact anchor")
+    }
+  }
+
   test("the gate plan is stateless: no state store operators under streaming") {
     val docs = t(spark, sf, "documents")
     val index = DedupGate.corpusIndex(
