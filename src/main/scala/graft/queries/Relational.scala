@@ -156,19 +156,30 @@ object Relational {
     }),
 
     // market-basket co-occurrence: part pairs appearing in the same order,
-    // with support and lift. The pair generator is a self-join keyed on
-    // l_orderkey — quadratic only in LINES PER ORDER (bounded, ~4), never
-    // in orders; per-part totals broadcast-join back for lift. Top 50 by
+    // with support and lift. Pairs are generated INSIDE each order's
+    // (bounded, ~4-element) collected part set with array HOFs — one
+    // order-keyed aggregate then one pair aggregate, instead of the
+    // distinct + self-join + aggregate form's three shuffles of the same
+    // rows. Still quadratic only in LINES PER ORDER, never in orders;
+    // per-part totals broadcast-join back for lift. Top 50 by
     // (count, pair) is a deterministic TakeOrdered.
     "join_basket_pairs" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val nOrders = li.select(countDistinct(col("ok")).as("n_orders"))
-      val perPart = li.groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
-      val pairs = li.select(col("ok"), col("pk").as("p1"))
-        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
-        .filter(col("p1") < col("p2"))
+      val baskets = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint(eager = false) // consumed by 3 plan legs below
+      val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+      val perPart = baskets
+        .select(explode(col("parts")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
+      val pairs = baskets
+        .filter(size(col("parts")) >= 2) // sequence(1, 0) would descend
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(parts) - 1)," +
+            " i -> transform(sequence(i + 1, size(parts))," +
+            " j -> struct(element_at(parts, i) AS p1," +
+            " element_at(parts, j) AS p2))))")).as("p"))
+        .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
       pairs
         .join(perPart.select(col("pk").as("p1"), col("n_pk").as("n_p1")), Seq("p1"))
