@@ -233,6 +233,16 @@ object EventsBatch {
         .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
     }),
 
+    // stateless monitoring gate, batch twin: events above their type's
+    // p99 baseline — runs EventStreams.thresholdAlerts verbatim with the
+    // baseline computed from the same table (under readStream the
+    // baseline is the static side; StreamingSpec proves streamed ≡ this).
+    "evt_threshold_alerts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.EventStreams.thresholdAlerts(ev,
+        graft.streaming.EventStreams.typeBaseline(ev))
+    }),
+
     // A/B-test readout: users split into two deterministic variants
     // (user_id parity stands in for the assignment column a real
     // experiment logs); conversion = a high-value purchase (> 150 — every
@@ -520,6 +530,15 @@ object EventsBatch {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts > p.ts""",
+
+    "evt_threshold_alerts" -> """
+      WITH baseline AS (
+        SELECT event_type, quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+      )
+      SELECT e.event_id, e.event_type, e.ts, e.value, b.p99
+      FROM events e JOIN baseline b ON e.event_type = b.event_type
+      WHERE e.value > b.p99""",
 
     "evt_ab_test" -> """
       WITH by_user AS (

@@ -354,6 +354,25 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Streaming threshold alerts: events whose value exceeds their type's
+    * (static, precomputed) p99 baseline. The third stateless gate next to
+    * [[DedupGate.gate]] and [[DedupGate.embedGate]]: baseline is a
+    * bounded per-type table (broadcast), the stream side is one equi-join
+    * + filter — append-safe, zero state. Batch twin `evt_threshold_alerts`
+    * is oracle-checked; StreamingSpec proves streamed ≡ batch. */
+  def thresholdAlerts(events: DataFrame, baseline: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(baseline),
+        Seq("event_type"))
+      .filter(col("value") > col("p99"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        col("p99"))
+
+  /** Per-type p99 baseline from a historical batch — the static side of
+    * [[thresholdAlerts]]. */
+  def typeBaseline(history: DataFrame): DataFrame =
+    history.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.99)").as("p99"))
+
   /** Per-(user, event_type) streaming counts via MapState. */
   def typeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
     import events.sparkSession.implicits._

@@ -345,6 +345,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.subsetOf(want), s"phantom sessions: ${got -- want}")
   }
 
+  test("streamed threshold alerts equal the batch twin exactly (stateless gate)") {
+    val stream = EventStreams.readEventStream(spark, replayDir)
+    val baseline = EventStreams.typeBaseline(t(spark, sf, "events"))
+      .localCheckpoint()
+    EventStreams.runToMemory(
+      EventStreams.thresholdAlerts(stream, baseline), "alerts_out")
+    val streamed = spark.table("alerts_out").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(3) * 1e9))).toSet
+    val batch = graft.queries.EventsBatch.defs("evt_threshold_alerts")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(3) * 1e9))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} alerts != batch ${batch.size}")
+  }
+
   test("transformWithState MapState per-type counts equal batch aggregates") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
