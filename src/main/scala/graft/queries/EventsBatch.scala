@@ -96,6 +96,22 @@ object EventsBatch {
             when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // conversion-latency distribution: among fully-converted users, the
+    // view→purchase delay percentiles — the product metric the funnel
+    // feeds. One pass over the (already user-collapsed) funnel frame.
+    "evt_conversion_latency" -> ((s, d) => {
+      defs("evt_funnel")(s, d)
+        .filter(col("t_purchase").isNotNull)
+        .withColumn("latency_s",
+          (unix_timestamp(col("t_purchase")) - unix_timestamp(col("t_view")))
+            .cast("double"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(latency_s, 0.5)").as("p50_s"),
+          expr("percentile(latency_s, 0.9)").as("p90_s"),
+          min(col("latency_s")).as("min_s"),
+          max(col("latency_s")).as("max_s"))
+    }),
+
     // stream-stream join, batch twin (SURVEY §2 streaming table): runs the
     // EXACT code of EventStreams.attributeClicks — watermarks are no-ops in
     // batch, so the oracle hash here certifies the streaming semantics too
@@ -426,6 +442,32 @@ object EventsBatch {
       FROM v
       LEFT JOIN c ON v.user_id = c.user_id
       LEFT JOIN p ON v.user_id = p.user_id""",
+
+    "evt_conversion_latency" -> """
+      WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+      ), c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+      ), p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+      ), lat AS (
+        SELECT CAST(date_diff('second', v.t_view, p.t_purchase) AS DOUBLE)
+                 AS latency_s
+        FROM v JOIN p ON v.user_id = p.user_id
+      )
+      SELECT count(*) AS n_converted,
+             quantile_cont(latency_s, 0.5) AS p50_s,
+             quantile_cont(latency_s, 0.9) AS p90_s,
+             min(latency_s) AS min_s,
+             max(latency_s) AS max_s
+      FROM lat""",
 
     "evt_sliding_window" -> """
       SELECT win_start, count(*) AS n, avg(value) AS avg_value
