@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.Subqueries.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.SimSearch.defs ++
-    graft.llm.Dedup.defs
+    graft.llm.Dedup.defs ++
+    graft.llm.Multimodal.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.sql ++
@@ -38,5 +39,6 @@ object SparkEntry {
     graft.queries.Subqueries.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.SimSearch.sql ++
-    graft.llm.Dedup.sql
+    graft.llm.Dedup.sql ++
+    graft.llm.Multimodal.sql
 }

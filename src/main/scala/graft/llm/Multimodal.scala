@@ -76,6 +76,39 @@ object Multimodal {
     }
   }
 
+  /** Asset inventory profile: (file_name, fmt, byte_len, sha) per binary
+    * asset — the manifest/integrity pass every multimodal ingest runs
+    * before decode. Hash is sha256 over the UPPERCASE-HEX rendering of the
+    * payload (not the raw bytes) because that is the strongest digest both
+    * the engine and the DuckDB oracle can compute over blobs — DuckDB 1.0's
+    * sha256 only accepts VARCHAR, and its BLOB→VARCHAR cast escapes
+    * non-printable bytes; `hex()` is uppercase in both engines, making the
+    * digest cross-checkable byte-for-byte. */
+  def fileMeta(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir).select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+      regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("fmt"),
+      length(col("content")).cast(LongType).as("byte_len"),
+      sha2(hex(col("content")), 256).as("sha_hex"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Committed deterministic fixture assets (LCG byte streams — see
+    * fixtures/multimodal/) so the binary-column contract has a
+    * hash-checkable oracle row like every other operator family. */
+  val fixtureDir = "/root/repo/fixtures/multimodal"
+
+  val defs: Map[String, Q] = Map(
+    "llm_multimodal_meta" -> ((s, _) => fileMeta(s, fixtureDir)))
+
+  val sql: Map[String, String] = Map(
+    "llm_multimodal_meta" -> """
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             regexp_extract(filename, '\.([A-Za-z0-9]+)$', 1) AS fmt,
+             octet_length(content) AS byte_len,
+             sha256(hex(content)) AS sha_hex
+      FROM read_blob('/root/repo/fixtures/multimodal/*')""")
+
   /** Frame-sampling operator for video-like payloads: emit every k-th
     * chunk of the payload as its own row (stub chunking = fixed-size
     * byte windows standing in for decoded frames). */

@@ -259,6 +259,8 @@ object SimSearch {
   def pqSearch(index: PqIndex, corpus: DataFrame, queryPred: Column,
                topK: Int = 5, rerankFactor: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    require(rerankFactor >= 0,
+      s"rerankFactor must be >= 0 (0 = auto pool); got $rerankFactor")
     val m = index.m; val dsub = index.dsub
     // rerankFactor = 0 ⇒ auto pool: max(8·topK, 6% of the corpus). ADC
     // quantization error is constant in N while the distractor count grows

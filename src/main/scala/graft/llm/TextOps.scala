@@ -165,20 +165,6 @@ object TextOps {
         countDistinct(col("eval_doc")).as("n_eval_docs"))
   }
 
-  /** Distributed BPE tokenizer training: learn the top `nMerges` byte-pair
-    * merge rules from the corpus. The working set after the first
-    * aggregate is the VOCABULARY (distinct words + frequencies), not the
-    * corpus — the standard trainer shape, so corpus size only affects the
-    * initial word count. Each round is one bounded job: adjacent-pair
-    * counts (a (left,right)-keyed aggregate over the vocabulary, partial
-    * map-side), a 1-row argmax collect (the merge RULE is global state,
-    * like connectedComponents' convergence probe), and a narrow greedy
-    * left-to-right fold that applies the merge inside each word's symbol
-    * array. localCheckpoint per round cuts the 10-deep lineage.
-    * Ties break deterministically (count desc, then left, right).
-    * Engine-specific only in being iterative — DedupSpec-style oracle SQL
-    * can't express the loop, so the driver entry is rows-only and
-    * EdgeSemanticsSpec anchors it against an in-test reference implementation. */
   /** Greedy left-to-right application of ONE merge rule inside a symbol
     * array: fold symbols, replacing a trailing `l` when the next symbol is
     * `r` — "aaa" under (a,a) becomes [aa, a], exactly the reference BPE
@@ -219,6 +205,20 @@ object TextOps {
       bpeTrain(spread(t(s, d, "documents"))).orderBy(col("rank"))
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  /** Distributed BPE tokenizer training: learn the top `nMerges` byte-pair
+    * merge rules from the corpus. The working set after the first
+    * aggregate is the VOCABULARY (distinct words + frequencies), not the
+    * corpus — the standard trainer shape, so corpus size only affects the
+    * initial word count. Each round is one bounded job: adjacent-pair
+    * counts (a (left,right)-keyed aggregate over the vocabulary, partial
+    * map-side), a 1-row argmax collect (the merge RULE is global state,
+    * like connectedComponents' convergence probe), and a narrow greedy
+    * left-to-right fold that applies the merge inside each word's symbol
+    * array. localCheckpoint per round cuts the 10-deep lineage.
+    * Ties break deterministically (count desc, then left, right).
+    * Engine-specific only in being iterative — DedupSpec-style oracle SQL
+    * can't express the loop, so the driver entry is rows-only and
+    * EdgeSemanticsSpec anchors it against an in-test reference implementation. */
   def bpeTrain(docs: DataFrame, nMerges: Int = 10): DataFrame = {
     val s = docs.sparkSession
     var cur = docs

@@ -590,7 +590,8 @@ object EventsBatch {
                CAST(user_id % 2 AS INT) AS variant
         FROM events GROUP BY user_id
       ), variants AS (
-        SELECT variant, count(*) AS n_users, sum(converted) AS n_conv,
+        SELECT variant, count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_conv,
                CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                  AS cvr
         FROM by_user GROUP BY variant

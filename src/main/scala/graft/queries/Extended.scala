@@ -30,7 +30,24 @@ object Extended {
         element_at(
           map_from_entries(arrays_zip(
             array(lit("x"), lit("y")),
-            array(col("value"), col("value") * 2))), "y").as("y_val"))
+            array(col("value"), col("value") * 2))), "y").as("y_val"),
+        // map_values: numeric sort → csv (order-canonical, hash-stable)
+        array_join(
+          array_sort(map_values(from_json(col("props"),
+            lit("map<string,int>")))).cast("array<string>"), ",")
+          .as("vals_csv"),
+        // higher-order map fns: transform_values / map_filter
+        element_at(transform_values(
+          from_json(col("props"), lit("map<string,int>")),
+          (_, v) => v * 10), "k").as("k_val10"),
+        size(map_filter(
+          from_json(col("props"), lit("map<string,int>")),
+          (_, v) => v > 5)).as("n_big"),
+        // map_zip_with over constructed maps: 'a' ≡ v + 10v = 11v
+        element_at(map_zip_with(
+          map(lit("a"), col("value"), lit("b"), col("value") * 2),
+          map(lit("a"), col("value") * 10, lit("b"), col("value")),
+          (_, v1, v2) => v1 + v2), "a").as("zip_a"))
     }),
 
     // explode over a MAP column (key/value generator)
@@ -296,7 +313,15 @@ object Extended {
              array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
              CAST(props->>'k' AS INT) AS k_val,
              -value AS b_val,
-             value * 2 AS y_val
+             value * 2 AS y_val,
+             array_to_string(list_sort(list_transform(json_keys(props),
+               k -> CAST(json_extract_string(props, '$.' || k) AS INT))), ',')
+               AS vals_csv,
+             CAST(props->>'k' AS INT) * 10 AS k_val10,
+             len(list_filter(list_transform(json_keys(props),
+               k -> CAST(json_extract_string(props, '$.' || k) AS INT)),
+               v -> v > 5)) AS n_big,
+             value * 11 AS zip_a
       FROM events""",
 
     "fn_explode_map" -> """

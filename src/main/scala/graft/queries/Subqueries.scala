@@ -156,6 +156,53 @@ object Subqueries {
                           AND o_orderpriority = '1-URGENT')
       GROUP BY c_nationkey""")
 
-  val defs: Map[String, Q] = sqls.map { case (k, v) => k -> q(v) }
+  /** Single-scan re-plan of the Q21 EXISTS/NOT-EXISTS chain (the SQL twin
+    * above is the spec and stays as-is). Catalyst plans the textual form as
+    * THREE lineitem legs (join + semi + anti); this form reads lineitem
+    * once: join the 'F' orders to tag each line late/on-time, then a
+    * two-level aggregate — per (order, supplier) first, per order second —
+    * derives "has another supplier" (n_supp ≥ 2) and "only this supplier
+    * late" (n_late_supp = 1) as plain conditional counts. Both aggregates
+    * reuse the join's orderkey clustering (subset-of-keys satisfies
+    * ClusteredDistribution), so the whole query is ONE lineitem shuffle;
+    * the nation-filtered supplier dim broadcasts at the end. Two-level
+    * instead of multi-countDistinct avoids the 3× Expand. At 100 TB the
+    * textual plan's extra two lineitem exchanges dominate — this is the
+    * plan a user would want. */
+  private val q21SingleScan: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables.t
+    val ordersF = t(s, d, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lines = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+    val perSupp = lines
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(bool_or(col("late")).as("any_late"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_rows"))
+    val perOrder = perSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("any_late"), 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("any_late"), col("l_suppkey"))).as("late_supp"),
+        sum(when(col("any_late"), col("n_late_rows")).otherwise(0L))
+          .as("n_late_rows"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    val supp = t(s, d, "supplier")
+      .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .select(col("s_suppkey"), col("s_name"))
+    perOrder.join(broadcast(supp), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_rows")).as("numwait"))
+  }
+
+  val defs: Map[String, Q] =
+    sqls.map { case (k, v) => k -> q(v) } +
+      ("tpch_q21_waiting" -> q21SingleScan)
   val sql: Map[String, String] = sqls
 }

@@ -345,7 +345,15 @@ object EventStreams {
     }
   }
 
-  /** Per-user rolling last-3 trail via ListState. */
+  /** Per-user rolling last-3 trail via ListState.
+    *
+    * Ordering contract: rows are event-time-sorted WITHIN each micro-batch
+    * (see [[RecentEventsProcessor]]), but state appends across batches in
+    * arrival order — an event that arrives in a later micro-batch than a
+    * newer-timestamped sibling lands after it in the trail. transformWithState
+    * has no watermark-driven reorder buffer, so callers feeding
+    * cross-batch-disordered streams must pre-sort upstream (or accept
+    * arrival-order trails); the batch twin assumes in-order arrival. */
   def recentEvents(events: Dataset[Ev], k: Int = 3): Dataset[RecentOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -278,14 +278,36 @@ class PlanAuditSpec extends AnyFunSuite
     def allBnljBuildsAreScalar(pl: SparkPlan): Boolean = {
       import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
       import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-      def scalarAgg(p: SparkPlan): Boolean = walk(p).exists {
-        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
-          h.groupingExpressions.isEmpty
-        case h: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
-          h.groupingExpressions.isEmpty
-        case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
-          h.groupingExpressions.isEmpty
-        case _ => false
+      // The ROOT of the build side (modulo wrappers that cannot grow the
+      // row count: exchanges, projections, filters, codegen shells) must
+      // itself be the grouping-less aggregate — `exists` anywhere below
+      // would let scalarAgg.join(bigTable) slip through the audit.
+      def scalarAgg(p: SparkPlan): Boolean = {
+        import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec,
+          InputAdapter, ProjectExec, WholeStageCodegenExec}
+        import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
+        @annotation.tailrec
+        def root(q: SparkPlan): SparkPlan = q match {
+          case a: AdaptiveSparkPlanExec => root(a.inputPlan)
+          case b: BroadcastQueryStageExec => root(b.plan)
+          case e: BroadcastExchangeExec => root(e.child)
+          case w: WholeStageCodegenExec => root(w.child)
+          case i: InputAdapter => root(i.child)
+          case c: ColumnarToRowExec => root(c.child)
+          case pr: ProjectExec => root(pr.child)
+          case f: FilterExec => root(f.child) // filters only shrink: ≤ 1 row
+          case other => other
+        }
+        root(p) match {
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+            h.groupingExpressions.isEmpty
+          case h: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+            h.groupingExpressions.isEmpty
+          case h: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+            h.groupingExpressions.isEmpty
+          case _ => false
+        }
       }
       walk(pl).collect { case b: BroadcastNestedLoopJoinExec => b }
         .forall { b =>
