@@ -27,7 +27,8 @@ object SparkEntry {
     graft.llm.TextOps.defs ++
     graft.llm.SimSearch.defs ++
     graft.llm.Dedup.defs ++
-    graft.llm.Multimodal.defs
+    graft.llm.Multimodal.defs ++
+    graft.llm.Curation.defs
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.sql ++
@@ -40,5 +41,6 @@ object SparkEntry {
     graft.llm.TextOps.sql ++
     graft.llm.SimSearch.sql ++
     graft.llm.Dedup.sql ++
-    graft.llm.Multimodal.sql
+    graft.llm.Multimodal.sql ++
+    graft.llm.Curation.sql
 }

@@ -1,0 +1,182 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.{spread, t}
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw crawl and tokenizer (round-6 additions alongside
+  * [[TextOps]] / [[Dedup]]): positional winnowing fingerprints, exact
+  * substring-overlap detection, per-source admission caps, and data-mixture
+  * weight design. All four are oracle-backed (DuckDB twins below).
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 31-polynomial rolling-hash over a fixed k=8 char gram starting at
+    * lambda/column position `p` (1-based), mod 1e9+7 — the same
+    * engine-portable hash family as llm_fingerprint, unrolled to the fixed
+    * width so the DuckDB twin is a plain arithmetic expression (no
+    * recursion, no list_reduce). */
+  private val pow31 = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+    29791L, 961L, 31L, 1L)
+  private def gramHash(pos: String): String =
+    pow31.zipWithIndex.map { case (pw, i) =>
+      s"CAST(ascii(substring(text, $pos + $i, 1)) AS BIGINT) * $pw"
+    }.mkString("(", " + ", ") % 1000000007")
+
+  val defs: Map[String, Q] = Map(
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS selection):
+    // hash every k=8 char gram, keep the MIN of each w=4 gram window —
+    // guarantees any shared substring of length ≥ k+w-1 = 11 yields a
+    // shared fingerprint, at ~2/(w+1) the density of full shingling. The
+    // whole pipeline is array HOFs on the scan — per-doc gram hashes,
+    // window minima, distinct — so it SHUFFLES NOTHING: per-doc stats ride
+    // the parquet scan exactly like llm_repetition. (The DuckDB twin
+    // expresses the same selection relationally: explode + window min.)
+    "llm_winnow_fingerprint" -> ((s, d) => {
+      spread(t(s, d, "documents"))
+        // a doc needs one full window: k + w - 1 = 11 chars
+        .filter(length(col("text")) >= 11)
+        .selectExpr("doc_id",
+          s"transform(sequence(1, length(text) - 7), p -> ${gramHash("p")}) AS hs")
+        .selectExpr("doc_id",
+          "array_distinct(transform(sequence(1, size(hs) - 3), i -> array_min(slice(hs, i, 4)))) AS fps")
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x) % 1000000007")
+            .as("fp_modsum"))
+    }),
+
+    // Exact substring-overlap pairs (the Lee et al. "Deduplicating
+    // Training Data" signal, bucketed): every L=24 char window (stride 1)
+    // becomes an index key; docs sharing ≥ 3 distinct windows are emitted
+    // with their overlap count. Scale shape: group-by-window with a
+    // document-frequency cutoff (2..10) BEFORE pairing — boilerplate
+    // windows shared by many docs never fan out into pairs (the
+    // llm_boilerplate / decontam cutoff pattern), so pair generation is
+    // bounded per bucket. At 100 TB the join key would be xxhash64(w)
+    // (8 bytes vs 24) — the string key here keeps the oracle exact.
+    "llm_substring_dup" -> ((s, d) => {
+      val wins = spread(t(s, d, "documents"))
+        .filter(length(col("text")) >= 24)
+        .withColumn("p", explode(sequence(lit(1), length(col("text")) - 23)))
+        .selectExpr("doc_id", "substring(text, p, 24) AS w")
+        .distinct()
+        .localCheckpoint(eager = false) // one scan+generate for all 3 legs
+      val rare = wins.groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c").between(2, 10))
+        .select(col("w"))
+      val keyed = wins.join(rare, Seq("w"))
+      keyed.alias("a")
+        .join(keyed.alias("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }),
+
+    // Per-source admission cap (the CommonCrawl per-domain cap): keep the
+    // top 5 docs per source by length (doc_id tiebreak), report per-source
+    // admission accounting. One window over the bounded source partition +
+    // one aggregate that reuses its clustering.
+    "llm_domain_cap" -> ((s, d) => {
+      val rk = row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id")))
+      spread(t(s, d, "documents"))
+        .withColumn("rk", rk)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= 5, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= 5, col("n_chars")).otherwise(0L))
+            .as("chars_kept"))
+    }),
+
+    // Data-mixture design: per-source token counts → sqrt-scaled sampling
+    // weights (the standard temperature-style flattening, tau = 2) and the
+    // implied epochs over each source at a 1M-token training budget. The
+    // global normalizer is a provably-1-row aggregate broadcast into a
+    // cross join — the scalar-broadcast pattern the plan audit enforces.
+    "llm_mixture_weights" -> ((s, d) => {
+      val per = spread(t(s, d, "documents"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val tot = per.agg(
+        sum(sqrt(col("n_tokens").cast("double"))).as("tot_w"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(sqrt(col("n_tokens").cast("double")) / col("tot_w"), 6)
+            .as("weight"),
+          round(lit(1000000.0) * sqrt(col("n_tokens").cast("double")) /
+            col("tot_w") / col("n_tokens").cast("double"), 6).as("epochs"))
+    }))
+
+  val sql: Map[String, String] = Map(
+    "llm_winnow_fingerprint" -> s"""
+      WITH grams AS (
+        SELECT doc_id, CAST(p AS INT) AS p, length(text) - 7 AS ng,
+               ${gramHash("CAST(p AS INT)")} AS h
+        FROM documents, UNNEST(range(1, length(text) - 6)) AS t(p)
+        WHERE length(text) >= 11
+      ), wmins AS (
+        SELECT doc_id, p, ng,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+      ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM wmins WHERE p <= ng - 3
+      )
+      SELECT doc_id, count(*) AS n_fp,
+             CAST(min(fp) AS BIGINT) AS fp_min,
+             CAST(max(fp) AS BIGINT) AS fp_max,
+             CAST(sum(fp) % 1000000007 AS BIGINT) AS fp_modsum
+      FROM fps GROUP BY doc_id""",
+
+    "llm_substring_dup" -> """
+      WITH wins AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(p AS INT), 24) AS w
+        FROM documents, UNNEST(range(1, length(text) - 22)) AS t(p)
+        WHERE length(text) >= 24
+      ), rare AS (
+        SELECT w FROM wins GROUP BY w HAVING count(*) BETWEEN 2 AND 10
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM wins a JOIN rare USING (w) JOIN wins b USING (w)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 3""",
+
+    "llm_domain_cap" -> """
+      WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+      )
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN rk <= 5 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_kept
+      FROM ranked GROUP BY source""",
+
+    "llm_mixture_weights" -> """
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+      )
+      SELECT source, n_docs, n_tokens,
+             round(sqrt(CAST(n_tokens AS DOUBLE)) /
+                   sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight,
+             round(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) /
+                   sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () /
+                   CAST(n_tokens AS DOUBLE), 6) AS epochs
+      FROM per""")
+}
