@@ -222,24 +222,31 @@ object Extended {
     }),
 
     // one-pass column profiler (reference A12 row accounting generalized
-    // to the dbt/Deequ-style profile a warehouse emits per load): ALL
-    // per-column aggregates compute in ONE scan (the multi-distinct
-    // Expand plan, collapsed map-side), and the 1×N stat row unpivots
-    // via stack() into the (column, stats) table AFTER aggregation — the
-    // reshape costs nothing at any scale.
+    // to the dbt/Deequ-style profile a warehouse emits per load): one leg
+    // per column, each a two-level aggregate — groupBy(value) then a
+    // global rollup that derives n_distinct / n_nulls / min / max from
+    // the tiny per-value count table. Each leg's scan PRUNES to its one
+    // column, and there is no multi-distinct Expand (the previous form's
+    // single scan expanded every row ×(N+1) through one wide hash agg —
+    // measured 2.7 s vs 0.6 s for the legs at sf0.1; at 100 TB columnar
+    // pruning makes N narrow scans cheaper than one ×(N+1) Expand).
     "etl_profile" -> ((s, d) => {
       val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
         "o_orderdate", "o_orderpriority")
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max")))
-      t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
-        .selectExpr("stack(" + cols.size + ", " + cols.map(c =>
-          s"'$c', n_rows, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
-          .mkString(", ") + ") AS (column_name, n_rows, n_nulls," +
-          " n_distinct, min_value, max_value)")
+      cols.map { c =>
+        t(s, d, "orders")
+          .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            sum(when(col("k").isNull, col("cnt")).otherwise(0L))
+              .as("n_nulls"),
+            sum(when(col("k").isNotNull, 1L).otherwise(0L))
+              .as("n_distinct"),
+            min(col("k")).cast("string").as("min_value"),
+            max(col("k")).cast("string").as("max_value"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }.reduce(_ unionAll _)
     }),
 
     // declarative data-quality assertions (dbt-test / Deequ-check
