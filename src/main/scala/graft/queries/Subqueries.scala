@@ -201,8 +201,28 @@ object Subqueries {
       .agg(sum(col("n_late_rows")).as("numwait"))
   }
 
+  /** Single-scan re-plan of Q18 (SQL twin unchanged): the textual form
+    * scans lineitem TWICE — once inside the IN/HAVING subquery and once
+    * for the outer sum — but the outer grouping is per order, so the
+    * HAVING aggregate IS the result aggregate. One lineitem pass:
+    * groupBy(orderkey).sum(qty), filter > 150 (the gate and total_qty in
+    * one), then join the bounded survivor set to orders + customer. */
+  private val q18SingleScan: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import graft.core.Tables.t
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("total_qty"))
+  }
+
   val defs: Map[String, Q] =
     sqls.map { case (k, v) => k -> q(v) } +
-      ("tpch_q21_waiting" -> q21SingleScan)
+      ("tpch_q21_waiting" -> q21SingleScan) +
+      ("tpch_q18_volume" -> q18SingleScan)
   val sql: Map[String, String] = sqls
 }
