@@ -31,6 +31,43 @@ class PlanAuditSpec extends AnyFunSuite
     scans(df).find(_.metadata.get("Location").exists(_.contains(table)))
       .getOrElse(fail(s"no parquet scan of $table in plan"))
 
+  test("r6 re-plans hold structurally: single fact scan, no Expand, no hash shuffle") {
+    import org.apache.spark.sql.execution.{ExpandExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def nodes(df: DataFrame): Seq[SparkPlan] = {
+      def go(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.inputPlan)
+        case other => other +: (other.children ++ other.subqueries).flatMap(go)
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    // q18/q21 were re-planned from multi-leg subquery chains to ONE
+    // lineitem pass — the whole point; a regression to the textual plan
+    // shape must fail loudly
+    for (q <- Seq("tpch_q18_volume", "tpch_q21_waiting")) {
+      val li = scans(SparkEntry.queries(q)(spark, sf))
+        .filter(_.metadata.get("Location").exists(_.contains("lineitem")))
+      assert(li.size == 1, s"$q must scan lineitem exactly once, got ${li.size}")
+    }
+    // etl_profile's per-column legs exist to avoid the multi-distinct
+    // Expand (x(N+1) row blowup through one wide aggregate)
+    assert(!nodes(SparkEntry.queries("etl_profile")(spark, sf))
+      .exists(_.isInstanceOf[ExpandExec]),
+      "etl_profile must not plan a multi-distinct Expand")
+    // winnowing is pure array HOFs on the scan: no keyed shuffle at all
+    // (the only exchange allowed is spread()'s round-robin fan-out of the
+    // single-file test input, which vanishes on well-split inputs)
+    val keyedShuffles = nodes(
+      SparkEntry.queries("llm_winnow_fingerprint")(spark, sf)).collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+    }
+    assert(keyedShuffles.isEmpty,
+      s"winnowing must not shuffle on a key: ${keyedShuffles.map(_.outputPartitioning)}")
+  }
+
   test("date-range predicate is pushed into the orders scan") {
     val df = SparkEntry.queries("taxi_top_zones_revenue")(spark, sf)
     val pushed = scanOf(df, "orders").metadata.getOrElse("PushedFilters", "")
