@@ -97,6 +97,27 @@ object Curation {
             .as("chars_kept"))
     }),
 
+    // Safety / blocklist filtering (the word-list gate every curation
+    // pipeline runs before model-based toxicity scoring): per-doc hit
+    // counts against a term blocklist plus a density-threshold keep flag.
+    // Pure array HOFs on the scan — zero shuffle, like the winnowing
+    // pipeline. The 3-term literal list stands in for the real artifact;
+    // at production size (10k+ terms) the list ships as a broadcast map
+    // or Bloom filter (graft_bloom_agg exists for exactly that shape) —
+    // the per-doc plan is identical either way.
+    "llm_blocklist_filter" -> ((s, d) => {
+      val bl = "array('slow', 'merge', 'stream')"
+      spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "size(toks) AS n_tokens",
+          s"size(filter(toks, t -> array_contains($bl, t))) AS n_hits",
+          s"size(array_intersect(array_distinct(toks), $bl)) AS n_blocked_terms")
+        .selectExpr("doc_id", "n_tokens", "n_hits", "n_blocked_terms",
+          "round(CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS hit_frac",
+          "CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.05 AS keep")
+    }),
+
     // Data-mixture design: per-source token counts → sqrt-scaled sampling
     // weights (the standard temperature-style flattening, tau = 2) and the
     // implied epochs over each source at a 1M-token training budget. The
@@ -165,6 +186,24 @@ object Curation {
              CAST(sum(CASE WHEN rk <= 5 THEN n_chars ELSE 0 END) AS BIGINT)
                AS chars_kept
       FROM ranked GROUP BY source""",
+
+    "llm_blocklist_filter" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      )
+      SELECT doc_id,
+             len(ts) AS n_tokens,
+             len(list_filter(ts,
+               t -> list_contains(['slow', 'merge', 'stream'], t))) AS n_hits,
+             len(list_intersect(list_distinct(ts),
+               ['slow', 'merge', 'stream'])) AS n_blocked_terms,
+             round(CAST(len(list_filter(ts,
+                 t -> list_contains(['slow', 'merge', 'stream'], t)))
+               AS DOUBLE) / CAST(len(ts) AS DOUBLE), 6) AS hit_frac,
+             CAST(len(list_filter(ts,
+                 t -> list_contains(['slow', 'merge', 'stream'], t)))
+               AS DOUBLE) / CAST(len(ts) AS DOUBLE) < 0.05 AS keep
+      FROM toks""",
 
     "llm_mixture_weights" -> """
       WITH per AS (

@@ -88,6 +88,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 1L, 5L)))
   }
 
+  test("blocklist_filter: dense-hit doc dropped, light doc kept, counts exact") {
+    val dir = writeDocs(Seq(
+      (1L, "slow merge stream slow merge stream slow merge", "s"), // 8 toks, 8 hits
+      (2L, "clean words only here nothing blocked at all whatsoever ok", "s"),
+      (3L, "one slow token among twenty other perfectly ordinary harmless " +
+        "words that keep going on and on and on and on", "s")))
+    val out = Curation.defs("llm_blocklist_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(5))).toMap
+    assert(out(1L) == ((8, 8, 3, false)), s"dense doc must be dropped: ${out(1L)}")
+    assert(out(2L)._2 == 0 && out(2L)._4, "clean doc must be kept with 0 hits")
+    assert(out(3L)._2 == 1 && out(3L)._3 == 1 && !out(3L)._4 == (1.0 / out(3L)._1 >= 0.05))
+  }
+
   test("mixture_weights: weights sum to 1, epochs = budget*weight/tokens") {
     val dir = writeDocs(Seq(
       (1L, "a b c d", "s0"), (2L, "e f g h i j k l", "s0"),
