@@ -25,6 +25,7 @@ object Scalars {
         length(col("p_name")).as("len"),
         concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
         lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        rpad(col("p_brand"), 12, ".").as("rpadded"),
         trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
         regexp_extract(col("p_name"), "[a-z]+", 0).as("first_word"),
         regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"),
@@ -292,6 +293,7 @@ object Scalars {
              length(p_name) AS len,
              concat_ws('|', p_brand, p_type) AS cat,
              lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+             rpad(p_brand, 12, '.') AS rpadded,
              trim('  ' || p_brand || '  ') AS trimmed,
              regexp_extract(p_name, '[a-z]+') AS first_word,
              regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
