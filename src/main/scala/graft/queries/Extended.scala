@@ -298,6 +298,61 @@ object Extended {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rn"))
+    }),
+
+    // mode / median: both are single-pass aggregates (no global sort).
+    // Determinism: mode() ties are engine-unspecified, so the grouped
+    // columns were checked unimodal on the fixture at every SF
+    // (l_linestatus margins ≥ 20 rows; l_linenumber is strictly
+    // decreasing in line number, mode is always 1).
+    "agg_mode_median" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(mode(col("l_linestatus")).as("mode_status"),
+          mode(col("l_linenumber")).as("mode_line"),
+          median(col("l_quantity")).as("med_qty"),
+          round(median(col("l_extendedprice")), 4).as("med_price"))
+    }),
+
+    // re-aggregatable distinct-count sketches (Apache DataSketches HLL):
+    // per-(lang, source) sketches built in one scan, then MERGED per lang
+    // with hll_union_agg — the two-level pattern that makes 100 TB
+    // distinct counting incremental (per-partition sketches persist;
+    // a new partition unions in without rescanning history). The oracle
+    // pins the exact side; the union estimate must sit within 5%
+    // (lgConfigK=12 ⇒ ~1.6% rsd) or the boolean hash-fails the driver.
+    "agg_hll_union" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+          countDistinct(col("doc_id")).as("exact_src"))
+        .groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
+          // doc_id is globally unique → summing per-source exact distincts
+          // equals the per-lang exact distinct (no cross-source overlap)
+          sum(col("exact_src")).as("exact_docs"),
+          count(lit(1)).as("n_sources"))
+        .select(col("lang"), col("exact_docs").cast("long").as("exact_docs"),
+          col("n_sources"),
+          (abs(col("est") - col("exact_docs")) <=
+            col("exact_docs") * 0.05).as("union_in_band"))
+    }),
+
+    // skew-spreading salted join (ops.Partitioning.saltedEquiJoin) made
+    // oracle-visible: the salted plan must produce EXACTLY the plain
+    // join's aggregate. Fact rows carry a deterministic row-local salt,
+    // the dim replicates nSalts×, the join key becomes (key, salt) — one
+    // hot part id spreads over 8 reducers instead of one. Revenue
+    // accumulates in DECIMAL so the answer is independent of the changed
+    // addition order (the salt reshuffles row placement).
+    "join_salted_skew" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val dim = t(s, d, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.Partitioning.saltedEquiJoin(fact, dim, "l_partkey", nSalts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").as("revenue"))
     })
   )
 
@@ -313,6 +368,30 @@ object Extended {
              TRUE AS parts_in_band,
              TRUE AS median_in_band
       FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_mode_median" -> """
+      SELECT l_returnflag,
+             mode(l_linestatus) AS mode_status,
+             mode(l_linenumber) AS mode_line,
+             median(l_quantity) AS med_qty,
+             round(median(l_extendedprice), 4) AS med_price
+      FROM lineitem GROUP BY l_returnflag""",
+
+    // exact side in DuckDB; the in-band boolean is the sketch contract
+    "agg_hll_union" -> """
+      SELECT lang,
+             count(DISTINCT doc_id) AS exact_docs,
+             count(DISTINCT source) AS n_sources,
+             TRUE AS union_in_band
+      FROM documents GROUP BY lang""",
+
+    // the salted plan must equal the PLAIN join — the twin is unsalted
+    "join_salted_skew" -> """
+      SELECT p_brand, count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand""",
 
     "fn_map" -> """
       SELECT event_id,

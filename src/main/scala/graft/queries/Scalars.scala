@@ -281,6 +281,31 @@ object Scalars {
         to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd")
           .as("date_roundtrip"),
         col("o_orderkey").cast("string").as("key_str"))
+    }),
+
+    // URL family: parse_url component extraction + form-urlencoding.
+    // URLs are constructed deterministically from part columns, then
+    // parsed back — the oracle twin builds the identical strings and
+    // extracts components with regexes (DuckDB has no parse_url), so the
+    // hash check pins Spark's parser against the RFC-3986 component
+    // grammar on every row.
+    "fn_url" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") <= 500)
+        .withColumn("url", concat(
+          lit("https://w"), (col("p_partkey") % 5).cast("string"),
+          lit(".example.com/cat/"), lower(col("p_type")),
+          lit("/item?id="), col("p_partkey").cast("string"),
+          lit("&brand="), regexp_replace(col("p_brand"), "#", "-"),
+          lit("#s"), (col("p_partkey") % 3).cast("string")))
+        .select(col("p_partkey"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PROTOCOL')").as("proto"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'REF')").as("frag"),
+          expr("parse_url(url, 'QUERY', 'brand')").as("brand_param"),
+          expr("url_encode(p_name)").as("enc_name"),
+          expr("url_decode(url_encode(p_name))").as("name_roundtrip"))
     })
   )
 
@@ -510,6 +535,30 @@ object Scalars {
              strftime(o_orderdate, '%Y-%m-%d') AS date_str,
              CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS date_roundtrip,
              CAST(o_orderkey AS VARCHAR) AS key_str
-      FROM orders WHERE o_orderkey <= 2000"""
+      FROM orders WHERE o_orderkey <= 2000""",
+
+    // DuckDB has no parse_url — the twin rebuilds the same URL string and
+    // extracts each component with an RFC-grammar regex. p_name is
+    // [a-z ]-only (verified on the fixture), so form-urlencoding reduces
+    // to space→'+' and the decode roundtrip to identity.
+    "fn_url" -> """
+      WITH u AS (
+        SELECT p_partkey, p_name,
+               'https://w' || CAST(p_partkey % 5 AS VARCHAR) ||
+               '.example.com/cat/' || lower(p_type) ||
+               '/item?id=' || CAST(p_partkey AS VARCHAR) ||
+               '&brand=' || replace(p_brand, '#', '-') ||
+               '#s' || CAST(p_partkey % 3 AS VARCHAR) AS url
+        FROM part WHERE p_partkey <= 500)
+      SELECT p_partkey,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+             regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS query,
+             regexp_extract(url, '#(.*)$', 1) AS frag,
+             regexp_extract(url, '[?&]brand=([^&#]*)', 1) AS brand_param,
+             replace(p_name, ' ', '+') AS enc_name,
+             p_name AS name_roundtrip
+      FROM u"""
   )
 }

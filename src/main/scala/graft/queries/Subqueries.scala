@@ -154,7 +154,34 @@ object Subqueries {
         AND NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT')
-      GROUP BY c_nationkey""")
+      GROUP BY c_nationkey""",
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): 24-month calendar spine
+    // gap-filled against monthly order revenue — the fixture's orders end
+    // 2001-08, so the tail months exercise the zero-fill. Recursion depth
+    // is the calendar length (24), never the data size: the spine is a
+    // driver-light seed the fact table LEFT-joins onto. DuckDB runs this
+    // same text (both dialects accept it).
+    "sub_recursive_cte" -> """
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '2001-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2002-12-01'
+      )
+      SELECT m AS month_start,
+             CAST(coalesce(r.n_orders, 0) AS BIGINT) AS n_orders,
+             coalesce(r.revenue, 0.0) AS revenue,
+             r.mo IS NULL AS is_gap
+      FROM months LEFT JOIN (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1
+      ) r ON r.mo = months.m""")
 
   /** Single-scan re-plan of the Q21 EXISTS/NOT-EXISTS chain (the SQL twin
     * above is the spec and stays as-is). Catalyst plans the textual form as

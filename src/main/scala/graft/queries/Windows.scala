@@ -118,6 +118,28 @@ object Windows {
         .filter(col("rn") <= 3)
     }),
 
+    // gaps-and-islands: longest consecutive-ACTIVE-DAY streak per user.
+    // The island key is day − row_number(day): consecutive days share it,
+    // a gap shifts it — the classic relational streak detection (no
+    // iteration, no state). Scale shape: the distinct + both aggregates
+    // and the window are all user_id-partitioned, so one shuffle keys the
+    // whole query; per-user day counts are bounded by the calendar (≤366
+    // rows/user/year) whatever the event volume.
+    "win_streaks" -> ((s, d) => {
+      val days = t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+    }),
+
     // the SAME top-3-per-customer via the bounded-heap aggregate
     // (functions.Aggregators.TopKAgg): map-side partials keep ≤3 rows per
     // (customer, partition), so the shuffle carries ≤ 3·|groups|·P rows.
@@ -224,6 +246,24 @@ object Windows {
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders
-      ) WHERE rn <= 3"""
+      ) WHERE rn <= 3""",
+
+    // sum over BIGINT would be HUGEINT in DuckDB (pandas-bridge hazard) —
+    // active_days is cast back to BIGINT explicitly
+    "win_streaks" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      ), islands AS (
+        SELECT user_id,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INT) AS grp
+        FROM days
+      ), streaks AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM islands GROUP BY user_id, grp
+      )
+      SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY user_id"""
   )
 }
