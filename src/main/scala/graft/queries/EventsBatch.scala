@@ -232,6 +232,42 @@ object EventsBatch {
         .select(col("user_id"), col("hr"), col("filled"), col("is_gap"))
     }),
 
+    // linear interpolation between sparse observations — the smooth twin
+    // of evt_resample_ffill's step fill. Every 3rd event keeps its value
+    // ("known"); the rest interpolate between the previous and next known
+    // point in event time (nearest-known at the edges). Two frames of the
+    // SAME user-partitioned window sort (backward last + forward first,
+    // ignoreNulls) — one shuffle, one sort, no joins; the lerp itself is
+    // scan-side arithmetic. Division is identical IEEE math on both
+    // engines; rounded to 6 for the hash.
+    "evt_interp_linear" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("known", when(col("event_id") % 3 === 0, col("value")))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev
+        .withColumn("pv", last(col("known"), ignoreNulls = true).over(wb))
+        .withColumn("pt", last(when(col("known").isNotNull, col("us")),
+          ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("known"), ignoreNulls = true).over(wf))
+        .withColumn("nt", first(when(col("known").isNotNull, col("us")),
+          ignoreNulls = true).over(wf))
+        .withColumn("interp", round(
+          when(col("known").isNotNull, col("known"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("us") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double")), 6))
+        .select(col("event_id"), col("user_id"), col("known"), col("interp"))
+    }),
+
     "join_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
@@ -404,6 +440,35 @@ object EventsBatch {
              (o.obs_avg IS NULL) AS is_gap
       FROM grid g
       LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr""",
+
+    "evt_interp_linear" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(epoch_us(ts) AS BIGINT) AS us,
+               CASE WHEN event_id % 3 = 0 THEN value END AS known
+        FROM events)
+      SELECT event_id, user_id, known,
+             round(CASE
+               WHEN known IS NOT NULL THEN known
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * CAST(us - pt AS DOUBLE)
+                                     / CAST(nt - pt AS DOUBLE)
+             END, 6) AS interp
+      FROM (
+        SELECT *,
+          last_value(known IGNORE NULLS) OVER wb AS pv,
+          last_value(CASE WHEN known IS NOT NULL THEN us END IGNORE NULLS)
+            OVER wb AS pt,
+          first_value(known IGNORE NULLS) OVER wf AS nv,
+          first_value(CASE WHEN known IS NOT NULL THEN us END IGNORE NULLS)
+            OVER wf AS nt
+        FROM ev
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      )""",
 
     "evt_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS win_start, event_type,

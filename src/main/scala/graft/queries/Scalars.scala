@@ -306,6 +306,47 @@ object Scalars {
           expr("parse_url(url, 'QUERY', 'brand')").as("brand_param"),
           expr("url_encode(p_name)").as("enc_name"),
           expr("url_decode(url_encode(p_name))").as("name_roundtrip"))
+    }),
+
+    // VARIANT type (Spark 4): semi-structured values parsed once into the
+    // binary variant encoding, then path-extracted with type coercion —
+    // the schema-on-read column type a 100 TB event lake wants instead of
+    // per-query JSON string re-parsing. The twin extracts the same paths
+    // with DuckDB's JSON operators; schema_of_variant is pinned to the
+    // fixture's uniform {"k": int} shape.
+    "fn_variant" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'int')")
+          .as("missing_int"),
+        expr("is_variant_null(parse_json('null'))").as("null_lit"),
+        expr("""variant_get(parse_json(
+            concat('{"id":', CAST(event_id AS STRING), ',"tags":["a","b"]}')),
+          '$.tags[1]', 'string')""").as("tag2"),
+        expr("""variant_get(parse_json(
+            concat('{"id":', CAST(event_id AS STRING), ',"tags":["a","b"]}')),
+          '$.id', 'long')""").as("id_rt"),
+        expr("schema_of_variant(parse_json(props))").as("vschema"))
+    }),
+
+    // string collations (Spark 4): equality/distinct/startswith under
+    // UTF8_LCASE must behave as binary comparison over lower() — the twin
+    // computes exactly that. v mixes cases deterministically (even keys
+    // uppercased) so the collated and binary distinct counts genuinely
+    // diverge.
+    "fn_collation" -> ((s, d) => {
+      t(s, d, "part")
+        .withColumn("v", when(col("p_partkey") % 2 === 0,
+          upper(col("p_name"))).otherwise(col("p_name")))
+        .groupBy(col("p_brand"))
+        .agg(countDistinct(col("v")).as("n_binary"),
+          countDistinct(expr("collate(v, 'UTF8_LCASE')")).as("n_lcase"),
+          sum(when(expr("collate(v, 'UTF8_LCASE') = collate(upper(v), 'UTF8_LCASE')"),
+            1L).otherwise(0L)).as("n_ci_eq"),
+          sum(when(expr("startswith(collate(v, 'UTF8_LCASE'), 'a')"),
+            1L).otherwise(0L)).as("n_starts_a"))
     })
   )
 
@@ -559,6 +600,37 @@ object Scalars {
              regexp_extract(url, '[?&]brand=([^&#]*)', 1) AS brand_param,
              replace(p_name, ' ', '+') AS enc_name,
              p_name AS name_roundtrip
-      FROM u"""
+      FROM u""",
+
+    // DuckDB JSON operators stand in for variant path extraction; the
+    // constructed-doc columns reduce to their known values
+    "fn_variant" -> """
+      SELECT event_id,
+             CAST(props->>'k' AS INT) AS k_int,
+             props->>'k' AS k_str,
+             CAST(NULL AS INT) AS missing_int,
+             TRUE AS null_lit,
+             'b' AS tag2,
+             event_id AS id_rt,
+             'OBJECT<k: BIGINT>' AS vschema
+      FROM events""",
+
+    // UTF8_LCASE semantics ≡ binary over lower(); n_ci_eq covers every
+    // row by construction (case-insensitive equality ignores the
+    // upper/lower split), sums cast to dodge HUGEINT
+    "fn_collation" -> """
+      WITH p AS (
+        SELECT p_brand,
+               CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                    ELSE p_name END AS v,
+               p_name
+        FROM part)
+      SELECT p_brand,
+             count(DISTINCT v) AS n_binary,
+             count(DISTINCT lower(v)) AS n_lcase,
+             CAST(count(*) AS BIGINT) AS n_ci_eq,
+             CAST(sum(CASE WHEN starts_with(p_name, 'a') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_starts_a
+      FROM p GROUP BY p_brand"""
   )
 }
