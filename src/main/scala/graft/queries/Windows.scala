@@ -128,6 +128,12 @@ object Windows {
     "win_streaks" -> ((s, d) => {
       val days = t(s, d, "events")
         .select(col("user_id"), col("ts").cast("date").as("day"))
+        // partition by user_id BEFORE the distinct: HashPartitioning on a
+        // subset of the grouping keys satisfies the distinct, the window,
+        // and both downstream aggregates — one exchange keys the whole
+        // query (pinned in PlanAuditSpec) instead of distinct hashing on
+        // (user_id, day) and the window re-shuffling on user_id
+        .repartition(col("user_id"))
         .distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       days

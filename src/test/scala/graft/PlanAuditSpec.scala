@@ -68,6 +68,57 @@ class PlanAuditSpec extends AnyFunSuite
       s"winnowing must not shuffle on a key: ${keyedShuffles.map(_.outputPartitioning)}")
   }
 
+  test("streaks and interpolation key the whole query on ONE shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    def nodes(df: DataFrame): Seq[SparkPlan] = {
+      def go(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.inputPlan)
+        case other => other +: (other.children ++ other.subqueries).flatMap(go)
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    // win_streaks: the explicit user_id repartition must be the ONLY keyed
+    // exchange — distinct, window, and both aggregates all ride it
+    // (subset-of-keys satisfies ClusteredDistribution). evt_interp_linear:
+    // both frame directions share one window sort over AT MOST one
+    // exchange (a single-file local input plans ZERO — SinglePartition
+    // already satisfies the window's distribution).
+    for (q <- Seq("win_streaks", "evt_interp_linear")) {
+      val keyed = nodes(SparkEntry.queries(q)(spark, sf)).collect {
+        case e: ShuffleExchangeExec
+            if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+      }
+      assert(keyed.size <= 1,
+        s"$q must have at most one keyed shuffle, got ${keyed.size}: " +
+          keyed.map(_.outputPartitioning).mkString(", "))
+    }
+  }
+
+  test("salted join really joins on (key, salt)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodes(df: DataFrame): Seq[SparkPlan] = {
+      def go(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.inputPlan)
+        case other => other +: (other.children ++ other.subqueries).flatMap(go)
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val keys = nodes(SparkEntry.queries("join_salted_skew")(spark, sf))
+      .collect {
+        case j: SortMergeJoinExec => j.leftKeys
+        case j: ShuffledHashJoinExec => j.leftKeys
+        case j: BroadcastHashJoinExec => j.leftKeys
+      }.flatten.map(_.toString)
+    assert(keys.exists(_.contains("__salt")),
+      s"join_salted_skew's equi-join must include the salt key, got: $keys")
+  }
+
   test("date-range predicate is pushed into the orders scan") {
     val df = SparkEntry.queries("taxi_top_zones_revenue")(spark, sf)
     val pushed = scanOf(df, "orders").metadata.getOrElse("PushedFilters", "")
