@@ -336,6 +336,17 @@ object Extended {
             col("exact_docs") * 0.05).as("union_in_band"))
     }),
 
+    // conditional-count family: count_if + the any/every/some boolean
+    // quantifiers (aliases the optimizer folds onto bool_or/bool_and —
+    // agg_bool covers those directly; this row covers the alias surface)
+    "agg_count_if" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("count_if(l_quantity > 25)").as("n_heavy"),
+          expr("any(l_discount > 0.09)").as("any_big_disc"),
+          expr("every(l_quantity <= 50)").as("all_in_range"),
+          expr("some(l_tax > 0.07)").as("some_taxed"))
+    }),
+
     // skew-spreading salted join (ops.Partitioning.saltedEquiJoin) made
     // oracle-visible: the salted plan must produce EXACTLY the plain
     // join's aggregate. Fact rows carry a deterministic row-local salt,
@@ -384,6 +395,14 @@ object Extended {
              count(DISTINCT source) AS n_sources,
              TRUE AS union_in_band
       FROM documents GROUP BY lang""",
+
+    "agg_count_if" -> """
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+             bool_or(l_discount > 0.09) AS any_big_disc,
+             bool_and(l_quantity <= 50) AS all_in_range,
+             bool_or(l_tax > 0.07) AS some_taxed
+      FROM lineitem GROUP BY l_returnflag""",
 
     // the salted plan must equal the PLAIN join — the twin is unsalted
     "join_salted_skew" -> """

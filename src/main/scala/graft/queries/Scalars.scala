@@ -347,6 +347,49 @@ object Scalars {
             1L).otherwise(0L)).as("n_ci_eq"),
           sum(when(expr("startswith(collate(v, 'UTF8_LCASE'), 'a')"),
             1L).otherwise(0L)).as("n_starts_a"))
+    }),
+
+    // XML family (Spark 4 from_xml + the xpath_* extractors): documents
+    // are constructed deterministically from event columns and parsed
+    // back, so the twin reduces each extraction to its known source value
+    // — the same pin-the-parser pattern as fn_url/fn_variant. Double
+    // round-trips are exact: Spark's double→string is
+    // shortest-roundtrip, so xpath_double(cast(v AS STRING)) == v.
+    "fn_xml" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("xml", concat(
+          lit("<r><id>"), col("event_id").cast("string"),
+          lit("</id><t>"), col("event_type"),
+          lit("</t><vals><v>"), col("value").cast("string"),
+          lit("</v><v>"), (col("value") * 2).cast("string"),
+          lit("</v></vals></r>")))
+        .select(col("event_id"),
+          expr("xpath_long(xml, '/r/id/text()')").as("id_rt"),
+          expr("xpath_string(xml, '/r/t/text()')").as("type_rt"),
+          expr("xpath_double(xml, '/r/vals/v[1]/text()')").as("v1"),
+          expr("size(xpath(xml, '/r/vals/v/text()'))").as("n_vals"),
+          expr("from_xml(xml, 'id BIGINT, t STRING').id").as("from_xml_id"))
+    }),
+
+    // error-safe arithmetic (try_add/subtract/multiply/divide: NULL on
+    // overflow and division-by-zero instead of ANSI errors) + mask()
+    // redaction (upper→X/lower→x/digit→n by default, custom replacement
+    // chars). The twin computes the non-overflowing values directly and
+    // the masks via regex class replacement.
+    "fn_misc2" -> ((s, d) => {
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 500).select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_add(l_orderkey, 1)").as("ta"),
+        expr("try_divide(l_quantity, l_linenumber - l_linenumber)")
+          .as("div0"),
+        expr("try_divide(l_extendedprice, l_quantity)").as("unit_price"),
+        expr("try_add(9223372036854775807, l_orderkey)").as("overflow_add"),
+        expr("try_multiply(9223372036854775807, l_orderkey)")
+          .as("overflow_mul"),
+        expr("mask(concat(upper(l_returnflag), 'x7-', l_linestatus))")
+          .as("masked_default"),
+        expr("mask(concat(l_returnflag, '3'), 'U', 'l', '#')")
+          .as("masked_custom"))
     })
   )
 
@@ -631,6 +674,39 @@ object Scalars {
              CAST(count(*) AS BIGINT) AS n_ci_eq,
              CAST(sum(CASE WHEN starts_with(p_name, 'a') THEN 1 ELSE 0 END)
                AS BIGINT) AS n_starts_a
-      FROM p GROUP BY p_brand"""
+      FROM p GROUP BY p_brand""",
+
+    // every extraction reduces to its known source value
+    "fn_xml" -> """
+      SELECT event_id,
+             event_id AS id_rt,
+             event_type AS type_rt,
+             value AS v1,
+             2 AS n_vals,
+             event_id AS from_xml_id
+      FROM events""",
+
+    // overflow columns: BIGINT max + k overflows for every k ≥ 1 (the
+    // fixture includes l_orderkey = 0, where neither op overflows and the
+    // multiply collapses to 0); the multiply also survives at k = 1
+    "fn_misc2" -> """
+      SELECT l_orderkey, l_linenumber,
+             l_orderkey + 1 AS ta,
+             CAST(NULL AS DOUBLE) AS div0,
+             l_extendedprice / l_quantity AS unit_price,
+             CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+                  ELSE NULL END AS overflow_add,
+             CASE WHEN l_orderkey = 0 THEN 0
+                  WHEN l_orderkey = 1 THEN 9223372036854775807
+                  ELSE NULL END AS overflow_mul,
+             regexp_replace(regexp_replace(regexp_replace(
+               upper(l_returnflag) || 'x7-' || l_linestatus,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+               AS masked_default,
+             regexp_replace(regexp_replace(regexp_replace(
+               l_returnflag || '3',
+               '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+               AS masked_custom
+      FROM lineitem WHERE l_orderkey <= 500"""
   )
 }
