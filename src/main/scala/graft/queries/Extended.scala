@@ -336,6 +336,20 @@ object Extended {
             col("exact_docs") * 0.05).as("union_in_band"))
     }),
 
+    // SQL:2016 LISTAGG (Spark 4): ordered string aggregation, plain and
+    // DISTINCT. The WITHIN GROUP order includes the unique o_orderkey
+    // tiebreak on the plain form so the concatenation is total-ordered.
+    "agg_listagg" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 200)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("""listagg(o_orderpriority, '|')
+              WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey)""")
+            .as("prios"),
+          expr("""listagg(DISTINCT o_orderpriority, ',')
+              WITHIN GROUP (ORDER BY o_orderpriority)""")
+            .as("prios_distinct"))
+    }),
+
     // conditional-count family: count_if + the any/every/some boolean
     // quantifiers (aliases the optimizer folds onto bool_or/bool_and —
     // agg_bool covers those directly; this row covers the alias surface)
@@ -395,6 +409,15 @@ object Extended {
              count(DISTINCT source) AS n_sources,
              TRUE AS union_in_band
       FROM documents GROUP BY lang""",
+
+    "agg_listagg" -> """
+      SELECT o_orderstatus,
+             string_agg(o_orderpriority, '|'
+               ORDER BY o_orderpriority, o_orderkey) AS prios,
+             string_agg(DISTINCT o_orderpriority, ','
+               ORDER BY o_orderpriority) AS prios_distinct
+      FROM orders WHERE o_orderkey <= 200
+      GROUP BY o_orderstatus""",
 
     "agg_count_if" -> """
       SELECT l_returnflag,

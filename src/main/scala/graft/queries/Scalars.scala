@@ -390,6 +390,29 @@ object Scalars {
           .as("masked_default"),
         expr("mask(concat(l_returnflag, '3'), 'U', 'l', '#')")
           .as("masked_custom"))
+    }),
+
+    // array higher-order + editing surface beyond fn_array/fn_array2:
+    // filter/exists/forall lambdas, zip_with, array_compact/append/
+    // prepend/insert/distinct, arrays_overlap. arr = sequence(1, 1+id%5),
+    // so every column's expected value is a closed form of vec_id.
+    "fn_array3" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .withColumn("arr", expr("sequence(1, 1 + CAST(vec_id % 5 AS INT))"))
+        .select(col("vec_id"),
+          concat_ws(",", expr("filter(arr, x -> x % 2 = 0)")).as("evens_csv"),
+          expr("exists(arr, x -> x > 4)").as("has_gt4"),
+          expr("forall(arr, x -> x < 5)").as("all_lt5"),
+          size(expr("array_compact(array(vec_id, NULL, vec_id + 1))"))
+            .as("compact_len"),
+          concat_ws(",", expr("array_append(arr, 99)")).as("appended"),
+          concat_ws(",", expr("array_prepend(arr, 0)")).as("prepended"),
+          concat_ws(",", expr("array_insert(arr, 1, -1)")).as("inserted"),
+          expr("arrays_overlap(arr, array(4, 5, 6))").as("overlaps_456"),
+          concat_ws(",", expr("array_distinct(concat(arr, arr))"))
+            .as("distinct_csv"),
+          concat_ws(",", expr("zip_with(arr, arr, (a, b) -> a + b)"))
+            .as("doubled_csv"))
     })
   )
 
@@ -707,6 +730,26 @@ object Scalars {
                l_returnflag || '3',
                '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
                AS masked_custom
-      FROM lineitem WHERE l_orderkey <= 500"""
+      FROM lineitem WHERE l_orderkey <= 500""",
+
+    // arr is duplicate-free by construction, so distinct(arr || arr) = arr
+    "fn_array3" -> """
+      WITH e AS (
+        SELECT vec_id, range(1, 2 + (vec_id % 5)) AS arr
+        FROM embeddings)
+      SELECT vec_id,
+             coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','),
+               '') AS evens_csv,
+             len(list_filter(arr, x -> x > 4)) > 0 AS has_gt4,
+             len(list_filter(arr, x -> NOT (x < 5))) = 0 AS all_lt5,
+             2 AS compact_len,
+             array_to_string(arr || [99], ',') AS appended,
+             array_to_string([0] || arr, ',') AS prepended,
+             array_to_string([-1] || arr, ',') AS inserted,
+             len(list_filter(arr, x -> x IN (4, 5, 6))) > 0 AS overlaps_456,
+             array_to_string(arr, ',') AS distinct_csv,
+             array_to_string(list_transform(arr, x -> x * 2), ',')
+               AS doubled_csv
+      FROM e"""
   )
 }

@@ -118,6 +118,22 @@ object Windows {
         .filter(col("rn") <= 3)
     }),
 
+    // ratio-to-partition-total / delta-from-partition-mean (the BI
+    // "percent of group" shape): one unordered whole-partition frame.
+    // The partition total accumulates in DECIMAL then casts to double so
+    // both engines divide the SAME numerator — a raw double sum's
+    // addition order is engine-dependent at the 6th decimal.
+    "win_ratio_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+      val tot = sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+        .cast("double")
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") / tot * 100, 6).as("pct_of_status"),
+        round(col("o_totalprice") - tot / count(lit(1)).over(w), 4)
+          .as("delta_from_avg"))
+    }),
+
     // gaps-and-islands: longest consecutive-ACTIVE-DAY streak per user.
     // The island key is day − row_number(day): consecutive days share it,
     // a gap shifts it — the classic relational streak detection (no
@@ -253,6 +269,17 @@ object Windows {
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders
       ) WHERE rn <= 3""",
+
+    "win_ratio_total" -> """
+      SELECT o_orderkey, o_orderstatus,
+             round(o_totalprice /
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+                 AS DOUBLE) * 100, 6) AS pct_of_status,
+             round(o_totalprice -
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+                 AS DOUBLE) / count(*) OVER w, 4) AS delta_from_avg
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_orderstatus)""",
 
     // sum over BIGINT would be HUGEINT in DuckDB (pandas-bridge hazard) —
     // active_days is cast back to BIGINT explicitly
