@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables.t
+import graft.core.Tables.{t, registerAll}
 
 /** Second-wave operator coverage (SURVEY.md §2): map functions, generators
   * (explode/posexplode), unpivot, interval RANGE frames, approximate
@@ -336,6 +336,19 @@ object Extended {
             col("exact_docs") * 0.05).as("union_in_band"))
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (Spark 4 ≡ DuckDB syntax — the same
+    // text runs on both engines): non-aggregate select items become the
+    // grouping set implicitly
+    "agg_group_by_all" -> ((s, d) => {
+      registerAll(s, d)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY ALL""")
+    }),
+
     // SQL:2016 LISTAGG (Spark 4): ordered string aggregation, plain and
     // DISTINCT. The WITHIN GROUP order includes the unique o_orderkey
     // tiebreak on the plain form so the concatenation is total-ordered.
@@ -409,6 +422,13 @@ object Extended {
              count(DISTINCT source) AS n_sources,
              TRUE AS union_in_band
       FROM documents GROUP BY lang""",
+
+    "agg_group_by_all" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      GROUP BY ALL""",
 
     "agg_listagg" -> """
       SELECT o_orderstatus,

@@ -413,6 +413,21 @@ object Scalars {
             .as("distinct_csv"),
           concat_ws(",", expr("zip_with(arr, arr, (a, b) -> a + b)"))
             .as("doubled_csv"))
+    }),
+
+    // third string wave: split_part, char-class trim, byte/bit lengths,
+    // instr, printf-style formatting (Spark format_string ≡ DuckDB
+    // printf — both delegate to C-style %-formats)
+    "fn_string3" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") <= 500).select(
+        col("p_partkey"),
+        expr("split_part(p_name, ' ', 2)").as("second_word"),
+        expr("btrim(p_brand, 'Bd#0123456789')").as("brand_core"),
+        expr("octet_length(p_name)").as("bytes"),
+        expr("bit_length(p_brand)").as("bits"),
+        expr("instr(p_name, 'a')").as("first_a"),
+        expr("format_string('%05d|%s', p_size, p_brand)").as("fmt"),
+        expr("format_string('%.3f', p_retailprice)").as("fmt_price"))
     })
   )
 
@@ -750,6 +765,20 @@ object Scalars {
              array_to_string(arr, ',') AS distinct_csv,
              array_to_string(list_transform(arr, x -> x * 2), ',')
                AS doubled_csv
-      FROM e"""
+      FROM e""",
+
+    // instr/octet_length/bit_length are BIGINT in DuckDB, INT in Spark;
+    // printf ≡ format_string (both C-style %-formats; %.3f never rounds
+    // on the 2-decimal fixture money so the halfway-rule gap can't bite)
+    "fn_string3" -> """
+      SELECT p_partkey,
+             split_part(p_name, ' ', 2) AS second_word,
+             trim(p_brand, 'Bd#0123456789') AS brand_core,
+             CAST(strlen(p_name) AS INT) AS bytes,
+             CAST(bit_length(p_brand) AS INT) AS bits,
+             CAST(instr(p_name, 'a') AS INT) AS first_a,
+             printf('%05d|%s', p_size, p_brand) AS fmt,
+             printf('%.3f', p_retailprice) AS fmt_price
+      FROM part WHERE p_partkey <= 500"""
   )
 }
