@@ -299,6 +299,28 @@ object TextOps {
           size(toks).cast("double")).as("avg_token_len"))
     }),
 
+    // token-distribution Shannon entropy per doc (nats) — the lexical
+    // concentration signal (low entropy = repetitive/templated text) next
+    // to llm_quality_score's ratio features. Computed SCAN-SIDE with
+    // array HOFs (distinct tokens → per-token counts → -Σ p·ln p), zero
+    // shuffles like llm_repetition; O(L·|types|) per doc is fine at the
+    // ~100-token doc scale, and the 100 TB shape is a free ride on the
+    // scan. The fold's accumulation order is the array order — identical
+    // on both engines' twins to double precision.
+    "llm_token_entropy" -> ((s, d) => {
+      spread(t(s, d, "documents"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("double"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_types"),
+          round(expr("""aggregate(
+              transform(array_distinct(toks),
+                        tk -> size(filter(toks, x -> x = tk))),
+              0D,
+              (acc, c) -> acc - (c / n) * ln(c / n))"""), 6).as("entropy"))
+    }),
+
     // BPE-ish token accounting: letter runs / digit runs / single
     // punctuation marks, the coarse shape of byte-pair pre-tokenization —
     // a closer proxy for LLM token budgets than whitespace splitting
@@ -729,6 +751,26 @@ object TextOps {
              CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
                / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
       FROM documents""",
+
+    // relational form of the scan-side HOF: per-(doc, token) counts,
+    // entropy from the count table. n_tokens is BIGINT-cast (HUGEINT
+    // hazard); the sum's double error is ~1e-15 against the 1e-6 round.
+    "llm_token_entropy" -> """
+      WITH cnt AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+      ), tot AS (
+        SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, count(*) AS n_types
+        FROM cnt GROUP BY doc_id
+      )
+      SELECT cnt.doc_id,
+             CAST(max(tot.n) AS BIGINT) AS n_tokens,
+             CAST(max(tot.n_types) AS BIGINT) AS n_types,
+             round(-sum((c / n) * ln(c / n)), 6) AS entropy
+      FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+      GROUP BY cnt.doc_id""",
 
     "llm_bpe_tokens" -> """
       SELECT doc_id,

@@ -336,6 +336,40 @@ object Extended {
             col("exact_docs") * 0.05).as("union_in_band"))
     }),
 
+    // robust statistics: median absolute deviation per group. Two-pass by
+    // nature (the deviation needs the group median first); the 3-row
+    // median table broadcasts back onto the scan — the scalar-broadcast
+    // pattern, bounded at any scale.
+    "agg_mad" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      li.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(abs(l_extendedprice - med), 0.5)"), 4)
+            .as("mad"),
+          round(max(col("med")), 4).as("med"))
+    }),
+
+    // trimmed (5-95%) mean vs the raw mean — the outlier-robust location
+    // estimate; interpolated percentile cutoffs broadcast (3 rows), the
+    // trim itself is a conditional aggregate on the re-scan
+    "agg_trimmed_mean" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val cuts = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("p5"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      val kept = col("l_extendedprice").between(col("p5"), col("p95"))
+      li.join(broadcast(cuts), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(round(avg(when(kept, col("l_extendedprice"))), 4)
+            .as("trimmed_mean"),
+          count(when(kept, lit(1))).as("n_kept"),
+          round(avg(col("l_extendedprice")), 4).as("raw_mean"))
+    }),
+
     // GROUP BY ALL / ORDER BY ALL (Spark 4 ≡ DuckDB syntax — the same
     // text runs on both engines): non-aggregate select items become the
     // grouping set implicitly
@@ -422,6 +456,31 @@ object Extended {
              count(DISTINCT source) AS n_sources,
              TRUE AS union_in_band
       FROM documents GROUP BY lang""",
+
+    "agg_mad" -> """
+      WITH med AS (
+        SELECT l_returnflag, median(l_extendedprice) AS med
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag,
+             round(median(abs(l.l_extendedprice - m.med)), 4) AS mad,
+             round(max(m.med), 4) AS med
+      FROM lineitem l JOIN med m USING (l_returnflag)
+      GROUP BY l.l_returnflag""",
+
+    "agg_trimmed_mean" -> """
+      WITH cuts AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p5,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag,
+             round(avg(CASE WHEN l_extendedprice BETWEEN p5 AND p95
+                            THEN l_extendedprice END), 4) AS trimmed_mean,
+             count(CASE WHEN l_extendedprice BETWEEN p5 AND p95
+                        THEN 1 END) AS n_kept,
+             round(avg(l_extendedprice), 4) AS raw_mean
+      FROM lineitem l JOIN cuts USING (l_returnflag)
+      GROUP BY l.l_returnflag""",
 
     "agg_group_by_all" -> """
       SELECT o_orderstatus, o_orderpriority, count(*) AS n,
