@@ -268,6 +268,45 @@ object EventsBatch {
         .select(col("event_id"), col("user_id"), col("known"), col("interp"))
     }),
 
+    // first-order Markov transition matrix over per-user event sequences:
+    // lag pairs → pair counts → row-normalized probabilities. One
+    // user-keyed window + one pair aggregate; the |types|² transition
+    // table is bounded whatever the event volume.
+    "evt_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
+    }),
+
+    // inter-event dwell-time distribution per event type (lead on the
+    // same user-keyed window the other sequence queries ride; the last
+    // event per user has no successor and drops out)
+    "evt_dwell_time" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dwell_s",
+          (unix_micros(col("next_ts")) - unix_micros(col("ts")))
+            .cast("double") / 1e6)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("dwell_s")), 4).as("avg_dwell"),
+          round(expr("percentile(dwell_s, 0.5)"), 4).as("p50"),
+          round(expr("percentile(dwell_s, 0.9)"), 4).as("p90"),
+          round(max(col("dwell_s")), 4).as("max_dwell"))
+    }),
+
     "join_asof" -> ((s, d) => {
       val ev = t(s, d, "events")
         .filter(col("event_type").isin("click", "purchase"))
@@ -469,6 +508,36 @@ object EventsBatch {
                wf AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       )""",
+
+    "evt_markov_transitions" -> """
+      WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+      ), c AS (
+        SELECT prev_type, next_type, count(*) AS n FROM pairs
+        WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+      )
+      SELECT prev_type, next_type, n,
+             round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+      FROM c""",
+
+    "evt_dwell_time" -> """
+      WITH d AS (
+        SELECT event_type,
+               CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE)
+                 / 1e6 AS dwell_s
+        FROM events
+      )
+      SELECT event_type, count(*) AS n,
+             round(avg(dwell_s), 4) AS avg_dwell,
+             round(quantile_cont(dwell_s, 0.5), 4) AS p50,
+             round(quantile_cont(dwell_s, 0.9), 4) AS p90,
+             round(max(dwell_s), 4) AS max_dwell
+      FROM d WHERE dwell_s IS NOT NULL
+      GROUP BY event_type""",
 
     "evt_tumbling_window" -> """
       SELECT date_trunc('hour', ts) AS win_start, event_type,
