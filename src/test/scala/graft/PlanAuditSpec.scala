@@ -175,6 +175,38 @@ class PlanAuditSpec extends AnyFunSuite
     tmpDirs.foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
 
+  test("dynamic partition pruning reaches a hive-partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB warehouse shape: a fact table partitioned by a dimension
+    // key joins a selectively-filtered dim — DPP must inject the dim's
+    // surviving keys as a runtime PartitionFilter on the fact scan, so
+    // only the matching directories are read (compile-time pruning can't
+    // know them). Pinned because a conf/typing regression (e.g. joining
+    // on a non-partition column) silently degrades to a full scan.
+    val dir = tmpDir("graft-dpp")
+    graft.core.Tables.t(spark, sf, "orders")
+      .write.partitionBy("o_orderstatus").mode("overwrite")
+      .parquet(s"$dir/fact")
+    import spark.implicits._
+    // the dim must be a SCAN with a filter on top — a LocalRelation's
+    // filter constant-folds away and DPP sees no selective predicate
+    Seq(("F", "final"), ("O", "open"), ("P", "pending"))
+      .toDF("st", "label")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = spark.read.parquet(s"$dir/fact")
+      .join(dim.filter(col("label") === "final"),
+        col("o_orderstatus") === col("st"))
+      .agg(sum(col("o_totalprice")).as("total"))
+    q.collect()
+    val factScan = executedScans(q)
+      .find(_.metadata.get("Location").exists(_.contains("fact")))
+      .getOrElse(fail("no fact scan in plan"))
+    val pf = factScan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning partition filter, got: $pf")
+  }
+
   test("range-clustered layout skips parquet data outside the date filter") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("graft-skip")
