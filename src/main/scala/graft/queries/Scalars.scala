@@ -283,6 +283,25 @@ object Scalars {
         col("o_orderkey").cast("string").as("key_str"))
     }),
 
+    // third datetime wave: ANSI timestampadd/timestampdiff + locale
+    // names. Diff units stay at DAY/MINUTE where Spark's whole-unit
+    // semantics and DuckDB's boundary counting agree on the fixture's
+    // midnight timestamps — YEAR/MONTH diffs deliberately excluded (the
+    // two engines disagree mid-unit; months_between covers that in
+    // fn_datetime).
+    "fn_datetime3" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        expr("timestampadd(HOUR, 6, o_orderdate)").as("plus6h"),
+        expr("timestampadd(QUARTER, 1, o_orderdate)").as("plus1q"),
+        expr("timestampdiff(MINUTE, o_orderdate, TIMESTAMP '2002-01-01')")
+          .as("min_to_2002"),
+        expr("timestampdiff(DAY, o_orderdate, TIMESTAMP '2002-01-01')")
+          .as("day_to_2002"),
+        date_format(col("o_orderdate"), "EEEE").as("day_name"),
+        date_format(col("o_orderdate"), "MMMM").as("month_name"))
+    }),
+
     // URL family: parse_url component extraction + form-urlencoding.
     // URLs are constructed deterministically from part columns, then
     // parsed back — the oracle twin builds the identical strings and
@@ -657,6 +676,18 @@ object Scalars {
              strftime(o_orderdate, '%Y-%m-%d') AS date_str,
              CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS date_roundtrip,
              CAST(o_orderkey AS VARCHAR) AS key_str
+      FROM orders WHERE o_orderkey <= 2000""",
+
+    "fn_datetime3" -> """
+      SELECT o_orderkey,
+             o_orderdate + INTERVAL 6 HOUR AS plus6h,
+             o_orderdate + INTERVAL 3 MONTH AS plus1q,
+             CAST(date_diff('minute', o_orderdate, TIMESTAMP '2002-01-01')
+               AS BIGINT) AS min_to_2002,
+             CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01')
+               AS BIGINT) AS day_to_2002,
+             dayname(o_orderdate) AS day_name,
+             monthname(o_orderdate) AS month_name
       FROM orders WHERE o_orderkey <= 2000""",
 
     // DuckDB has no parse_url — the twin rebuilds the same URL string and
