@@ -336,6 +336,19 @@ object Extended {
             col("exact_docs") * 0.05).as("union_in_band"))
     }),
 
+    // multi-aggregate pivot: two measures per pivoted status — Spark
+    // suffixes columns {value}_{aggAlias}; the twin spells the same cells
+    // as conditional aggregates. Explicit pivot values keep the plan a
+    // single pass (no distinct-values pre-query).
+    "agg_pivot2" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("total"),
+          count(lit(1)).as("n"))
+    }),
+
     // robust statistics: median absolute deviation per group. Two-pass by
     // nature (the deviation needs the group median first); the 3-row
     // median table broadcasts back onto the scan — the scalar-broadcast
@@ -456,6 +469,22 @@ object Extended {
              count(DISTINCT source) AS n_sources,
              TRUE AS union_in_band
       FROM documents GROUP BY lang""",
+
+    "agg_pivot2" -> """
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+               THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS F_total,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+               THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS O_total,
+             count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+             CAST(sum(CASE WHEN o_orderstatus = 'P'
+               THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS P_total,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n
+      FROM orders GROUP BY o_orderpriority""",
 
     "agg_mad" -> """
       WITH med AS (
