@@ -305,8 +305,8 @@ object TextOps {
     // array HOFs (distinct tokens → per-token counts → -Σ p·ln p), zero
     // shuffles like llm_repetition; O(L·|types|) per doc is fine at the
     // ~100-token doc scale, and the 100 TB shape is a free ride on the
-    // scan. The fold's accumulation order is the array order — identical
-    // on both engines' twins to double precision.
+    // scan. The twin accumulates in group order rather than array order;
+    // the ~1e-15 double drift sits far inside the 1e-6 round.
     "llm_token_entropy" -> ((s, d) => {
       spread(t(s, d, "documents"))
         .withColumn("toks", split(col("text"), " "))

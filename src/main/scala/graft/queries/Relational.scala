@@ -109,13 +109,16 @@ object Relational {
           col("n"), col("sum_qty"))
     }),
 
-    // GROUPING SETS via SQL surface.
+    // GROUPING SETS via SQL surface; grouping() markers distinguish a
+    // real NULL group key from a rolled-up one (same text both engines)
     "agg_grouping_sets" -> ((s, d) => {
       graft.core.Tables.registerAll(s, d)
       s.sql("""
         SELECT coalesce(o_orderstatus, 'ALL') AS st,
                coalesce(o_orderpriority, 'ALL') AS pri,
-               count(*) AS n, sum(o_totalprice) AS total
+               count(*) AS n, sum(o_totalprice) AS total,
+               CAST(grouping(o_orderstatus) AS INT) AS g_st,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       """)
@@ -1043,7 +1046,9 @@ object Relational {
     "agg_grouping_sets" -> """
       SELECT coalesce(o_orderstatus, 'ALL') AS st,
              coalesce(o_orderpriority, 'ALL') AS pri,
-             count(*) AS n, sum(o_totalprice) AS total
+             count(*) AS n, sum(o_totalprice) AS total,
+             CAST(grouping(o_orderstatus) AS INT) AS g_st,
+             CAST(grouping(o_orderpriority) AS INT) AS g_pri
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 
