@@ -336,6 +336,20 @@ object Extended {
             col("exact_docs") * 0.05).as("union_in_band"))
     }),
 
+    // regression building blocks (sums of squares/cross-products) +
+    // population-variant moments, completing agg_stats/agg_stats2's
+    // sample-variant coverage. Argument order follows the Postgres
+    // regr_*(y, x) convention on both engines.
+    "agg_stats3" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("regr_sxx(l_discount, l_quantity)"), 1).as("sxx"),
+        round(expr("regr_sxy(l_discount, l_quantity)"), 4).as("sxy"),
+        round(expr("regr_syy(l_discount, l_quantity)"), 4).as("syy"),
+        round(expr("covar_pop(l_quantity, l_discount)"), 6).as("cov_p"),
+        round(expr("stddev_pop(l_quantity)"), 6).as("sd_p"),
+        round(expr("var_pop(l_quantity)"), 6).as("var_p"))
+    }),
+
     // multi-aggregate pivot: two measures per pivoted status — Spark
     // suffixes columns {value}_{aggAlias}; the twin spells the same cells
     // as conditional aggregates. Explicit pivot values keep the plan a
@@ -469,6 +483,16 @@ object Extended {
              count(DISTINCT source) AS n_sources,
              TRUE AS union_in_band
       FROM documents GROUP BY lang""",
+
+    "agg_stats3" -> """
+      SELECT l_returnflag,
+             round(regr_sxx(l_discount, l_quantity), 1) AS sxx,
+             round(regr_sxy(l_discount, l_quantity), 4) AS sxy,
+             round(regr_syy(l_discount, l_quantity), 4) AS syy,
+             round(covar_pop(l_quantity, l_discount), 6) AS cov_p,
+             round(stddev_pop(l_quantity), 6) AS sd_p,
+             round(var_pop(l_quantity), 6) AS var_p
+      FROM lineitem GROUP BY l_returnflag""",
 
     "agg_pivot2" -> """
       SELECT o_orderpriority,

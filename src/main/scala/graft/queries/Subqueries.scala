@@ -156,6 +156,22 @@ object Subqueries {
                           AND o_orderpriority = '1-URGENT')
       GROUP BY c_nationkey""",
 
+    // NOT IN three-valued logic: a NULL in the subquery result makes
+    // NOT IN evaluate UNKNOWN for every non-matching row — the classic
+    // silent-empty-result trap, pinned as a 0-count next to the clean
+    // anti-join count (same text both engines)
+    "sub_not_in_null" -> """
+      SELECT 'not_in_with_null' AS probe, count(*) AS n_rows
+      FROM orders
+      WHERE o_orderkey NOT IN (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END
+        FROM orders)
+      UNION ALL
+      SELECT 'not_in_clean' AS probe, count(*) AS n_rows
+      FROM orders
+      WHERE o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""",
+
     // recursive CTE (Spark 4 WITH RECURSIVE): 24-month calendar spine
     // gap-filled against monthly order revenue — the fixture's orders end
     // 2001-08, so the tail months exercise the zero-fill. Recursion depth
