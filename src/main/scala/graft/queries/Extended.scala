@@ -50,6 +50,30 @@ object Extended {
           (_, v1, v2) => v1 + v2), "a").as("zip_a"))
     }),
 
+    // second map wave: map_concat / map_entries / map_contains_key /
+    // map_from_arrays / str_to_map. Constructed maps keep every expected
+    // value a closed form of the row; entries render as a sorted k=v csv
+    // (map iteration order is not a contract).
+    "fn_map2" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        element_at(expr("map_concat(map('a', value), map('b', value * 2))"),
+          "b").as("b_val"),
+        size(expr("map_concat(map('a', value), map('b', value))"))
+          .as("n_concat"),
+        expr("""array_join(array_sort(transform(
+            map_entries(from_json(props, 'map<string,int>')),
+            e -> concat(e.key, '=', CAST(e.value AS STRING)))), ',')""")
+          .as("entries_csv"),
+        expr("map_contains_key(from_json(props, 'map<string,int>'), 'k')")
+          .as("has_k"),
+        element_at(
+          expr("map_from_arrays(array('x', 'y'), array(value, -value))"),
+          "y").as("y_neg"),
+        element_at(expr("str_to_map('p:1,q:2', ',', ':')"), "q")
+          .as("q_val"))
+    }),
+
     // explode over a MAP column (key/value generator)
     "fn_explode_map" -> ((s, d) => {
       t(s, d, "events").select(col("event_id"),
@@ -582,6 +606,17 @@ object Extended {
                k -> CAST(json_extract_string(props, '$.' || k) AS INT)),
                v -> v > 5)) AS n_big,
              value * 11 AS zip_a
+      FROM events""",
+
+    // props is always a single-key {"k": int} object on the fixture
+    "fn_map2" -> """
+      SELECT event_id,
+             value * 2 AS b_val,
+             2 AS n_concat,
+             'k=' || (props->>'k') AS entries_csv,
+             TRUE AS has_k,
+             -value AS y_neg,
+             '2' AS q_val
       FROM events""",
 
     "fn_explode_map" -> """
