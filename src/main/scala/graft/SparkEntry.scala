@@ -24,6 +24,7 @@ object SparkEntry {
     graft.queries.EventsBatch.defs ++
     graft.queries.Extended.defs ++
     graft.queries.Subqueries.defs ++
+    graft.queries.Graph.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.SimSearch.defs ++
     graft.llm.Dedup.defs ++
@@ -38,6 +39,7 @@ object SparkEntry {
     graft.queries.EventsBatch.sql ++
     graft.queries.Extended.sql ++
     graft.queries.Subqueries.sql ++
+    graft.queries.Graph.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.SimSearch.sql ++
     graft.llm.Dedup.sql ++
