@@ -457,10 +457,45 @@ object EventsBatch {
           count(lit(1)).as("n_events"))
         .select(col("user_id"), col("journey"), col("n_events"),
           regexp_count(col("journey"), lit("VC*P")).as("n_conversions"))
+    }),
+
+    // exponentially-weighted moving average per user (pandas ewm
+    // adjust=True semantics, α=0.2), truncated to a 50-event trailing
+    // frame so it is relationally expressible: the frame's values fold
+    // through one `aggregate` HOF — s ← 0.8·s + x, w ← 0.8·w + 1, emit
+    // s/w. Scale shape: ONE user-keyed window sort; the fold runs
+    // scan-side per row over its (bounded) frame list, no extra shuffle.
+    // The 50-term truncation drops weight 0.8⁵⁰ ≈ 1.4e-5 — below the 6dp
+    // rounding of the emitted value. The DuckDB twin computes the same
+    // truncated sum in closed form via a bounded rn-band self-join.
+    "evt_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        round(aggregate(collect_list(col("value")).over(w),
+          struct(lit(0.0).as("s"), lit(0.0).as("wt")),
+          (a, x) => struct((a.getField("s") * 0.8 + x).as("s"),
+            (a.getField("wt") * 0.8 + 1.0).as("wt")),
+          a => a.getField("s") / a.getField("wt")), 6).as("ewma"))
     })
   )
 
   val sql: Map[String, String] = Map(
+    // closed-form truncated EWMA: Σ vᵢ·0.8^(rn−rnᵢ) / Σ 0.8^(rn−rnᵢ)
+    // over the 50-row band — same ordering, same α, same truncation
+    "evt_ewma" -> """
+      WITH e AS (
+        SELECT event_id, user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+      SELECT e1.event_id, e1.user_id,
+             round(sum(e2.value * power(0.8, e1.rn - e2.rn)) /
+                   sum(power(0.8, e1.rn - e2.rn)), 6) AS ewma
+      FROM e e1 JOIN e e2
+        ON e1.user_id = e2.user_id AND e2.rn BETWEEN e1.rn - 49 AND e1.rn
+      GROUP BY e1.event_id, e1.user_id""",
+
     "evt_resample_ffill" -> """
       WITH obs AS (
         SELECT user_id, date_trunc('hour', ts) AS hr,

@@ -476,10 +476,110 @@ object Extended {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("l_extendedprice").cast("decimal(12,2)"))
             .cast("double").as("revenue"))
+    }),
+
+    // incremental aggregate maintenance (materialized-view refresh): the
+    // base partition (orders before 1999) and the delta (1999+) are
+    // aggregated SEPARATELY, then merged by re-aggregating the partials —
+    // sum-of-sums, sum-of-counts, min-of-mins, avg recomputed from merged
+    // sum/count. Hash-equality with the full-recompute oracle proves the
+    // algebraic decomposition every incremental pipeline relies on: at
+    // 100 TB you aggregate only the new partition and fold it into
+    // yesterday's partials instead of rescanning history. DECIMAL
+    // accumulation makes the merge independent of addition order.
+    "etl_incremental_agg" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderpriority"),
+        col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"), sum(col("price")).as("s"),
+            min(col("price")).as("mn"), max(col("price")).as("mx"))
+      val base  = partial(o.filter(col("o_orderdate") <  lit("1999-01-01")))
+      val delta = partial(o.filter(col("o_orderdate") >= lit("1999-01-01")))
+      base.unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).as("n_orders"),
+          sum(col("s")).as("total_dec"),
+          min(col("mn")).cast("double").as("min_price"),
+          max(col("mx")).cast("double").as("max_price"))
+        .withColumn("avg_price",
+          round(col("total_dec").cast("double") / col("n_orders"), 4))
+        // exact DECIMAL accumulation, DOUBLE at the emit boundary (the
+        // agg_decimal_money pattern — the driver bridge renders DECIMAL
+        // as object and breaks the hash even on equal values)
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("total_dec").cast("double").as("total_price"),
+          col("min_price"), col("max_price"), col("avg_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // CDC snapshot diff: two table versions compared into an
+    // insert/update/delete changelog. Snapshot B derives from A by
+    // deterministic key-modulo mutations (deletes %97, price bumps %101,
+    // remapped-key inserts %103) — both engines derive B identically, so
+    // the full-outer-join classifier is what's under test. This is the
+    // table-format time-travel diff (and the CDC feed generator): one
+    // co-partitioned full outer join on the key, change class from null
+    // sides + value comparison, unchanged rows dropped.
+    "etl_snapshot_diff" -> ((s, d) => {
+      val a = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice"), 2).as("price"))
+      val b = a.filter(col("k") % 97 =!= 0)
+        .withColumn("price", when(col("k") % 101 === 3,
+          round(col("price") * 1.1, 2)).otherwise(col("price")))
+        .unionByName(a.filter(col("k") % 103 === 5)
+          .select((col("k") + 10000000L).as("k"), col("price")))
+      val aa = a.as("a"); val bb = b.as("b")
+      aa.join(bb, col("a.k") === col("b.k"), "full_outer")
+        .withColumn("change_type",
+          when(col("a.k").isNull, lit("insert"))
+            .when(col("b.k").isNull, lit("delete"))
+            .when(col("a.price") =!= col("b.price"), lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select(coalesce(col("a.k"), col("b.k")).as("o_orderkey"),
+          col("change_type"), col("a.price").as("old_price"),
+          col("b.price").as("new_price"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
   val sql: Map[String, String] = Map(
+    // full recompute — the incremental merge must hash-equal this
+    "etl_incremental_agg" -> """
+      SELECT o_orderpriority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS min_price,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / count(*), 4) AS avg_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // snapshot B derived by the same key-modulo mutations, then the same
+    // full-outer-join changelog classification
+    "etl_snapshot_diff" -> """
+      WITH a AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+                 FROM orders),
+      b AS (
+        SELECT k, CASE WHEN k % 101 = 3 THEN round(price * 1.1, 2)
+                       ELSE price END AS price
+        FROM a WHERE k % 97 <> 0
+        UNION ALL
+        SELECT k + 10000000, price FROM a WHERE k % 103 = 5)
+      SELECT coalesce(a.k, b.k) AS o_orderkey,
+             CASE WHEN a.k IS NULL THEN 'insert'
+                  WHEN b.k IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             a.price AS old_price, b.price AS new_price
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+      WHERE a.k IS NULL OR b.k IS NULL OR a.price <> b.price
+      ORDER BY o_orderkey""",
+
     // exact side computed by DuckDB; the *_in_band booleans are the
     // accuracy contract the Spark sketches must satisfy
     "agg_approx_bounds" -> """

@@ -179,10 +179,32 @@ object Windows {
         .select(col("o_custkey"), posexplode(col("top")))
         .select(col("o_custkey"), col("col.tie").as("o_orderkey"),
           col("col.ord").as("o_totalprice"), (col("pos") + 1).as("rn"))
+    }),
+
+    // top-k WITH TIES: rank() ≤ 3 keeps every row tied at the cutoff —
+    // the ANSI FETCH FIRST k WITH TIES semantics row_number can't give.
+    // Deterministic regardless of tie order because ALL tied rows are
+    // emitted (no per-tie tiebreak needed). Same partial WindowGroupLimit
+    // shuffle bound as the other top-k forms.
+    "win_topk_ties" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
     })
   )
 
   val sql: Map[String, String] = Map(
+    "win_topk_ties" -> """
+      SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+      ) WHERE rnk <= 3""",
+
     "win_rank" -> """
       SELECT * FROM (
         SELECT o_orderkey, o_orderstatus, o_orderpriority,
