@@ -477,6 +477,31 @@ object EventsBatch {
           (a, x) => struct((a.getField("s") * 0.8 + x).as("s"),
             (a.getField("wt") * 0.8 + 1.0).as("wt")),
           a => a.getField("s") / a.getField("wt")), 6).as("ewma"))
+    }),
+
+    // linear multi-touch attribution: every purchase splits one unit of
+    // credit equally across the user's clicks in the preceding hour, and
+    // credit rolls up by click hour-of-day (the when-do-converting-touches
+    // -happen readout). Scale shape: the touch join is user-keyed
+    // (co-partitioned equi-join + time-band filter, never a time-only
+    // range join), per-purchase touch counts ride ONE purchase-keyed
+    // window, and the final rollup is 24 rows whatever the volume.
+    "evt_attribution" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("ts").as("cts"),
+          col("event_id").as("cid"))
+      val touches = p.join(c, col("user_id") === col("cuser") &&
+        col("cts") >= col("pts") - expr("INTERVAL 1 HOUR") &&
+        col("cts") < col("pts"))
+      val nTouch = count(lit(1)).over(Window.partitionBy(col("pid")))
+      touches.withColumn("credit", lit(1.0) / nTouch)
+        .groupBy(hour(col("cts")).as("click_hour"))
+        .agg(round(sum(col("credit")), 6).as("credit"),
+          count(lit(1)).as("n_touches"))
+        .orderBy(col("click_hour"))
     })
   )
 
@@ -495,6 +520,26 @@ object EventsBatch {
       FROM e e1 JOIN e e2
         ON e1.user_id = e2.user_id AND e2.rn BETWEEN e1.rn - 49 AND e1.rn
       GROUP BY e1.event_id, e1.user_id""",
+
+    "evt_attribution" -> """
+      WITH p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
+                 WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts AS cts, event_id AS cid FROM events
+            WHERE event_type = 'click'),
+      touches AS (
+        SELECT p.pid, c.cts
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts < p.pts),
+      credited AS (
+        SELECT cts,
+               CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY pid)
+                 AS credit
+        FROM touches)
+      SELECT CAST(hour(cts) AS INT) AS click_hour,
+             round(sum(credit), 6) AS credit,
+             count(*) AS n_touches
+      FROM credited
+      GROUP BY 1 ORDER BY 1""",
 
     "evt_resample_ffill" -> """
       WITH obs AS (

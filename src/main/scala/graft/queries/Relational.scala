@@ -259,6 +259,24 @@ object Relational {
           expr("percentile(l_extendedprice, 0.75)").as("p75_price"))
     }),
 
+    // ordered-set aggregates, ANSI WITHIN GROUP syntax: percentile_disc
+    // returns an actual member of the group (vs percentile_cont's
+    // interpolation — agg_percentile covers that); the p50 pair exposes
+    // the disc/cont divergence on even-sized groups
+    "agg_percentile_disc" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p25_disc"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p50_disc"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p75_disc"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p50_cont"))
+    }),
+
     // collect_set canonicalized to a sorted csv string (array hashing is
     // engine-specific; string form is oracle-stable)
     "agg_collect" -> ((s, d) => {
@@ -1153,6 +1171,14 @@ object Relational {
              quantile_cont(l_extendedprice, 0.25) AS p25_price,
              quantile_cont(l_extendedprice, 0.75) AS p75_price
       FROM lineitem GROUP BY l_linestatus""",
+
+    "agg_percentile_disc" -> """
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.25) AS p25_disc,
+             quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+             quantile_disc(l_extendedprice, 0.75) AS p75_disc,
+             quantile_cont(l_extendedprice, 0.5) AS p50_cont
+      FROM lineitem GROUP BY l_returnflag""",
 
     "agg_collect" -> """
       SELECT o_orderstatus,

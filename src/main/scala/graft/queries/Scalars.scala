@@ -447,10 +447,60 @@ object Scalars {
         expr("instr(p_name, 'a')").as("first_a"),
         expr("format_string('%05d|%s', p_size, p_brand)").as("fmt"),
         expr("format_string('%.3f', p_retailprice)").as("fmt_price"))
+    }),
+
+    // IANA timezone conversions: from/to_utc_timestamp across fixed-offset
+    // (Tokyo), half-hour-offset (Kolkata), and DST (New York) zones; the
+    // +70-day shift pushes January events across the 2024-03-10 US
+    // spring-forward so the DST rule itself is exercised; round-trip
+    // through a zone is identity on unambiguous wall times. DuckDB twin
+    // runs the same IANA rules via ICU's double AT TIME ZONE hop.
+    "fn_tz" -> ((s, d) => {
+      t(s, d, "events").select(
+        col("event_id"),
+        from_utc_timestamp(col("ts"), "America/New_York").as("ny"),
+        from_utc_timestamp(col("ts"), "Asia/Tokyo").as("tokyo"),
+        from_utc_timestamp(col("ts"), "Asia/Kolkata").as("kolkata"),
+        from_utc_timestamp(col("ts") + expr("INTERVAL 70 DAYS"),
+          "America/New_York").as("ny_spring"),
+        (to_utc_timestamp(from_utc_timestamp(col("ts"), "America/New_York"),
+          "America/New_York") === col("ts")).as("roundtrip_ok"),
+        hour(from_utc_timestamp(col("ts"), "America/New_York"))
+          .cast("long").as("ny_hour"))
+    }),
+
+    // inline generator: one input row fans out to one row per struct in a
+    // constructed array, struct fields become columns — completes the
+    // generator family (explode/posexplode/explode_outer/stack). Twin is
+    // the generator's relational meaning: a tagged UNION ALL.
+    "fn_inline" -> ((s, d) => {
+      t(s, d, "events").select(col("event_id"),
+        inline(array(
+          struct(lit("raw").as("tag"), col("value").as("v")),
+          struct(lit("doubled").as("tag"), (col("value") * 2).as("v")))))
     })
   )
 
   val sql: Map[String, String] = Map(
+    "fn_tz" -> """
+      SELECT event_id,
+             (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny,
+             (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' AS tokyo,
+             (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata' AS kolkata,
+             ((ts + INTERVAL 70 DAY) AT TIME ZONE 'UTC')
+               AT TIME ZONE 'America/New_York' AS ny_spring,
+             ((((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+               AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC') = ts
+               AS roundtrip_ok,
+             hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+               AS ny_hour
+      FROM events""",
+
+    "fn_inline" -> """
+      SELECT event_id, 'raw' AS tag, value AS v FROM events
+      UNION ALL
+      SELECT event_id, 'doubled', value * 2 FROM events""",
+
     "fn_string" -> """
       SELECT p_partkey,
              lower(p_name) AS lo,
