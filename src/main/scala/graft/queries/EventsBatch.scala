@@ -502,6 +502,31 @@ object EventsBatch {
         .agg(round(sum(col("credit")), 6).as("credit"),
           count(lit(1)).as("n_touches"))
         .orderBy(col("click_hour"))
+    }),
+
+    // trailing-24h distinct active users per hour — the sliding DISTINCT
+    // that plain window frames can't express (COUNT(DISTINCT) isn't a
+    // frame aggregate in either engine). Relational form: dedup to
+    // (hour, user) pairs FIRST (the volume reducer — everything after is
+    // bounded by hours × active users), then each pair fans out to the 24
+    // trailing windows it serves via a `sequence` explode — an EQUI
+    // semi-join against the observed-hour spine, never a range join (a
+    // time-band theta join would plan a broadcast nested loop — the
+    // scale-killer the plan audit forbids). 100 TB shape: the dedup is
+    // the only event-volume shuffle; the fan-out is a bounded ×24 on the
+    // already-tiny pair table.
+    "evt_rolling_distinct" -> ((s, d) => {
+      val hu = t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val spine = hu.select(col("h").as("t")).distinct()
+      val contrib = hu.select(col("user_id"),
+        explode(expr(
+          "sequence(h, h + INTERVAL 23 HOURS, INTERVAL 1 HOUR)")).as("t"))
+      contrib.join(spine, Seq("t"), "left_semi")
+        .groupBy(col("t"))
+        .agg(countDistinct(col("user_id")).as("n_users_24h"))
+        .orderBy(col("t"))
     })
   )
 
@@ -540,6 +565,15 @@ object EventsBatch {
              count(*) AS n_touches
       FROM credited
       GROUP BY 1 ORDER BY 1""",
+
+    "evt_rolling_distinct" -> """
+      WITH hu AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events),
+      spine AS (SELECT DISTINCT h AS t FROM hu)
+      SELECT s.t, count(DISTINCT hu.user_id) AS n_users_24h
+      FROM spine s JOIN hu
+        ON hu.h >= s.t - INTERVAL 23 HOUR AND hu.h <= s.t
+      GROUP BY s.t ORDER BY s.t""",
 
     "evt_resample_ffill" -> """
       WITH obs AS (

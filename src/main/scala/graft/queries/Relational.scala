@@ -505,6 +505,32 @@ object Relational {
     // provably redundant (variant equality ⇒ hamming ≤ 1) but kept as the
     // candidate-verify stage every blocking scheme needs once recall is
     // probabilistic.
+    // numeric band join (|a.price − b.price| ≤ ε) via bucket blocking:
+    // each row keys to floor(price/ε); a pair within ε differs by at most
+    // one bucket, so exploding one side to {b−1, b, b+1} turns the band
+    // predicate into an EQUI-join + exact verify filter. Each qualifying
+    // pair's bucket offset is unique ⇒ no dedup needed. The DuckDB oracle
+    // is the brute-force range join, so hash parity proves blocked ≡
+    // exact — same contract as join_fuzzy_hamming. 100 TB shape: O(n·k)
+    // candidates (k = band density), shuffled on bucket id; the naive
+    // form is a quadratic theta join the plan audit forbids.
+    "join_band_numeric" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey").as("k"), col("p_retailprice").as("price"))
+      val eps = 0.25
+      val x = p.withColumn("b", floor(col("price") / eps))
+      val y = p.select(col("k").as("k2"), col("price").as("price2"),
+        explode(array(floor(col("price") / eps) - 1,
+          floor(col("price") / eps),
+          floor(col("price") / eps) + 1)).as("b"))
+      x.join(y, Seq("b"))
+        .filter(col("k") < col("k2") &&
+          abs(col("price") - col("price2")) <= eps)
+        .select(col("k").as("k1"), col("k2"),
+          round(abs(col("price") - col("price2")), 2).as("price_gap"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
     "join_fuzzy_hamming" -> ((s, d) => {
       val c = t(s, d, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
@@ -840,6 +866,18 @@ object Relational {
              bool_or(o_totalprice > 450000.0) AS any_over_450k,
              bool_and(o_orderpriority IS NOT NULL) AS all_prioritized
       FROM orders GROUP BY o_orderstatus""",
+
+    // brute-force band join — DuckDB's IEJoin handles the range predicate;
+    // the Spark side must reproduce it exactly from bucket blocking
+    "join_band_numeric" -> """
+      WITH p AS (SELECT p_partkey AS k, p_retailprice AS price FROM part
+                 WHERE p_partkey <= 2000)
+      SELECT a.k AS k1, b.k AS k2,
+             round(abs(a.price - b.price), 2) AS price_gap
+      FROM p a JOIN p b
+        ON a.k < b.k
+       AND b.price >= a.price - 0.25 AND b.price <= a.price + 0.25
+      ORDER BY k1, k2""",
 
     "join_fuzzy_hamming" -> """
       SELECT a.c_custkey AS id1, b.c_custkey AS id2,

@@ -193,6 +193,19 @@ object Windows {
         .select(col("o_orderpriority"), col("o_orderkey"),
           col("o_totalprice"), rank().over(w).as("rnk"))
         .filter(col("rnk") <= 3)
+    }),
+
+    // rolling exact median over a 25-row trailing frame: an ordered-set
+    // aggregate as a WINDOW function (robust smoothing — the moving-avg
+    // family's outlier-proof sibling). One user-keyed exchange + sort;
+    // the per-row frame re-sort is O(k log k) scan-side work, no extra
+    // shuffle at any volume.
+    "win_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-24, 0)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        round(expr("percentile(value, 0.5)").over(w), 6).as("med25"))
     })
   )
 
@@ -204,6 +217,13 @@ object Windows {
                             ORDER BY o_totalprice DESC) AS rnk
         FROM orders
       ) WHERE rnk <= 3""",
+
+    "win_rolling_median" -> """
+      SELECT event_id, user_id,
+             round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 6) AS med25
+      FROM events""",
 
     "win_rank" -> """
       SELECT * FROM (
