@@ -606,6 +606,33 @@ object TextOps {
         .select(col("doc1"), col("doc2"), col("common"), col("jaccard"))
     }),
 
+    // asymmetric n-gram CONTAINMENT (|A∩B| / |A|): catches subset
+    // duplication — a short doc quoted wholesale inside a long one scores
+    // near-1 containment but low Jaccard (the symmetric measure divides
+    // by the union and misses it). Same shingle-keyed candidate join as
+    // the Jaccard anchor; pairs kept when either direction ≥ 0.4.
+    "llm_containment" -> ((s, d) => {
+      val sh = shingles(s, d).localCheckpoint(eager = false)
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("doc1"), col("shingle"))
+      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
+      a.join(b, Seq("shingle"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("common"))
+        .join(counts.select(col("doc_id").as("doc1"), col("n_sh").as("n1")),
+          Seq("doc1"))
+        .join(counts.select(col("doc_id").as("doc2"), col("n_sh").as("n2")),
+          Seq("doc2"))
+        .withColumn("c_fwd",
+          round(col("common").cast("double") / col("n1"), 6))
+        .withColumn("c_rev",
+          round(col("common").cast("double") / col("n2"), 6))
+        .filter(col("c_fwd") >= 0.4 || col("c_rev") >= 0.4)
+        .select(col("doc1"), col("doc2"), col("common"),
+          col("c_fwd"), col("c_rev"))
+    }),
+
     // PII scrub: email/phone masking with engine-portable regexes (Java
     // regex and DuckDB's RE2 agree on these constructs; DuckDB needs the
     // explicit 'g' flag to match Spark's replace-all). The corpus carries
@@ -1062,6 +1089,37 @@ object TextOps {
       JOIN counts n2 ON doc2 = n2.doc_id
       WHERE CAST(common AS DOUBLE) / CAST(n1.n_sh + n2.n_sh - common AS DOUBLE)
             >= 0.2""",
+
+    "llm_containment" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), counts AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT doc1, doc2, common,
+             round(CAST(common AS DOUBLE) / n1.n_sh, 6) AS c_fwd,
+             round(CAST(common AS DOUBLE) / n2.n_sh, 6) AS c_rev
+      FROM pairs
+      JOIN counts n1 ON doc1 = n1.doc_id
+      JOIN counts n2 ON doc2 = n2.doc_id
+      WHERE round(CAST(common AS DOUBLE) / n1.n_sh, 6) >= 0.4
+         OR round(CAST(common AS DOUBLE) / n2.n_sh, 6) >= 0.4""",
 
     // value-level twin of [[langidNaiveBayes]]: same add-one smoothing,
     // natural log (DuckDB `ln` — its `log` is log10), missing (gram, lang)

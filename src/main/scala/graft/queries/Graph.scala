@@ -72,14 +72,17 @@ object Graph {
       val nodes = nation.select(col("n_nationkey").as("node")).localCheckpoint()
       val nN = nodes.count().toDouble // bounded driver action: |nation| rows
       var pr = nodes.select(col("node"), (lit(1.0) / nN).as("pr"))
-      for (_ <- 1 to prIters) {
+      for (i <- 1 to prIters) {
         val contrib = en.join(pr, en("src") === pr("node"))
           .groupBy(en("dst")).agg(sum(col("pr") * col("wn")).as("c"))
         pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
           .select(nodes("node"),
             (lit(0.15) / nN + lit(damping) * coalesce(col("c"), lit(0.0)))
               .as("pr"))
-          .localCheckpoint() // truncate lineage between supersteps
+        // truncate lineage every 3 supersteps (the GraphFrames cadence:
+        // every step would pay a job per iteration, never would let the
+        // plan double each loop; 3 keeps both costs flat)
+        if (i % 3 == 0 && i < prIters) pr = pr.localCheckpoint()
       }
       pr.join(broadcast(nation), pr("node") === nation("n_nationkey"))
         .select(col("n_name"), round(col("pr"), 6).as("pagerank"))

@@ -469,6 +469,26 @@ object Scalars {
           .cast("long").as("ny_hour"))
     }),
 
+    // SQL-defined scalar UDFs (Spark 4 `CREATE FUNCTION … RETURN expr`):
+    // the function body is Catalyst-inlined at plan time — unlike JVM
+    // UDFs it stays inside whole-stage codegen and the optimizer sees
+    // through it (pushdown/pruning unaffected). The twin inlines the same
+    // expressions, which is exactly what the optimizer does.
+    "fn_sql_udf" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_revenue(
+                 price DOUBLE, disc DOUBLE) RETURNS DOUBLE
+               RETURN price * (1.0 - disc)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_band(
+                 d DOUBLE) RETURNS STRING
+               RETURN CASE WHEN d < 0.03 THEN 'low'
+                           WHEN d < 0.07 THEN 'mid'
+                           ELSE 'high' END""")
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 2000)
+        .selectExpr("l_orderkey", "l_linenumber",
+          "round(graft_net_revenue(l_extendedprice, l_discount), 4) AS net",
+          "graft_disc_band(l_discount) AS band")
+    }),
+
     // inline generator: one input row fans out to one row per struct in a
     // constructed array, struct fields become columns — completes the
     // generator family (explode/posexplode/explode_outer/stack). Twin is
@@ -500,6 +520,14 @@ object Scalars {
       SELECT event_id, 'raw' AS tag, value AS v FROM events
       UNION ALL
       SELECT event_id, 'doubled', value * 2 FROM events""",
+
+    "fn_sql_udf" -> """
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1.0 - l_discount), 4) AS net,
+             CASE WHEN l_discount < 0.03 THEN 'low'
+                  WHEN l_discount < 0.07 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM lineitem WHERE l_orderkey <= 2000""",
 
     "fn_string" -> """
       SELECT p_partkey,
