@@ -113,6 +113,40 @@ object Graph {
         .orderBy(col("hops"), col("n_name"))
     }),
 
+    // single-source weighted shortest path (Bellman-Ford, bounded at 4
+    // relaxation rounds) over the sparsified graph. Edge cost = 1/wn (the
+    // inverse normalized trade share — heavy trade lanes are "short").
+    // Each superstep relaxes the best-known costs through one more edge
+    // hop and folds with a min re-aggregation — same frontier pattern as
+    // BFS, with cost accumulation instead of hop counting.
+    "graph_shortest_path" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val edges = tradeEdges(s, d).filter(col("src") =!= col("dst"))
+      val outw = edges.groupBy(col("src").as("osrc"))
+        .agg(sum(col("w")).as("outw"))
+      val rn = row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst")))
+      val sparse = edges.withColumn("rn", rn).filter(col("rn") <= 3)
+        .join(outw, col("src") === col("osrc"))
+        .select(col("src"), col("dst"),
+          (lit(1.0) / (col("w") / col("outw"))).as("cost"))
+        .localCheckpoint()
+      var best = nation.filter(col("n_nationkey") === 0)
+        .select(col("n_nationkey").as("node"), lit(0.0).as("cost"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val relaxed = best.join(sparse, best("node") === sparse("src"))
+          .select(sparse("dst").as("node"),
+            (best("cost") + sparse("cost")).as("cost"))
+        best = best.union(relaxed)
+          .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint()
+      }
+      best.join(broadcast(nation), col("node") === col("n_nationkey"))
+        .select(col("n_name"), round(col("cost"), 6).as("cost"))
+        .orderBy(col("cost"), col("n_name"))
+    }),
+
     // per-node triangle participation over the undirected sparsified graph.
     // Canonical-orientation join (a<b<c): each triangle is materialized
     // exactly once, then unpivoted to its three corners — the standard
@@ -201,6 +235,31 @@ object Graph {
         |FROM reach r JOIN nation n ON n.n_nationkey = r.node
         |GROUP BY n.n_name
         |ORDER BY hops, n_name""".stripMargin,
+
+    // bounded walk enumeration: min cost over all ≤4-edge walks ≡ 4
+    // Bellman-Ford relaxation rounds (non-negative costs, so non-simple
+    // walks never win); path count capped by the top-3 out-degree
+    "graph_shortest_path" ->
+      s"""WITH RECURSIVE $edgesCte,
+        |  sparsec AS (
+        |    SELECT src, dst, CAST(1.0 AS DOUBLE) / (w / ow) AS cost FROM (
+        |      SELECT src, dst, w,
+        |             sum(w) OVER (PARTITION BY src) AS ow,
+        |             row_number() OVER (PARTITION BY src
+        |                                ORDER BY w DESC, dst) AS rn
+        |      FROM edges WHERE src <> dst)
+        |    WHERE rn <= 3),
+        |  walk(node, cost, depth) AS (
+        |    SELECT n_nationkey, CAST(0.0 AS DOUBLE), 0 FROM nation
+        |    WHERE n_nationkey = 0
+        |    UNION ALL
+        |    SELECT e.dst, w.cost + e.cost, w.depth + 1
+        |    FROM walk w JOIN sparsec e ON e.src = w.node
+        |    WHERE w.depth < 4)
+        |SELECT n.n_name, round(min(w.cost), 6) AS cost
+        |FROM walk w JOIN nation n ON n.n_nationkey = w.node
+        |GROUP BY n.n_name
+        |ORDER BY cost, n_name""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH $sparseCte,

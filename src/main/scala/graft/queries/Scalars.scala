@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables.t
+import graft.core.Tables.{t, registerAll}
 
 /** Scalar function families (SURVEY.md §2 "Scalar function families"):
   * string, date/time, math, conditional, array, JSON, cast.
@@ -489,6 +489,23 @@ object Scalars {
           "graft_disc_band(l_discount) AS band")
     }),
 
+    // SQL-defined TABLE function (UDTF) applied LATERALLY per order row —
+    // the parameterized-view pattern: the body is a correlated subquery
+    // Catalyst decorrelates into an ordinary join (no per-row execution),
+    // so the "function call" costs one lineitem aggregate. Twin inlines
+    // the equivalent join + aggregate.
+    "fn_sql_table_udf" -> ((s, d) => {
+      registerAll(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_order_stats(
+                 key BIGINT) RETURNS TABLE(n_lines BIGINT, net DOUBLE)
+               RETURN SELECT count(*),
+                             round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                      FROM lineitem WHERE l_orderkey = key""")
+      s.sql("""SELECT o.o_orderkey, t.n_lines, t.net
+               FROM orders o, LATERAL graft_order_stats(o.o_orderkey) t
+               WHERE o.o_orderkey <= 2000""")
+    }),
+
     // inline generator: one input row fans out to one row per struct in a
     // constructed array, struct fields become columns — completes the
     // generator family (explode/posexplode/explode_outer/stack). Twin is
@@ -520,6 +537,19 @@ object Scalars {
       SELECT event_id, 'raw' AS tag, value AS v FROM events
       UNION ALL
       SELECT event_id, 'doubled', value * 2 FROM events""",
+
+    // the decorrelated meaning of the LATERAL table-function call: a left
+    // join onto the per-order aggregate (empty group ⇒ count 0, sum NULL)
+    "fn_sql_table_udf" -> """
+      SELECT o.o_orderkey,
+             coalesce(l.n_lines, 0) AS n_lines,
+             l.net
+      FROM orders o LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n_lines,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS net
+        FROM lineitem GROUP BY l_orderkey) l
+        ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey <= 2000""",
 
     "fn_sql_udf" -> """
       SELECT l_orderkey, l_linenumber,
