@@ -33,6 +33,18 @@ class GraphSpec extends AnyFunSuite {
     assert(r.values.max <= 4)
   }
 
+  test("shortest path: source at cost 0, costs positive and hop-consistent") {
+    val r = SparkEntry.queries("graph_shortest_path")(spark, sf)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // exactly one node (the source) at cost 0; all others strictly positive
+    assert(r.values.count(_ == 0.0) == 1)
+    assert(r.values.forall(_ >= 0.0))
+    // reachable set ⊆ BFS reachable set (same sparsified graph, same bound)
+    val bfs = SparkEntry.queries("graph_reachability")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(r.keySet == bfs, "cost-reachable set must equal hop-reachable set")
+  }
+
   test("triangles: per-node participation sums to a multiple of 3") {
     // each triangle contributes exactly one count to each of its 3 corners
     val tri = SparkEntry.queries("graph_triangles")(spark, sf)

@@ -165,4 +165,40 @@ class IoSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
     }
   }
+
+  test("xml source: rowTag scan with schema + attribute mapping, sink roundtrip") {
+    // Spark 4 ships the XML datasource in spark-sql (the spark-xml
+    // donation) — covering it closes the last text-format gap (fn_xml
+    // covers the from_xml/xpath EXPRESSION surface; this is the SOURCE)
+    val dir = Files.createTempDirectory("graft-xml")
+    Files.writeString(dir.resolve("data.xml"),
+      """<rows>
+        |  <row id="1"><name>aa</name><qty>10</qty></row>
+        |  <row id="2"><name>bb</name><qty>20</qty></row>
+        |  <row id="3"><name>cc</name></row>
+        |</rows>""".stripMargin)
+    val df = spark.read.option("rowTag", "row").xml(dir.toString)
+    // attributes surface as _-prefixed columns; missing element → null
+    val rows = df.select(col("_id"), col("name"), col("qty"))
+      .orderBy("_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(2).isNullAt(2), "absent <qty> must read as NULL")
+    val out = Files.createTempDirectory("graft-xml-out").toString + "/x"
+    df.selectExpr("_id AS id", "name", "qty")
+      .write.option("rowTag", "r").option("rootTag", "rs").xml(out)
+    val back = spark.read.option("rowTag", "r").xml(out)
+    assert(back.count() == 3)
+    assert(back.where(col("qty").isNull).count() == 1)
+  }
+
+  test("text source: one row per line, wholetext preserves the document") {
+    val dir = Files.createTempDirectory("graft-txt")
+    Files.writeString(dir.resolve("doc.txt"), "alpha\nbeta\ngamma\n")
+    val lines = spark.read.text(dir.toString)
+    assert(lines.count() == 3)
+    assert(lines.agg(sum(length(col("value")))).head.getLong(0) == 14)
+    val whole = spark.read.option("wholetext", "true").text(dir.toString)
+    assert(whole.count() == 1)
+    assert(whole.head.getString(0).startsWith("alpha\nbeta"))
+  }
 }
