@@ -483,6 +483,60 @@ class PlanAuditSpec extends AnyFunSuite
       s"AQE did not coalesce the tiny shuffle:\n$finalPlan")
   }
 
+  test("cache() swaps the scan for InMemoryTableScan until unpersist") {
+    import org.apache.spark.sql.functions.col
+    // the interactive-reuse lever: a cached frame must serve later plans
+    // from the columnar in-memory relation, and release it on unpersist.
+    // At 100 TB this is per-stage working-set pinning (e.g. a dimension
+    // reused across a session), not whole-dataset caching.
+    val dim = graft.core.Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    dim.cache()
+    try {
+      dim.count() // materialize
+      val reuse = dim.filter(col("c_nationkey") === 3)
+      val physical = reuse.queryExecution.executedPlan
+      assert(physical.toString.contains("InMemoryTableScan"),
+        s"cached frame not served from memory:\n$physical")
+      // the cached relation still prunes: the filter shows up above the
+      // in-memory scan rather than forcing a fresh file read. Walk the
+      // executed tree — the InMemoryRelation's provenance plan is a field,
+      // not a child, so a live file scan would appear as an actual node.
+      val fileScans = physical.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(fileScans.isEmpty, "cached plan fell back to the file scan")
+    } finally dim.unpersist(blocking = true)
+    val after = dim.filter(col("c_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(!after.contains("InMemoryTableScan"),
+      "unpersist did not release the cached relation")
+  }
+
+  test("join strategy hints override Catalyst's default choice") {
+    import org.apache.spark.sql.functions.col
+    // SHUFFLE_MERGE / SHUFFLE_HASH hints are the manual override when a
+    // build side is too big to hash or a merge is known cheaper; pin that
+    // they actually reach the physical plan (and that the default for
+    // this shape is a broadcast, so the hints demonstrably changed it).
+    val o = graft.core.Tables.t(spark, sf, "orders")
+    val c = graft.core.Tables.t(spark, sf, "customer")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val default = planOf(o.join(c, o("o_custkey") === c("c_custkey")))
+    assert(default.contains("BroadcastHashJoin"),
+      s"expected the small dim to broadcast by default:\n$default")
+    val merged = planOf(o.join(c.hint("SHUFFLE_MERGE"),
+      o("o_custkey") === c("c_custkey")))
+    assert(merged.contains("SortMergeJoin"),
+      s"SHUFFLE_MERGE hint ignored:\n$merged")
+    val hashed = planOf(o.join(c.hint("SHUFFLE_HASH"),
+      o("o_custkey") === c("c_custkey")))
+    assert(hashed.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint ignored:\n$hashed")
+  }
+
   test("ANALYZE TABLE column statistics drive CBO cardinality estimates") {
     import org.apache.spark.sql.functions.col
     val conf = Seq("spark.sql.cbo.enabled" -> "true")
