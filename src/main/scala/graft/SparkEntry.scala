@@ -25,6 +25,7 @@ object SparkEntry {
     graft.queries.Extended.defs ++
     graft.queries.Subqueries.defs ++
     graft.queries.Graph.defs ++
+    graft.queries.Analytics.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.SimSearch.defs ++
     graft.llm.Dedup.defs ++
@@ -40,6 +41,7 @@ object SparkEntry {
     graft.queries.Extended.sql ++
     graft.queries.Subqueries.sql ++
     graft.queries.Graph.sql ++
+    graft.queries.Analytics.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.SimSearch.sql ++
     graft.llm.Dedup.sql ++

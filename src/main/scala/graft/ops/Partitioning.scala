@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical-layout utilities for the 100 TB design point (SURVEY.md §2
@@ -99,5 +100,48 @@ object Partitioning {
       .repartitionByRange(n, col("__zkey"))
       .sortWithinPartitions(col("__zkey"))
       .drop("__za", "__zb", "__zkey")
+  }
+
+  /** Distributed prefix sum: cumulative `valueCol` in global `order`,
+    * WITHOUT the single-partition global window (`Window.orderBy` with no
+    * partitionBy funnels every row through one task — the classic scale
+    * cliff for running totals / Pareto analyses over large entity sets).
+    *
+    * Classic two-level scan instead:
+    *   1. range-partition + locally sort by `order` (global order across
+    *      partition ids, parallel within);
+    *   2. per-partition cumulative sums via a window PARTITIONED by the
+    *      physical partition id — fully parallel;
+    *   3. per-partition totals (≤ n rows) get their own exclusive prefix
+    *      sum — the only sequential window, over n rows, not the data —
+    *      and broadcast-join back as offsets.
+    *
+    * The sorted frame is localCheckpoint'd so the two consumers (rows,
+    * offsets) share ONE materialization — otherwise the range partitioner
+    * could resample different bounds per consumer and misalign the ids.
+    *
+    * Exactness: integer value columns stay exact under the reordered
+    * additions; for floating-point inputs the result can differ from a
+    * sequential sum in the last ulp (document at the call site). */
+  def rankedCumSum(df: DataFrame, valueCol: Column, order: Seq[Column],
+                   n: Int, outCol: String): DataFrame = {
+    val sorted = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val localWin = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sorted.groupBy(col("__pid")).agg(sum(valueCol).as("__psum"))
+      .withColumn("__off", coalesce(
+        sum(col("__psum")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    sorted
+      .withColumn("__local", sum(valueCol).over(localWin))
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__pid", "__opid", "__local", "__off")
   }
 }

