@@ -494,6 +494,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint recovery: a restarted query resumes offsets AND state") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // the exactly-once restart contract: a NEW query object pointed at the
+    // SAME checkpoint must (a) skip files already committed (offset log
+    // recovered), and (b) keep aggregating into the pre-restart totals
+    // (state store recovered). Update-mode output makes both observable:
+    // run 2 must emit ONLY the group touched by the new file, with its
+    // cumulative — not restarted — aggregate.
+    val base = Files.createTempDirectory("graft-ckpt").toString
+    val src = s"$base/src"; val ckpt = s"$base/ckpt"
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("user_id BIGINT, v BIGINT").parquet(src)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val rows = df.collect()
+          emitted.synchronized { rows.foreach(r => emitted +=
+            ((id, r.getLong(0), r.getLong(1), r.getLong(2)))) }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+      q.exception.foreach(e => fail(s"query failed: $e"))
+    }
+    Seq((1L, 10L), (2L, 20L)).toDF("user_id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val run1 = emitted.toList
+    assert(run1.map(t => (t._2, t._3, t._4)).toSet ==
+      Set((1L, 1L, 10L), (2L, 1L, 20L)), s"run 1 emitted $run1")
+
+    emitted.clear()
+    Seq((1L, 5L)).toDF("user_id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce() // brand-new query instance, same checkpoint
+    val run2 = emitted.toList
+    // user 1: count jumped 1→2 (state recovered, file 1 NOT re-read —
+    // a from-scratch rerun would emit n=1 for a fresh state or re-emit
+    // user 2 if the first file were reprocessed)
+    assert(run2.map(t => (t._2, t._3, t._4)) == List((1L, 2L, 15L)),
+      s"run 2 emitted $run2")
+    // batch ids continue the recovered write-ahead log, not restart at 0
+    assert(run2.head._1 > run1.map(_._1).max,
+      s"batch id did not advance across restart: $run1 → $run2")
+  }
+
   test("session windows via session_window: streamed subset of batch") {
     val stream = EventStreams.readEventStream(spark, replayDir)
     EventStreams.runToMemory(EventStreams.sessionAgg(stream), "sessions")
