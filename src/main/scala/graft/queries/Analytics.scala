@@ -152,6 +152,82 @@ object Analytics {
       withUrl.withColumn("canon_url", canon)
         .groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
+    }),
+
+    // Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    // fraction of the document taken by its single most frequent word /
+    // bigram — the classic template-spam detector. Relational form: token
+    // explode → (doc, gram) count → per-doc max/sum, the same
+    // corpus-sized-shuffle class as llm_tfidf; fractions are exact-integer
+    // divisions so both engines agree bitwise. Thresholds sit inside the
+    // fixture's observed range so both flag classes occur.
+    "llm_repetition_score" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      val wordStats = toks
+        .select(col("doc_id"), explode(col("arr")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"), max(col("c")).as("top_w"))
+      val bigramStats = toks
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(arr) >= 2 THEN transform(sequence(0, size(arr)-2)," +
+          " i -> concat(arr[i], ' ', arr[i+1])) ELSE array() END")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_b"))
+      val twf = col("top_w").cast("double") / col("n_words")
+      val tbf = col("top_b").cast("double") / col("n_bigrams")
+      wordStats.join(bigramStats, "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          twf.as("top_word_frac"), tbf.as("top_bigram_frac"),
+          (twf > 0.12 || tbf > 0.18).as("flagged"))
+    }),
+
+    // lag/lead/first/nth_value with IGNORE NULLS — gap-jumping analytics
+    // over sparse measures; one user-keyed window sort serves all four.
+    "win_ignore_nulls" -> ((s, d) => {
+      val vn = when(col("event_type") === "view", lit(null))
+        .otherwise(col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        vn.as("v"),
+        lead(vn, 1, null, ignoreNulls = true).over(w).as("next_v"),
+        lag(vn, 1, null, ignoreNulls = true).over(w).as("prev_v"),
+        first(vn, ignoreNulls = true).over(wf).as("first_v"),
+        nth_value(vn, 2, ignoreNulls = true).over(wf).as("second_v"))
+    }),
+
+    // key-skew diagnostic — the operational pre-check before keying a
+    // 100 TB shuffle: per-key count distribution collapsed to one row
+    // (n_keys, extremes, quantiles, max/avg skew factor). The key-count
+    // frame is the only shuffle; the profile itself is a 1-row aggregate.
+    "etl_skew_profile" -> ((s, d) => {
+      val c = t(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      c.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"),
+        expr("percentile(c, 0.5)").as("p50_key_rows"),
+        expr("percentile(c, 0.99)").as("p99_key_rows"),
+        round(max(col("c")) * count(lit(1)) / sum(col("c")).cast("double"), 6)
+          .as("skew_factor"))
+    }),
+
+    // parameterized SQL (named-marker binding, Spark ≥ 3.4) — the
+    // injection-safe text entry point; the twin is the same query with
+    // the literals inlined, so the hash check proves the binding.
+    "fn_sql_params" -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice
+          |FROM orders
+          |WHERE o_totalprice > :cutoff AND o_orderstatus = :status""".stripMargin,
+        Map("cutoff" -> 450000.0, "status" -> "F"))
     }))
 
   val sql: Map[String, String] = Map(
@@ -255,5 +331,58 @@ object Analytics {
                AS canon_url,
              COUNT(*) AS n_dups,
              MIN(doc_id) AS keep_doc_id
-      FROM parts GROUP BY 1""")
+      FROM parts GROUP BY 1""",
+
+    "llm_repetition_score" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      ws AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_w
+             FROM wc GROUP BY 1),
+      bg AS (SELECT doc_id,
+                    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) AS b
+             FROM toks QUALIFY b IS NOT NULL),
+      bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_b
+             FROM bc GROUP BY 1)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(top_w AS DOUBLE)/n_words AS top_word_frac,
+             CAST(top_b AS DOUBLE)/n_bigrams AS top_bigram_frac,
+             (CAST(top_w AS DOUBLE)/n_words > 0.12
+              OR CAST(top_b AS DOUBLE)/n_bigrams > 0.18) AS flagged
+      FROM ws JOIN bs USING (doc_id)""",
+
+    "win_ignore_nulls" -> """
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             lead(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+                  IGNORE NULLS) OVER w AS next_v,
+             lag(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+                 IGNORE NULLS) OVER w AS prev_v,
+             first_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+                         IGNORE NULLS) OVER wf AS first_v,
+             nth_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END, 2
+                       IGNORE NULLS) OVER wf AS second_v
+      FROM events
+      WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "etl_skew_profile" -> """
+      WITH kc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+      SELECT count(*) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             MAX(c) AS max_key_rows,
+             quantile_cont(c, 0.5) AS p50_key_rows,
+             quantile_cont(c, 0.99) AS p99_key_rows,
+             ROUND(MAX(c) * count(*) / CAST(SUM(c) AS DOUBLE), 6) AS skew_factor
+      FROM kc""",
+
+    "fn_sql_params" -> """
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 450000.0 AND o_orderstatus = 'F'""")
 }

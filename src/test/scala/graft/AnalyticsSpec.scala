@@ -113,6 +113,73 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition score: template spam flagged, varied text not") {
+    import spark.implicits._
+    // crafted corpus: one heavily templated doc, one all-distinct doc
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "buy now buy now buy now buy now buy now", "en", "spam", 39L),
+      (2L, "the quick brown fox jumps over a lazy dog", "en", "ok", 41L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("llm_repetition_score")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val spam = out(1L)
+    assert(spam.getAs[Double]("top_word_frac") == 0.5) // 'buy'/'now' 5 of 10
+    assert(spam.getAs[Double]("top_bigram_frac") == 5.0 / 9) // 'buy now' ×5
+    assert(spam.getAs[Boolean]("flagged"))
+    val ok = out(2L)
+    assert(ok.getAs[Double]("top_word_frac") == 1.0 / 9) // all distinct
+    assert(!ok.getAs[Boolean]("flagged"))
+    // and on the real corpus both classes must occur (thresholds sit
+    // inside the observed fraction range)
+    val real = graft.SparkEntry.queries("llm_repetition_score")(spark, sf)
+      .groupBy(col("flagged")).count().collect()
+    assert(real.length == 2, s"degenerate flag split: ${real.mkString}")
+  }
+
+  test("ignore-nulls windows jump gaps instead of returning the gap") {
+    val out = graft.SparkEntry.queries("win_ignore_nulls")(spark, sf)
+    // next_v/prev_v/first_v/second_v must never be NULL-because-of-a-gap:
+    // each non-null emitted value equals SOME non-null v of the same user,
+    // and next_v on a row directly before a null run skips past it.
+    val rows = out.collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      val vs = rs.map(r => Option(r.getAs[java.lang.Double]("v"))).flatten
+        .map(_.toDouble).toSet
+      rs.foreach { r =>
+        Seq("next_v", "prev_v", "first_v", "second_v").foreach { c =>
+          Option(r.getAs[java.lang.Double](c)).foreach(x =>
+            assert(vs.contains(x.toDouble), s"$c emitted a non-member value"))
+        }
+      }
+    }
+    // sanity: some rows DO have a null v (the view gap) yet a non-null next_v
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("v")) &&
+      !r.isNullAt(r.fieldIndex("next_v"))))
+  }
+
+  test("skew profile: quantile ordering and skew factor bounds") {
+    val r = graft.SparkEntry.queries("etl_skew_profile")(spark, sf).head()
+    val (p50, p99) = (r.getAs[Double]("p50_key_rows"), r.getAs[Double]("p99_key_rows"))
+    val maxK = r.getAs[Long]("max_key_rows")
+    assert(p50 <= p99 && p99 <= maxK)
+    assert(r.getAs[Double]("skew_factor") >= 1.0)
+    assert(r.getAs[Long]("n_rows") ==
+      graft.core.Tables.t(spark, sf, "events").count())
+  }
+
+  test("parameterized SQL binds named markers exactly like literals") {
+    val bound = graft.SparkEntry.queries("fn_sql_params")(spark, sf)
+      .collect().map(_.getAs[Long]("o_orderkey")).toSet
+    graft.core.Tables.registerAll(spark, sf)
+    val literal = spark.sql(
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0 AND o_orderstatus = 'F'")
+      .collect().map(_.getAs[Long]("o_orderkey")).toSet
+    assert(bound == literal && bound.nonEmpty)
+  }
+
   test("mom growth: first month NULL, later months match hand-computed lag") {
     val rows = graft.SparkEntry.queries("win_mom_growth")(spark, sf)
       .orderBy(col("month")).collect()
