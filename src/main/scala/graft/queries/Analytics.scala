@@ -218,6 +218,27 @@ object Analytics {
           .as("skew_factor"))
     }),
 
+    // time-weighted average (TWAP — the sensor/finance aggregate where
+    // events are irregular samples): each value weighted by its holding
+    // duration to the user's next event. One user-keyed window sort; the
+    // weighted sums run on exact integers (value milli-units × duration
+    // ms), so partial-agg order can't perturb the hash.
+    "evt_twap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("nts", lead(col("ts"), 1).over(w))
+        .withColumn("dur_ms",
+          expr("(unix_micros(nts) - unix_micros(ts)) div 1000"))
+        .filter(col("dur_ms").isNotNull)
+        .withColumn("v_m", round(col("value") * 1000).cast("bigint"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur_ms")).as("total_ms"),
+          (sum(col("v_m") * col("dur_ms")).cast("double")
+            / sum(col("dur_ms")) / 1000.0).as("twap"))
+    }),
+
     // parameterized SQL (named-marker binding, Spark ≥ 3.4) — the
     // injection-safe text entry point; the twin is the same query with
     // the literals inlined, so the hash check proves the binding.
@@ -384,5 +405,22 @@ object Analytics {
     "fn_sql_params" -> """
       SELECT o_orderkey, o_totalprice
       FROM orders
-      WHERE o_totalprice > 450000.0 AND o_orderstatus = 'F'""")
+      WHERE o_totalprice > 450000.0 AND o_orderstatus = 'F'""",
+
+    "evt_twap" -> """
+      WITH seq AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nts
+        FROM events),
+      iv AS (
+        SELECT user_id,
+               CAST(ROUND(value*1000) AS BIGINT) AS v_m,
+               (epoch_us(nts) - epoch_us(ts)) // 1000 AS dur_ms
+        FROM seq WHERE nts IS NOT NULL)
+      SELECT user_id,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+             CAST(SUM(v_m*dur_ms) AS DOUBLE)/SUM(dur_ms)/1000.0 AS twap
+      FROM iv GROUP BY 1""")
 }

@@ -180,6 +180,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bound == literal && bound.nonEmpty)
   }
 
+  test("twap: hand-computed holding-weighted average on a crafted series") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // user 1 holds v=10 for 2 s, then v=20 for 1 s → twap = 40/3 ≈ 13.3̅;
+    // the final event has no successor and must be excluded.
+    val dir = java.nio.file.Files.createTempDirectory("graft-twap").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val sec = 1_000_000_000L // writeEvents convention: nanos
+    val rows = Seq(
+      Row(1L, 0L * sec, 1L, "m", 10.0, "{}"),
+      Row(2L, 2L * sec, 1L, "m", 20.0, "{}"),
+      Row(3L, 3L * sec, 1L, "m", 99.0, "{}"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("evt_twap")(spark, dir).head()
+    assert(out.getAs[Long]("n_intervals") == 2)
+    assert(out.getAs[Long]("total_ms") == 3000L)
+    assert(math.abs(out.getAs[Double]("twap") - 40.0 / 3) < 1e-9)
+  }
+
   test("mom growth: first month NULL, later months match hand-computed lag") {
     val rows = graft.SparkEntry.queries("win_mom_growth")(spark, sf)
       .orderBy(col("month")).collect()
