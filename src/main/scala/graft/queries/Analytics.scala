@@ -239,6 +239,46 @@ object Analytics {
             / sum(col("dur_ms")) / 1000.0).as("twap"))
     }),
 
+    // NDCG@10 ranking quality — the offline-eval metric computed
+    // relationally: per nation, rank suppliers by first-half revenue, score
+    // that ranking against second-half revenue as the gain, normalize by
+    // the ideal (gain-sorted) ordering. Two nation-keyed rank windows and
+    // one ≤10-term aggregate per group; gains are exact cent integers so
+    // only the final ≤10-term double sum needs a rounding guard.
+    "win_ndcg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      val split = lit("1997-01-01").cast("timestamp")
+      val rev = li.join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"), col("s_suppkey").as("suppkey"))
+        .agg(
+          sum(when(col("l_shipdate") < split,
+            revU(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0L))).as("rev1_u"),
+          sum(when(col("l_shipdate") >= split,
+            revU(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0L))).as("rev2_u"))
+      val byH1 = Window.partitionBy(col("nationkey"))
+        .orderBy(col("rev1_u").desc, col("suppkey"))
+      val byGain = Window.partitionBy(col("nationkey"))
+        .orderBy(col("rev2_u").desc, col("suppkey"))
+      val ranked = rev
+        .withColumn("r1", row_number().over(byH1))
+        .withColumn("rg", row_number().over(byGain))
+      val gain = col("rev2_u") / lit(10000.0)
+      val dcgTerm = gain / log2(col("r1") + 1)
+      val idcgTerm = gain / log2(col("rg") + 1)
+      ranked.groupBy(col("nationkey"))
+        .agg(
+          round(sum(when(col("r1") <= 10, dcgTerm).otherwise(lit(0.0))), 4)
+            .as("dcg10"),
+          round(sum(when(col("rg") <= 10, idcgTerm).otherwise(lit(0.0))), 4)
+            .as("idcg10"),
+          round(sum(when(col("r1") <= 10, dcgTerm).otherwise(lit(0.0)))
+            / sum(when(col("rg") <= 10, idcgTerm).otherwise(lit(0.0))), 4)
+            .as("ndcg10"))
+    }),
+
     // parameterized SQL (named-marker binding, Spark ≥ 3.4) — the
     // injection-safe text entry point; the twin is the same query with
     // the literals inlined, so the hash check proves the binding.
@@ -406,6 +446,37 @@ object Analytics {
       SELECT o_orderkey, o_totalprice
       FROM orders
       WHERE o_totalprice > 450000.0 AND o_orderstatus = 'F'""",
+
+    "win_ndcg" -> """
+      WITH rev AS (
+        SELECT s_nationkey AS nationkey, s_suppkey AS suppkey,
+               SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+                   THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   ELSE 0 END) AS rev1_u,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                   ELSE 0 END) AS rev2_u
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT nationkey, rev2_u,
+               ROW_NUMBER() OVER (PARTITION BY nationkey
+                                  ORDER BY rev1_u DESC, suppkey) AS r1,
+               ROW_NUMBER() OVER (PARTITION BY nationkey
+                                  ORDER BY rev2_u DESC, suppkey) AS rg
+        FROM rev)
+      SELECT nationkey,
+             ROUND(SUM(CASE WHEN r1 <= 10
+                   THEN rev2_u/10000.0/log2(r1+1) ELSE 0.0 END), 4) AS dcg10,
+             ROUND(SUM(CASE WHEN rg <= 10
+                   THEN rev2_u/10000.0/log2(rg+1) ELSE 0.0 END), 4) AS idcg10,
+             ROUND(SUM(CASE WHEN r1 <= 10
+                   THEN rev2_u/10000.0/log2(r1+1) ELSE 0.0 END)
+                   / SUM(CASE WHEN rg <= 10
+                     THEN rev2_u/10000.0/log2(rg+1) ELSE 0.0 END), 4) AS ndcg10
+      FROM ranked GROUP BY 1""",
 
     "evt_twap" -> """
       WITH seq AS (

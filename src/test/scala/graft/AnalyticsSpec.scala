@@ -180,6 +180,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bound == literal && bound.nonEmpty)
   }
 
+  test("ndcg: bounded by 1, equals 1 iff the H1 ranking is gain-ideal") {
+    val rows = graft.SparkEntry.queries("win_ndcg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, i, n) = (r.getAs[Double]("dcg10"), r.getAs[Double]("idcg10"),
+        r.getAs[Double]("ndcg10"))
+      assert(d <= i + 1e-9, s"DCG above ideal: $d > $i")
+      assert(n >= 0.0 && n <= 1.0 + 1e-9, s"ndcg out of range: $n")
+    }
+    // discrimination on a crafted inversion: supplier A leads H1 but B
+    // dominates the H2 gains → the H1 ranking is provably sub-ideal.
+    // gains B=200, A=100 ⇒ DCG = 100/log2(2)+200/log2(3),
+    // IDCG = 200/log2(2)+100/log2(3) ⇒ ndcg ≈ 0.8735.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndcg").toString
+    val liSchema = StructType(Seq(
+      StructField("l_suppkey", LongType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_shipdate", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val li = Seq(
+      Row(1L, 500.0, 0.0, ts("1996-01-01 00:00:00")), // A: H1 winner
+      Row(2L, 400.0, 0.0, ts("1996-01-01 00:00:00")),
+      Row(1L, 100.0, 0.0, ts("1998-01-01 00:00:00")), // H2 gains: A=100
+      Row(2L, 200.0, 0.0, ts("1998-01-01 00:00:00"))) //           B=200
+    spark.createDataFrame(spark.sparkContext.parallelize(li), liSchema)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val suSchema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_nationkey", IntegerType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, 7), Row(2L, 7))), suSchema)
+      .write.parquet(s"$dir/supplier.parquet")
+    val crafted = graft.SparkEntry.queries("win_ndcg")(spark, dir).head()
+    val expect = (100.0 + 200.0 / math.log(3.0) * math.log(2.0)) /
+      (200.0 + 100.0 / math.log(3.0) * math.log(2.0))
+    assert(math.abs(crafted.getAs[Double]("ndcg10") -
+      BigDecimal(expect).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("twap: hand-computed holding-weighted average on a crafted series") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
