@@ -279,6 +279,30 @@ object Analytics {
             .as("ndcg10"))
     }),
 
+    // Benford first-digit analysis — the classic bookkeeping-fraud /
+    // data-quality screen: observed leading-digit frequencies vs the
+    // Benford expectation log10(1+1/d), with per-digit chi-square
+    // contributions. The digit comes from the STRING of exact integer
+    // cents, not floor(x/10^floor(log10 x)) — the arithmetic route can
+    // flip at powers of ten when the two engines' libm log10 differ by an
+    // ulp; the string route is exact on both.
+    "agg_benford" -> ((s, d) => {
+      val digit = substring(
+        round(col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+      val counted = t(s, d, "orders")
+        .filter(col("o_totalprice") > 0)
+        .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      val tot = counted.agg(sum(col("n")).as("n_tot"))
+      val obs = col("n").cast("double") / col("n_tot")
+      val exp = log10(lit(1.0) + lit(1.0) / col("digit"))
+      counted.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(obs, 6).as("obs_frac"),
+          round(exp, 6).as("benford_frac"),
+          round(pow(obs - exp, 2) / exp * col("n_tot"), 6).as("chi2_term"))
+    }),
+
     // parameterized SQL (named-marker binding, Spark ≥ 3.4) — the
     // injection-safe text entry point; the twin is the same query with
     // the literals inlined, so the hash check proves the binding.
@@ -477,6 +501,21 @@ object Analytics {
                    / SUM(CASE WHEN rg <= 10
                      THEN rev2_u/10000.0/log2(rg+1) ELSE 0.0 END), 4) AS ndcg10
       FROM ranked GROUP BY 1""",
+
+    "agg_benford" -> """
+      WITH counted AS (
+        SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM counted)
+      SELECT digit, n,
+             ROUND(CAST(n AS DOUBLE)/n_tot, 6) AS obs_frac,
+             ROUND(log10(1.0 + 1.0/digit), 6) AS benford_frac,
+             ROUND(pow(CAST(n AS DOUBLE)/n_tot - log10(1.0 + 1.0/digit), 2)
+                   / log10(1.0 + 1.0/digit) * n_tot, 6) AS chi2_term
+      FROM counted, tot""",
 
     "evt_twap" -> """
       WITH seq AS (

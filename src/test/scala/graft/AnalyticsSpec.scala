@@ -180,6 +180,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bound == literal && bound.nonEmpty)
   }
 
+  test("benford: digits 1-9, fractions sum to 1, expectation is Benford") {
+    val rows = graft.SparkEntry.queries("agg_benford")(spark, sf).collect()
+    val digits = rows.map(_.getAs[Int]("digit")).sorted
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_.getAs[Double]("obs_frac")).sum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      val expect = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(r.getAs[Double]("benford_frac") - expect) < 1e-6)
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+    }
+  }
+
   test("ndcg: bounded by 1, equals 1 iff the H1 ranking is gain-ideal") {
     val rows = graft.SparkEntry.queries("win_ndcg")(spark, sf).collect()
     assert(rows.nonEmpty)
