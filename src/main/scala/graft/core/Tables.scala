@@ -51,7 +51,19 @@ object Tables {
     if (est < target) df.repartition(target) else df
   }
 
-  /** Register all tables as temp views (for spark.sql-surface queries). */
+  /** Register all tables as temp views (for spark.sql-surface queries).
+    * Memoized per session on the LAST registered dir: every SQL-surface
+    * query calls this, and re-deriving ten view definitions (ten parquet
+    * footer reads) per query is pure overhead when the dir hasn't changed.
+    * Switching dirs (crafted test fixtures) still re-registers, and the
+    * views themselves stay live for the session either way. */
+  private val lastRegistered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    if (lastRegistered.get(spark) != dir) {
+      names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+      lastRegistered.put(spark, dir)
+    }
 }
