@@ -303,6 +303,33 @@ object Analytics {
           round(pow(obs - exp, 2) / exp * col("n_tot"), 6).as("chi2_term"))
     }),
 
+    // SCD2 point-in-time join — the canonical fact-to-versioned-dimension
+    // lookup: each fact row (order, valued 30 days later) resolves the
+    // dimension version whose [effective_from, effective_to) interval
+    // covers its timestamp. The equi key (custkey) drives an ordinary
+    // co-partitioned join; the interval bounds are post-join filters, so
+    // no BNLJ at any scale. Version ranges partition each key's timeline,
+    // so every fact matches exactly one version (row count preserved —
+    // the hash check pins that).
+    "join_scd2_pit" -> ((s, d) => {
+      val hist = graft.etl.Writers.scd2History(
+          t(s, d, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+          "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey").as("h_custkey"),
+          col("o_orderkey").as("version_id"),
+          col("effective_from"), col("effective_to"))
+      val fact = t(s, d, "orders").select(
+        col("o_orderkey").as("fact_order"), col("o_custkey"),
+        expr("o_orderdate + INTERVAL 30 DAYS").as("pit_ts"))
+      fact.join(hist,
+          fact("o_custkey") === col("h_custkey") &&
+          col("pit_ts") >= col("effective_from") &&
+          (col("effective_to").isNull || col("pit_ts") < col("effective_to")))
+        .select(col("fact_order"), col("o_custkey").as("custkey"),
+          col("version_id"))
+    }),
+
     // parameterized SQL (named-marker binding, Spark ≥ 3.4) — the
     // injection-safe text entry point; the twin is the same query with
     // the literals inlined, so the hash check proves the binding.
@@ -516,6 +543,22 @@ object Analytics {
              ROUND(pow(CAST(n AS DOUBLE)/n_tot - log10(1.0 + 1.0/digit), 2)
                    / log10(1.0 + 1.0/digit) * n_tot, 6) AS chi2_term
       FROM counted, tot""",
+
+    "join_scd2_pit" -> """
+      WITH hist AS (
+        SELECT o_custkey AS h_custkey, o_orderkey AS version_id,
+               o_orderdate AS effective_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS effective_to
+        FROM orders),
+      fact AS (
+        SELECT o_orderkey AS fact_order, o_custkey,
+               o_orderdate + INTERVAL 30 DAY AS pit_ts
+        FROM orders)
+      SELECT fact_order, o_custkey AS custkey, version_id
+      FROM fact JOIN hist ON o_custkey = h_custkey
+        AND pit_ts >= effective_from
+        AND (effective_to IS NULL OR pit_ts < effective_to)""",
 
     "evt_twap" -> """
       WITH seq AS (

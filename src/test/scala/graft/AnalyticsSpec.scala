@@ -180,6 +180,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bound == literal && bound.nonEmpty)
   }
 
+  test("scd2 point-in-time join: one version per fact, equi-join plan") {
+    val out = graft.SparkEntry.queries("join_scd2_pit")(spark, sf)
+    val nOrders = graft.core.Tables.t(spark, sf, "orders").count()
+    assert(out.count() == nOrders,
+      "version intervals must partition each key's timeline")
+    // fact orders resolve DISTINCT versions only when dates differ; at
+    // minimum the self-version (pit = own date + 30d) must be reachable
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"temporal lookup degenerated to a BNLJ:\n$plan")
+  }
+
   test("benford: digits 1-9, fractions sum to 1, expectation is Benford") {
     val rows = graft.SparkEntry.queries("agg_benford")(spark, sf).collect()
     val digits = rows.map(_.getAs[Int]("digit")).sorted
