@@ -66,4 +66,29 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
     }
   }
+
+  test("rankedCumSum ≡ sequential cumsum for random sizes/values/partitions") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // random row counts (incl. < nPartitions and 1), duplicate-heavy
+    // values (ties must break on id), random partition counts
+    val caseGen = for {
+      n  <- Gen.oneOf(1, 3, 17, 230, 801)
+      np <- Gen.choose(1, 12)
+      vs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield (np, vs)
+    samples(caseGen, 12).foreach { case (np, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val dist = graft.ops.Partitioning
+        .rankedCumSum(df, col("v"), Seq(col("v"), col("id")), np, "cum")
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      val seq = df.withColumn("cum",
+          sum(col("v")).over(Window.orderBy(col("v"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      assert(dist == seq, s"mismatch at n=${vs.size} np=$np")
+    }
+  }
 }
