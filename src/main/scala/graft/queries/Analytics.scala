@@ -340,6 +340,102 @@ object Analytics {
           |FROM orders
           |WHERE o_totalprice > :cutoff AND o_orderstatus = :status""".stripMargin,
         Map("cutoff" -> 450000.0, "status" -> "F"))
+    }),
+
+    // Referential-integrity audit: orphan-row counts for the five real
+    // star-schema FKs plus one deliberately cross-domain probe
+    // (events.user_id against supplier) that is EXPECTED to fail at small
+    // sf — an audit that can only say "intact" is untestable. Each
+    // relation is one left join on the (distinct) parent key plus a single
+    // conditional count: dim-sized parents broadcast, fact-sized parents
+    // take an ordinary keyed shuffle, and only the six 1-row summaries
+    // leave the executors.
+    "etl_fk_audit" -> ((s, d) => {
+      def chk(name: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame =
+        child.join(parent.select(col(pk).as("__pk")).distinct(),
+            child(fk) === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+               count(when(col("__pk").isNull, 1)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+                  (col("n_orphans") === 0).as("intact"))
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val p = t(s, d, "part");     val n = t(s, d, "nation")
+      val ev = t(s, d, "events")
+      chk("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        .unionAll(chk("events.user_id->supplier", ev, "user_id",
+                      su, "s_suppkey"))
+        .unionAll(chk("lineitem.orderkey->orders", li, "l_orderkey",
+                      o, "o_orderkey"))
+        .unionAll(chk("lineitem.partkey->part", li, "l_partkey",
+                      p, "p_partkey"))
+        .unionAll(chk("lineitem.suppkey->supplier", li, "l_suppkey",
+                      su, "s_suppkey"))
+        .unionAll(chk("orders.custkey->customer", o, "o_custkey",
+                      c, "c_custkey"))
+        .orderBy(col("fk"))
+    }),
+
+    // Functional-dependency audit (the profiling primitive behind schema
+    // discovery and data-contract checks): for each candidate LHS → RHS,
+    // count LHS groups where the RHS is not single-valued. Two-level
+    // aggregate — the count-distinct runs as an ordinary keyed shuffle with
+    // map-side partials at any LHS cardinality; only the five 1-row
+    // summaries leave the executors. Mix of holding and failing FDs so
+    // both verdicts are exercised.
+    "etl_fd_check" -> ((s, d) => {
+      def chk(name: String, df: DataFrame,
+              lhs: Seq[String], rhs: String): DataFrame =
+        df.groupBy(lhs.map(col): _*)
+          .agg(countDistinct(col(rhs)).as("cd"))
+          .agg(count(lit(1)).as("n_groups"),
+               count(when(col("cd") > 1, 1)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+                  (col("n_violating") === 0).as("holds"))
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val p = t(s, d, "part")
+      val doc = t(s, d, "documents"); val ev = t(s, d, "events")
+      chk("documents: source->lang", doc, Seq("source"), "lang")
+        .unionAll(chk("events: user_id->event_type", ev,
+                      Seq("user_id"), "event_type"))
+        .unionAll(chk("lineitem: orderkey,linenumber->partkey", li,
+                      Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+        .unionAll(chk("orders: custkey->orderpriority", o,
+                      Seq("o_custkey"), "o_orderpriority"))
+        .unionAll(chk("part: brand->size", p, Seq("p_brand"), "p_size"))
+        .orderBy(col("fd"))
+    }),
+
+    // Exact weighted median (lower median: least value whose cumulative
+    // weight reaches half the total) of line price weighted by quantity,
+    // per return flag. Phase 1 — the data-sized part — compacts to one row
+    // per (flag, price-cents) with an integer weight sum (keyed shuffle,
+    // map-side partials); the cumulative window then runs over that
+    // compacted table only, bounded by |distinct prices| per flag (for an
+    // unbounded-domain measure, route the cumsum through
+    // ops.Partitioning.rankedCumSum instead). All selection arithmetic is
+    // integer-exact — cw·2 ≥ tot — so the chosen row cannot ulp-flip
+    // between engines; the price is converted back to dollars only on
+    // output.
+    "agg_weighted_median" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val g = li.groupBy(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("pc"))
+        .agg(sum(round(col("l_quantity")).cast("bigint")).as("w"))
+      val ord = Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
+      val all = Window.partitionBy(col("l_returnflag"))
+      val cum = g.select(col("l_returnflag"), col("pc"),
+        sum(col("w")).over(ord.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("cw"),
+        sum(col("w")).over(all).as("tot"))
+      cum.filter(col("cw") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("pc")).as("mpc"), max(col("tot")).as("total_weight"))
+        .select(col("l_returnflag"),
+          (col("mpc").cast("double") / 100.0).as("w_median_price"),
+          col("total_weight"))
+        .orderBy(col("l_returnflag"))
     }))
 
   val sql: Map[String, String] = Map(
@@ -575,5 +671,103 @@ object Analytics {
              COUNT(*) AS n_intervals,
              CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
              CAST(SUM(v_m*dur_ms) AS DOUBLE)/SUM(dur_ms)/1000.0 AS twap
-      FROM iv GROUP BY 1""")
+      FROM iv GROUP BY 1""",
+
+    "etl_fk_audit" -> """
+      WITH
+      fk1 AS (
+        SELECT 'customer.nationkey->nation' AS fk, COUNT(*) AS n_child,
+               COUNT(CASE WHEN p.pk IS NULL THEN 1 END) AS n_orphans
+        FROM customer c LEFT JOIN
+          (SELECT DISTINCT n_nationkey AS pk FROM nation) p
+          ON c.c_nationkey = p.pk),
+      fk2 AS (
+        SELECT 'events.user_id->supplier' AS fk, COUNT(*) AS n_child,
+               COUNT(CASE WHEN p.pk IS NULL THEN 1 END) AS n_orphans
+        FROM events e LEFT JOIN
+          (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+          ON e.user_id = p.pk),
+      fk3 AS (
+        SELECT 'lineitem.orderkey->orders' AS fk, COUNT(*) AS n_child,
+               COUNT(CASE WHEN p.pk IS NULL THEN 1 END) AS n_orphans
+        FROM lineitem l LEFT JOIN
+          (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+          ON l.l_orderkey = p.pk),
+      fk4 AS (
+        SELECT 'lineitem.partkey->part' AS fk, COUNT(*) AS n_child,
+               COUNT(CASE WHEN p.pk IS NULL THEN 1 END) AS n_orphans
+        FROM lineitem l LEFT JOIN
+          (SELECT DISTINCT p_partkey AS pk FROM part) p
+          ON l.l_partkey = p.pk),
+      fk5 AS (
+        SELECT 'lineitem.suppkey->supplier' AS fk, COUNT(*) AS n_child,
+               COUNT(CASE WHEN p.pk IS NULL THEN 1 END) AS n_orphans
+        FROM lineitem l LEFT JOIN
+          (SELECT DISTINCT s_suppkey AS pk FROM supplier) p
+          ON l.l_suppkey = p.pk),
+      fk6 AS (
+        SELECT 'orders.custkey->customer' AS fk, COUNT(*) AS n_child,
+               COUNT(CASE WHEN p.pk IS NULL THEN 1 END) AS n_orphans
+        FROM orders o LEFT JOIN
+          (SELECT DISTINCT c_custkey AS pk FROM customer) p
+          ON o.o_custkey = p.pk),
+      u AS (
+        SELECT * FROM fk1 UNION ALL SELECT * FROM fk2
+        UNION ALL SELECT * FROM fk3 UNION ALL SELECT * FROM fk4
+        UNION ALL SELECT * FROM fk5 UNION ALL SELECT * FROM fk6)
+      SELECT fk, n_child, n_orphans, n_orphans = 0 AS intact
+      FROM u ORDER BY fk""",
+
+    "etl_fd_check" -> """
+      WITH
+      fd1 AS (
+        SELECT 'documents: source->lang' AS fd, COUNT(*) AS n_groups,
+               COUNT(CASE WHEN cd > 1 THEN 1 END) AS n_violating
+        FROM (SELECT source, COUNT(DISTINCT lang) AS cd
+              FROM documents GROUP BY 1)),
+      fd2 AS (
+        SELECT 'events: user_id->event_type' AS fd, COUNT(*) AS n_groups,
+               COUNT(CASE WHEN cd > 1 THEN 1 END) AS n_violating
+        FROM (SELECT user_id, COUNT(DISTINCT event_type) AS cd
+              FROM events GROUP BY 1)),
+      fd3 AS (
+        SELECT 'lineitem: orderkey,linenumber->partkey' AS fd,
+               COUNT(*) AS n_groups,
+               COUNT(CASE WHEN cd > 1 THEN 1 END) AS n_violating
+        FROM (SELECT l_orderkey, l_linenumber, COUNT(DISTINCT l_partkey) AS cd
+              FROM lineitem GROUP BY 1, 2)),
+      fd4 AS (
+        SELECT 'orders: custkey->orderpriority' AS fd, COUNT(*) AS n_groups,
+               COUNT(CASE WHEN cd > 1 THEN 1 END) AS n_violating
+        FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS cd
+              FROM orders GROUP BY 1)),
+      fd5 AS (
+        SELECT 'part: brand->size' AS fd, COUNT(*) AS n_groups,
+               COUNT(CASE WHEN cd > 1 THEN 1 END) AS n_violating
+        FROM (SELECT p_brand, COUNT(DISTINCT p_size) AS cd
+              FROM part GROUP BY 1)),
+      u AS (
+        SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+        UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+        UNION ALL SELECT * FROM fd5)
+      SELECT fd, n_groups, n_violating, n_violating = 0 AS holds
+      FROM u ORDER BY fd""",
+
+    "agg_weighted_median" -> """
+      WITH g AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, pc,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM g)
+      SELECT l_returnflag,
+             CAST(MIN(pc) AS DOUBLE)/100.0 AS w_median_price,
+             CAST(MAX(tot) AS BIGINT) AS total_weight
+      FROM cum WHERE cw*2 >= tot
+      GROUP BY 1 ORDER BY 1""")
 }

@@ -171,7 +171,76 @@ object Graph {
         .join(broadcast(nation), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("n_triangles"))
         .orderBy(col("n_name"))
+    }),
+
+    // weakly-connected components over the above-mean-weight trade graph.
+    // Edge weights are EXACT integer revenue units (price-cents ×
+    // (100 − disc%)) so the mean-weight edge cutoff — the part that decides
+    // the graph's shape — is integer arithmetic and cannot ulp-flip between
+    // engines. Min-label propagation: every node starts as its own label,
+    // each superstep folds the smallest label seen across one more hop
+    // (join + min re-aggregation, localCheckpoint between steps), until a
+    // fixpoint. Convergence detection is a 1-row sum aggregate per step:
+    // labels only ever decrease, so sum(label) strictly decreases until the
+    // fixpoint — the only driver traffic in the loop is that single scalar.
+    // At a billion nodes the identical loop holds (this is textbook
+    // large-star CC): labels stay a DataFrame keyed by node, supersteps are
+    // keyed shuffles, and the iteration count is bounded by the component
+    // diameter.
+    "graph_components" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val und = exactEdges(s, d).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"), col("wu"))
+        .groupBy(col("a"), col("b")).agg(sum(col("wu")).as("wu"))
+      val tot = und.agg(sum(col("wu")).as("t"), count(lit(1)).as("n"))
+      // keep edges strictly above the mean weight: wu · n > t, all-integer
+      // (scalar-broadcast pattern: the build side is a 1-row aggregate)
+      val kept = und.crossJoin(broadcast(tot))
+        .filter(col("wu") * col("n") > col("t"))
+        .select(col("a"), col("b"))
+      val bi = kept.select(col("a").as("es"), col("b").as("ed"))
+        .union(kept.select(col("b"), col("a"))).localCheckpoint()
+      var comp = nation
+        .select(col("n_nationkey").as("node"),
+                col("n_nationkey").cast("bigint").as("comp"))
+        .localCheckpoint()
+      var last = -1L
+      var cur = comp.agg(sum(col("comp"))).head.getLong(0)
+      var iters = 0
+      while (cur != last && iters < 30) {
+        val prop = comp.join(bi, comp("node") === col("es"))
+          .select(col("ed").as("node"), col("comp"))
+        comp = comp.union(prop).groupBy(col("node"))
+          .agg(min(col("comp")).as("comp")).localCheckpoint()
+        last = cur
+        cur = comp.agg(sum(col("comp"))).head.getLong(0)
+        iters += 1
+      }
+      comp.join(broadcast(nation), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("comp"))
+        .orderBy(col("n_name"))
     }))
+
+  /** Exact-integer trade edges: revenue in 1/10000-dollar units
+    * (price-cents × (100 − disc%)), both factors exact integers recovered
+    * from the 2-decimal doubles, so edge weights — and any threshold
+    * derived from them — are engine-order-independent. (At sfs far beyond
+    * the test range the unit sums would want DECIMAL(38,0); bigint has
+    * ~4 orders of headroom over sf100 here.) */
+  private def exactEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val o  = t(s, d, "orders")
+    val c  = t(s, d, "customer")
+    val su = t(s, d, "supplier")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      .agg(sum(round(li("l_extendedprice") * 100).cast("bigint") *
+               (lit(100) - round(li("l_discount") * 100).cast("bigint")))
+        .as("wu"))
+  }
 
   private val edgesCte =
     """edges AS (
@@ -277,6 +346,38 @@ object Graph {
         |    SELECT z FROM tri)
         |SELECT n.n_name, count(*) AS n_triangles
         |FROM corners c JOIN nation n ON n.n_nationkey = c.node
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
+    // reachability closure with UNION-dedup recursion: state is the set of
+    // (node, seed-label) pairs, bounded by |nodes|², so the recursion
+    // terminates at the transitive closure; min over reached labels ≡ the
+    // min-label-propagation fixpoint.
+    "graph_components" ->
+      """WITH RECURSIVE eedges AS (
+        |    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |           sum(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+        |               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+        |             AS wu
+        |    FROM lineitem l
+        |    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey  = c.c_custkey
+        |    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        |    GROUP BY 1, 2),
+        |  und AS (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |           sum(wu) AS wu
+        |    FROM eedges WHERE src <> dst GROUP BY 1, 2),
+        |  tot AS (SELECT sum(wu) AS t, count(*) AS n FROM und),
+        |  kept AS (SELECT a, b FROM und, tot WHERE wu * n > t),
+        |  bi AS (SELECT a AS s, b AS d FROM kept
+        |         UNION ALL SELECT b, a FROM kept),
+        |  reach(node, lbl) AS (
+        |    SELECT n_nationkey, n_nationkey FROM nation
+        |    UNION
+        |    SELECT bi.d, r.lbl FROM reach r JOIN bi ON bi.s = r.node)
+        |SELECT n.n_name, CAST(min(r.lbl) AS BIGINT) AS comp
+        |FROM reach r JOIN nation n ON n.n_nationkey = r.node
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin)
 }
