@@ -381,9 +381,11 @@ object Analytics {
     // discovery and data-contract checks): for each candidate LHS → RHS,
     // count LHS groups where the RHS is not single-valued. Two-level
     // aggregate — the count-distinct runs as an ordinary keyed shuffle with
-    // map-side partials at any LHS cardinality; only the five 1-row
-    // summaries leave the executors. Mix of holding and failing FDs so
-    // both verdicts are exercised.
+    // map-side partials at any LHS cardinality; only the six 1-row
+    // summaries leave the executors. The orderkey→custkey key-FD holds by
+    // construction; the rest fail on the generated data (including
+    // orderkey,linenumber→partkey — the generator reuses line numbers
+    // within an order), so both verdicts are exercised.
     "etl_fd_check" -> ((s, d) => {
       def chk(name: String, df: DataFrame,
               lhs: Seq[String], rhs: String): DataFrame =
@@ -403,6 +405,8 @@ object Analytics {
                       Seq("l_orderkey", "l_linenumber"), "l_partkey"))
         .unionAll(chk("orders: custkey->orderpriority", o,
                       Seq("o_custkey"), "o_orderpriority"))
+        .unionAll(chk("orders: orderkey->custkey", o,
+                      Seq("o_orderkey"), "o_custkey"))
         .unionAll(chk("part: brand->size", p, Seq("p_brand"), "p_size"))
         .orderBy(col("fd"))
     }),
@@ -742,6 +746,11 @@ object Analytics {
         FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS cd
               FROM orders GROUP BY 1)),
       fd5 AS (
+        SELECT 'orders: orderkey->custkey' AS fd, COUNT(*) AS n_groups,
+               COUNT(CASE WHEN cd > 1 THEN 1 END) AS n_violating
+        FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS cd
+              FROM orders GROUP BY 1)),
+      fd6 AS (
         SELECT 'part: brand->size' AS fd, COUNT(*) AS n_groups,
                COUNT(CASE WHEN cd > 1 THEN 1 END) AS n_violating
         FROM (SELECT p_brand, COUNT(DISTINCT p_size) AS cd
@@ -749,7 +758,7 @@ object Analytics {
       u AS (
         SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
         UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
-        UNION ALL SELECT * FROM fd5)
+        UNION ALL SELECT * FROM fd5 UNION ALL SELECT * FROM fd6)
       SELECT fd, n_groups, n_violating, n_violating = 0 AS holds
       FROM u ORDER BY fd""",
 

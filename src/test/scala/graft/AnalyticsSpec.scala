@@ -282,4 +282,69 @@ class AnalyticsSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r1.getAs[Double]("mom_pct") - expect) < 1e-9)
   }
+
+  test("fk audit: real FKs intact, cross-domain probe catches orphans") {
+    val rows = graft.SparkEntry.queries("etl_fk_audit")(spark, sf)
+      .collect().map(r => r.getAs[String]("fk") -> r).toMap
+    assert(rows.size == 6)
+    rows.values.foreach { r =>
+      val (nc, no) = (r.getAs[Long]("n_child"), r.getAs[Long]("n_orphans"))
+      assert(no >= 0 && no <= nc)
+      assert(r.getAs[Boolean]("intact") == (no == 0L))
+    }
+    // the five genuine star-schema FKs hold on the generated fixture
+    Seq("customer.nationkey->nation", "lineitem.orderkey->orders",
+        "lineitem.partkey->part", "lineitem.suppkey->supplier",
+        "orders.custkey->customer")
+      .foreach(fk => assert(rows(fk).getAs[Boolean]("intact"), s"$fk broken"))
+    // the deliberate cross-domain probe must find orphans (user ids run
+    // far past the supplier key range at every sf) — proves the audit can
+    // actually fail, not just rubber-stamp
+    assert(!rows("events.user_id->supplier").getAs[Boolean]("intact"),
+      "probe FK unexpectedly intact — the audit never exercises a failure")
+    // child counts are the true table cardinalities (left join never drops)
+    assert(rows("orders.custkey->customer").getAs[Long]("n_child") ==
+      graft.core.Tables.t(spark, sf, "orders").count())
+  }
+
+  test("fd check: key-implied FD holds, the rest fail on the fixture") {
+    val rows = graft.SparkEntry.queries("etl_fd_check")(spark, sf)
+      .collect().map(r => r.getAs[String]("fd") -> r).toMap
+    assert(rows.size == 6)
+    rows.values.foreach { r =>
+      val (ng, nv) = (r.getAs[Long]("n_groups"), r.getAs[Long]("n_violating"))
+      assert(nv >= 0 && nv <= ng && ng > 0)
+      assert(r.getAs[Boolean]("holds") == (nv == 0L))
+    }
+    // o_orderkey is a verified key of orders → the FD to custkey holds
+    assert(rows("orders: orderkey->custkey").getAs[Boolean]("holds"))
+    // the generator reuses line numbers within an order, so the would-be
+    // key FD genuinely fails — a real finding the audit must surface
+    assert(!rows("lineitem: orderkey,linenumber->partkey").getAs[Boolean]("holds"),
+      "generator now emits unique line numbers — update this anchor")
+  }
+
+  test("weighted median: matches a sequential re-computation per flag") {
+    // independent oracle: sort each flag's (price-cents, weight) pairs and
+    // walk the prefix weights sequentially on the driver.
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("pc"),
+        round(col("l_quantity")).cast("bigint").as("w"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = li.groupBy(_._1).map { case (flag, rows) =>
+      val byPrice = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byPrice.map(_._2).sum
+      var cum = 0L
+      val med = byPrice.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      flag -> (med / 100.0, tot)
+    }
+    val got = graft.SparkEntry.queries("agg_weighted_median")(spark, sf)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("w_median_price"), r.getAs[Long]("total_weight")))
+      .toMap
+    assert(got == expect)
+  }
 }

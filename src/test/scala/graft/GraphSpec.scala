@@ -45,6 +45,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r.keySet == bfs, "cost-reachable set must equal hop-reachable set")
   }
 
+  test("components: labels are the min key of each member set") {
+    // the min-label fixpoint claim, checked against the node ids directly:
+    // every node's label ≤ its own key, and each component's label is
+    // EXACTLY the smallest key among its members (no stale labels survive).
+    val nation = graft.core.Tables.t(spark, sf, "nation")
+      .select(col("n_name"), col("n_nationkey").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val comp = SparkEntry.queries("graph_components")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(comp.length == nation.size, "every node must be labeled")
+    comp.foreach { case (name, c) =>
+      assert(c <= nation(name), s"$name labeled $c above its own key")
+    }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(m => nation(m._1)).min == label,
+        s"component $label label is not its minimum member key")
+    }
+  }
+
   test("triangles: per-node participation sums to a multiple of 3") {
     // each triangle contributes exactly one count to each of its 3 corners
     val tri = SparkEntry.queries("graph_triangles")(spark, sf)
