@@ -440,6 +440,72 @@ object Analytics {
           (col("mpc").cast("double") / 100.0).as("w_median_price"),
           col("total_weight"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    // primitive: D = max_x |F_returned(x) − F_other(x)| between the price
+    // distributions of returned vs. kept line items. Everything that picks
+    // the answer is EXACT integer arithmetic: the ECDF comparison is done
+    // on the common-denominator numerator |f1·n2 − f2·n1| (bigint), so the
+    // argmax cannot ulp-flip; the single division producing D happens once
+    // on output. Scale shape: the data-sized pass is one hash aggregate
+    // compacting to ≤|distinct price-cents| rows; both cumulative ECDFs
+    // ride ops.Partitioning.rankedCumSum (range-partitioned two-level
+    // scan — no global single-task window); the max/argmax reduction and
+    // the 1-row totals are the only driver-visible rows. (The bigint
+    // cross-products bound n1·n2 < 2^63 — beyond ~3·10^9 rows per sample,
+    // switch the numerator to DECIMAL(38,0).)
+    "agg_ks_test" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val g = li.groupBy(round(col("l_extendedprice") * 100).cast("bigint").as("pc"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
+             sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint() // shared by the two cumsum passes + totals
+      val f1 = Partitioning.rankedCumSum(g, col("c1"), Seq(col("pc")), 32, "f1")
+      val cum = Partitioning.rankedCumSum(f1, col("c2"), Seq(col("pc")), 32, "f2")
+      val tot = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val diffs = cum.crossJoin(broadcast(tot))
+        .select(col("pc"), col("n1"), col("n2"),
+                abs(col("f1") * col("n2") - col("f2") * col("n1")).as("num"))
+      val mx = diffs.agg(max(col("num")).as("mxn"))
+      diffs.crossJoin(broadcast(mx)).filter(col("num") === col("mxn"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(min(col("pc")).as("kat"), max(col("num")).as("num"))
+        .select(col("n1"), col("n2"),
+          (col("kat").cast("double") / 100.0).as("ks_at_price"),
+          (col("num").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("ks_d"))
+    }),
+
+    // Population-stability-index drift report between the pre- and
+    // post-1998-04 order cohorts, over fixed $50k price buckets (integer
+    // bucketing on exact cents — `pc div 5e6` — so bucket assignment is
+    // engine-independent; data-driven edges like deciles would make the
+    // report nondeterministic under resampling). Per-bucket PSI terms
+    // (p−q)·ln(p/q) from exact integer counts, rounded once on output;
+    // one hash aggregate over orders, ≤12 result rows. Buckets empty in
+    // either cohort are reported with a NULL term rather than dropped or
+    // epsilon-fudged — at 100 TB an empty bucket IS the drift signal.
+    "agg_psi_drift" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val pc = round(col("o_totalprice") * 100).cast("bigint")
+      val g = o.select(pc.as("pc"),
+          (col("o_orderdate") < to_timestamp(lit("1998-04-01"))).as("base"))
+        .select(expr("pc div 5000000").as("bucket"), col("base"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("base"), 1L).otherwise(0L)).as("c_base"),
+             sum(when(!col("base"), 1L).otherwise(0L)).as("c_cur"))
+      val tot = g.agg(sum(col("c_base")).as("n_base"), sum(col("c_cur")).as("n_cur"))
+      g.crossJoin(broadcast(tot))
+        .select(col("bucket"), (col("bucket") * 50000.0).as("price_lo"),
+          col("c_base"), col("c_cur"),
+          round(when(col("c_base") > 0 && col("c_cur") > 0,
+            (col("c_base").cast("double") / col("n_base")
+              - col("c_cur").cast("double") / col("n_cur"))
+            * log(col("c_base").cast("double") * col("n_cur")
+                  / (col("c_cur").cast("double") * col("n_base")))), 6)
+            .as("psi_term"))
+        .orderBy(col("bucket"))
     }))
 
   val sql: Map[String, String] = Map(
@@ -778,5 +844,44 @@ object Analytics {
              CAST(MIN(pc) AS DOUBLE)/100.0 AS w_median_price,
              CAST(MAX(tot) AS BIGINT) AS total_weight
       FROM cum WHERE cw*2 >= tot
-      GROUP BY 1 ORDER BY 1""")
+      GROUP BY 1 ORDER BY 1""",
+
+    "agg_ks_test" -> """
+      WITH g AS (
+        SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c1,
+               SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS c2
+        FROM lineitem GROUP BY 1),
+      cum AS (
+        SELECT pc,
+               SUM(c1) OVER (ORDER BY pc ROWS UNBOUNDED PRECEDING) AS f1,
+               SUM(c2) OVER (ORDER BY pc ROWS UNBOUNDED PRECEDING) AS f2
+        FROM g),
+      tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g),
+      d AS (
+        SELECT pc, n1, n2, abs(f1*n2 - f2*n1) AS num
+        FROM cum, tot),
+      mx AS (SELECT MAX(num) AS mxn FROM d)
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             CAST(MIN(pc) AS DOUBLE)/100.0 AS ks_at_price,
+             CAST(MAX(num) AS DOUBLE)
+               /(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS ks_d
+      FROM d, mx WHERE num = mxn GROUP BY n1, n2""",
+
+    "agg_psi_drift" -> """
+      WITH g AS (
+        SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // 5000000 AS bucket,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+                        THEN 1 ELSE 0 END) AS c_base,
+               SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-04-01 00:00:00'
+                        THEN 0 ELSE 1 END) AS c_cur
+        FROM orders GROUP BY 1),
+      tot AS (SELECT SUM(c_base) AS n_base, SUM(c_cur) AS n_cur FROM g)
+      SELECT bucket, CAST(bucket * 50000.0 AS DOUBLE) AS price_lo,
+             CAST(c_base AS BIGINT) AS c_base, CAST(c_cur AS BIGINT) AS c_cur,
+             ROUND(CASE WHEN c_base > 0 AND c_cur > 0 THEN
+               (CAST(c_base AS DOUBLE)/n_base - CAST(c_cur AS DOUBLE)/n_cur)
+               * ln(CAST(c_base AS DOUBLE)*n_cur
+                    / (CAST(c_cur AS DOUBLE)*n_base)) END, 6) AS psi_term
+      FROM g, tot ORDER BY bucket""")
 }

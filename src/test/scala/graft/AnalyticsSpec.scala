@@ -347,4 +347,47 @@ class AnalyticsSpec extends AnyFunSuite {
       .toMap
     assert(got == expect)
   }
+
+  test("ks test: matches a sequential ECDF-walk re-computation") {
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("bigint").as("pc"),
+        (col("l_returnflag") === "R").as("r"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val s1 = li.filter(_._2).map(_._1).sorted
+    val s2 = li.filterNot(_._2).map(_._1).sorted
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    // exact integer ECDF comparison at every distinct value
+    val best = (s1 ++ s2).distinct.sorted.map { x =>
+      val c1 = s1.count(_ <= x).toLong
+      val c2 = s2.count(_ <= x).toLong
+      (math.abs(c1 * n2 - c2 * n1), x)
+    }
+    val mxNum = best.map(_._1).max
+    val at = best.filter(_._1 == mxNum).map(_._2).min
+    val r = graft.SparkEntry.queries("agg_ks_test")(spark, sf).head()
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Double]("ks_at_price") == at / 100.0)
+    assert(r.getAs[Double]("ks_d") ==
+      mxNum.toDouble / (n1.toDouble * n2.toDouble))
+    // two samples from the same uniform generator: D must be small but
+    // positive (identical ECDFs would mean the samples literally coincide)
+    assert(r.getAs[Double]("ks_d") > 0.0 && r.getAs[Double]("ks_d") < 0.5)
+  }
+
+  test("psi drift: terms non-negative, counts partition the cohorts") {
+    val rows = graft.SparkEntry.queries("agg_psi_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = graft.core.Tables.t(spark, sf, "orders").count()
+    assert(rows.map(r => r.getAs[Long]("c_base") + r.getAs[Long]("c_cur")).sum == o,
+      "buckets must partition every order exactly once")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("price_lo") == r.getAs[Long]("bucket") * 50000.0)
+      val term = Option(r.getAs[java.lang.Double]("psi_term"))
+      // (p−q) and ln(p/q) always share a sign → every defined term ≥ 0
+      term.foreach(x => assert(x >= 0.0, s"negative PSI term $x"))
+      // NULL is reserved for the empty-cohort case
+      if (term.isEmpty)
+        assert(r.getAs[Long]("c_base") == 0L || r.getAs[Long]("c_cur") == 0L)
+    }
+  }
 }
