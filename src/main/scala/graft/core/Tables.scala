@@ -18,13 +18,23 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet timestamp[ns], which Spark's vectorized reader
-      // rejects. Read nanos as long, truncate to micros (identical to what
-      // DuckDB/pyarrow do when narrowing ns → us for positive epochs).
+      // events.ts has shipped as parquet timestamp[ns] in some data drops
+      // (rejected by Spark's vectorized reader → read nanos as long, then
+      // truncate to micros, identical to DuckDB/pyarrow ns→us narrowing for
+      // positive epochs) and as timestamp[us] in others (reads natively,
+      // usually as TIMESTAMP_NTZ). Branch on the type actually read and
+      // normalize both to session-zone TIMESTAMP — with the UTC session
+      // timezone every entry point pins, NTZ→LTZ is wall-clock identity.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Fan a small single-file input out to the session's parallelism before
