@@ -676,6 +676,46 @@ object TextOps {
             .as("lm_score"))
     }),
 
+    // PMI collocation extraction — pointwise mutual information of
+    // adjacent token pairs across the corpus, the standard multiword-
+    // expression / tokenizer-vocab signal ("new york" scores high, "of
+    // the" scores ~0). Same lag-window bigram derivation as llm_lm_score;
+    // PMI = ln(P(w1,w2)/(P(w1)·P(w2))) with joint prob over the bigram
+    // total and unigram probs over the token total, evaluated as ONE
+    // double expression with an identical tree on both engines and
+    // rounded once (the integer product c_big·N_u² inside would overflow
+    // bigint around N_u ≈ 3e9 tokens — the double form never does). The
+    // c_big ≥ 3 support floor is applied BEFORE the marginal joins, so
+    // the joined table is the (already compact) frequent-bigram set.
+    // Scale shape: two count aggregates + two vocabulary-keyed joins —
+    // count tables shuffle-join, never collected; totals are 1-row
+    // broadcasts.
+    "llm_pmi_collocations" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigrams = toks
+        .withColumn("w1", lag(col("tok"), 1).over(w))
+        .filter(col("w1").isNotNull)
+        .select(col("w1"), col("tok").as("w2"))
+      val bc = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_big"))
+      val uc = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+      bc.filter(col("c_big") >= 3)
+        .join(uc.select(col("tok").as("w1"), col("c_uni").as("c1")),
+          Seq("w1"))
+        .join(uc.select(col("tok").as("w2"), col("c_uni").as("c2")),
+          Seq("w2"))
+        .crossJoin(broadcast(bc.agg(sum(col("c_big")).as("n_big"))))
+        .crossJoin(broadcast(uc.agg(sum(col("c_uni")).as("n_uni"))))
+        .select(col("w1"), col("w2"), col("c_big"),
+          round(log(col("c_big").cast("double") * col("n_uni") * col("n_uni")
+            / (col("n_big").cast("double") * col("c1") * col("c2"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    }),
+
     // deterministic rolling-hash document fingerprint. The DuckDB twin
     // (driver DuckDB measured 1.0.0 — no list_reduce) uses the closed form
     // fp = (7·31^n + Σ cp_i·31^(n-i)) mod p with a recursive-CTE power
@@ -1236,6 +1276,37 @@ object TextOps {
       JOIN bc USING (w1, w2)
       JOIN uc USING (w1), v
       GROUP BY b.doc_id""",
+
+    "llm_pmi_collocations" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), bigrams AS (
+        SELECT doc_id,
+               lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+               tok AS w2
+        FROM toks
+        QUALIFY w1 IS NOT NULL
+      ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_big
+        FROM bigrams GROUP BY 1, 2
+      ), uc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c_uni FROM toks GROUP BY 1
+      ), tots AS (
+        SELECT (SELECT CAST(SUM(c_big) AS BIGINT) FROM bc) AS n_big,
+               (SELECT CAST(SUM(c_uni) AS BIGINT) FROM uc) AS n_uni
+      )
+      SELECT b.w1, b.w2, b.c_big,
+             ROUND(ln(CAST(b.c_big AS DOUBLE) * n_uni * n_uni
+               / (CAST(n_big AS DOUBLE) * u1.c_uni * u2.c_uni)), 6) AS pmi
+      FROM bc b
+      JOIN uc u1 ON u1.tok = b.w1
+      JOIN uc u2 ON u2.tok = b.w2
+      CROSS JOIN tots
+      WHERE b.c_big >= 3
+      ORDER BY pmi DESC, b.w1, b.w2""",
 
     // portable-hash simhash: fp-style polynomial hash per DISTINCT token,
     // then the bit-vote rule (vote ≥ 0 ⇒ bit set) replayed bit by bit

@@ -506,6 +506,141 @@ object Analytics {
                   / (col("c_cur").cast("double") * col("n_base")))), 6)
             .as("psi_term"))
         .orderBy(col("bucket"))
+    }),
+
+    // Chi-squared independence report between order status and priority —
+    // the categorical-dependence screen (drift/feature relevance on
+    // discrete columns, complementing the numeric KS/PSI screens). One
+    // hash aggregate compacts the fact scan to |status|×|priority| cells;
+    // marginals re-aggregate those cells (cell-sized, not data-sized).
+    // Each cell's (O·n − r·k) is EXACT bigint — O·n ≤ n² needs n < ~3e9
+    // before DECIMAL is required — and only the final square/divide is
+    // double, computed identically on both engines and rounded once.
+    "agg_chi2" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val cells = o.groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val rm = cells.groupBy(col("status")).agg(sum(col("c")).as("r"))
+      val cm = cells.groupBy(col("priority")).agg(sum(col("c")).as("k"))
+      val n = cells.agg(sum(col("c")).as("n"))
+      cells.join(rm, Seq("status")).join(cm, Seq("priority"))
+        .crossJoin(broadcast(n))
+        .select(col("status"), col("priority"), col("c").as("observed"),
+          round(col("r") * col("k") / col("n").cast("double"), 4)
+            .as("expected"),
+          round(pow((col("c") * col("n") - col("r") * col("k"))
+              .cast("double"), 2)
+            / (col("r").cast("double") * col("k") * col("n")), 6)
+            .as("chi2_term"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // Mutual information + global chi-squared / Cramér's V over the same
+    // status×priority contingency — the 1-row dependence summary. The
+    // fp-determinism trick: each cell term is computed once as a double
+    // (identical expression on both engines), ROUNDED to fixed precision,
+    // scaled to an exact BIGINT, and only those integers are summed —
+    // integer addition is associative, so Spark's partial-agg order and
+    // DuckDB's sequential order provably agree; one division on output.
+    "agg_mutual_info" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val cells = o.groupBy(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val rm = cells.groupBy(col("status")).agg(sum(col("c")).as("r"))
+      val cm = cells.groupBy(col("priority")).agg(sum(col("c")).as("k"))
+      val tot = cells.agg(sum(col("c")).as("n"),
+        countDistinct(col("status")).as("nr"),
+        countDistinct(col("priority")).as("nc"))
+      val j = cells.join(rm, Seq("status")).join(cm, Seq("priority"))
+        .crossJoin(broadcast(tot))
+      val miTermU = round(
+        (col("c").cast("double") / col("n"))
+          * log(col("c").cast("double") * col("n")
+                / (col("r").cast("double") * col("k"))) * 1e9)
+        .cast("bigint")
+      val chiTermU = round(
+        pow((col("c") * col("n") - col("r") * col("k")).cast("double"), 2)
+          / (col("r").cast("double") * col("k") * col("n")) * 1e6)
+        .cast("bigint")
+      j.groupBy(col("n"), col("nr"), col("nc"))
+        .agg(sum(miTermU).as("mi_u"), sum(chiTermU).as("chi_u"))
+        .select(col("n"), col("nr"), col("nc"),
+          round(col("mi_u") / 1e9, 6).as("mi_nats"),
+          round(col("chi_u") / 1e6, 4).as("chi2"),
+          round(sqrt(col("chi_u") / 1e6
+            / (col("n") * least(col("nr") - 1, col("nc") - 1))), 6)
+            .as("cramers_v"))
+    }),
+
+    // Weight-of-evidence / information-value feature screen: does the
+    // price bucket of a line item separate returned ('R') from kept rows —
+    // the standard scorecard feature-relevance report. Same fixed $50k
+    // exact-cent buckets as agg_psi_drift (data-driven edges would be
+    // nondeterministic under resampling); WOE's log argument is a ratio of
+    // EXACT bigint cross-products, the iv_term double is computed once and
+    // rounded. Buckets one-sided-empty get NULL woe rather than an epsilon
+    // fudge — at scale an empty cell is itself the signal. One fact-scan
+    // hash aggregate; everything after is ≤|buckets| rows.
+    "agg_woe_iv" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val pc = round(col("l_extendedprice") * 100).cast("bigint")
+      val cells = li
+        .select(pc.as("pc"), (col("l_returnflag") === "R").as("ev"))
+        .select(expr("pc div 5000000").as("bucket"), col("ev"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("n_event"),
+             sum(when(!col("ev"), 1L).otherwise(0L)).as("n_non"))
+      val tot = cells.agg(sum(col("n_event")).as("te"),
+                          sum(col("n_non")).as("tn"))
+      val woe = log(col("n_event").cast("double") * col("tn")
+                    / (col("n_non").cast("double") * col("te")))
+      cells.crossJoin(broadcast(tot))
+        .select(col("bucket"), (col("bucket") * 50000.0).as("price_lo"),
+          col("n_event"), col("n_non"),
+          round(when(col("n_event") > 0 && col("n_non") > 0, woe), 6)
+            .as("woe"),
+          round(when(col("n_event") > 0 && col("n_non") > 0,
+            (col("n_event").cast("double") / col("te")
+              - col("n_non").cast("double") / col("tn")) * woe), 6)
+            .as("iv_term"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Temporal train/test split + entity-leakage audit: split orders at a
+    // date cutoff (the split every forecasting / recsys pipeline needs —
+    // llm_split_assign's hash split would leak future rows into train),
+    // then audit how many TEST customers also appear in train. That
+    // overlap is definitional for user-level personalization but fatal
+    // for cold-start evaluation, so it is REPORTED, not judged. Shapes:
+    // one fact scan with conditional aggregates for the counts; the
+    // overlap is a distinct-key semi-join (keyed shuffle, no fact rescan).
+    "etl_time_split_audit" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val cut = to_timestamp(lit("1997-01-01"))
+      val counts = o.agg(
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("n_test"),
+        max(when(col("o_orderdate") < cut, col("o_orderdate")))
+          .cast("date").as("train_end"),
+        min(when(col("o_orderdate") >= cut, col("o_orderdate")))
+          .cast("date").as("test_start"))
+      val trainC = o.filter(col("o_orderdate") < cut)
+        .select(col("o_custkey")).distinct()
+      val testC = o.filter(col("o_orderdate") >= cut)
+        .select(col("o_custkey")).distinct()
+      val ent = testC.join(trainC, Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_cust_overlap"))
+      counts
+        .crossJoin(broadcast(trainC.agg(count(lit(1)).as("n_cust_train"))))
+        .crossJoin(broadcast(testC.agg(count(lit(1)).as("n_cust_test"))))
+        .crossJoin(broadcast(ent))
+        .select(col("n_train"), col("n_test"),
+          col("train_end"), col("test_start"),
+          col("n_cust_train"), col("n_cust_test"), col("n_cust_overlap"),
+          round(col("n_cust_overlap").cast("double")
+            / col("n_cust_test"), 6).as("test_leak_frac"))
     }))
 
   val sql: Map[String, String] = Map(
@@ -883,5 +1018,107 @@ object Analytics {
                (CAST(c_base AS DOUBLE)/n_base - CAST(c_cur AS DOUBLE)/n_cur)
                * ln(CAST(c_base AS DOUBLE)*n_cur
                     / (CAST(c_cur AS DOUBLE)*n_base)) END, 6) AS psi_term
-      FROM g, tot ORDER BY bucket""")
+      FROM g, tot ORDER BY bucket""",
+
+    "agg_chi2" -> """
+      WITH cells AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2),
+      rm AS (SELECT status, SUM(c) AS r FROM cells GROUP BY 1),
+      cm AS (SELECT priority, SUM(c) AS k FROM cells GROUP BY 1),
+      tot AS (SELECT SUM(c) AS n FROM cells)
+      SELECT cells.status, cells.priority, c AS observed,
+             ROUND(r * k / CAST(n AS DOUBLE), 4) AS expected,
+             ROUND(POW(CAST(c*n - r*k AS DOUBLE), 2)
+                   / (CAST(r AS DOUBLE) * k * n), 6) AS chi2_term
+      FROM cells
+      JOIN rm ON rm.status = cells.status
+      JOIN cm ON cm.priority = cells.priority
+      CROSS JOIN tot
+      ORDER BY cells.status, cells.priority""",
+
+    "agg_mutual_info" -> """
+      WITH cells AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2),
+      rm AS (SELECT status, SUM(c) AS r FROM cells GROUP BY 1),
+      cm AS (SELECT priority, SUM(c) AS k FROM cells GROUP BY 1),
+      tot AS (SELECT SUM(c) AS n,
+                     CAST(COUNT(DISTINCT status) AS BIGINT) AS nr,
+                     CAST(COUNT(DISTINCT priority) AS BIGINT) AS nc
+              FROM cells),
+      terms AS (
+        SELECT n, nr, nc,
+               CAST(ROUND((CAST(c AS DOUBLE)/n)
+                 * ln(CAST(c AS DOUBLE)*n / (CAST(r AS DOUBLE)*k)) * 1e9)
+                 AS BIGINT) AS mi_u,
+               CAST(ROUND(POW(CAST(c*n - r*k AS DOUBLE), 2)
+                 / (CAST(r AS DOUBLE)*k*n) * 1e6) AS BIGINT) AS chi_u
+        FROM cells
+        JOIN rm ON rm.status = cells.status
+        JOIN cm ON cm.priority = cells.priority
+        CROSS JOIN tot)
+      SELECT CAST(n AS BIGINT) AS n, nr, nc,
+             ROUND(SUM(mi_u)/1e9, 6) AS mi_nats,
+             ROUND(SUM(chi_u)/1e6, 4) AS chi2,
+             ROUND(SQRT(SUM(chi_u)/1e6
+               / (n * LEAST(nr - 1, nc - 1))), 6) AS cramers_v
+      FROM terms GROUP BY n, nr, nc""",
+
+    "agg_woe_iv" -> """
+      WITH cells AS (
+        SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) // 5000000
+                 AS bucket,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                 AS n_event,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                 AS n_non
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT SUM(n_event) AS te, SUM(n_non) AS tn FROM cells)
+      SELECT bucket, CAST(bucket * 50000.0 AS DOUBLE) AS price_lo,
+             CAST(n_event AS BIGINT) AS n_event,
+             CAST(n_non AS BIGINT) AS n_non,
+             ROUND(CASE WHEN n_event > 0 AND n_non > 0 THEN
+               ln(CAST(n_event AS DOUBLE)*tn / (CAST(n_non AS DOUBLE)*te))
+               END, 6) AS woe,
+             ROUND(CASE WHEN n_event > 0 AND n_non > 0 THEN
+               (CAST(n_event AS DOUBLE)/te - CAST(n_non AS DOUBLE)/tn)
+               * ln(CAST(n_event AS DOUBLE)*tn
+                    / (CAST(n_non AS DOUBLE)*te)) END, 6) AS iv_term
+      FROM cells, tot ORDER BY bucket""",
+
+    "etl_time_split_audit" -> """
+      WITH counts AS (
+        SELECT SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                        THEN 1 ELSE 0 END) AS n_train,
+               SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                        THEN 1 ELSE 0 END) AS n_test,
+               CAST(MAX(CASE WHEN o_orderdate <
+                          TIMESTAMP '1997-01-01 00:00:00'
+                        THEN o_orderdate END) AS DATE) AS train_end,
+               CAST(MIN(CASE WHEN o_orderdate >=
+                          TIMESTAMP '1997-01-01 00:00:00'
+                        THEN o_orderdate END) AS DATE) AS test_start
+        FROM orders),
+      tr AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      te AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      sizes AS (
+        SELECT (SELECT COUNT(*) FROM tr) AS n_cust_train,
+               (SELECT COUNT(*) FROM te) AS n_cust_test,
+               (SELECT COUNT(*) FROM te
+                WHERE o_custkey IN (SELECT o_custkey FROM tr))
+                 AS n_cust_overlap)
+      SELECT CAST(n_train AS BIGINT) AS n_train,
+             CAST(n_test AS BIGINT) AS n_test,
+             train_end, test_start,
+             CAST(n_cust_train AS BIGINT) AS n_cust_train,
+             CAST(n_cust_test AS BIGINT) AS n_cust_test,
+             CAST(n_cust_overlap AS BIGINT) AS n_cust_overlap,
+             ROUND(CAST(n_cust_overlap AS DOUBLE) / n_cust_test, 6)
+               AS test_leak_frac
+      FROM counts, sizes""")
 }

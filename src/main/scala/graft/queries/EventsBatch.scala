@@ -413,6 +413,64 @@ object EventsBatch {
           col("n_events"), col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
     }),
 
+    // CUSUM change detection over daily per-type volumes — the
+    // sequential-drift complement to evt_anomaly's pointwise z-score (a
+    // slow 10% shift never trips a z-test but accumulates here). Uses the
+    // closed form CUSUM⁺_t = cum_t − min(0, min_{j≤t} cum_j) so the
+    // recursive max(0, ·) definition becomes two plain running windows —
+    // no UDF, no iteration. All decisions are EXACT integer arithmetic:
+    // deviations are pre-scaled by n_days (dev = x·n − total, so the
+    // per-type mean never becomes a float), and the alarm threshold
+    // (cumulative excess > 25 events) compares scaled integers; the one
+    // division happens on output. Scale shape: one fact-scan aggregate
+    // compacts to |types|×|days| rows; both windows are type-partitioned.
+    "evt_cusum" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.join(tot, Seq("event_type"))
+        .withColumn("cum_u",
+          sum(col("x") * col("n_days") - col("total")).over(w))
+        .withColumn("cusum_u",
+          col("cum_u") - least(min(col("cum_u")).over(w), lit(0L)))
+        .select(col("event_type"), col("day"), col("x"),
+          round(col("cusum_u").cast("double") / col("n_days"), 4)
+            .as("cusum"),
+          (col("cusum_u") > lit(25L) * col("n_days")).as("alarm"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // lag-1..7 autocorrelation of daily per-type volumes — the
+    // periodicity screen (a weekly cycle shows as an ACF spike at lag 7).
+    // The lagged pairing is an equi-join on (type, day_index − k) with the
+    // seven lags exploded on one side, so calendar gaps pair correctly
+    // (a missing day contributes no pair, rather than silently shifting
+    // the series the way a ROWS-offset lag window would). corr is a
+    // single-pass moment aggregate; rounded to 5dp like agg_corr_matrix.
+    // Scale shape: one fact-scan aggregate to |types|×|days| rows, then a
+    // ×7 explode of that compact series and one keyed shuffle join.
+    "evt_autocorr" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")))
+      val lagged = daily.select(col("event_type"), col("di"), col("x"),
+          explode(array((1 to 7).map(lit): _*)).as("lag"))
+        .withColumn("di_tgt", col("di") + col("lag"))
+        .select(col("event_type"), col("di_tgt"), col("lag"),
+          col("x").as("x_prev"))
+      val cur = daily.select(col("event_type"), col("di").as("di_tgt"),
+        col("x").as("x_t"))
+      cur.join(lagged, Seq("event_type", "di_tgt"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr(col("x_t"), col("x_prev")), 5).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // cohort retention: users grouped by first-seen week; retention at
     // offset k = fraction of the cohort active k weeks later. Two
     // user-keyed aggregates and one (cohort, week) count — the join chain
@@ -894,6 +952,50 @@ object EventsBatch {
              abs((hourly_avg - base_mean) / base_sd) > 3.0 AS is_anomaly
       FROM scored
       WHERE base_sd IS NOT NULL AND base_sd > 0""",
+
+    "evt_cusum" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+      ), tot AS (
+        SELECT event_type, CAST(SUM(x) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+      ), c AS (
+        SELECT daily.event_type, day, x, n_days,
+               SUM(x*n_days - total) OVER
+                 (PARTITION BY daily.event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING) AS cum_u
+        FROM daily JOIN tot ON tot.event_type = daily.event_type
+      ), m AS (
+        SELECT event_type, day, x, n_days,
+               cum_u - LEAST(MIN(cum_u) OVER
+                 (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING), 0) AS cusum_u
+        FROM c
+      )
+      SELECT event_type, day, x,
+             ROUND(CAST(cusum_u AS DOUBLE) / n_days, 4) AS cusum,
+             cusum_u > 25 * n_days AS alarm
+      FROM m ORDER BY event_type, day""",
+
+    "evt_autocorr" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+      ), d2 AS (
+        SELECT event_type, datediff('day', DATE '1970-01-01', day) AS di, x
+        FROM daily
+      ), ks AS (SELECT unnest(generate_series(1, 7)) AS lag)
+      SELECT c.event_type, CAST(k.lag AS INT) AS lag,
+             count(*) AS n_pairs,
+             ROUND(corr(c.x, p.x), 5) AS acf
+      FROM d2 c
+      CROSS JOIN ks k
+      JOIN d2 p ON p.event_type = c.event_type AND p.di = c.di - k.lag
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "evt_retention_cohorts" -> """
       WITH ev AS (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.t
@@ -566,6 +566,28 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), max(col("n_same_status")).as("n_same"))
     }),
 
+    // spatial radius self-join via grid blocking (ops/SpatialGrid.scala —
+    // design notes there). Points live on a synthetic 1000×1000 plane
+    // derived deterministically from the supplier key: salted-md5
+    // coordinates in integer TENTHS, r = 120 units = 1200 tenths, so the
+    // distance predicate is EXACT bigint — no trig, no fp in the answer;
+    // only the reported distance takes one sqrt, computed identically on
+    // both engines. The DuckDB oracle is the brute-force O(n²) join, so
+    // hash parity PROVES blocked ≡ exact on the real points.
+    "join_spatial_grid" -> ((s, d) => {
+      def axis(salt: String): Column =
+        conv(substring(md5(concat(lit(salt),
+          col("s_suppkey").cast("string"))), 1, 4), 16, 10)
+          .cast("bigint") % 10000
+      val pts = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"),
+          axis("gx:").as("xi"), axis("gy:").as("yi"))
+      graft.ops.SpatialGrid.radiusSelfJoin(pts, 1200L)
+        .select(col("k1"), col("k2"),
+          round(sqrt(col("d2").cast("double")) / 10.0, 3).as("dist"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
     // ---- More TPC-H composite shapes -----------------------------------
     // Q10 shape: revenue lost to returned items per customer, top 20.
     // nation broadcasts (true dim); customer joins post-aggregate-sized
@@ -887,6 +909,22 @@ object Relational {
         ON length(a.c_name) = length(b.c_name)
        AND a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+
+    "join_spatial_grid" -> """
+      WITH pts AS (
+        SELECT s_suppkey AS k,
+               CAST(('0x' || substr(md5('gx:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000 AS xi,
+               CAST(('0x' || substr(md5('gy:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000 AS yi
+        FROM supplier)
+      SELECT a.k AS k1, b.k AS k2,
+             ROUND(SQRT(CAST((a.xi-b.xi)*(a.xi-b.xi)
+                           + (a.yi-b.yi)*(a.yi-b.yi) AS DOUBLE))/10.0, 3)
+               AS dist
+      FROM pts a JOIN pts b ON a.k < b.k
+      WHERE (a.xi-b.xi)*(a.xi-b.xi) + (a.yi-b.yi)*(a.yi-b.yi) <= 1440000
+      ORDER BY k1, k2""",
 
     "join_null_safe" -> """
       SELECT a.k AS status_or_null, count(*) AS n_orders,
