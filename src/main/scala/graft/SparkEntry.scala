@@ -26,6 +26,7 @@ object SparkEntry {
     graft.queries.Subqueries.defs ++
     graft.queries.Graph.defs ++
     graft.queries.Analytics.defs ++
+    graft.queries.FeatureEng.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.SimSearch.defs ++
     graft.llm.Dedup.defs ++
@@ -42,6 +43,7 @@ object SparkEntry {
     graft.queries.Subqueries.sql ++
     graft.queries.Graph.sql ++
     graft.queries.Analytics.sql ++
+    graft.queries.FeatureEng.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.SimSearch.sql ++
     graft.llm.Dedup.sql ++
