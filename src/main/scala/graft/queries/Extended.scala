@@ -360,6 +360,36 @@ object Extended {
             col("exact_docs") * 0.05).as("union_in_band"))
     }),
 
+    // sketch-algebra intersection: |A∩B| for two user segments by
+    // inclusion-exclusion over HLL sketches (est_A + est_B − est_A∪B) —
+    // the audience-overlap primitive when the segments are too big to
+    // semi-join interactively. HLLs only union losslessly, so this is
+    // the standard derived estimate; its error scales with the UNION
+    // size (not the intersection), hence the band is 5% of |A|+|B|.
+    // Oracle contract like agg_hll_union: the exact sides pin the hash,
+    // the estimate must sit inside the band or the boolean flips. All
+    // three exact counts are one distinct-semi-join + two aggregates;
+    // every broadcast build is a 1-row scalar aggregate.
+    "agg_hll_intersect" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"))
+      def seg(et: String) = ev.filter(col("event_type") === et)
+      val a = seg("purchase").agg(hll_sketch_agg(col("user_id")).as("ska"),
+        countDistinct(col("user_id")).as("exact_a"))
+      val b = seg("click").agg(hll_sketch_agg(col("user_id")).as("skb"),
+        countDistinct(col("user_id")).as("exact_b"))
+      val both = seg("purchase").select(col("user_id")).distinct()
+        .join(seg("click").select(col("user_id")).distinct(),
+          Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_both"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(both))
+        .select(col("exact_a"), col("exact_b"), col("exact_both"),
+          (abs(hll_sketch_estimate(col("ska"))
+              + hll_sketch_estimate(col("skb"))
+              - hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+              - col("exact_both")) <=
+            (col("exact_a") + col("exact_b")) * 0.05).as("inter_in_band"))
+    }),
+
     // regression building blocks (sums of squares/cross-products) +
     // population-variant moments, completing agg_stats/agg_stats2's
     // sample-variant coverage. Argument order follows the Postgres
@@ -607,6 +637,21 @@ object Extended {
              count(DISTINCT source) AS n_sources,
              TRUE AS union_in_band
       FROM documents GROUP BY lang""",
+
+    "agg_hll_intersect" -> """
+      WITH a AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_a
+        FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_b
+        FROM events WHERE event_type = 'click'),
+      bo AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_both FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'click'))
+      SELECT exact_a, exact_b, exact_both, TRUE AS inter_in_band
+      FROM a, b, bo""",
 
     "agg_stats3" -> """
       SELECT l_returnflag,

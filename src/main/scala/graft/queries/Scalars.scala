@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables.{t, registerAll}
 
@@ -222,6 +222,37 @@ object Scalars {
         degrees(col("l_discount")).as("deg_disc"),
         radians(col("l_quantity")).as("rad_q"),
         atan(col("l_discount")).as("atan_disc"))
+    }),
+
+    // geospatial family: haversine distance, initial bearing, and a
+    // bounding-box membership test — the taxi-engine primitives (zone
+    // distance, trip heading, geofence). Coordinates are deterministic
+    // salted-md5 degrees in 1e-4 precision (integer 24-bit hash scaled
+    // once, so both engines hold bit-identical doubles); the reference
+    // point is JFK. Trig runs UNROUNDED through the same IEEE expression
+    // tree on both engines (the fn_trig precedent shows libm parity on
+    // this data); only the emitted values are rounded. Everything is
+    // scan-side — zero shuffles at any scale.
+    "fn_geo" -> ((s, d) => {
+      def deg(salt: String, span: Int): Column =
+        (conv(substring(md5(concat(lit(salt),
+          col("c_custkey").cast("string"))), 1, 6), 16, 10)
+          .cast("bigint") % (span * 20000L) - span * 10000L) / 10000.0
+      val pts = t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), deg("lat:", 90).as("lat"),
+          deg("lon:", 180).as("lon"))
+      val phi1 = radians(col("lat")); val phi2 = radians(lit(40.6413))
+      val dphi = radians(lit(40.6413) - col("lat"))
+      val dlmb = radians(lit(-73.7781) - col("lon"))
+      val a = sin(dphi / 2) * sin(dphi / 2) +
+        cos(phi1) * cos(phi2) * sin(dlmb / 2) * sin(dlmb / 2)
+      val brg = degrees(atan2(sin(dlmb) * cos(phi2),
+        cos(phi1) * sin(phi2) - sin(phi1) * cos(phi2) * cos(dlmb)))
+      pts.select(col("c_custkey"), col("lat"), col("lon"),
+        round(lit(2 * 6371.0088) * asin(sqrt(a)), 3).as("dist_jfk_km"),
+        round(pmod(brg + 360.0, lit(360.0)), 2).as("bearing_deg"),
+        (col("lat") >= 40.0 && col("lat") <= 41.0 &&
+          col("lon") >= -75.0 && col("lon") <= -73.0).as("in_nyc_bbox"))
     }),
 
     // bitwise family (hash bucketing / bitmap building blocks)
@@ -733,6 +764,30 @@ object Scalars {
              radians(l_quantity) AS rad_q,
              atan(l_discount) AS atan_disc
       FROM lineitem WHERE l_orderkey <= 500""",
+
+    "fn_geo" -> """
+      WITH pts AS (
+        SELECT c_custkey,
+               (CAST(('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)),
+                  1, 6)) AS BIGINT) % 1800000 - 900000) / 10000.0 AS lat,
+               (CAST(('0x' || substr(md5('lon:' || CAST(c_custkey AS VARCHAR)),
+                  1, 6)) AS BIGINT) % 3600000 - 1800000) / 10000.0 AS lon
+        FROM customer WHERE c_custkey <= 500)
+      SELECT c_custkey, lat, lon,
+             ROUND(2 * 6371.0088 * asin(sqrt(
+               sin(radians(40.6413 - lat) / 2) * sin(radians(40.6413 - lat) / 2)
+               + cos(radians(lat)) * cos(radians(40.6413))
+                 * sin(radians(-73.7781 - lon) / 2)
+                 * sin(radians(-73.7781 - lon) / 2))), 3) AS dist_jfk_km,
+             ROUND(fmod(degrees(atan2(
+               sin(radians(-73.7781 - lon)) * cos(radians(40.6413)),
+               cos(radians(lat)) * sin(radians(40.6413))
+                 - sin(radians(lat)) * cos(radians(40.6413))
+                   * cos(radians(-73.7781 - lon)))) + 360.0, 360.0), 2)
+               AS bearing_deg,
+             lat >= 40.0 AND lat <= 41.0 AND lon >= -75.0 AND lon <= -73.0
+               AS in_nyc_bbox
+      FROM pts""",
 
     "fn_bitwise" -> """
       SELECT o_orderkey,
