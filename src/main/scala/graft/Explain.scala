@@ -18,7 +18,9 @@ object Explain {
     "llm_neardup_gate", "llm_embed_gate", "llm_ann_pq", "llm_dedup_quality",
     "evt_pattern_match", "evt_session_dynamic",
     "win_streaks", "join_salted_skew", "agg_hll_union", "sub_recursive_cte",
-    "graph_pagerank", "evt_attribution", "etl_incremental_agg", "evt_ewma")
+    "graph_pagerank", "evt_attribution", "etl_incremental_agg", "evt_ewma",
+    "join_spatial_grid", "agg_ks_test", "ml_target_encode", "ml_scale",
+    "llm_pmi_collocations", "evt_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
