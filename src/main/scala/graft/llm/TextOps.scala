@@ -676,6 +676,45 @@ object TextOps {
             .as("lm_score"))
     }),
 
+    // BM25 retrieval scoring (Robertson/Lucene form, k1=1.2, b=0.75) —
+    // the lexical-retrieval baseline every RAG/dedup pipeline ranks
+    // against. One tokenize pass feeds doc lengths and the per-term tf
+    // table (filtered to the query terms BEFORE any join, so the joined
+    // volume is matches-only); df re-aggregates the tf table; N/avgdl is
+    // a 1-row scalar broadcast. Per-(doc, term) scores are one identical
+    // double expression tree on both engines, rounded → scaled BIGINT,
+    // then summed per doc (≤|query| integer terms — associative, so
+    // partial-agg order can't flip the hash); top-20 with a doc_id
+    // tiebreak under the rounded score keeps the limit deterministic.
+    "llm_bm25" -> ((s, d) => {
+      val qTerms = Seq("hash", "join", "spark")
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("tok").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(sum(col("dl")).as("tot_len"),
+        count(lit(1)).as("n_docs"))
+      val termScore =
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+            (col("tot_len").cast("double") / col("n_docs"))))
+      tf.join(dfT, Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(termScore * 1e6).cast("bigint").as("su"))
+        .groupBy(col("doc_id"))
+        // the integer sum / 1e6 is already engine-identical — re-rounding
+        // it would re-open the BigDecimal-vs-binary half-ulp trap
+        .agg(count(lit(1)).as("n_terms"),
+          (sum(col("su")) / 1e6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // PMI collocation extraction — pointwise mutual information of
     // adjacent token pairs across the corpus, the standard multiword-
     // expression / tokenizer-vocab signal ("new york" scores high, "of
@@ -1276,6 +1315,37 @@ object TextOps {
       JOIN bc USING (w1, w2)
       JOIN uc USING (w1), v
       GROUP BY b.doc_id""",
+
+    "llm_bm25" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+      ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE tok IN ('hash', 'join', 'spark') GROUP BY 1, 2
+      ), df AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      ), stats AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS tot_len,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM dl
+      ), terms AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / (CAST(tot_len AS DOUBLE) / n_docs))) * 1e6)
+                 AS BIGINT) AS su
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             SUM(su) / 1e6 AS bm25
+      FROM terms GROUP BY 1
+      ORDER BY bm25 DESC, doc_id LIMIT 20""",
 
     "llm_pmi_collocations" -> """
       WITH toks AS (

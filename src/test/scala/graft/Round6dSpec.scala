@@ -161,6 +161,35 @@ class Round6dSpec extends AnyFunSuite {
 
   // ---- llm_pmi_collocations ------------------------------------------
 
+  test("bm25: top-ranked doc replays from first-principles statistics") {
+    val out = SparkEntry.queries("llm_bm25")(spark, sf).collect()
+    assert(out.length == 20)
+    assert(out.forall(r => r.getAs[Long]("n_terms") >= 1 &&
+      r.getAs[Long]("n_terms") <= 3))
+    assert(out.forall(_.getAs[Double]("bm25") > 0.0))
+    // scores arrive ranked
+    val scores = out.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // replay the winner's score from raw tokenization
+    val top = out.head
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val qs = Seq("hash", "join", "spark")
+    val dfm = qs.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val ts = docs.toMap.apply(top.getAs[Long]("doc_id"))
+    val want = qs.map { t =>
+      val tf = ts.count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.rint(math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ts.length / avgdl)) * 1e6) / 1e6
+    }.sum
+    assert(math.abs(want - top.getAs[Double]("bm25")) < 1e-5,
+      s"bm25 replay $want vs ${top.getAs[Double]("bm25")}")
+  }
+
   test("pmi: support floor holds and the top row replays from raw counts") {
     val out = SparkEntry.queries("llm_pmi_collocations")(spark, sf)
     val rows = out.collect()
