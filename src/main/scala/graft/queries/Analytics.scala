@@ -608,6 +608,46 @@ object Analytics {
         .orderBy(col("bucket"))
     }),
 
+    // Incremental JOIN-view maintenance — the delta algebra behind every
+    // materialized join view at scale: with base deltas ΔA (new orders)
+    // and ΔB (changed customers), the view delta is
+    // ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — three joins whose inputs are
+    // delta-sized on at least one side, instead of rescanning A⋈B.
+    // The query RUNS both paths (old view + delta legs vs full
+    // recompute) and emits their row counts plus an order-independent
+    // md5/bit_xor fingerprint equality — the driver hash then certifies
+    // incremental ≡ full on real data every round. The quadrant split is
+    // disjoint and exhaustive by construction, so plain unionAll (no
+    // dedup) is correct. etl_incremental_agg covers the aggregate-view
+    // case; this is the join-view counterpart.
+    "etl_incremental_join" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      val cut = to_timestamp(lit("1997-06-01"))
+      val aOld = o.filter(col("o_orderdate") < cut)
+      val dA = o.filter(col("o_orderdate") >= cut)
+      val bOld = c.filter(col("c_custkey") % 10 =!= 0)
+      val dB = c.filter(col("c_custkey") % 10 === 0)
+      def v(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, a("o_custkey") === b("c_custkey"))
+          .select(col("o_orderkey").cast("string").as("k1"),
+            col("c_custkey").cast("string").as("k2"),
+            col("c_mktsegment").as("k3"))
+      def fp(df: DataFrame): DataFrame =
+        df.select(conv(substring(md5(concat_ws("|", col("k1"), col("k2"),
+            col("k3"))), 1, 15), 16, 10).cast("bigint").as("h64"))
+          .agg(count(lit(1)).as("n"), bit_xor(col("h64")).as("f"))
+      val inc = fp(v(aOld, bOld).unionAll(v(dA, bOld))
+        .unionAll(v(aOld, dB)).unionAll(v(dA, dB)))
+      val dOnly = v(dA, bOld).unionAll(v(aOld, dB)).unionAll(v(dA, dB))
+        .agg(count(lit(1)).as("n_delta"))
+      inc.select(col("n").as("n_incremental"), col("f").as("f_inc"))
+        .crossJoin(broadcast(dOnly))
+        .crossJoin(broadcast(fp(v(o, c))
+          .select(col("n").as("n_full"), col("f").as("f_full"))))
+        .select(col("n_incremental"), col("n_delta"), col("n_full"),
+          (col("f_inc") === col("f_full")).as("incremental_consistent"))
+    }),
+
     // Temporal train/test split + entity-leakage audit: split orders at a
     // date cutoff (the split every forecasting / recsys pipeline needs —
     // llm_split_assign's hash split would leak future rows into train),
@@ -1088,6 +1128,49 @@ object Analytics {
                * ln(CAST(n_event AS DOUBLE)*tn
                     / (CAST(n_non AS DOUBLE)*te)) END, 6) AS iv_term
       FROM cells, tot ORDER BY bucket""",
+
+    "etl_incremental_join" -> """
+      WITH a_old AS (SELECT o_orderkey, o_custkey FROM orders
+                     WHERE o_orderdate < TIMESTAMP '1997-06-01 00:00:00'),
+      d_a AS (SELECT o_orderkey, o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'),
+      b_old AS (SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey % 10 <> 0),
+      d_b AS (SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_custkey % 10 = 0),
+      legs AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k1,
+               CAST(c_custkey AS VARCHAR) AS k2, c_mktsegment AS k3
+        FROM d_a JOIN b_old ON o_custkey = c_custkey
+        UNION ALL
+        SELECT CAST(o_orderkey AS VARCHAR), CAST(c_custkey AS VARCHAR),
+               c_mktsegment
+        FROM a_old JOIN d_b ON o_custkey = c_custkey
+        UNION ALL
+        SELECT CAST(o_orderkey AS VARCHAR), CAST(c_custkey AS VARCHAR),
+               c_mktsegment
+        FROM d_a JOIN d_b ON o_custkey = c_custkey),
+      v_inc AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k1,
+               CAST(c_custkey AS VARCHAR) AS k2, c_mktsegment AS k3
+        FROM a_old JOIN b_old ON o_custkey = c_custkey
+        UNION ALL SELECT k1, k2, k3 FROM legs),
+      v_full AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k1,
+               CAST(c_custkey AS VARCHAR) AS k2, c_mktsegment AS k3
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      fi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_incremental,
+                    bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+                      k1, k2, k3)), 1, 15) AS BIGINT)) AS f_inc
+             FROM v_inc),
+      ff AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+                    bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+                      k1, k2, k3)), 1, 15) AS BIGINT)) AS f_full
+             FROM v_full),
+      dn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_delta FROM legs)
+      SELECT n_incremental, n_delta, n_full,
+             f_inc = f_full AS incremental_consistent
+      FROM fi, ff, dn""",
 
     "etl_time_split_audit" -> """
       WITH counts AS (
