@@ -413,6 +413,27 @@ object EventsBatch {
           col("n_events"), col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
     }),
 
+    // day-of-week × hour seasonality profile — the load-shape analytic
+    // behind capacity planning and anomaly baselining (evt_anomaly's
+    // trailing window assumes stationarity; this measures the weekly
+    // cycle it rides on). One fact-scan aggregate to a bounded 7×24 grid
+    // per type; the share-of-type denominator re-aggregates that grid.
+    // Counts are exact integers; the one division is rounded on output.
+    // dow parity trap: Spark dayofweek is 1=Sunday, DuckDB dayofweek is
+    // 0=Sunday — the twin adds 1 (same pin as fn_datetime).
+    "evt_seasonality" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val grid = ev.groupBy(col("event_type"),
+          dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = grid.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_type"))
+      grid.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("hr"), col("n"),
+          round(col("n").cast("double") / col("n_type"), 6).as("share"))
+        .orderBy(col("event_type"), col("dow"), col("hr"))
+    }),
+
     // CUSUM change detection over daily per-type volumes — the
     // sequential-drift complement to evt_anomaly's pointwise z-score (a
     // slow 10% shift never trips a z-test but accumulates here). Uses the
@@ -952,6 +973,20 @@ object EventsBatch {
              abs((hourly_avg - base_mean) / base_sd) > 3.0 AS is_anomaly
       FROM scored
       WHERE base_sd IS NOT NULL AND base_sd > 0""",
+
+    "evt_seasonality" -> """
+      WITH grid AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+      ), tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type
+        FROM grid GROUP BY 1
+      )
+      SELECT grid.event_type, dow, hr, n,
+             ROUND(CAST(n AS DOUBLE) / n_type, 6) AS share
+      FROM grid JOIN tot ON tot.event_type = grid.event_type
+      ORDER BY grid.event_type, dow, hr""",
 
     "evt_cusum" -> """
       WITH daily AS (
