@@ -676,6 +676,32 @@ object TextOps {
             .as("lm_score"))
     }),
 
+    // per-doc shingle NOVELTY in doc_id order — the redundancy curve of a
+    // corpus ("how much of this document's 3-gram content already
+    // appeared in earlier documents"), the doc-granular complement to the
+    // pairwise dedup family: boilerplate-heavy or near-duplicate docs
+    // score low without ever forming pairs. Shape: the shared distinct
+    // (doc, shingle) table, one shingle-keyed min aggregate (first
+    // occurrence), one join back, one doc-keyed count — all linear in the
+    // shingle table, never doc×doc. Ratios are exact-integer until the
+    // one output division.
+    "llm_novelty" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val first = sh.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_seen_before"))
+        // integer/integer division is engine-identical — rounding it would
+        // re-open the BigDecimal-vs-binary half-ulp trap (cf. llm_bm25)
+        .select(col("doc_id"), col("n_shingles"), col("n_seen_before"),
+          (lit(1.0) - col("n_seen_before").cast("double")
+            / col("n_shingles")).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 retrieval scoring (Robertson/Lucene form, k1=1.2, b=0.75) —
     // the lexical-retrieval baseline every RAG/dedup pipeline ranks
     // against. One tokenize pass feeds doc lengths and the per-term tf
@@ -1315,6 +1341,34 @@ object TextOps {
       JOIN bc USING (w1, w2)
       JOIN uc USING (w1), v
       GROUP BY b.doc_id""",
+
+    "llm_novelty" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), first AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+      )
+      SELECT sh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_seen_before,
+             1.0 - CAST(SUM(CASE WHEN first_doc < sh.doc_id
+                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+      FROM sh JOIN first ON first.shingle = sh.shingle
+      GROUP BY sh.doc_id
+      ORDER BY sh.doc_id""",
 
     "llm_bm25" -> """
       WITH toks AS (

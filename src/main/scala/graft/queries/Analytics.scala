@@ -100,6 +100,32 @@ object Analytics {
         round((col("rev") - prev) / prev * 100, 4).as("mom_pct"))
     }),
 
+    // Maximum drawdown of cumulative daily revenue — the risk/health
+    // analytic for any cumulative KPI ("how far below its best-so-far did
+    // the running total fall"). Same closed-form trick as evt_cusum from
+    // the other side: drawdown_t = running_max(cum) − cum, two running
+    // windows over the |days|-sized aggregate, no recursion. All sums are
+    // exact cents; both the per-day drawdown and the global max (with its
+    // date, min-date tiebreak) are emitted, everything integer until the
+    // two output divisions. The day window is bounded (|calendar|), not
+    // data-sized — the fact scan compacts first.
+    "win_drawdown" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_u"))
+      val w = Window.orderBy(col("day"))
+      val scored = daily
+        .withColumn("cum_u", sum(col("rev_u")).over(w))
+        .withColumn("dd_u", max(col("cum_u")).over(w) - col("cum_u"))
+      val worst = scored.agg(max(col("dd_u")).as("mx"))
+      scored.crossJoin(broadcast(worst))
+        .filter(col("dd_u") === col("mx"))
+        .groupBy(col("mx"))
+        .agg(min(col("day")).as("worst_day"), count(lit(1)).as("n_ties"))
+        .select(col("worst_day"), col("n_ties"),
+          round(col("mx") / 100.0, 2).as("max_drawdown"))
+    }),
+
     // Order-independent table fingerprint: per-row md5 over a canonical
     // '|'-joined rendering, folded with bit_xor (commutative + exact →
     // partition order irrelevant). The standard cross-system data-validation
@@ -1128,6 +1154,27 @@ object Analytics {
                * ln(CAST(n_event AS DOUBLE)*tn
                     / (CAST(n_non AS DOUBLE)*te)) END, 6) AS iv_term
       FROM cells, tot ORDER BY bucket""",
+
+    "win_drawdown" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS rev_u
+        FROM orders GROUP BY 1),
+      scored AS (
+        SELECT day,
+               SUM(rev_u) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                 AS cum_u
+        FROM daily),
+      dd AS (
+        SELECT day,
+               MAX(cum_u) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                 - cum_u AS dd_u
+        FROM scored),
+      mx AS (SELECT MAX(dd_u) AS mx FROM dd)
+      SELECT MIN(day) AS worst_day, CAST(COUNT(*) AS BIGINT) AS n_ties,
+             ROUND(CAST(mx AS DOUBLE) / 100.0, 2) AS max_drawdown
+      FROM dd, mx WHERE dd_u = mx GROUP BY mx""",
 
     "etl_incremental_join" -> """
       WITH a_old AS (SELECT o_orderkey, o_custkey FROM orders
