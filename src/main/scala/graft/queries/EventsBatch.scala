@@ -516,6 +516,68 @@ object EventsBatch {
             col("cohort_size").cast("double")).as("retention"))
     }),
 
+    // cohort LTV curves — cumulative purchase revenue per cohort-age week
+    // divided by cohort size, the monetized counterpart of
+    // evt_retention_cohorts (same cohort derivation, so the two reports
+    // line up row for row). Revenue sums are exact cents; the running
+    // cumulation is a cohort-PARTITIONED window over the bounded
+    // (cohort × offset) grid; per-user LTV is emitted as the raw
+    // engine-identical double (integer/double division — rounding a
+    // /cohort_size quotient invites exact-tie flips, cf. llm_bm25).
+    "evt_cohort_ltv" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("event_type"),
+          round(col("value") * 100).cast("bigint").as("v_u"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohorts, Seq("user_id"))
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int"))
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(sum(col("v_u")).as("rev_u"))
+      val sizes = cohorts.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val w = Window.partitionBy(col("cohort_wk")).orderBy(col("week_offset"))
+      rev.withColumn("cum_u", sum(col("rev_u")).over(w))
+        .join(sizes, Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("week_offset"),
+          round(col("rev_u") / 100.0, 2).as("week_rev"),
+          round(col("cum_u") / 100.0, 2).as("cum_rev"),
+          (col("cum_u").cast("double") / (col("cohort_size") * 100.0))
+            .as("ltv_per_user"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }),
+
+    // co-engagement overlap matrix — exact pairwise user overlap between
+    // event types (|A∩B|, Jaccard), the exact small-cardinality
+    // counterpart of agg_hll_intersect's sketch estimate. The self-join
+    // is keyed on user_id over the DISTINCT (user, type) table: each user
+    // contributes at most C(|types|, 2) pairs, so candidate volume is
+    // O(users), never users². Division emitted raw (engine-identical).
+    "evt_type_overlap" -> ((s, d) => {
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val pairs = ut.select(col("user_id"), col("event_type").as("t1"))
+        .join(ut.select(col("user_id"), col("event_type").as("t2")),
+          Seq("user_id"))
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+      val sizes = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      pairs
+        .join(sizes.select(col("event_type").as("t1"),
+          col("n_users").as("n1")), Seq("t1"))
+        .join(sizes.select(col("event_type").as("t2"),
+          col("n_users").as("n2")), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+          (col("n_both").cast("double")
+            / (col("n1") + col("n2") - col("n_both"))).as("jaccard"))
+        .orderBy(col("t1"), col("t2"))
+    }),
+
     // CEP-lite sequence pattern match (the MATCH_RECOGNIZE shape): each
     // user's event history becomes an ordered journey string (one letter
     // per event — the five types have distinct initials; (user_id, ts) is
@@ -1031,6 +1093,58 @@ object EventsBatch {
       CROSS JOIN ks k
       JOIN d2 p ON p.event_type = c.event_type AND p.di = c.di - k.lag
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "evt_cohort_ltv" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+               event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_u
+        FROM events
+      ), cohorts AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+      ), rev AS (
+        SELECT c.cohort_wk,
+               CAST(date_diff('day', c.cohort_wk, e.wk) / 7 AS INT)
+                 AS week_offset,
+               CAST(SUM(e.v_u) AS BIGINT) AS rev_u
+        FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+      ), sizes AS (
+        SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohorts GROUP BY 1
+      ), cum AS (
+        SELECT cohort_wk, week_offset, rev_u,
+               SUM(rev_u) OVER (PARTITION BY cohort_wk ORDER BY week_offset
+                                ROWS UNBOUNDED PRECEDING) AS cum_u
+        FROM rev
+      )
+      SELECT cum.cohort_wk, week_offset,
+             ROUND(rev_u / 100.0, 2) AS week_rev,
+             ROUND(cum_u / 100.0, 2) AS cum_rev,
+             CAST(cum_u AS DOUBLE) / (cohort_size * 100.0) AS ltv_per_user
+      FROM cum JOIN sizes ON sizes.cohort_wk = cum.cohort_wk
+      ORDER BY cum.cohort_wk, week_offset""",
+
+    "evt_type_overlap" -> """
+      WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+      ), pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+      ), sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY 1
+      )
+      SELECT t1, t2, n_both, s1.n_users AS n1, s2.n_users AS n2,
+             CAST(n_both AS DOUBLE) / (s1.n_users + s2.n_users - n_both)
+               AS jaccard
+      FROM pairs
+      JOIN sizes s1 ON s1.event_type = t1
+      JOIN sizes s2 ON s2.event_type = t2
+      ORDER BY t1, t2""",
 
     "evt_retention_cohorts" -> """
       WITH ev AS (
