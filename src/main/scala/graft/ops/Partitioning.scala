@@ -144,4 +144,37 @@ object Partitioning {
       .withColumn(outCol, col("__local") + col("__off"))
       .drop("__pid", "__opid", "__local", "__off")
   }
+
+  /** Distributed running MINIMUM over a total order — the prefix-min
+    * sibling of [[rankedCumSum]], same two-level shape: parallel
+    * per-partition running mins, then one sequential prefix-min over the
+    * ≤n partition minima (bounded by the partition count, never
+    * data-sized), broadcast back and folded in with null-skipping
+    * `least`. With `inclusive = false` the frame excludes the current
+    * row — `outCol` is then min over STRICTLY-preceding rows and NULL
+    * for the global first row (the shape dominance tests need: with one
+    * row per key, "preceding in order" = "strictly smaller key"). */
+  def rankedRunningMin(df: DataFrame, valueCol: Column, order: Seq[Column],
+                       n: Int, outCol: String,
+                       inclusive: Boolean = true): DataFrame = {
+    val sorted = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val hi = if (inclusive) Window.currentRow else -1L
+    val localWin = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val offsets = sorted.groupBy(col("__pid")).agg(min(valueCol).as("__pmin"))
+      .withColumn("__off",
+        min(col("__pmin")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    sorted
+      .withColumn("__local", min(valueCol).over(localWin))
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(outCol, least(col("__local"), col("__off")))
+      .drop("__pid", "__opid", "__local", "__off")
+  }
 }

@@ -126,6 +126,34 @@ object Analytics {
           round(col("mx") / 100.0, 2).as("max_drawdown"))
     }),
 
+    // 2-D skyline (Pareto frontier): parts where no other part is both
+    // cheaper AND smaller — the multi-objective shortlist operator
+    // (cheapest-for-its-size supplier, fastest-for-its-cost config). The
+    // naive form is the quadratic NOT EXISTS dominance join; in 2-D the
+    // frontier is exactly where the running min of y (ordered by x)
+    // strictly drops, so the distributed form is: one keyed aggregate to
+    // (x, min_y), a two-level prefix-min (ops.Partitioning
+    // .rankedRunningMin — parallel, never a data-sized single-task
+    // window), one join back. The DuckDB oracle IS the quadratic
+    // dominance query, so driver hash parity proves window-form ≡
+    // dominance-definition on real data. Ties on (x, y) don't dominate
+    // each other (dominance needs one strict) — all tied rows stay, and
+    // the filter keeps them because the strict-min is over SMALLER x
+    // only. Everything integer (exact cents), one output division.
+    "win_skyline" -> ((s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey").as("k"),
+        round(col("p_retailprice") * 100).cast("bigint").as("x"),
+        col("p_size").cast("bigint").as("y"))
+      val g = p.groupBy(col("x")).agg(min(col("y")).as("ymin"))
+      val gm = Partitioning.rankedRunningMin(
+        g, col("ymin"), Seq(col("x")), 32, "m_strict", inclusive = false)
+      p.join(gm, Seq("x"))
+        .filter(col("y") === col("ymin") &&
+          (col("m_strict").isNull || col("y") < col("m_strict")))
+        .select(col("k"), (col("x") / 100.0).as("price"), col("y").as("size"))
+        .orderBy(col("k"))
+    }),
+
     // Order-independent table fingerprint: per-row md5 over a canonical
     // '|'-joined rendering, folded with bit_xor (commutative + exact →
     // partition order irrelevant). The standard cross-system data-validation
@@ -1154,6 +1182,19 @@ object Analytics {
                * ln(CAST(n_event AS DOUBLE)*tn
                     / (CAST(n_non AS DOUBLE)*te)) END, 6) AS iv_term
       FROM cells, tot ORDER BY bucket""",
+
+    "win_skyline" -> """
+      WITH p AS (
+        SELECT p_partkey AS k,
+               CAST(ROUND(p_retailprice*100) AS BIGINT) AS x,
+               CAST(p_size AS BIGINT) AS y
+        FROM part)
+      SELECT k, x / 100.0 AS price, y AS size
+      FROM p a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+      ORDER BY k""",
 
     "win_drawdown" -> """
       WITH daily AS (

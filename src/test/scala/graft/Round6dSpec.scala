@@ -61,6 +61,58 @@ class Round6dSpec extends AnyFunSuite {
     assert(out == 0, "duplicate pair emitted")
   }
 
+  // ---- rankedRunningMin / skyline ------------------------------------
+
+  test("rankedRunningMin equals the sequential window, both frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 997).map(i => (i.toLong, ((i * 7919) % 131).toLong))
+      .toDF("id", "v")
+    for (inclusive <- Seq(true, false)) {
+      val hi = if (inclusive) Window.currentRow else -1L
+      val seq = df.withColumn("m",
+          min(col("v")).over(Window.orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, hi)))
+        .select(col("id"), col("m")).collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](1))).toMap
+      val dist = ops.Partitioning.rankedRunningMin(
+          df, col("v"), Seq(col("id")), 8, "m", inclusive)
+        .select(col("id"), col("m")).collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long](1))).toMap
+      assert(dist == seq, s"inclusive=$inclusive")
+    }
+  }
+
+  test("skyline: window form equals brute-force dominance incl. ties") {
+    import spark.implicits._
+    // crafted frontier: a tie pair on (x, y) that must BOTH survive, a
+    // same-x worse-y row that must not, and interior dominated points
+    val pts = Seq(
+      (1L, 10L, 50L), (2L, 10L, 50L), // tie pair — both skyline
+      (3L, 10L, 60L),                 // same x, worse y — dominated
+      (4L, 20L, 40L),                 // frontier
+      (5L, 20L, 45L),                 // dominated by 4
+      (6L, 30L, 40L),                 // same y as 4 at higher x — dominated
+      (7L, 40L, 10L),                 // frontier
+      (8L, 50L, 10L)                  // dominated by 7
+    )
+    val p = pts.toDF("k", "x", "y")
+    val g = p.groupBy(col("x")).agg(min(col("y")).as("ymin"))
+    val gm = ops.Partitioning.rankedRunningMin(
+      g, col("ymin"), Seq(col("x")), 4, "m_strict", inclusive = false)
+    val got = p.join(gm, Seq("x"))
+      .filter(col("y") === col("ymin") &&
+        (col("m_strict").isNull || col("y") < col("m_strict")))
+      .select("k").as[Long].collect().toSet
+    val brute = (for {
+      (k, x, y) <- pts
+      if !pts.exists { case (k2, x2, y2) =>
+        k2 != k && x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    } yield k).toSet
+    assert(brute == Set(1L, 2L, 4L, 7L), "fixture self-check")
+    assert(got == brute)
+  }
+
   // ---- evt_cusum ------------------------------------------------------
 
   test("cusum closed form equals the textbook recursion") {
