@@ -124,6 +124,55 @@ object FeatureEng {
         .orderBy(col("c_custkey"))
     }),
 
+    // long-tail category collapse: part brands whose share falls below
+    // 4% fold into 'OTHER' — the cardinality-control step before
+    // one-hot/target encoding (rare levels overfit and bloat the
+    // feature space). The keep decision is EXACT integer arithmetic
+    // (25·n ≥ total ⟺ share ≥ 4% — no fp share), the category table is
+    // one keyed aggregate, the threshold a 1-row scalar broadcast; emits
+    // the collapsed distribution with provenance (how many original
+    // levels each output level absorbs — both branches fire on the
+    // generated brand distribution, shares span ~3–5%).
+    "ml_rare_collapse" -> ((s, d) => {
+      val counts = t(s, d, "part").groupBy(col("p_brand").as("cat"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("n"),
+          when(col("n") * 25L >= col("tot"), col("cat"))
+            .otherwise(lit("OTHER")).as("mapped"))
+        .groupBy(col("mapped"))
+        .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_orig_cats"))
+        .orderBy(col("mapped"))
+    }),
+
+    // AMS / tug-of-war F2 sketch — the second frequency moment
+    // Σ fᵢ² IS the self-join size, the quantity every join-order
+    // optimizer estimates. Estimator: Xₑ = (Σ_key sign(e,key)·f)² with
+    // deterministic salted-md5 signs (±1), averaged over 16 estimators —
+    // E[X] = F2, and with fixed hashes the estimate is reproducible, so
+    // the in-band boolean is a stable hash-checked contract (same
+    // pattern as agg_hll_union). The exact side is one keyed count +
+    // a 1-row Σf²; the sketch side explodes the COMPACT frequency table
+    // ×16, never the fact scan.
+    "agg_ams_f2" -> ((s, d) => {
+      val f = t(s, d, "lineitem").groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("f"))
+      val ex = f.agg(sum(col("f") * col("f")).as("f2_exact"),
+        count(lit(1)).as("n_keys"))
+      val est = f.select(col("k"), col("f"),
+          explode(array((0 until 16).map(lit): _*)).as("e"))
+        .withColumn("sgn",
+          h16("ams:", concat(col("e").cast("string"), lit(":"),
+            col("k").cast("string"))) % 2 * 2 - 1)
+        .groupBy(col("e")).agg(sum(col("sgn") * col("f")).as("sx"))
+        .agg(avg(col("sx") * col("sx")).as("est"))
+      ex.crossJoin(broadcast(est))
+        .select(col("f2_exact"), col("n_keys"),
+          (abs(col("est") - col("f2_exact")) <= col("f2_exact") * 0.5)
+            .as("ams_in_band"))
+    }),
+
     // standardization: per-nation z-score AND global min-max of the
     // account balance — the two scalings every feature pipeline ships.
     // The sample stddev comes from the EXACT closed form
@@ -223,6 +272,36 @@ object FeatureEng {
                AS acctbal_imputed
       FROM c JOIN nm ON nm.nationkey = c.nationkey
       ORDER BY c_custkey""",
+
+    "ml_rare_collapse" -> """
+      WITH counts AS (
+        SELECT p_brand AS cat, CAST(count(*) AS BIGINT) AS n
+        FROM part GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM counts)
+      SELECT CASE WHEN n * 25 >= tot THEN cat
+                  ELSE 'OTHER' END AS mapped,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_orig_cats
+      FROM counts, tot
+      GROUP BY 1 ORDER BY 1""",
+
+    "agg_ams_f2" -> """
+      WITH f AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY 1),
+      ex AS (SELECT CAST(SUM(f*f) AS BIGINT) AS f2_exact,
+                    CAST(count(*) AS BIGINT) AS n_keys FROM f),
+      es AS (
+        SELECT e,
+               CAST(SUM(((CAST(('0x' || substr(md5('ams:'
+                 || CAST(e AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 2) * 2 - 1) * f) AS BIGINT) AS sx
+        FROM f CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS e)
+        GROUP BY 1),
+      m AS (SELECT AVG(sx * sx) AS est FROM es)
+      SELECT f2_exact, n_keys,
+             abs(est - f2_exact) <= f2_exact * 0.5 AS ams_in_band
+      FROM ex, m""",
 
     "ml_scale" -> """
       WITH c AS (
