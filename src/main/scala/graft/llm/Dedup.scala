@@ -222,6 +222,27 @@ object Dedup {
     // near-dup pairs via native banded MinHash (Jaccard ≥ 0.2)
     "llm_minhash_pairs" -> ((s, d) => minhashPairsNative(s, d)),
 
+    // LSH banding design table — the S-curve every MinHash deployment is
+    // tuned from: with a 16-hash signature split into b bands of r rows,
+    // P(candidate | similarity s) = 1 − (1 − s^r)^b, and the S-curve
+    // midpoint sits at s ≈ (1/b)^(1/r). Emits the full (banding ×
+    // similarity-grid) table plus the midpoint, so choosing b/r for a
+    // target Jaccard threshold is a lookup, not a rerun. Pure expression
+    // arithmetic (identical fp trees both engines, no rounding needed);
+    // reads no table — the signature length is the input.
+    "llm_lsh_tuning" -> ((s, d) => {
+      import s.implicits._
+      val grid = (for {
+        (b, r) <- Seq((2, 8), (4, 4), (8, 2), (16, 1)); i <- 1 to 9
+      } yield (b, r, i)).toDF("b", "r", "i")
+      grid.select(col("b"), col("r"),
+          (col("i") / 10.0).as("s"),
+          (lit(1.0) - pow(lit(1.0) - pow(col("i") / 10.0, col("r")),
+            col("b"))).as("p_candidate"),
+          pow(lit(1.0) / col("b"), lit(1.0) / col("r")).as("s_mid"))
+        .orderBy(col("b"), col("r"), col("s"))
+    }),
+
     // duplicate clusters: connected doc groups sharing a SimHash signature.
     // members is emitted as a sorted comma-joined STRING (not array<bigint>):
     // the driver comparator sorts rows in pandas and arrays are unhashable
@@ -371,6 +392,18 @@ object Dedup {
   // hashes are engine-specific); the two _exact twins above are the
   // DuckDB-replayable anchors for the same execution machinery.
   val sql: Map[String, String] = Map(
+    "llm_lsh_tuning" -> """
+      WITH bands AS (
+        SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS t(b, r)
+      ), grid AS (
+        SELECT b, r, i FROM bands
+        CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i)
+      )
+      SELECT b, r, i / 10.0 AS s,
+             1.0 - pow(1.0 - pow(i / 10.0, r), b) AS p_candidate,
+             pow(1.0 / b, 1.0 / r) AS s_mid
+      FROM grid ORDER BY b, r, s""",
+
     "llm_dedup_exact" -> """
       WITH RECURSIVE toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

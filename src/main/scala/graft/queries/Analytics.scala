@@ -662,6 +662,39 @@ object Analytics {
         .orderBy(col("bucket"))
     }),
 
+    // Delete-one-group jackknife standard error of a ratio metric — the
+    // error bar every dashboard ratio (avg order value here) needs but
+    // a plain stddev can't give (the statistic is a ratio of sums, not
+    // a mean of rows). LOO replicates come free from the group totals:
+    // θ₋ᵢ = (T − tᵢ)/(N − nᵢ), no per-group rescan. fp discipline: each
+    // replicate is one double expression rounded to an exact scaled
+    // BIGINT (integer rounding is tie-safe, unlike fractional-digit
+    // rounding); the variance uses the Σx/Σx² closed form on those
+    // integers, and θ and the SE are emitted as raw engine-identical
+    // doubles. Scale shape: one keyed aggregate + |groups|-row algebra.
+    "agg_jackknife" -> ((s, d) => {
+      val o = t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("g"),
+          round(col("o_totalprice") * 100).cast("bigint").as("tp_u"))
+      val groups = o.groupBy(col("g"))
+        .agg(sum(col("tp_u")).as("t_g"), count(lit(1)).as("n_g"))
+      val tot = groups.agg(sum(col("t_g")).as("tt"), sum(col("n_g")).as("nn"),
+        count(lit(1)).as("gcnt"))
+      groups.crossJoin(broadcast(tot))
+        .select(col("gcnt"), col("tt"), col("nn"),
+          round((col("tt") - col("t_g")).cast("double")
+            / ((col("nn") - col("n_g")) * 100.0) * 1000).cast("bigint")
+            .as("su"))
+        .groupBy(col("gcnt"), col("tt"), col("nn"))
+        .agg(sum(col("su")).as("s1"), sum(col("su") * col("su")).as("s2"))
+        .select(col("gcnt").as("n_groups"),
+          (col("tt").cast("double") / (col("nn") * 100.0)).as("theta"),
+          (sqrt((col("gcnt") - 1).cast("double") / col("gcnt")
+            * (col("s2") - col("s1").cast("double") * col("s1")
+               / col("gcnt"))) / 1000.0).as("jk_se"))
+    }),
+
     // Incremental JOIN-view maintenance — the delta algebra behind every
     // materialized join view at scale: with base deltas ΔA (new orders)
     // and ΔB (changed customers), the view delta is
@@ -1216,6 +1249,35 @@ object Analytics {
       SELECT MIN(day) AS worst_day, CAST(COUNT(*) AS BIGINT) AS n_ties,
              ROUND(CAST(mx AS DOUBLE) / 100.0, 2) AS max_drawdown
       FROM dd, mx WHERE dd_u = mx GROUP BY mx""",
+
+    "agg_jackknife" -> """
+      WITH o AS (
+        SELECT c_nationkey AS g,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp_u
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      groups AS (
+        SELECT g, CAST(SUM(tp_u) AS BIGINT) AS t_g,
+               CAST(count(*) AS BIGINT) AS n_g
+        FROM o GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(t_g) AS BIGINT) AS tt,
+               CAST(SUM(n_g) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS gcnt
+        FROM groups),
+      loo AS (
+        SELECT gcnt, tt, nn,
+               CAST(ROUND(CAST(tt - t_g AS DOUBLE)
+                 / ((nn - n_g) * 100.0) * 1000) AS BIGINT) AS su
+        FROM groups, tot),
+      ag AS (
+        SELECT gcnt, tt, nn, CAST(SUM(su) AS BIGINT) AS s1,
+               CAST(SUM(su * su) AS BIGINT) AS s2
+        FROM loo GROUP BY 1, 2, 3)
+      SELECT gcnt AS n_groups,
+             CAST(tt AS DOUBLE) / (nn * 100.0) AS theta,
+             SQRT(CAST(gcnt - 1 AS DOUBLE) / gcnt
+                  * (s2 - CAST(s1 AS DOUBLE) * s1 / gcnt)) / 1000.0 AS jk_se
+      FROM ag""",
 
     "etl_incremental_join" -> """
       WITH a_old AS (SELECT o_orderkey, o_custkey FROM orders
