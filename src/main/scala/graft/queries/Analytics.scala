@@ -662,6 +662,36 @@ object Analytics {
         .orderBy(col("bucket"))
     }),
 
+    // k-anonymity audit: how many quasi-identifier combinations identify
+    // fewer than k=5 customers — the re-identification risk check run
+    // before sharing "anonymized" data (nation × market segment × coarse
+    // balance band here; a group of size 1 IS a person). One keyed
+    // aggregate to the QI-combination table, then a bounded re-aggregate
+    // to the risk report; the balance band is exact integer cents so
+    // group membership can't drift between engines. Reports rows at
+    // risk, not just groups — 1000 singleton groups and one giant group
+    // are very different exposures.
+    "etl_k_anonymity" -> ((s, d) => {
+      val g = t(s, d, "customer")
+        // floor division, NOT `div`: Spark div truncates toward zero but
+        // DuckDB // floors, and account balances go negative
+        .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          floor(round(col("c_acctbal") * 100).cast("bigint") / 100000.0)
+            .cast("bigint").as("bal_band"))
+        .groupBy(col("nat"), col("seg"), col("bal_band"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_rows"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_groups_lt_k"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+          min(col("n")).as("min_group"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .select(col("n_groups"), col("n_rows"), col("n_groups_lt_k"),
+          col("n_rows_at_risk"), col("min_group"), col("n_singletons"),
+          (col("n_rows_at_risk").cast("double") / col("n_rows"))
+            .as("at_risk_frac"))
+    }),
+
     // Delete-one-group jackknife standard error of a ratio metric — the
     // error bar every dashboard ratio (avg order value here) needs but
     // a plain stddev can't give (the statistic is a ratio of sums, not
@@ -1249,6 +1279,26 @@ object Analytics {
       SELECT MIN(day) AS worst_day, CAST(COUNT(*) AS BIGINT) AS n_ties,
              ROUND(CAST(mx AS DOUBLE) / 100.0, 2) AS max_drawdown
       FROM dd, mx WHERE dd_u = mx GROUP BY mx""",
+
+    "etl_k_anonymity" -> """
+      WITH g AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0)
+                 AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_lt_k,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+             CAST(MIN(n) AS BIGINT) AS min_group,
+             CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+             CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+               / SUM(n) AS at_risk_frac
+      FROM g""",
 
     "agg_jackknife" -> """
       WITH o AS (

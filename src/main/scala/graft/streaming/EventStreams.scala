@@ -362,6 +362,73 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class DailyCount(event_type: String, day: java.sql.Date, x: Long)
+  case class CusumOut(event_type: String, day: java.sql.Date, x: Long,
+                      cusum: Double, alarm: Boolean)
+  case class CusumSt(cum: Long, minCum: Long)
+
+  /** Streaming CUSUM drift gate — the online form of the batch
+    * `evt_cusum` query: consumes the compacted per-type DAILY count
+    * stream (an upstream windowed aggregate in production) and maintains
+    * CUSUM⁺ against a FIXED per-type target rate in a ValueState. The
+    * target arrives as an exact rational (num = historical total,
+    * den = historical n_days), so the per-day deviation x·den − num and
+    * both state fields stay exact integers — the same scaling discipline
+    * as the batch query, whose closed form cum − min(0, min-prefix) this
+    * recursion reproduces (Round6dSpec pins closed form ≡ recursion; the
+    * streaming spec pins streamed ≡ batch on the same target). minCum
+    * starts at 0, which is safe BECAUSE the emitted S folds min(minCum, 0)
+    * — the extra 0 is absorbed. Ordering contract: rows are day-sorted
+    * within each micro-batch; across batches days must arrive in order
+    * (same in-order contract as [[recentEvents]]). */
+  class CusumGateProcessor(target: Map[String, (Long, Long)])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DailyCount, CusumOut] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CusumSt] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CusumSt]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumSt],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DailyCount],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CusumOut] = {
+      val (num, den) = target.getOrElse(key, (0L, 1L))
+      val prev = if (st.exists()) st.get() else CusumSt(0L, 0L)
+      var cum = prev.cum; var minCum = prev.minCum
+      val out = rows.toVector.sortBy(_.day.getTime).map { r =>
+        cum += r.x * den - num
+        if (cum < minCum) minCum = cum
+        val s = cum - math.min(minCum, 0L)
+        CusumOut(key, r.day, r.x, s.toDouble / den, s > 25L * den)
+      }
+      st.update(CusumSt(cum, minCum))
+      out.iterator
+    }
+  }
+
+  /** Wire the CUSUM gate over a (possibly streaming) daily-count set. */
+  def cusumGate(daily: Dataset[DailyCount],
+                target: Map[String, (Long, Long)]): Dataset[CusumOut] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.event_type)
+      .transformWithState(new CusumGateProcessor(target),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** Per-type target rate from a HISTORY batch, as the exact rational
+    * (total, n_days) [[cusumGate]] expects. The collect is bounded by
+    * |event types|. */
+  def cusumTarget(dailyHistory: DataFrame): Map[String, (Long, Long)] =
+    dailyHistory.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.sum(col("x")).as("total"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_days"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
   /** Streaming threshold alerts: events whose value exceeds their type's
     * (static, precomputed) p99 baseline. The third stateless gate next to
     * [[DedupGate.gate]] and [[DedupGate.embedGate]]: baseline is a

@@ -448,6 +448,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum gate: streamed across micro-batches equals the batch query") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // daily per-type counts from the batch table, and the SAME-data
+      // target — under which the gate must reproduce evt_cusum exactly
+      val daily = t(spark, sf, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val target = EventStreams.cusumTarget(daily)
+      val rows = daily.as[EventStreams.DailyCount].collect()
+        .sortBy(_.day.getTime)
+      val src = MemoryStream[EventStreams.DailyCount](spark)
+      val gated = EventStreams.cusumGate(src.toDS(), target)
+      val q = gated.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("cusum_gate").start()
+      try {
+        // three micro-batches split on day boundaries → state must carry
+        // cum and min-prefix across batch boundaries to stay ≡ batch
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          src.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table("cusum_gate")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+          (r.getDouble(3), r.getBoolean(4))).toMap
+      val want = SparkEntry.queries("evt_cusum")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+          (r.getDouble(3), r.getBoolean(4))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (k, (c, a)) =>
+        assert(math.abs(got(k)._1 - c) < 1e-3, s"cusum mismatch at $k")
+        assert(got(k)._2 == a, s"alarm mismatch at $k")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState timers fire inactivity alerts for quiet users") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
