@@ -413,6 +413,32 @@ object EventsBatch {
           col("n_events"), col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
     }),
 
+    // sample-ratio-mismatch check — the #1 A/B-test validity screen
+    // (run BEFORE reading evt_ab_test's z-stat: a biased assignment
+    // invalidates any lift readout). Same user-level hash assignment as
+    // evt_ab_test; χ² against the designed 50/50 split with expected
+    // counts as exact rationals — (2·observed − total)² / (4·total) per
+    // arm collapses to one integer-exact numerator, so the flag can't
+    // ulp-flip. Bounded output: |arms| rows + the 1-row verdict folded in.
+    "evt_ab_srm" -> ((s, d) => {
+      val arms = t(s, d, "events")
+        .select(col("user_id")).distinct()
+        .select((col("user_id") % 2).cast("int").as("variant"))
+        .groupBy(col("variant")).agg(count(lit(1)).as("n_obs"))
+      val tot = arms.agg(sum(col("n_obs")).as("n_total"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("variant"), col("n_obs"), col("n_total"),
+          (col("n_total").cast("double") / 2).as("n_expected"),
+          (pow((lit(2) * col("n_obs") - col("n_total")).cast("double"), 2)
+            / (lit(2.0) * col("n_total"))).as("chi2_term"),
+          // χ² with 1 dof: both arms contribute the same term, so the
+          // total statistic is 2× either term; flag at the 0.001 level
+          // (10.83) — SRM screens demand high confidence
+          (pow((lit(2) * col("n_obs") - col("n_total")).cast("double"), 2)
+            / col("n_total") > 10.83).as("srm_flag"))
+        .orderBy(col("variant"))
+    }),
+
     // day-of-week × hour seasonality profile — the load-shape analytic
     // behind capacity planning and anomaly baselining (evt_anomaly's
     // trailing window assumes stationarity; this measures the weekly
@@ -1035,6 +1061,20 @@ object EventsBatch {
              abs((hourly_avg - base_mean) / base_sd) > 3.0 AS is_anomaly
       FROM scored
       WHERE base_sd IS NOT NULL AND base_sd > 0""",
+
+    "evt_ab_srm" -> """
+      WITH arms AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM arms)
+      SELECT variant, n_obs, n_total,
+             CAST(n_total AS DOUBLE) / 2 AS n_expected,
+             POW(CAST(2*n_obs - n_total AS DOUBLE), 2) / (2.0 * n_total)
+               AS chi2_term,
+             POW(CAST(2*n_obs - n_total AS DOUBLE), 2) / n_total > 10.83
+               AS srm_flag
+      FROM arms, tot ORDER BY variant""",
 
     "evt_seasonality" -> """
       WITH grid AS (

@@ -97,6 +97,31 @@ object FeatureEng {
         .orderBy(col("o_orderkey"))
     }),
 
+    // winsorized mean — the robust location estimate that pairs with
+    // etl_winsorize (same exact percentile_disc cutoffs): clamp, then
+    // average. Because the cutoffs and the clamped values are all exact
+    // cents, the winsorized SUM is an exact bigint and the emitted means
+    // are raw engine-identical quotients; reported next to the raw mean
+    // so the outlier influence is visible as their gap.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(round(col("o_totalprice") * 100).cast("bigint").as("tp_u"))
+      val cuts = o.agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY tp_u)").as("lo_u"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY tp_u)").as("hi_u"))
+      o.crossJoin(broadcast(cuts))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo_u")).as("lo_u"), max(col("hi_u")).as("hi_u"),
+          sum(col("tp_u")).as("raw_u"),
+          sum(least(greatest(col("tp_u"), col("lo_u")), col("hi_u")))
+            .as("ws_u"))
+        .select(col("n"), (col("lo_u") / 100.0).as("p05"),
+          (col("hi_u") / 100.0).as("p95"),
+          (col("raw_u").cast("double") / (col("n") * 100.0)).as("raw_mean"),
+          (col("ws_u").cast("double") / (col("n") * 100.0))
+            .as("winsorized_mean"))
+    }),
+
     // missing-value imputation: 10% of account balances are knocked out
     // by a deterministic salted-hash mask (the generated table has no
     // real NULLs — and a hash mask means both engines agree on WHICH
@@ -252,6 +277,20 @@ object FeatureEng {
       FROM o, cuts
       WHERE tp_u < lo_u OR tp_u > hi_u
       ORDER BY o_orderkey""",
+
+    "agg_winsorized_mean" -> """
+      WITH o AS (
+        SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS tp_u FROM orders),
+      cuts AS (
+        SELECT quantile_disc(tp_u, 0.05) AS lo_u,
+               quantile_disc(tp_u, 0.95) AS hi_u
+        FROM o)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             lo_u / 100.0 AS p05, hi_u / 100.0 AS p95,
+             CAST(SUM(tp_u) AS DOUBLE) / (count(*) * 100.0) AS raw_mean,
+             CAST(SUM(LEAST(GREATEST(tp_u, lo_u), hi_u)) AS DOUBLE)
+               / (count(*) * 100.0) AS winsorized_mean
+      FROM o, cuts GROUP BY lo_u, hi_u""",
 
     "etl_impute" -> """
       WITH c AS (

@@ -224,6 +224,26 @@ object Scalars {
         atan(col("l_discount")).as("atan_disc"))
     }),
 
+    // printf-style formatting family (report rendering / key synthesis):
+    // zero-padded ids, fixed-2dp money, uppercase hex hashes, left-
+    // aligned padding. Spark format_string → java.util.Formatter, DuckDB
+    // printf → C-style; the directives used here (%0Nd, %.2f, %0NX, %-Ns)
+    // agree construct for construct. %.2f is only fed values that are
+    // exactly 2-decimal (cents/100), so no rounding path is exercised —
+    // the engines' tie-breaking never gets a chance to differ.
+    "fn_format" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        format_string("ORD-%07d", col("o_orderkey")).as("padded_id"),
+        format_string("%.2f",
+          round(col("o_totalprice") * 100).cast("bigint") / 100.0)
+          .as("price_2dp"),
+        format_string("%05X",
+          pmod(col("o_orderkey") * 2654435761L, lit(1048576L)).cast("int"))
+          .as("hex_hash"),
+        format_string("%-4s|", col("o_orderstatus")).as("status_padded"))
+    }),
+
     // geospatial family: haversine distance, initial bearing, and a
     // bounding-box membership test — the taxi-engine primitives (zone
     // distance, trip heading, geofence). Coordinates are deterministic
@@ -764,6 +784,16 @@ object Scalars {
              radians(l_quantity) AS rad_q,
              atan(l_discount) AS atan_disc
       FROM lineitem WHERE l_orderkey <= 500""",
+
+    "fn_format" -> """
+      SELECT o_orderkey,
+             printf('ORD-%07d', o_orderkey) AS padded_id,
+             printf('%.2f',
+               CAST(ROUND(o_totalprice*100) AS BIGINT) / 100.0) AS price_2dp,
+             printf('%05X', CAST((o_orderkey * 2654435761) % 1048576 AS INT))
+               AS hex_hash,
+             printf('%-4s|', o_orderstatus) AS status_padded
+      FROM orders WHERE o_orderkey <= 2000""",
 
     "fn_geo" -> """
       WITH pts AS (
