@@ -676,6 +676,61 @@ object TextOps {
             .as("lm_score"))
     }),
 
+    // dataset card — the one-row datasheet a curated corpus ships with
+    // (Gebru et al.'s "Datasheets for Datasets" reduced to computable
+    // facts): volume, token budget, median length, language balance
+    // (Shannon entropy), and the exact-duplicate rate. Composes the
+    // engine's own primitives in ONE pass shape: a doc-level projection
+    // feeds three bounded aggregates (global counts, |langs| rows, md5
+    // groups). Entropy terms use the rounded→scaled-BIGINT sum trick;
+    // the ratios are raw engine-identical quotients.
+    "llm_dataset_card" -> ((s, d) => {
+      val docs = spread(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      val base = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        // Spark percentile_disc returns DOUBLE even for integral input;
+        // DuckDB quantile_disc keeps BIGINT — cast for parity
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks)" +
+          " AS BIGINT)").as("p50_tokens"),
+        countDistinct(col("h")).as("n_unique_texts"))
+      val langEnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+        .agg(count(lit(1)).as("n_langs"),
+          sum(round((col("nl").cast("double") / col("nd"))
+            * log(col("nl").cast("double") / col("nd")) * -1e9)
+            .cast("bigint")).as("ent_u"))
+      base.crossJoin(broadcast(langEnt))
+        .select(col("n_docs"), col("n_tokens"), col("p50_tokens"),
+          (col("n_tokens").cast("double") / col("n_docs"))
+            .as("mean_tokens"),
+          col("n_langs"), (col("ent_u") / 1e9).as("lang_entropy_nats"),
+          (lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"))
+            .as("exact_dup_rate"))
+    }),
+
+    // Zipf slope of the corpus vocabulary — the power-law diagnostic for
+    // natural text (clean prose fits ln f ≈ c − s·ln r with s ≈ 1;
+    // template spam and synthetic data bend it). Bounded by design: the
+    // top-1000 vocabulary by frequency via TakeOrdered (deterministic
+    // count-then-token tiebreak), ranks assigned on that bounded set,
+    // one regr_slope over 1000 (ln r, ln f) pairs, rounded like
+    // agg_stats3's regr_* family. The corpus-sized work is ONE token
+    // count aggregate.
+    "llm_zipf_slope" -> ((s, d) => {
+      val vocab = spread(t(s, d, "documents"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok")).limit(1000)
+      val ranked = vocab.withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("f").desc, col("tok"))))
+      ranked.agg(count(lit(1)).as("n_vocab"),
+          round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
+          round(expr("regr_r2(ln(f), ln(r))"), 4).as("fit_r2"))
+    }),
+
     // per-doc shingle NOVELTY in doc_id order — the redundancy curve of a
     // corpus ("how much of this document's 3-gram content already
     // appeared in earlier documents"), the doc-granular complement to the
@@ -1341,6 +1396,45 @@ object TextOps {
       JOIN bc USING (w1, w2)
       JOIN uc USING (w1), v
       GROUP BY b.doc_id""",
+
+    "llm_dataset_card" -> """
+      WITH docs AS (
+        SELECT doc_id, lang, md5(text) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               quantile_disc(n_toks, 0.5) AS p50_tokens,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts
+        FROM docs),
+      lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+             FROM docs GROUP BY 1),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM docs),
+      ent AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(SUM(CAST(ROUND((CAST(nl AS DOUBLE) / nd)
+                 * ln(CAST(nl AS DOUBLE) / nd) * -1e9) AS BIGINT))
+                 AS BIGINT) AS ent_u
+        FROM lc, nd)
+      SELECT n_docs, n_tokens, p50_tokens,
+             CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens,
+             n_langs, ent_u / 1e9 AS lang_entropy_nats,
+             1.0 - CAST(n_unique_texts AS DOUBLE) / n_docs
+               AS exact_dup_rate
+      FROM base, ent""",
+
+    "llm_zipf_slope" -> """
+      WITH vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1 ORDER BY f DESC, tok LIMIT 1000),
+      ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r FROM vocab)
+      SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+             ROUND(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+             ROUND(regr_r2(ln(f), ln(r)), 4) AS fit_r2
+      FROM ranked""",
 
     "llm_novelty" -> """
       WITH toks AS (
