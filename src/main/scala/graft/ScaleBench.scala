@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** DEV harness for the cross-SF scaling probe: times the iterative /
+  * multi-pass query family at several scale factors in ONE warm JVM, so
+  * wall-time-vs-rows exponents (BASELINE.md "Scaling probe" table) are
+  * measured, not argued from plan shape. Median-of-N per (query, sf)
+  * after a warmup run; prints one JSON line per measurement.
+  *
+  *   runMain graft.ScaleBench [runs] [query ...]
+  */
+object ScaleBench {
+  val defaultQueries = Seq("llm_dedup_exact", "llm_substring_dup",
+    "llm_bpe_train", "graph_pagerank", "agg_ks_test")
+  val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
+
+  def main(args: Array[String]): Unit = {
+    val runs = if (args.length > 0) args(0).toInt else 3
+    val queries = if (args.length > 1) args.drop(1).toSeq else defaultQueries
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    for (q <- queries; sf <- sfDirs) {
+      val fn = SparkEntry.queries(q)
+      fn(spark, sf).count() // warmup: codegen + JIT + page cache
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sf).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""[scalebench] {"query":"$q","sf":"${sf.split('/').last}"""" +
+        f""","median_sec":${med(times)}%.3f,"min_sec":${times.min}%.3f}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.streaming.{DedupGate, EventStreams}
+
+/** DEV harness: streaming THROUGHPUT numbers for the two streaming gates
+  * (BASELINE.md "Streaming throughput" rows — the streaming family was
+  * correctness-rich but had no recorded rate until r7):
+  *
+  *   - [[DedupGate.gate]]: the 10% holdout of `documents` replayed from
+  *     parquet through the stateless LSH near-dup gate against the 90%
+  *     index, `Trigger.AvailableNow`, memory sink → docs/s.
+  *   - [[EventStreams.cusumGate]]: per-(type, day) counts of `events`
+  *     replayed through the transformWithState CUSUM drift gate (RocksDB
+  *     state store) → daily rows/s, with the underlying raw-event count
+  *     reported for context.
+  *
+  * Wall time includes micro-batch scheduling — these are end-to-end gate
+  * rates, not kernel times.
+  *
+  *   runMain graft.StreamBench [sfDir]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ---- near-dup gate ----
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+    val index = DedupGate.corpusIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 9)).localCheckpoint()
+    val dir = Files.createTempDirectory("graft-sb").toString + "/incoming"
+    val inc = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select("doc_id", "text")
+    val nDocs = inc.count()
+    inc.write.parquet(dir)
+    val docsSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def runGate(name: String): Double = {
+      val stream = spark.readStream.schema(docsSchema).parquet(dir)
+      val t0 = System.nanoTime()
+      val q = DedupGate.gate(stream, index, minJaccard = 0.2)
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runGate("sb_gate_warm") // warmup: codegen + JIT
+    val gateSec = Seq(runGate("sb_gate1"), runGate("sb_gate2"),
+      runGate("sb_gate3")).min
+    println(f"""[streambench] {"gate_docs":$nDocs,"gate_sec":$gateSec%.2f,""" +
+      f""""gate_docs_per_sec":${nDocs / gateSec}%.0f}""")
+
+    // ---- CUSUM drift gate ----
+    val events = graft.core.Tables.t(spark, sf, "events")
+    val nEvents = events.count()
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val target = EventStreams.cusumTarget(daily)
+    val dailyDir = Files.createTempDirectory("graft-sb").toString + "/daily"
+    daily.write.parquet(dailyDir)
+    val nDaily = daily.count()
+    val dailySchema = spark.read.parquet(dailyDir).schema
+    def runCusum(name: String): Double = {
+      val stream = spark.readStream.schema(dailySchema).parquet(dailyDir)
+        .as[EventStreams.DailyCount]
+      val t0 = System.nanoTime()
+      val q = EventStreams.cusumGate(stream, target).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sb-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runCusum("sb_cusum_warm")
+    val cusumSec = Seq(runCusum("sb_cusum1"), runCusum("sb_cusum2"),
+      runCusum("sb_cusum3")).min
+    println(f"""[streambench] {"cusum_daily_rows":$nDaily,""" +
+      f""""cusum_raw_events":$nEvents,"cusum_sec":$cusumSec%.2f,""" +
+      f""""cusum_rows_per_sec":${nDaily / cusumSec}%.0f}""")
+    spark.stop()
+  }
+}

@@ -390,13 +390,22 @@ object TextOps {
     // plan stays fully declarative, so Catalyst collapses the three
     // narrow stages into the scans feeding two aggregates.
     "llm_curation_pipeline" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      // stage 1: quality gate (lexical diversity above corpus p25)
-      val scored = docs
+      // stage 1: quality gate (lexical diversity above corpus p25).
+      // The per-doc derived columns land in a narrow checkpointed frame
+      // computed ONCE: without the lineage cut the text-parsing stage
+      // (split + array_distinct over full text) replays for the
+      // percentile leg AND the filtered leg — the r6 bench showed this
+      // query at 2× its r5 cost for exactly that reason — and the
+      // exact-dedup window below would shuffle whole text rows as its
+      // partition key. Five narrow columns feed all three consumers; the
+      // dedup shuffle carries a 32-char digest instead of the document.
+      val scored = t(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("distinct_ratio",
-          size(array_distinct(col("toks"))).cast("double") /
-            size(col("toks")).cast("double"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("th"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")).as("distinct_ratio"))
+        .localCheckpoint(eager = false)
       val cut = scored.agg(
         expr("percentile(distinct_ratio, 0.25)").as("cut"))
       val kept = scored.crossJoin(broadcast(cut))
@@ -405,7 +414,7 @@ object TextOps {
       val survivors = kept
         .withColumn("keeper",
           min(col("doc_id")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+            org.apache.spark.sql.expressions.Window.partitionBy(col("th"))))
         .filter(col("doc_id") === col("keeper"))
       // stage 3+4: deterministic split (the SAME shared expressions as
       // llm_split_assign), per-(split, lang) accounting

@@ -124,7 +124,18 @@ object Partitioning {
     * additions; for floating-point inputs the result can differ from a
     * sequential sum in the last ulp (document at the call site). */
   def rankedCumSum(df: DataFrame, valueCol: Column, order: Seq[Column],
-                   n: Int, outCol: String): DataFrame = {
+                   n: Int, outCol: String): DataFrame =
+    rankedCumSumMulti(df, Seq(valueCol -> outCol), order, n)
+
+  /** [[rankedCumSum]] over SEVERAL value columns in ONE two-level pass:
+    * one range partition + local sort, one per-partition window (all the
+    * running sums share the frame), one ≤n-row offsets aggregate carrying
+    * every measure. A k-measure cumsum as k sequential calls would pay
+    * the repartition/sort/checkpoint k times over a frame that only grows
+    * wider each call — agg_ks_test's two ECDFs are the motivating case. */
+  def rankedCumSumMulti(df: DataFrame, measures: Seq[(Column, String)],
+                        order: Seq[Column], n: Int): DataFrame = {
+    require(measures.nonEmpty, "need at least one (valueCol, outCol)")
     val sorted = df
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
@@ -132,17 +143,25 @@ object Partitioning {
       .localCheckpoint()
     val localWin = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = sorted.groupBy(col("__pid")).agg(sum(valueCol).as("__psum"))
-      .withColumn("__off", coalesce(
-        sum(col("__psum")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0)))
-      .select(col("__pid").as("__opid"), col("__off"))
-    sorted
-      .withColumn("__local", sum(valueCol).over(localWin))
-      .join(broadcast(offsets), col("__pid") === col("__opid"))
-      .withColumn(outCol, col("__local") + col("__off"))
-      .drop("__pid", "__opid", "__local", "__off")
+    val offWin = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val idx = measures.indices
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(sum(measures.head._1).as("__psum0"),
+        measures.tail.zipWithIndex.map { case ((c, _), i) =>
+          sum(c).as(s"__psum${i + 1}") }: _*)
+      .select(col("__pid").as("__opid") +:
+        idx.map(i => coalesce(sum(col(s"__psum$i")).over(offWin), lit(0))
+          .as(s"__off$i")): _*)
+    val withLocal = idx.foldLeft(sorted) { case (acc, i) =>
+      acc.withColumn(s"__local$i", sum(measures(i)._1).over(localWin))
+    }
+    val joined = withLocal.join(broadcast(offsets), col("__pid") === col("__opid"))
+    idx.foldLeft(joined) { case (acc, i) =>
+        acc.withColumn(measures(i)._2, col(s"__local$i") + col(s"__off$i"))
+      }
+      .drop("__pid" :: "__opid" ::
+        idx.flatMap(i => Seq(s"__local$i", s"__off$i")).toList: _*)
   }
 
   /** Distributed running MINIMUM over a total order — the prefix-min

@@ -24,17 +24,22 @@ object SpatialGrid {
     */
   def radiusSelfJoin(pts: DataFrame, r: Long): DataFrame = {
     require(r > 0, s"radius must be positive; got $r")
-    def cell(c: Column): Column = floor(c / r.toDouble).cast("bigint")
+    // EXACT bigint floor division: c − pmod(c,r) is a nonnegative-remainder
+    // multiple of r, so truncating `div` equals floor(c/r) for any sign.
+    // The earlier floor(c / r.toDouble) routed through a double quotient,
+    // which for |c| ≥ 2^53 can floor into the wrong cell and silently
+    // drop qualifying pairs.
+    def cell(name: String): Column = expr(s"($name - pmod($name, $r)) div $r")
     val aa = pts.select(col("k").as("k1"),
       col("xi").as("x1"), col("yi").as("y1"),
-      cell(col("xi")).as("cx"), cell(col("yi")).as("cy"))
+      cell("xi").as("cx"), cell("yi").as("cy"))
     val bb = pts
       .select(col("k").as("k2"), col("xi").as("x2"), col("yi").as("y2"),
-        explode(array(cell(col("xi")) - 1, cell(col("xi")),
-          cell(col("xi")) + 1)).as("cx"))
+        explode(array(cell("xi") - 1, cell("xi"),
+          cell("xi") + 1)).as("cx"))
       .select(col("k2"), col("x2"), col("y2"), col("cx"),
-        explode(array(cell(col("y2")) - 1, cell(col("y2")),
-          cell(col("y2")) + 1)).as("cy"))
+        explode(array(cell("y2") - 1, cell("y2"),
+          cell("y2") + 1)).as("cy"))
     val d2 = (col("x1") - col("x2")) * (col("x1") - col("x2")) +
       (col("y1") - col("y2")) * (col("y1") - col("y2"))
     aa.join(bb, Seq("cx", "cy"))

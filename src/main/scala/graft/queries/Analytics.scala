@@ -504,8 +504,9 @@ object Analytics {
     // argmax cannot ulp-flip; the single division producing D happens once
     // on output. Scale shape: the data-sized pass is one hash aggregate
     // compacting to ≤|distinct price-cents| rows; both cumulative ECDFs
-    // ride ops.Partitioning.rankedCumSum (range-partitioned two-level
-    // scan — no global single-task window); the max/argmax reduction and
+    // share ONE ops.Partitioning.rankedCumSumMulti pass (range-partitioned
+    // two-level scan, one sort for both measures — no global single-task
+    // window); the max/argmax reduction and
     // the 1-row totals are the only driver-visible rows. (The bigint
     // cross-products bound n1·n2 < 2^63 — beyond ~3·10^9 rows per sample,
     // switch the numerator to DECIMAL(38,0).)
@@ -514,9 +515,12 @@ object Analytics {
       val g = li.groupBy(round(col("l_extendedprice") * 100).cast("bigint").as("pc"))
         .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
              sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("c2"))
-        .localCheckpoint() // shared by the two cumsum passes + totals
-      val f1 = Partitioning.rankedCumSum(g, col("c1"), Seq(col("pc")), 32, "f1")
-      val cum = Partitioning.rankedCumSum(f1, col("c2"), Seq(col("pc")), 32, "f2")
+        .localCheckpoint() // shared by the cumsum pass + totals
+      // both ECDFs in ONE two-level pass: a second sequential
+      // rankedCumSum call would repeat the range-partition + sort +
+      // checkpoint over the same frame just to add the second measure
+      val cum = Partitioning.rankedCumSumMulti(g,
+        Seq(col("c1") -> "f1", col("c2") -> "f2"), Seq(col("pc")), 32)
       val tot = g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       val diffs = cum.crossJoin(broadcast(tot))
         .select(col("pc"), col("n1"), col("n2"),
@@ -545,6 +549,9 @@ object Analytics {
       val pc = round(col("o_totalprice") * 100).cast("bigint")
       val g = o.select(pc.as("pc"),
           (col("o_orderdate") < to_timestamp(lit("1998-04-01"))).as("base"))
+        // `div` (truncates) ≡ DuckDB `//` (floors) only because
+        // o_totalprice is strictly positive; signed values need the
+        // floor form (see etl_k_anonymity)
         .select(expr("pc div 5000000").as("bucket"), col("base"))
         .groupBy(col("bucket"))
         .agg(sum(when(col("base"), 1L).otherwise(0L)).as("c_base"),
@@ -607,12 +614,24 @@ object Analytics {
       val tot = cells.agg(sum(col("c")).as("n"),
         countDistinct(col("status")).as("nr"),
         countDistinct(col("priority")).as("nc"))
-      val j = cells.join(rm, Seq("status")).join(cm, Seq("priority"))
+      // chi2 runs over the FULL r×k grid, not just observed cells: a
+      // structurally empty cell still contributes its expectation
+      // (0·n − r·k)²/(r·k·n) = r·k/n, and dropping it understates the
+      // statistic on sparse contingency tables. The grid cross join is
+      // bounded by the two categorical marginals (|status| × |priority|,
+      // single digits each), so broadcast(cm) keeps it a bounded
+      // broadcast — never data-sized.
+      val j = rm.crossJoin(broadcast(cm))
+        .join(cells, Seq("status", "priority"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
         .crossJoin(broadcast(tot))
+      // the MI term of an empty cell is lim x→0 x·log x = 0, made explicit
       val miTermU = round(
-        (col("c").cast("double") / col("n"))
-          * log(col("c").cast("double") * col("n")
-                / (col("r").cast("double") * col("k"))) * 1e9)
+        when(col("c") > 0,
+          (col("c").cast("double") / col("n"))
+            * log(col("c").cast("double") * col("n")
+                  / (col("r").cast("double") * col("k"))))
+          .otherwise(0.0) * 1e9)
         .cast("bigint")
       val chiTermU = round(
         pow((col("c") * col("n") - col("r") * col("k")).cast("double"), 2)
@@ -642,6 +661,10 @@ object Analytics {
       val pc = round(col("l_extendedprice") * 100).cast("bigint")
       val cells = li
         .select(pc.as("pc"), (col("l_returnflag") === "R").as("ev"))
+        // `div` truncates toward zero while the DuckDB twin's `//`
+        // floors — equivalent ONLY because l_extendedprice (hence pc) is
+        // strictly positive. For a signed measure use the floor form
+        // (see etl_k_anonymity below).
         .select(expr("pc div 5000000").as("bucket"), col("ev"))
         .groupBy(col("bucket"))
         .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("n_event"),
@@ -1206,16 +1229,21 @@ object Analytics {
                      CAST(COUNT(DISTINCT status) AS BIGINT) AS nr,
                      CAST(COUNT(DISTINCT priority) AS BIGINT) AS nc
               FROM cells),
+      grid AS (
+        SELECT rm.status, cm.priority, rm.r, cm.k,
+               COALESCE(cells.c, 0) AS c
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells
+          ON cells.status = rm.status AND cells.priority = cm.priority),
       terms AS (
         SELECT n, nr, nc,
-               CAST(ROUND((CAST(c AS DOUBLE)/n)
-                 * ln(CAST(c AS DOUBLE)*n / (CAST(r AS DOUBLE)*k)) * 1e9)
+               CAST(ROUND(CASE WHEN c > 0 THEN (CAST(c AS DOUBLE)/n)
+                 * ln(CAST(c AS DOUBLE)*n / (CAST(r AS DOUBLE)*k))
+                 ELSE 0.0 END * 1e9)
                  AS BIGINT) AS mi_u,
                CAST(ROUND(POW(CAST(c*n - r*k AS DOUBLE), 2)
                  / (CAST(r AS DOUBLE)*k*n) * 1e6) AS BIGINT) AS chi_u
-        FROM cells
-        JOIN rm ON rm.status = cells.status
-        JOIN cm ON cm.priority = cells.priority
+        FROM grid
         CROSS JOIN tot)
       SELECT CAST(n AS BIGINT) AS n, nr, nc,
              ROUND(SUM(mi_u)/1e9, 6) AS mi_nats,

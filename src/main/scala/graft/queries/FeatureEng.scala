@@ -80,6 +80,14 @@ object FeatureEng {
     // clamp is a scan-side least/greatest. Emits only changed rows to
     // keep the result focused (the unchanged majority is recoverable by
     // definition).
+    //
+    // CAUTION before reusing this pattern with other quantiles: Spark
+    // percentile_disc picks element ceil(q·n)−1 (0-based) while DuckDB
+    // quantile_disc picks floor(q·(n−1)); the two coincide at
+    // q ∈ {0.05, 0.5, 0.95} for every n (this query and
+    // agg_winsorized_mean / llm_dataset_card), but diverge for other q —
+    // e.g. q=0.3, n=7 → index ceil(2.1)−1 = 2 vs floor(1.8) = 1. A new
+    // twin at an arbitrary q needs an element-index formulation instead.
     "etl_winsorize" -> ((s, d) => {
       val o = t(s, d, "orders")
         .select(col("o_orderkey"),

@@ -92,6 +92,56 @@ class DedupSpec extends AnyFunSuite {
       s"all nodes should collapse to label 0, got $labels")
   }
 
+  test("large-star/small-star CC ≡ min-label on chain, forest, and clusters") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shapes that stress different corners: a path (max diameter), a
+    // forest of stars + isolated vertices, and a dense-ish random graph
+    val rnd = new scala.util.Random(11)
+    val graphs = Seq(
+      ((0L to 11L), (0L until 11L).map(i => (i, i + 1))),
+      ((0L to 30L), Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))),
+      ((0L to 63L), Seq.fill(80)((rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+        .filter { case (a, b) => a != b })
+    )
+    for (((vr, pr), gi) <- graphs.zipWithIndex) {
+      val verts = vr.toDF("doc_id")
+      val pairs = pr.toDF("doc1", "doc2")
+      val oracle = asMap(Dedup.connectedComponents(verts, pairs))
+      val fast = asMap(Dedup.connectedComponentsFast(verts, pairs))
+      assert(fast == oracle, s"graph $gi: fast CC diverged from min-label")
+    }
+  }
+
+  test("large-star/small-star converges in O(log d) rounds on a long chain") {
+    import spark.implicits._
+    // a 512-link chain has diameter 512: min-label would need ~512 shuffle
+    // rounds (its maxIter backstop of 64 would silently split it).
+    // Large-star/small-star must (a) still produce one component labeled 0
+    // and (b) do it in logarithmically few rounds.
+    val n = 512L
+    val verts = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val (labels, rounds) = Dedup.ccFastLabels(verts, pairs)
+    val bad = labels.filter(col("label") =!= 0L).count()
+    assert(bad == 0L, s"$bad nodes not labeled 0 on the chain")
+    assert(rounds <= 15,
+      s"expected O(log 512) ≈ ≤15 alternating rounds, took $rounds")
+  }
+
+  test("fast CC ≡ min-label on the real exact-Jaccard pair graph") {
+    val pairs = TextOps.defs("llm_ngram_jaccard")(spark, sf)
+      .select(col("doc1"), col("doc2"))
+    val docs = graft.core.Tables.t(spark, sf, "documents").select(col("doc_id"))
+    val oracle = Dedup.connectedComponents(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.connectedComponentsFast(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == oracle,
+      "production CC diverged from min-label on the sf pair graph")
+  }
+
   test("embedding near-dup finds planted perturbed copies, no false positives") {
     import spark.implicits._
     // 60 seeded random 64-dim unit-ish vectors; for the first 12, plant a

@@ -385,7 +385,13 @@ class PlanAuditSpec extends AnyFunSuite
       "llm_ann_lsh_recall", "llm_ann_ivf_recall", "llm_ann_pq_recall",
       // 1-row national-total threshold broadcast into a theta join —
       // the Q15/quality_filter scalar-reuse pattern
-      "tpch_q11_important")
+      "tpch_q11_important",
+      // full r×k contingency grid (r7): the broadcast side is the
+      // priority MARGINAL — a groupBy over one low-cardinality
+      // categorical (|o_orderpriority| = 5), bounded by the domain, not
+      // the data; chi2 needs structurally-empty cells, so the grid must
+      // be the marginals' product, not the observed cells
+      "agg_mutual_info")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
