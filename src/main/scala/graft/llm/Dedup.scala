@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.ml.linalg.SparseVector
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.{spread, t}
 import graft.functions.GraftFunctions
@@ -419,12 +418,17 @@ object Dedup {
         .select(col("doc_id"),
           (size(array_distinct(col("toks"))).cast("double") /
             size(col("toks")).cast("double")).as("dr"))
+      // checkpointed: both the survivor aggregate and the final join read
+      // this frame — without the cut each leg re-parses every document's
+      // token array AND replays the CC label join
       val labeled = labels.join(q, Seq("doc_id"))
-      val w = Window.partitionBy(col("label"))
-        .orderBy(col("dr").desc, col("doc_id"))
-      val surv = labeled.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("label"), col("doc_id").as("survivor_id"))
+        .localCheckpoint(eager = false)
+      // survivor per cluster = max_by over (dr, −doc_id): highest quality,
+      // lowest doc_id tiebreak — one hash aggregate instead of the
+      // row_number window (a partition-wide sort) + rn=1 filter + join,
+      // same selection by construction
+      val surv = labeled.groupBy(col("label"))
+        .agg(expr("max_by(doc_id, struct(dr, -doc_id))").as("survivor_id"))
       labeled.join(surv, Seq("label"))
         .select(col("doc_id"), col("survivor_id"),
           (col("doc_id") === col("survivor_id")).as("is_survivor"))

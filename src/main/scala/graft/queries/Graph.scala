@@ -183,10 +183,10 @@ object Graph {
     // fixpoint. Convergence detection is a 1-row sum aggregate per step:
     // labels only ever decrease, so sum(label) strictly decreases until the
     // fixpoint — the only driver traffic in the loop is that single scalar.
-    // At a billion nodes the identical loop holds (this is textbook
-    // large-star CC): labels stay a DataFrame keyed by node, supersteps are
-    // keyed shuffles, and the iteration count is bounded by the component
-    // diameter.
+    // Min-label is fine HERE because the vertex set is the 25-nation table
+    // (diameter bounded by a constant); for unbounded vertex sets the
+    // production CC is [[graft.llm.Dedup.connectedComponentsFast]]
+    // (large-star/small-star, O(log d) rounds — see docs/PLANS.md).
     "graph_components" -> ((s, d) => {
       val nation = t(s, d, "nation")
       val und = exactEdges(s, d).filter(col("src") =!= col("dst"))
