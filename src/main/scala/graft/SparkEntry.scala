@@ -27,7 +27,9 @@ object SparkEntry {
     graft.queries.Graph.defs ++
     graft.queries.Analytics.defs ++
     graft.queries.FeatureEng.defs ++
+    graft.queries.Hypothesis.defs ++
     graft.llm.TextOps.defs ++
+    graft.llm.Semantic.defs ++
     graft.llm.SimSearch.defs ++
     graft.llm.Dedup.defs ++
     graft.llm.Multimodal.defs ++
@@ -44,7 +46,9 @@ object SparkEntry {
     graft.queries.Graph.sql ++
     graft.queries.Analytics.sql ++
     graft.queries.FeatureEng.sql ++
+    graft.queries.Hypothesis.sql ++
     graft.llm.TextOps.sql ++
+    graft.llm.Semantic.sql ++
     graft.llm.SimSearch.sql ++
     graft.llm.Dedup.sql ++
     graft.llm.Multimodal.sql ++

@@ -1,0 +1,419 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.{spread, t}
+import graft.functions.GraftFunctions
+
+/** Semantic curation operators — the embedding-space and
+  * distribution-matching half of a training-data pipeline, built from
+  * published method shapes:
+  *
+  *   - k-means cell assignment (deterministic seed centroids) — the
+  *     clustering primitive SemDeDup/SemDeDup-style pruning stands on;
+  *   - SemDeDup within-cluster semantic dedup (Abbas et al. 2023,
+  *     arXiv:2303.09540): prune embeddings whose within-cluster cosine
+  *     exceeds a threshold, keeping one representative;
+  *   - CCNet-style perplexity bucketing (Wenzek et al. 2020,
+  *     arXiv:1911.00359): per-language head/middle/tail terciles by LM
+  *     score;
+  *   - DSIR hashed-n-gram importance weights (Xie et al. 2023,
+  *     arXiv:2302.03169): per-document log importance of a target
+  *     distribution over a raw corpus, on hashed token features.
+  *
+  * All four are relational one-or-two-shuffle shapes with every
+  * data-sized join bucketed or broadcast; each has a full DuckDB value
+  * twin (portable md5-prefix hashes, double arithmetic mirrored
+  * expression-for-expression).
+  */
+object Semantic {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Number of k-means cells. Fixed, deterministic init: the vectors
+    * with vec_id < K are the centroids (the "first k points" seeding
+    * every engine can reproduce). At corpus scale SemDeDup uses
+    * k ≈ n/100 so per-cell pair counts stay bounded — K is a knob, the
+    * plan shape (broadcast centroids, cell-bucketed self-join) is the
+    * scale contract. */
+  private val K = 16
+
+  /** SemDeDup cosine threshold — same value as the exact embedding
+    * near-dup anchor (`llm_embedding_neardup_exact`, Dedup.scala), so
+    * the two queries agree on what "semantic duplicate" means. */
+  private val Tau = 0.30
+
+  /** Portable 16-bit salted hash (md5 hex prefix) — the same
+    * construction FeatureEng.h16 / llm_split_assign use; duplicated
+    * here because it is 3 lines and the FeatureEng copy is private. */
+  private def h16(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(salt), c)), 1, 4), 16, 10).cast("bigint")
+
+  /** Nearest-centroid assignment: (vec_id, cell, sim) with cell = the
+    * argmax-cosine centroid. The K centroid rows are broadcast; the
+    * shuffle after the crossJoin carries only (vec_id, cell, sim) — the
+    * 64-float embedding is projected away BEFORE the exchange, so the
+    * network cost is 20 bytes/candidate regardless of dimension.
+    * Argmax via ONE hash aggregate (max of a (sim6, -cell) struct —
+    * highest similarity, ties to the lowest cell id), not a
+    * partition-wide row_number sort. sim is rounded to 6 decimals
+    * before the comparison on BOTH engines so a cross-engine 1-ulp
+    * summation difference cannot flip the winner except exactly at a
+    * rounding boundary. */
+  private def assignCells(emb: DataFrame): DataFrame =
+    assignTo(emb, emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+
+  /** Same assignment against an arbitrary (cell, cvec) centroid table
+    * (the Lloyd update feeds recomputed means back through here). */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim", expr("cosine_similarity(embedding, cvec)"))
+      .select(col("vec_id"), col("cell"), col("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(round(col("sim"), 6).as("s6"),
+        (-col("cell")).as("nc"), col("sim").as("sim"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.sim").as("sim"))
+
+  /** `rounds` full Lloyd iterations from the deterministic seed
+    * centroids. Update step: per-(cell, dim) mean via posexplode — the
+    * shuffle carries (cell, pos, x) triples and the rebuilt centroid
+    * table is ≤ K rows, localCheckpointed so each round's plan doesn't
+    * re-derive the whole history. A cell that loses every member
+    * simply drops out (standard Lloyd behavior; K can only shrink).
+    * Assignment uses cosine; the raw-mean update is the conventional
+    * approximation of the spherical-k-means M-step (cosine is
+    * scale-invariant, so not normalizing the mean changes nothing in
+    * the next assign). */
+  private[llm] def kmeansRounds(emb: DataFrame, rounds: Int): DataFrame = {
+    var cents = emb.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
+    var assigned = assignTo(emb, cents)
+    for (_ <- 2 to rounds) {
+      val means = assigned.join(emb, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          c => c.getField("mx").cast("float")).as("cvec"))
+      cents = means.localCheckpoint()
+      assigned = assignTo(emb, cents)
+    }
+    assigned
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // per-vector nearest-centroid assignment — the Lloyd "assign" half
+    // of k-means as a standalone, oracle-checked operator.
+    "llm_kmeans_assign" -> ((s, d) => {
+      GraftFunctions.register(s)
+      assignCells(spread(t(s, d, "embeddings")))
+        .select(col("vec_id"), col("cell"), round(col("sim"), 4).as("cos_sim"))
+    }),
+
+    // the matching "update" half, reduced to auditable per-cell facts:
+    // member count and mean member-to-centroid cosine (the inertia
+    // proxy you watch across Lloyd iterations). The mean averages
+    // 6-decimal-rounded terms so partial-aggregation order cannot move
+    // the 4-decimal output.
+    "llm_kmeans_step" -> ((s, d) => {
+      GraftFunctions.register(s)
+      assignCells(spread(t(s, d, "embeddings")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          round(avg(round(col("sim"), 6)), 4).as("avg_cos"))
+    }),
+
+    // SemDeDup: within each k-means cell, a vector is a semantic
+    // duplicate if some LOWER-id vector in the SAME cell has cosine
+    // ≥ Tau with it; survivors are the vectors with no such dominator.
+    // This is the published trade: candidate pairs exist only inside a
+    // cell (never a corpus-wide all-pairs), and cross-cell near-dups
+    // are the accepted recall loss (SemDeDup §3 — at scale you raise K
+    // with n, holding per-cell membership roughly constant). The pair
+    // join is cell-bucketed: shuffle keys are (cell), per-cell work is
+    // |cell|² cosines inside one task's hash join — with K ∝ n/100
+    // that is O(n·100) total, linear in the corpus.
+    "llm_semdedup" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = spread(t(s, d, "embeddings"))
+      val a = assignCells(emb)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("embedding"))
+      val dominated = a.select(col("vec_id").as("id1"), col("cell"),
+          col("embedding").as("v1"))
+        .join(a.select(col("vec_id").as("id2"), col("cell"),
+          col("embedding").as("v2")), Seq("cell"))
+        .filter(col("id1") < col("id2"))
+        .filter(expr("cosine_similarity(v1, v2)") >= Tau)
+        .groupBy(col("id2").as("vec_id"))
+        .agg(min(col("id1")).as("dup_of"))
+      a.select(col("vec_id"), col("cell"))
+        .join(dominated, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("dup_of"),
+          col("dup_of").isNull.as("kept"))
+    }),
+
+    // CCNet perplexity buckets: per language, rank documents by their
+    // bigram LM score (reusing the llm_lm_score operator verbatim as
+    // the scoring stage) and cut equal-size head/middle/tail terciles.
+    // Scores are rounded to 6 decimals BEFORE ranking on both engines —
+    // rounding may create ties, but the doc_id tiebreak then decides
+    // identically everywhere; unrounded doubles could order differently
+    // across engines at 1-ulp gaps. Scale note: partitionBy(lang) puts
+    // a whole language in one task — the honest production variant
+    // computes tercile cutpoints via approx_percentile and joins them
+    // back (the llm_quality_filter pattern); exact ntile is kept here
+    // because equal-size buckets are the CCNet contract and the parity
+    // check needs exact rank arithmetic.
+    "llm_ccnet_buckets" -> ((s, d) => {
+      val scored = TextOps.defs("llm_lm_score")(s, d)
+        .select(col("doc_id"), round(col("lm_score"), 6).as("lm6"))
+      val j = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+      val nt = ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("lm6").desc, col("doc_id")))
+      j.withColumn("nt", nt)
+        .select(col("doc_id"), col("lang"), col("lm6"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("ppl_bucket"))
+    }),
+
+    // ROUGE-1/ROUGE-2 F-scores over a bounded candidate pair set (the
+    // doc_id < 10 grid here; in production the pairs come from the LSH
+    // candidate generator, never all-pairs). Clipped n-gram overlap =
+    // Σ_g min(c_a(g), c_b(g)) — per-doc gram counts join on the gram
+    // (shuffle key is the gram, payload two ints), pair totals
+    // broadcast back over the 45-row grid. The eval-metric sibling of
+    // the Jaccard/containment dedup measures.
+    "llm_rouge_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val bi = docs.select(col("doc_id"),
+          explode(expr("transform(slice(toks, 1, size(toks) - 1)," +
+            " (x, i) -> concat(x, ' ', toks[i + 1]))")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      def overlap(grams: DataFrame, out: String): DataFrame =
+        grams.select(col("doc_id").as("id_a"), col("g"), col("c").as("ca"))
+          .join(grams.select(col("doc_id").as("id_b"), col("g"),
+            col("c").as("cb")), Seq("g"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(least(col("ca"), col("cb"))).as(out))
+      def totals(grams: DataFrame, out: String): DataFrame =
+        grams.groupBy(col("doc_id")).agg(sum(col("c")).as(out))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_a"))
+        .crossJoin(ids.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      def f1(o: Column, na: Column, nb: Column): Column = {
+        val p = o.cast("double") / nb
+        val r = o.cast("double") / na
+        when(o > 0, round(lit(2.0) * p * r / (p + r), 6)).otherwise(lit(0.0))
+      }
+      pairs
+        .join(overlap(uni, "o1"), Seq("id_a", "id_b"), "left")
+        .join(overlap(bi, "o2"), Seq("id_a", "id_b"), "left")
+        .join(totals(uni, "n1a").withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .join(totals(uni, "n1b").withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+        .join(totals(bi, "n2a").withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .join(totals(bi, "n2b").withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          f1(coalesce(col("o1"), lit(0L)), col("n1a"), col("n1b")).as("rouge1_f"),
+          f1(coalesce(col("o2"), lit(0L)), col("n2a"), col("n2b")).as("rouge2_f"))
+    }),
+
+    // Lloyd's k-means, 3 full assign/update rounds from the same
+    // deterministic seed centroids as llm_kmeans_assign (which is this
+    // operator's hash-green single-step anchor — the iterate itself is
+    // rows-only, like the other fixed-point families). Each round is
+    // one broadcast-assign (centroid table is K rows) plus one
+    // (cell, dim) mean aggregate — the update shuffles (cell, pos, x)
+    // triples, never whole vectors, and nothing data-sized ever reaches
+    // the driver. SemanticSpec pins the contract: mean member-cosine
+    // must not decrease across rounds.
+    "llm_kmeans_iterate" -> ((s, d) => {
+      GraftFunctions.register(s)
+      kmeansRounds(spread(t(s, d, "embeddings")), rounds = 3)
+        .select(col("vec_id"), col("cell"))
+    }),
+
+    // DSIR importance weights: features are salted-hashed unigrams in
+    // 256 buckets; the target distribution is the English docs from
+    // sources src0–src3 (the "trusted" slice standing in for Wikipedia
+    // in the paper); a document's log importance is the sum over its
+    // tokens of log p_target(f) − log p_raw(f), add-0.5 smoothed. The
+    // whole thing is three hash aggregates plus a 256-row broadcast
+    // joined back onto the token stream — per-token shuffle payload is
+    // (doc_id, bucket), and the likelihood-ratio table is O(buckets)
+    // regardless of corpus size.
+    "llm_dsir_weights" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (h16("dsir:", col("tok")) % 256).as("f"))
+      val isTgt = col("lang") === "en" &&
+        col("source").isin("src0", "src1", "src2", "src3")
+      val perF = toks.groupBy(col("f"))
+        .agg(count(lit(1)).as("c_raw"),
+          sum(when(isTgt, 1L).otherwise(0L)).as("c_tgt"))
+      val tot = perF.agg(sum(col("c_raw")).as("n_raw"),
+        sum(col("c_tgt")).as("n_tgt"))
+      val lam = perF.crossJoin(broadcast(tot))
+        .select(col("f"),
+          (log((col("c_tgt") + 0.5) / (col("n_tgt") + 128.0))
+            - log((col("c_raw") + 0.5) / (col("n_raw") + 128.0))).as("lam"))
+      toks.select(col("doc_id"), col("f"))
+        .join(broadcast(lam), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("lam")), 4).as("dsir_logw"))
+    })
+  )
+
+  /** Shared oracle CTE: per-component unnest of embeddings + the
+    * nearest-centroid pick, mirroring [[assignCells]] term for term
+    * (dot / sqrt(|x|²·|y|²), 6-decimal rounding before the argmax). */
+  private val assignSql: String = s"""
+      WITH v AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cell, x AS cx, i FROM v WHERE vec_id < $K
+      ), sims AS (
+        SELECT v.vec_id, c.cell,
+               sum(v.x * c.cx) / sqrt(sum(v.x * v.x) * sum(c.cx * c.cx)) AS sim
+        FROM v JOIN c ON v.i = c.i
+        GROUP BY v.vec_id, c.cell
+      ), best AS (
+        SELECT vec_id, cell, sim,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(sim, 6) DESC, cell ASC) AS rn
+        FROM sims
+      ), assigned AS (
+        SELECT vec_id, cell, sim FROM best WHERE rn = 1
+      )"""
+
+  val sql: Map[String, String] = Map(
+
+    "llm_kmeans_assign" -> s"""$assignSql
+      SELECT vec_id, cell, round(sim, 4) AS cos_sim FROM assigned""",
+
+    "llm_kmeans_step" -> s"""$assignSql
+      SELECT cell, count(*) AS n_members,
+             round(avg(round(sim, 6)), 4) AS avg_cos
+      FROM assigned GROUP BY cell""",
+
+    "llm_semdedup" -> s"""$assignSql, pv AS (
+        SELECT a.vec_id, a.cell, v.x, v.i
+        FROM assigned a JOIN v ON a.vec_id = v.vec_id
+      ), pairs AS (
+        SELECT x.vec_id AS id1, y.vec_id AS id2,
+               sum(x.x * y.x) / sqrt(sum(x.x * x.x) * sum(y.x * y.x)) AS cos
+        FROM pv x JOIN pv y
+          ON x.i = y.i AND x.cell = y.cell AND x.vec_id < y.vec_id
+        GROUP BY x.vec_id, y.vec_id
+      ), dominated AS (
+        SELECT id2 AS vec_id, min(id1) AS dup_of
+        FROM pairs WHERE cos >= $Tau GROUP BY id2
+      )
+      SELECT a.vec_id, a.cell, r.dup_of, r.vec_id IS NULL AS kept
+      FROM assigned a LEFT JOIN dominated r ON a.vec_id = r.vec_id""",
+
+    "llm_ccnet_buckets" -> s"""
+      WITH scored AS (${TextOps.sql("llm_lm_score")}),
+      j AS (
+        SELECT d.doc_id, d.lang, round(s.lm_score, 6) AS lm6
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+      ), b AS (
+        SELECT doc_id, lang, lm6,
+               ntile(3) OVER (PARTITION BY lang
+                 ORDER BY lm6 DESC, doc_id) AS nt
+        FROM j
+      )
+      SELECT doc_id, lang, lm6,
+             CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+      FROM b""",
+
+    "llm_rouge_pairs" -> """
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 10
+      ), unic AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS g FROM docs) GROUP BY doc_id, g
+      ), bic AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM docs) GROUP BY doc_id, g
+      ), o1 AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sum(least(a.c, b.c)) AS o
+        FROM unic a JOIN unic b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), o2 AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               sum(least(a.c, b.c)) AS o
+        FROM bic a JOIN bic b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ), t1 AS (SELECT doc_id, sum(c) AS n FROM unic GROUP BY doc_id),
+      t2 AS (SELECT doc_id, sum(c) AS n FROM bic GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      )
+      SELECT p.id_a, p.id_b,
+        CASE WHEN coalesce(o1.o, 0) > 0 THEN
+          round(2.0 * (coalesce(o1.o, 0) / CAST(t1b.n AS DOUBLE))
+                    * (coalesce(o1.o, 0) / CAST(t1a.n AS DOUBLE))
+                / (coalesce(o1.o, 0) / CAST(t1b.n AS DOUBLE)
+                 + coalesce(o1.o, 0) / CAST(t1a.n AS DOUBLE)), 6)
+          ELSE 0.0 END AS rouge1_f,
+        CASE WHEN coalesce(o2.o, 0) > 0 THEN
+          round(2.0 * (coalesce(o2.o, 0) / CAST(t2b.n AS DOUBLE))
+                    * (coalesce(o2.o, 0) / CAST(t2a.n AS DOUBLE))
+                / (coalesce(o2.o, 0) / CAST(t2b.n AS DOUBLE)
+                 + coalesce(o2.o, 0) / CAST(t2a.n AS DOUBLE)), 6)
+          ELSE 0.0 END AS rouge2_f
+      FROM pairs p
+      LEFT JOIN o1 ON o1.id_a = p.id_a AND o1.id_b = p.id_b
+      LEFT JOIN o2 ON o2.id_a = p.id_a AND o2.id_b = p.id_b
+      JOIN t1 t1a ON t1a.doc_id = p.id_a
+      JOIN t1 t1b ON t1b.doc_id = p.id_b
+      JOIN t2 t2a ON t2a.doc_id = p.id_a
+      JOIN t2 t2b ON t2b.doc_id = p.id_b""",
+
+    "llm_dsir_weights" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5('dsir:' || unnest(string_split(text, ' '))), 1, 4))
+                 AS BIGINT) % 256 AS f
+        FROM documents
+      ), per_f AS (
+        SELECT f, count(*) AS c_raw,
+               sum(CASE WHEN lang = 'en'
+                        AND source IN ('src0', 'src1', 'src2', 'src3')
+                   THEN 1 ELSE 0 END) AS c_tgt
+        FROM toks GROUP BY f
+      ), tot AS (
+        SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM per_f
+      ), lam AS (
+        SELECT f, ln((c_tgt + 0.5) / (n_tgt + 128.0))
+                - ln((c_raw + 0.5) / (n_raw + 128.0)) AS lam
+        FROM per_f CROSS JOIN tot
+      )
+      SELECT t.doc_id, count(*) AS n_toks,
+             round(sum(l.lam), 4) AS dsir_logw
+      FROM toks t JOIN lam l ON t.f = l.f
+      GROUP BY t.doc_id"""
+  )
+}

@@ -1,0 +1,419 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.ops.Partitioning
+
+/** Hypothesis-testing and survival operators — the experiment-readout
+  * family beyond the z/t/KS/chi2 tests in [[Analytics]]:
+  *
+  *   - Mann-Whitney U (Wilcoxon rank-sum) with tie correction — the
+  *     nonparametric two-sample test, computed from EXACT integer rank
+  *     arithmetic (doubled rank sums stay bigint; the only doubles are
+  *     the final σ and z);
+  *   - Benjamini-Hochberg FDR correction — the multiple-comparisons
+  *     step-up procedure over per-metric A/B z-tests, with the normal
+  *     tail probability from the Abramowitz-Stegun 7.1.26 polynomial
+  *     (elementary ops only, so both engines evaluate the identical
+  *     closed form);
+  *   - Kaplan-Meier survival estimate over user lifetimes with
+  *     right-censoring at the observation horizon.
+  *
+  * Scale shapes: Mann-Whitney's global rank accumulation runs through
+  * ops.Partitioning.rankedCumSum (range-partitioned two-level prefix
+  * sum — no single-task global window); BH and KM do their windowing
+  * over bounded aggregates (|event types| rows, |distinct lifetime
+  * days| rows), never over the raw data.
+  */
+object Hypothesis {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+
+    // Mann-Whitney U on l_extendedprice, 'A' returns vs 'R' returns.
+    // Group by exact cent value first (the rank of a value depends only
+    // on the counts below it), then ONE distributed prefix sum gives
+    // every value's cumulative count; the tie-averaged rank sum doubled
+    // is pure bigint: 2·R1 = Σ_v n1_v · (2·cum_below + n_v + 1).
+    // σ uses the standard tie correction Σ(t³−t). Bounds: 2·R1 ≤ 2n²
+    // (~7·10¹¹ at sf0.1) — bigint holds to ~2·10⁹ rows; past that,
+    // switch the two sums to DECIMAL(38,0).
+    "agg_mannwhitney" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(round(col("l_extendedprice") * 100).cast("bigint").as("v"),
+          when(col("l_returnflag") === "A", 1L).otherwise(0L).as("g1"))
+      val byv = li.groupBy(col("v"))
+        .agg(count(lit(1)).as("n_v"), sum(col("g1")).as("n1_v"))
+      val cum = Partitioning.rankedCumSum(
+        byv, col("n_v"), Seq(col("v")), 32, "cum_n")
+      cum.agg(
+          sum(col("n1_v")).as("n1"),
+          sum(col("n_v") - col("n1_v")).as("n2"),
+          sum(col("n1_v") * (lit(2) * (col("cum_n") - col("n_v"))
+            + col("n_v") + 1)).as("r1x2"),
+          sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("tie3"))
+        .select(col("n1"), col("n2"),
+          ((col("r1x2") - col("n1") * (col("n1") + 1)) / 2.0).as("u1"),
+          round(((col("r1x2") - col("n1") * (col("n1") + 1))
+              - col("n1") * col("n2")).cast("double")
+            / (lit(2.0) * sqrt(
+              (col("n1").cast("double") * col("n2") / 12.0)
+                * ((col("n1") + col("n2") + 1)
+                  - col("tie3").cast("double")
+                    / ((col("n1") + col("n2"))
+                      * (col("n1") + col("n2") - 1)).cast("double")))),
+            6).as("z"))
+    }),
+
+    // Benjamini-Hochberg step-up FDR at q = 0.10 over one two-proportion
+    // z-test per event type (converted = any event of that type with
+    // value > 150; variant = user_id parity, the evt_ab_test split).
+    // Counts are exact integers; z is elementary arithmetic on them; the
+    // two-sided p comes from the A&S 7.1.26 polynomial tail (max abs
+    // error 7.5e-8, well inside the 8-decimal rounding both engines
+    // apply before the step-up comparison). The BH windows order ≤
+    // |event types| rows — a bounded aggregate, so the unpartitioned
+    // window is O(types), never data-sized.
+    "agg_fdr_bh" -> ((s, d) => {
+      val perUser = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(when(col("value") > 150.0, 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val perType = perUser.groupBy(col("event_type"))
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("u0"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("u1"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+      val pPool = (col("c0") + col("c1")).cast("double") / (col("u0") + col("u1"))
+      val z = (col("c1").cast("double") / col("u1")
+          - col("c0").cast("double") / col("u0")) /
+        sqrt(pPool * (lit(1.0) - pPool)
+          * (lit(1.0) / col("u0") + lit(1.0) / col("u1")))
+      val az = abs(col("z"))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val tail = exp(-az * az / 2.0) * 0.3989422804014327 *
+        (tt * (lit(0.319381530) + tt * (lit(-0.356563782)
+          + tt * (lit(1.781477937) + tt * (lit(-1.821255978)
+          + tt * lit(1.330274429))))))
+      val scored = perType
+        .select(col("event_type"), round(z, 6).as("z"))
+        .withColumn("p", round(lit(2.0) * tail, 8))
+      val wAll = Window.orderBy(col("p_rank")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      scored
+        .withColumn("p_rank", row_number().over(
+          Window.orderBy(col("p"), col("event_type"))))
+        .withColumn("m", count(lit(1)).over(wAll))
+        // identical comparison form on both engines: p·m ≤ q·rank
+        .withColumn("ok", col("p") * col("m") <= lit(0.10) * col("p_rank"))
+        .withColumn("kmax", max(when(col("ok"), col("p_rank")).otherwise(0))
+          .over(wAll))
+        .select(col("event_type"), col("z"), col("p"), col("p_rank"),
+          (col("p_rank") <= col("kmax")).as("rejected"))
+    }),
+
+    // Kaplan-Meier over user lifetimes (days between first and last
+    // event). A user "churns" (event observed) if their last event is
+    // more than 1 day before the observation horizon = max(ts);
+    // otherwise they are right-censored. (The synthetic users are all
+    // active to within ~3 days of the horizon, so a longer silence
+    // cutoff would censor everyone and leave an empty curve.) S(t) = Π_{tᵢ≤t, dᵢ>0}
+    // (1 − dᵢ/nᵢ) with nᵢ = users whose lifetime ≥ tᵢ. Time arithmetic
+    // is exact integer micros; the curve windows run over the ≤
+    // |distinct lifetime days| aggregate (~tens of rows), not users.
+    "evt_kaplan_meier" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      val horizon = ev.agg(max(unix_micros(col("ts"))).as("h_us"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val dayUs = 86400000000L
+      // exact integer day division — `div` / `//`, never a double
+      // quotient cast back (DuckDB rounds double→bigint casts while
+      // Spark truncates; the SpatialGrid ADVICE item, same trap).
+      val labeled = perUser.crossJoin(broadcast(horizon))
+        .select(expr(s"(last_us - first_us) div $dayUs").as("life_d"),
+          when(col("last_us") < col("h_us") - lit(1L) * dayUs, 1L)
+            .otherwise(0L).as("churned"))
+      val byd = labeled.groupBy(col("life_d"))
+        .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d_events"))
+      val wBefore = Window.orderBy(col("life_d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy(col("life_d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("life_d")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      byd
+        .withColumn("n_risk",
+          sum(col("n_at")).over(wAll)
+            - coalesce(sum(col("n_at")).over(wBefore), lit(0L)))
+        .withColumn("term",
+          when(col("d_events") < col("n_risk"),
+            log(lit(1.0) - col("d_events").cast("double") / col("n_risk")))
+            .otherwise(lit(0.0)))
+        .withColumn("dead",
+          max(when(col("d_events") >= col("n_risk"), 1).otherwise(0))
+            .over(wCum))
+        .withColumn("survival",
+          when(col("dead") === 1, lit(0.0))
+            .otherwise(round(exp(sum(col("term")).over(wCum)), 6)))
+        .filter(col("d_events") > 0)
+        .select(col("life_d"), col("n_risk"), col("d_events"), col("survival"))
+    }),
+
+    // CUPED variance reduction (Deng et al. 2013, WSDM — "Improving the
+    // Sensitivity of Online Controlled Experiments"): the pre-period
+    // covariate X = per-user spend in the first 14 days, the experiment
+    // metric Y = per-user spend after; the adjusted metric
+    // Y − θ(X − X̄) with θ = cov(X,Y)/var(X) (pooled) keeps the same
+    // mean but sheds the variance X explains. EVERYTHING that decides
+    // the answer is exact integer arithmetic: cents-bigint per-user
+    // sums, bigint moment sums (Σx, Σy, Σx², Σxy, Σy²) per variant —
+    // θ and the variances come from those exact moments, so
+    // partial-aggregation order cannot move a digit. Variances via the
+    // moment identity var(Y−θX) = (Σy² − 2θΣxy + θ²Σx² − (Σy−θΣx)²/n)
+    // /(n−1). Two aggregate rows total; the pooled θ is a 1-row
+    // broadcast.
+    "agg_cuped" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = t(s, d, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val start = ev.agg(min(col("ts_us")).as("t0"))
+      val perUser = ev.crossJoin(broadcast(start))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts_us") < col("t0") + lit(14L) * dayUs,
+            col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("ts_us") >= col("t0") + lit(14L) * dayUs,
+            col("cents")).otherwise(0L)).as("y"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val perVariant = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val pooled = perVariant.agg(sum(col("n")).as("pn"),
+          sum(col("sx")).as("psx"), sum(col("sy")).as("psy"),
+          sum(col("sxx")).as("psxx"), sum(col("sxy")).as("psxy"))
+        .select(
+          ((col("pn") * col("psxy") - col("psx") * col("psy")).cast("double")
+            / (col("pn") * col("psxx") - col("psx") * col("psx"))
+              .cast("double")).as("theta"),
+          (col("psx").cast("double") / col("pn")).as("mean_x"))
+      val varY = (col("syy").cast("double")
+        - col("sy").cast("double") * col("sy") / col("n")) / (col("n") - 1)
+      val varC = (col("syy") - lit(2.0) * col("theta") * col("sxy")
+        + col("theta") * col("theta") * col("sxx")
+        - (col("sy") - col("theta") * col("sx"))
+          * (col("sy") - col("theta") * col("sx")) / col("n"))
+        .cast("double") / (col("n") - 1)
+      perVariant.crossJoin(broadcast(pooled))
+        .select(col("variant"), col("n").as("n_users"),
+          round(col("theta"), 6).as("theta"),
+          round(col("sy").cast("double") / col("n") / 100.0, 6).as("mean_y"),
+          round((col("sy").cast("double")
+            - col("theta") * (col("sx") - col("n") * col("mean_x")))
+            / col("n") / 100.0, 6).as("mean_y_cuped"),
+          round(lit(1.0) - varC / varY, 6).as("var_reduction"))
+    }),
+
+    // fuzzy key matching by edit distance: dedupe the key DOMAIN first
+    // (distinct part names with their frequencies — |domain| ≪ rows),
+    // block on the head noun (last token), then pair only within a
+    // block and keep levenshtein ≤ 3. The quadratic step is over
+    // per-block distinct keys, never over rows, and the distinct-name
+    // table broadcasts — the standard scalable shape for typo-joins.
+    "join_fuzzy_levenshtein" -> ((s, d) => {
+      val names = t(s, d, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("noun", split_part(col("name"), lit(" "), lit(2)))
+      names.select(col("name").as("name_a"), col("n_parts").as("n_a"),
+          col("noun"))
+        .join(broadcast(names.select(col("name").as("name_b"),
+          col("n_parts").as("n_b"), col("noun"))), Seq("noun"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 3)
+        .select(col("name_a"), col("name_b"), col("lev"),
+          col("n_a"), col("n_b"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "agg_mannwhitney" -> """
+      WITH li AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g1
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      ), byv AS (
+        SELECT v, count(*) AS n_v, sum(g1) AS n1_v FROM li GROUP BY v
+      ), cum AS (
+        SELECT *, sum(n_v) OVER (ORDER BY v) AS cum_n FROM byv
+      ), p AS (
+        SELECT CAST(sum(n1_v) AS BIGINT) AS n1,
+               CAST(sum(n_v - n1_v) AS BIGINT) AS n2,
+               CAST(sum(n1_v * (2 * (cum_n - n_v) + n_v + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie3
+        FROM cum
+      )
+      SELECT n1, n2,
+             (r1x2 - n1 * (n1 + 1)) / 2.0 AS u1,
+             round(CAST((r1x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE)
+               / (2.0 * sqrt(
+                   (CAST(n1 AS DOUBLE) * n2 / 12.0)
+                     * ((n1 + n2 + 1)
+                       - CAST(tie3 AS DOUBLE)
+                         / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))),
+               6) AS z
+      FROM p""",
+
+    "agg_fdr_bh" -> """
+      WITH per_user AS (
+        SELECT user_id, event_type,
+               max(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS conv,
+               user_id % 2 AS variant
+        FROM events GROUP BY user_id, event_type
+      ), per_type AS (
+        SELECT event_type,
+               sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS u0,
+               sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c0,
+               sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS u1,
+               sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c1
+        FROM per_user GROUP BY event_type
+      ), zs AS (
+        SELECT event_type,
+               (CAST(c1 AS DOUBLE) / u1 - CAST(c0 AS DOUBLE) / u0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (u0 + u1))
+                   * (1.0 - CAST(c0 + c1 AS DOUBLE) / (u0 + u1))
+                   * (1.0 / u0 + 1.0 / u1)) AS z
+        FROM per_type
+      ), zr AS (
+        -- p is computed from the ROUNDED z on both engines, so a 1-ulp
+        -- moment-summation difference cannot move the p-value.
+        SELECT event_type, round(z, 6) AS z FROM zs
+      ), ps AS (
+        SELECT event_type, z,
+               round(2.0 * exp(-abs(z) * abs(z) / 2.0) * 0.3989422804014327
+                 * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                   * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                     * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                         * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                           * 1.330274429))))), 8) AS p
+        FROM zr
+      ), ranked AS (
+        SELECT event_type, z, p,
+               row_number() OVER (ORDER BY p, event_type) AS p_rank,
+               count(*) OVER () AS m
+        FROM ps
+      ), cut AS (
+        SELECT *, max(CASE WHEN p * m <= 0.10 * p_rank
+                      THEN p_rank ELSE 0 END) OVER () AS kmax
+        FROM ranked
+      )
+      SELECT event_type, z, p, p_rank, p_rank <= kmax AS rejected
+      FROM cut""",
+
+    "evt_kaplan_meier" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      ), horizon AS (
+        SELECT max(ts_us) AS h_us FROM ev
+      ), per_user AS (
+        SELECT user_id, min(ts_us) AS first_us, max(ts_us) AS last_us
+        FROM ev GROUP BY user_id
+      ), labeled AS (
+        SELECT (last_us - first_us) // 86400000000 AS life_d,
+               CASE WHEN last_us < h_us - 1 * 86400000000::BIGINT
+                    THEN 1 ELSE 0 END AS churned
+        FROM per_user CROSS JOIN horizon
+      ), byd AS (
+        SELECT life_d, count(*) AS n_at, sum(churned) AS d_events
+        FROM labeled GROUP BY life_d
+      ), risk AS (
+        SELECT life_d, CAST(n_at AS BIGINT) AS n_at,
+               CAST(d_events AS BIGINT) AS d_events,
+               CAST(sum(n_at) OVER () AS BIGINT)
+                 - CAST(coalesce(sum(n_at) OVER (ORDER BY life_d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+        FROM byd
+      ), curve AS (
+        SELECT *,
+               CASE WHEN d_events < n_risk
+                    THEN ln(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+                    ELSE 0.0 END AS term,
+               max(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY life_d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        FROM risk
+      )
+      SELECT life_d, n_risk, d_events,
+             CASE WHEN dead = 1 THEN 0.0
+                  ELSE round(exp(sum(term) OVER (ORDER BY life_d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+             END AS survival
+      FROM curve
+      WHERE d_events > 0""",
+
+    "agg_cuped" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), start AS (
+        SELECT min(ts_us) AS t0 FROM ev
+      ), per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN ts_us < t0 + 14 * 86400000000::BIGINT
+                   THEN cents ELSE 0 END) AS x,
+               sum(CASE WHEN ts_us >= t0 + 14 * 86400000000::BIGINT
+                   THEN cents ELSE 0 END) AS y,
+               user_id % 2 AS variant
+        FROM ev CROSS JOIN start GROUP BY user_id
+      ), per_variant AS (
+        SELECT variant, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM per_user GROUP BY variant
+      ), pooled AS (
+        SELECT CAST(sum(n) * sum(sxy) - sum(sx) * sum(sy) AS DOUBLE)
+                 / CAST(sum(n) * sum(sxx) - sum(sx) * sum(sx) AS DOUBLE)
+                 AS theta,
+               CAST(sum(sx) AS DOUBLE) / sum(n) AS mean_x
+        FROM per_variant
+      )
+      SELECT variant, n AS n_users, round(theta, 6) AS theta,
+             round(CAST(sy AS DOUBLE) / n / 100.0, 6) AS mean_y,
+             round((CAST(sy AS DOUBLE) - theta * (sx - n * mean_x))
+               / n / 100.0, 6) AS mean_y_cuped,
+             round(1.0 - (CAST(syy - 2.0 * theta * sxy
+                 + theta * theta * sxx
+                 - (sy - theta * sx) * (sy - theta * sx) / n AS DOUBLE)
+                 / (n - 1))
+               / ((CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * sy / n) / (n - 1)), 6)
+               AS var_reduction
+      FROM per_variant CROSS JOIN pooled""",
+
+    "join_fuzzy_levenshtein" -> """
+      WITH names AS (
+        SELECT p_name AS name, count(*) AS n_parts,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part GROUP BY p_name
+      )
+      SELECT a.name AS name_a, b.name AS name_b,
+             levenshtein(a.name, b.name) AS lev,
+             a.n_parts AS n_a, b.n_parts AS n_b
+      FROM names a JOIN names b
+        ON a.noun = b.noun AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3"""
+  )
+}
