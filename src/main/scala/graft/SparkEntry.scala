@@ -28,6 +28,8 @@ object SparkEntry {
     graft.queries.Analytics.defs ++
     graft.queries.FeatureEng.defs ++
     graft.queries.Hypothesis.defs ++
+    graft.queries.EntityRes.defs ++
+    graft.queries.MlTrain.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.Semantic.defs ++
     graft.llm.SimSearch.defs ++
@@ -47,6 +49,8 @@ object SparkEntry {
     graft.queries.Analytics.sql ++
     graft.queries.FeatureEng.sql ++
     graft.queries.Hypothesis.sql ++
+    graft.queries.EntityRes.sql ++
+    graft.queries.MlTrain.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.Semantic.sql ++
     graft.llm.SimSearch.sql ++

@@ -133,6 +133,8 @@ object GraftFunctions {
       es(2).eval().asInstanceOf[Number].intValue,
       es(3).eval().asInstanceOf[Number].intValue)),
     "char_grams" -> (es => CharGrams(es.head, es(1))),
+    // record-linkage fuzzy kernel, DuckDB-compatible (JaroWinkler.scala)
+    "jaro_winkler" -> (es => JaroWinkler(es.head, es(1))),
     // Z-order (Morton) key of two 16-bit bucket ordinals — see ZOrder.scala
     "interleave_bits" -> (es => InterleaveBits(es.head, es(1))),
     // Catalyst's own runtime-filter pair (internal registry only in stock

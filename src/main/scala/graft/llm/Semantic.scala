@@ -273,6 +273,25 @@ object Semantic {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_toks"),
           round(sum(col("lam")), 4).as("dsir_logw"))
+    }),
+
+    // Johnson-Lindenstrauss sign projection 64 → 8 dims. The sign matrix
+    // is the quadratic-residue parity of m = 37·i + 101·j + 7 mod 97 —
+    // pure integer arithmetic both engines reproduce exactly (no engine
+    // hash involved). Long format (vec_id, j, p) over the first 100
+    // vectors pins the values; at production scale the same projection
+    // runs as a fused array kernel (the HyperplaneSigs Expression shape),
+    // not an 8× row fan-out.
+    "llm_random_projection" -> ((s, d) => {
+      val xs = t(s, d, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      xs.select(col("vec_id"), col("i"), col("x"),
+          explode(sequence(lit(0), lit(7))).as("j"))
+        .withColumn("m", col("i") * 37 + col("j") * 101 + 7)
+        .withColumn("sgn", lit(1) - lit(2) * (((col("m") * col("m")) % 97) % 2))
+        .groupBy(col("vec_id"), col("j"))
+        .agg((round(sum(col("x").cast("double") * col("sgn"))
+          / sqrt(lit(8.0)), 6) + lit(0.0)).as("p"))
     })
   )
 
@@ -414,6 +433,21 @@ object Semantic {
       SELECT t.doc_id, count(*) AS n_toks,
              round(sum(l.lam), 4) AS dsir_logw
       FROM toks t JOIN lam l ON t.f = l.f
-      GROUP BY t.doc_id"""
+      GROUP BY t.doc_id""",
+
+    "llm_random_projection" -> """
+      WITH xs AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings WHERE vec_id < 100
+      ), js AS (
+        SELECT unnest(generate_series(0, 7)) AS j
+      ), terms AS (
+        SELECT vec_id, j, x, (i*37 + j*101 + 7) AS m FROM xs, js
+      )
+      SELECT vec_id, j,
+             round(sum(x * (1 - 2*(((m*m) % 97) % 2))) / sqrt(8.0), 6) + 0.0
+               AS p
+      FROM terms GROUP BY vec_id, j"""
   )
 }

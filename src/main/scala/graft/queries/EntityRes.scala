@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.GraftFunctions
+
+/** Entity resolution / record linkage (SURVEY.md §2 tier C extension —
+  * the fuzzy-matching counterpart of the exact dedup family):
+  *
+  *   1. score: [[graft.functions.JaroWinkler]] — native codegen kernel,
+  *      value-compatible with DuckDB's `jaro_winkler_similarity` so the
+  *      driver hash-checks every similarity this engine emits;
+  *   2. block: candidate pairs come from an equi-join on a blocking key
+  *      (first character here; soundex/prefix-buckets at production
+  *      scale), NEVER an all-pairs cross join — the 100 TB contract is
+  *      that the fuzzy kernel runs only on the blocked candidate set;
+  *   3. cluster: the thresholded match graph goes through the SAME
+  *      large-star/small-star connected components that near-dup dedup
+  *      uses ([[graft.llm.Dedup.connectedComponentsFast]], O(log d)
+  *      rounds), with the DuckDB oracle recomputing components as a
+  *      recursive-CTE min-label fixpoint.
+  *
+  * The fixture universe is the distinct part-name catalog plus two
+  * deterministic corruption variants per name (char drop, adjacent
+  * transposition) — the classic dirty-catalog shape. Record ids are
+  * derived (min partkey per name) so both engines build the identical
+  * universe with no engine-specific id generation.
+  */
+object EntityRes {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Record universe: one clean record per distinct part name (rid = min
+    * partkey carrying that name) + two corrupted variants with offset ids.
+    * Corruptions preserve the first character, so first-char blocking has
+    * full recall on the planted matches. */
+  private def records(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("rid"))
+    // drop the 3rd character: "small ring" -> "smll ring"
+    val drop3 = base.select((col("rid") + 100000L).as("rid"),
+      concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
+        .as("name"))
+    // transpose characters 2 and 3: "small ring" -> "samll ring"
+    val swap23 = base.select((col("rid") + 200000L).as("rid"),
+      concat(substring(col("name"), 1, 1), substring(col("name"), 3, 1),
+        substring(col("name"), 2, 1), expr("substring(name, 4)"))
+        .as("name"))
+    base.select(col("rid"), col("name")).union(drop3).union(swap23)
+  }
+
+  /** Blocked candidate pairs scored >= 0.88 (rounded — both engines
+    * compare the same 6-decimal value, so the threshold cannot flip on a
+    * final-ulp difference). */
+  private def matchPairs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val r = records(s, d)
+    val a = r.select(col("rid").as("rid_a"), col("name").as("name_a"),
+      substring(col("name"), 1, 1).as("blk"))
+    val b = r.select(col("rid").as("rid_b"), col("name").as("name_b"),
+      substring(col("name"), 1, 1).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("rid_a") < col("rid_b"))
+      .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+      .filter(col("jw") >= 0.88)
+      .select(col("rid_a"), col("rid_b"), col("jw"))
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // The kernel itself, exhaustively over the distinct-name catalog
+    // (64 names at sf0.01 -> 2016 pairs): every Jaro/Winkler branch —
+    // boost vs no boost, transpositions, unequal lengths — is exercised
+    // and hash-compared against DuckDB's implementation.
+    "fn_jaro_winkler" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(b, col("name_a") < col("name_b"))
+        .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+        .filter(col("jw") >= 0.5)
+        .select(col("name_a"), col("name_b"), col("jw"))
+    }),
+
+    // Blocking + scoring: the production candidate-generation shape
+    // (equi-join on the block key, kernel only on candidates).
+    "er_blocked_pairs" -> ((s, d) => matchPairs(s, d)),
+
+    // Cluster the match graph with large-star/small-star CC; label =
+    // min rid of the component. The oracle replays the same clustering
+    // as a recursive-CTE transitive min-label.
+    "er_clusters" -> ((s, d) => {
+      val pairs = matchPairs(s, d)
+        .select(col("rid_a").as("doc1"), col("rid_b").as("doc2"))
+      val verts = records(s, d).select(col("rid").as("doc_id"))
+      graft.llm.Dedup.connectedComponentsFast(verts, pairs)
+        .select(col("doc_id").as("rid"), col("label").as("cluster"))
+    }))
+
+  // concat(...) instead of the || operator: these fragments are re-run
+  // through the consuming templates' stripMargin, which would eat a
+  // leading | of a || that lands after line-start whitespace
+  private val recordsSql =
+    """records AS (
+      |    SELECT min(p_partkey) AS rid, p_name AS name
+      |    FROM part GROUP BY p_name
+      |    UNION ALL
+      |    SELECT min(p_partkey) + 100000,
+      |           concat(substr(p_name, 1, 2), substr(p_name, 4))
+      |    FROM part GROUP BY p_name
+      |    UNION ALL
+      |    SELECT min(p_partkey) + 200000,
+      |           concat(substr(p_name, 1, 1), substr(p_name, 3, 1),
+      |                  substr(p_name, 2, 1), substr(p_name, 4))
+      |    FROM part GROUP BY p_name)""".stripMargin
+
+  private val pairsSql =
+    s"""$recordsSql,
+      |  pairs AS (
+      |    SELECT a.rid AS rid_a, b.rid AS rid_b,
+      |           round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+      |    FROM records a JOIN records b
+      |      ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+      |     AND a.rid < b.rid
+      |    WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.88)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+
+    "fn_jaro_winkler" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM names a JOIN names b ON a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5""".stripMargin,
+
+    "er_blocked_pairs" ->
+      s"""WITH $pairsSql
+        |SELECT rid_a, rid_b, jw FROM pairs""".stripMargin,
+
+    "er_clusters" ->
+      s"""WITH RECURSIVE $pairsSql,
+        |  bi AS (SELECT rid_a AS s, rid_b AS d FROM pairs
+        |         UNION ALL SELECT rid_b, rid_a FROM pairs),
+        |  reach(node, lbl) AS (
+        |    SELECT rid, rid FROM records
+        |    UNION
+        |    SELECT bi.d, r.lbl FROM reach r JOIN bi ON bi.s = r.node)
+        |SELECT node AS rid, min(lbl) AS cluster
+        |FROM reach GROUP BY node""".stripMargin)
+}

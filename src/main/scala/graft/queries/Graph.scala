@@ -173,6 +173,66 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)) over
+    // the same undirected sparsified graph as graph_triangles. Degree and
+    // triangle counts are exact integers, so the final division is the
+    // only FP op — same double on both engines.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint()
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val e1 = und.select(col("a").as("x"), col("b").as("y"))
+      val e2 = und.select(col("a").as("y2"), col("b").as("z"))
+      val wedges = e1.join(e2, col("y") === col("y2"))
+        .select(col("x"), col("y"), col("z"))
+      val tri = wedges.join(und,
+        wedges("x") === und("a") && wedges("z") === und("b"))
+        .select(col("x"), col("y"), col("z"))
+      val tcnt = tri.select(explode(array(col("x"), col("y"), col("z")))
+          .as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      deg.join(tcnt, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("coeff", when(col("deg") >= 2,
+          round((col("tri") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)))
+        .join(broadcast(nation), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("deg"), col("tri"), col("coeff"))
+        .orderBy(col("n_name"))
+    }),
+
+    // degree assortativity: Pearson correlation of endpoint degrees over
+    // the directed (both-orientation) edge list. With both orientations
+    // Σj = Σk and Σj² = Σk², so r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) —
+    // every sum an exact integer, one double expression at the end.
+    "graph_assortativity" -> ((s, d) => {
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint()
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val dir = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      dir
+        .join(deg.select(col("node").as("u"), col("deg").as("ju")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("kv")), Seq("v"))
+        .agg(count(lit(1)).cast("double").as("m"),
+          sum(col("ju") * col("kv")).cast("double").as("sjk"),
+          sum(col("ju")).cast("double").as("sj"),
+          sum(col("ju") * col("ju")).cast("double").as("sjj"))
+        .selectExpr(
+          "round((m*sjk - sj*sj) / (m*sjj - sj*sj), 6) + 0.0 AS assortativity")
+    }),
+
     // weakly-connected components over the above-mean-weight trade graph.
     // Edge weights are EXACT integer revenue units (price-cents ×
     // (100 − disc%)) so the mean-weight edge cutoff — the part that decides
@@ -348,6 +408,60 @@ object Graph {
         |FROM corners c JOIN nation n ON n.n_nationkey = c.node
         |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      s"""WITH $sparseCte,
+        |  und AS (
+        |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |    FROM sparse),
+        |  deg AS (
+        |    SELECT node, count(*) AS deg FROM (
+        |      SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |    GROUP BY node),
+        |  tri AS (
+        |    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |    FROM und e1
+        |    JOIN und e2 ON e2.a = e1.b
+        |    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |  tcnt AS (
+        |    SELECT node, count(*) AS tri FROM (
+        |      SELECT x AS node FROM tri UNION ALL
+        |      SELECT y FROM tri UNION ALL
+        |      SELECT z FROM tri)
+        |    GROUP BY node)
+        |SELECT n.n_name, d.deg, coalesce(t.tri, 0) AS tri,
+        |       CASE WHEN d.deg >= 2 THEN
+        |         round(CAST(coalesce(t.tri, 0) * 2 AS DOUBLE)
+        |               / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS coeff
+        |FROM deg d
+        |LEFT JOIN tcnt t ON t.node = d.node
+        |JOIN nation n ON n.n_nationkey = d.node
+        |ORDER BY n.n_name""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $sparseCte,
+        |  und AS (
+        |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |    FROM sparse),
+        |  deg AS (
+        |    SELECT node, count(*) AS deg FROM (
+        |      SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |    GROUP BY node),
+        |  dir AS (
+        |    SELECT a AS u, b AS v FROM und
+        |    UNION ALL SELECT b, a FROM und),
+        |  sums AS (
+        |    SELECT CAST(count(*) AS DOUBLE) AS m,
+        |           CAST(sum(dj.deg * dk.deg) AS DOUBLE) AS sjk,
+        |           CAST(sum(dj.deg) AS DOUBLE) AS sj,
+        |           CAST(sum(dj.deg * dj.deg) AS DOUBLE) AS sjj
+        |    FROM dir e
+        |    JOIN deg dj ON dj.node = e.u
+        |    JOIN deg dk ON dk.node = e.v)
+        |SELECT round((m*sjk - sj*sj) / (m*sjj - sj*sj), 6) + 0.0
+        |         AS assortativity
+        |FROM sums""".stripMargin,
 
     // reachability closure with UNION-dedup recursion: state is the set of
     // (node, seed-label) pairs, bounded by |nodes|², so the recursion

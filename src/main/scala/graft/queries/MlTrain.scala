@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Distributed ML TRAINING via sufficient statistics (SURVEY.md §2 tier C
+  * extension — the model-fitting counterpart of the FeatureEng encoders):
+  *
+  *   - OLS multiple regression: one aggregate pass collects the normal-
+  *     equation moments (X'X, X'y) as EXACT integers (cents / scaled
+  *     units, decimal(38) on Spark ≡ HUGEINT on DuckDB), then a closed-
+  *     form Cramer solve. The 100 TB shape: model fitting is ONE
+  *     map-side-combinable aggregation, the solve is O(k³) on a k×k
+  *     matrix — never a row-wise iteration;
+  *   - PCA (2-feature): covariance eigen-decomposition in closed form
+  *     from the same exact moment sums;
+  *   - gradient-descent classifier: 3 full-batch iterations, each ONE
+  *     aggregate whose per-row gradient contributions are rounded to an
+  *     integer 1e-12 grid — gradients are exact bigints, so the weight
+  *     trajectory is bit-identical on both engines with no summation-
+  *     order drift (the activation is the rational sigmoid
+  *     σ(z) = ½(1 + z/(1+|z|)) — elementary ops only, same closed form
+  *     both engines; same precedent as the A&S normal tail in
+  *     [[Hypothesis]]);
+  *   - multinomial Naive Bayes: token-likelihood training IS a group-by
+  *     (word, class) count; scoring is a broadcast join + log-sum —
+  *     classifier training/inference as pure relational algebra;
+  *   - Apriori association rules: frequent-item pruning BEFORE pair
+  *     generation (the Apriori property — at 100 TB the pair lattice is
+  *     only ever built over the frequent-item subset), thresholds
+  *     compared in exact integer arithmetic.
+  */
+object MlTrain {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared closed-form texts (used verbatim by selectExpr AND the
+  // DuckDB oracle, so both engines evaluate the identical IEEE tree) ----
+
+  /** 3×3 Cramer cofactor terms over the normal-equation moments. */
+  private val linregL1 = Seq(
+    "n", "sy", "s1y", "s2y", "syy",
+    "s11*s22 - s12*s12 AS m0",
+    "s1*s22 - s12*s2 AS m1",
+    "s1*s12 - s11*s2 AS m2",
+    "s1y*s22 - s12*s2y AS m3",
+    "s1y*s12 - s11*s2y AS m4",
+    "s1*s2y - s1y*s2 AS m5",
+    "s11*s2y - s1y*s12 AS m6",
+    "s1", "s2")
+  private val linregL2 = Seq(
+    "n", "sy", "s1y", "s2y", "syy",
+    "(sy*m0 - s1*m3 + s2*m4) / (n*m0 - s1*m1 + s2*m2) AS b0",
+    "(n*m3 - sy*m1 + s2*m5) / (n*m0 - s1*m1 + s2*m2) AS b1",
+    "(n*m6 - s1*m5 + sy*m2) / (n*m0 - s1*m1 + s2*m2) AS b2")
+  private val linregL3 = Seq(
+    "round(b0, 6) AS b0", "round(b1, 6) AS b1", "round(b2, 6) AS b2",
+    "round(1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n), 6) AS r2")
+
+  private val pcaL1 = Seq(
+    "(sxx - sx*sx/n) / (n - 1) AS cxx",
+    "(sxy - sx*sy/n) / (n - 1) AS cxy",
+    "(syy - sy*sy/n) / (n - 1) AS cyy")
+  private val pcaL2 = Seq(
+    "cxx", "cxy",
+    "(cxx + cyy)/2 + sqrt(((cxx - cyy)/2)*((cxx - cyy)/2) + cxy*cxy) AS l1",
+    "(cxx + cyy)/2 - sqrt(((cxx - cyy)/2)*((cxx - cyy)/2) + cxy*cxy) AS l2")
+  // the trailing + 0.0 normalizes IEEE negative zero: Spark's BigDecimal
+  // round drops the sign of -1e-9 -> "0.0" while DuckDB's FP round keeps
+  // it -> "-0.0"; adding +0.0 maps both to +0.0 (and is a no-op otherwise)
+  private val pcaL3 = Seq(
+    "round(l1, 6) + 0.0 AS var1", "round(l2, 6) + 0.0 AS var2",
+    "round(l1/(l1 + l2), 6) + 0.0 AS evr",
+    "round(cxy/sqrt(cxy*cxy + (l1 - cxx)*(l1 - cxx)), 6) + 0.0 AS pc1_x",
+    "round((l1 - cxx)/sqrt(cxy*cxy + (l1 - cxx)*(l1 - cxx)), 6) + 0.0 AS pc1_y")
+
+  val defs: Map[String, Q] = Map(
+
+    // OLS: l_extendedprice (cents) ~ l_quantity + 100·l_discount.
+    // Moments are exact integers — sums as decimal(38,0) ≡ HUGEINT (syy
+    // alone exceeds bigint: (1e7 cents)² × 6e5 rows ≈ 6e19) — then cast
+    // to double ONCE, so engine summation order cannot perturb the solve.
+    "ml_linreg" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+        round(col("l_quantity")).cast("bigint").as("x1"),
+        round(col("l_discount") * 100).cast("bigint").as("x2"))
+      def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
+      raw.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+          dsum(col("x1") * col("x1")).as("s11"),
+          dsum(col("x1") * col("x2")).as("s12"),
+          dsum(col("x2") * col("x2")).as("s22"),
+          dsum(col("y")).as("sy"),
+          dsum(col("x1") * col("y")).as("s1y"),
+          dsum(col("x2") * col("y")).as("s2y"),
+          dsum(col("y") * col("y")).as("syy"))
+        .selectExpr(linregL1: _*).selectExpr(linregL2: _*)
+        .selectExpr(linregL3: _*)
+    }),
+
+    // 2-feature PCA: eigen-decomposition of the (quantity, discount-%)
+    // covariance matrix in closed form from exact moments. Feature choice
+    // is a numerics contract: per-row products ≤ 2500, so every moment
+    // sum stays below 2^53 up to ~3e12 rows — the HUGEINT/decimal →
+    // double casts are EXACT on both engines, and the eigen cancellation
+    // (l2 = mean − sqrt) amplifies no input ulp. (A cents² moment ≈ 6e19
+    // at sf0.1 demonstrably cast-drifts 1 ulp between engines and the
+    // small eigenvalue magnifies it past round-6 — don't widen features
+    // without rescaling.)
+    "ml_pca" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        round(col("l_quantity")).cast("bigint").as("x"),
+        round(col("l_discount") * 100).cast("bigint").as("y"))
+      def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
+      raw.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("y") * col("y")).as("syy"))
+        .selectExpr(pcaL1: _*).selectExpr(pcaL2: _*).selectExpr(pcaL3: _*)
+    }),
+
+    // Full-batch GD, 3 iterations, lr = 2: P(return | quantity, discount)
+    // with the rational sigmoid. Each iteration is ONE aggregation whose
+    // per-row contributions are integers on a 1e-12 grid (|contrib| ≤ 1e12,
+    // so the bigint sum holds to ~9e6 rows — DECIMAL(38,0)/HUGEINT past
+    // that); the collected gradient is 3 longs (bounded driver action) and
+    // the weight update replays the oracle's formula on identical doubles.
+    "ml_logreg_gd" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        (round(col("l_quantity")).cast("double") / 50.0).as("x1"),
+        (round(col("l_discount") * 100).cast("double") / 10.0).as("x2"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("yy"))
+        .localCheckpoint(eager = false) // 3 GD passes + the final scoring pass
+      val nD = raw.count().toDouble
+      var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
+      for (_ <- 1 to 3) {
+        val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+        val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+        def g(x: Column) =
+          sum(round((sg - col("yy")) * x * lit(1e12)).cast("bigint"))
+        val r = raw.agg(g(lit(1.0)), g(col("x1")), g(col("x2"))).head()
+        // identical update text as the oracle: w - 2.0*((g/1e12)/n)
+        w0 = w0 - 2.0 * ((r.getLong(0).toDouble / 1e12) / nD)
+        w1 = w1 - 2.0 * ((r.getLong(1).toDouble / 1e12) / nD)
+        w2 = w2 - 2.0 * ((r.getLong(2).toDouble / 1e12) / nD)
+      }
+      val zf = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      raw.agg(
+        round(lit(w0), 6).as("w0"), round(lit(w1), 6).as("w1"),
+        round(lit(w2), 6).as("w2"),
+        round(avg(when((zf >= 0) === (col("yy") === 1.0), 1.0)
+          .otherwise(0.0)), 6).as("acc"))
+    }),
+
+    // Multinomial NB with Laplace smoothing: predict `lang` of held-out
+    // docs (doc_id % 5 = 0) from token counts of the other 80%.
+    "ml_naive_bayes" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(col("w") =!= "")
+      val train = toks.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val counts = train.groupBy(col("lang").as("cls"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+      val classes = train.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("tot"), count_distinct(col("doc_id")).as("nd"))
+      val consts = train.agg(count_distinct(col("w")).as("v"),
+        count_distinct(col("doc_id")).as("ndall"))
+      val classInfo = classes.crossJoin(broadcast(consts)) // 5 × 1 rows
+      val testTf = toks.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .groupBy(col("doc_id"), col("lang").as("actual"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val scored = testTf
+        .join(broadcast(classInfo))                    // |classes| fan-out
+        .join(counts, Seq("cls", "w"), "left")         // unseen → cnt null
+        .groupBy(col("doc_id"), col("actual"), col("cls"))
+        .agg((sum(col("tf") *
+            log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
+                (col("tot") + col("v")).cast("double")))
+          + first(log(col("nd").cast("double") / col("ndall").cast("double"))))
+          .as("score"))
+        .withColumn("score", round(col("score"), 6))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cls"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("actual"), col("cls").as("pred"),
+          col("score"))
+    }),
+
+    // Apriori: frequent brands (support ≥ 10%) → pairs among frequent
+    // only → directional rules at support ≥ 2%, confidence ≥ 12%. Every threshold is an
+    // integer cross-multiplication — no FP boundary can flip membership.
+    "ml_apriori_rules" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct()
+        .localCheckpoint(eager = false) // basket universe feeds 3 legs
+      val nb = items.select(count_distinct(col("ok")).as("nn"))
+      val freq = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nb))
+        .filter(col("cnt") * 10 >= col("nn"))  // item support ≥ 0.10
+        .select(col("item"), col("cnt"), col("nn"))
+      val fi = items.join(broadcast(freq.select(col("item"))), Seq("item"))
+      val pairs = fi.alias("a")
+        .join(fi.alias("b"), col("a.ok") === col("b.ok")
+          && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+        .agg(count(lit(1)).as("n_both"))
+      val both = pairs.select(col("i1").as("ante"), col("i2").as("cons"),
+          col("n_both"))
+        .union(pairs.select(col("i2"), col("i1"), col("n_both")))
+      both
+        .join(broadcast(freq.select(col("item").as("ante"),
+          col("cnt").as("n_a"))), Seq("ante"))
+        .join(broadcast(freq.select(col("item").as("cons"),
+          col("cnt").as("n_c"), col("nn"))), Seq("cons"))
+        .filter(col("n_both") * 50 >= col("nn"))       // pair support ≥ 0.02
+        .filter(col("n_both") * 25 >= col("n_a") * 3)  // confidence ≥ 0.12
+        .select(col("ante"), col("cons"), col("n_both"),
+          round(col("n_both").cast("double") / col("nn").cast("double"), 6)
+            .as("support"),
+          round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+            .as("conf"),
+          round(col("n_both").cast("double") * col("nn").cast("double") /
+            (col("n_a").cast("double") * col("n_c").cast("double")), 6)
+            .as("lift"))
+    }))
+
+  private def sel(exprs: Seq[String]) = exprs.mkString(", ")
+
+  val sql: Map[String, String] = Map(
+
+    "ml_linreg" ->
+      s"""WITH raw AS (
+        |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount*100) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |         CAST(sum(x1*x1) AS DOUBLE) AS s11,
+        |         CAST(sum(x1*x2) AS DOUBLE) AS s12,
+        |         CAST(sum(x2*x2) AS DOUBLE) AS s22,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x1*y) AS DOUBLE) AS s1y,
+        |         CAST(sum(x2*y) AS DOUBLE) AS s2y,
+        |         CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM raw),
+        |l1 AS (SELECT ${sel(linregL1)} FROM sums),
+        |l2 AS (SELECT ${sel(linregL2)} FROM l1)
+        |SELECT ${sel(linregL3)} FROM l2""".stripMargin,
+
+    "ml_pca" ->
+      s"""WITH raw AS (
+        |  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+        |         CAST(ROUND(l_discount*100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |         CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |         CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM raw),
+        |l1 AS (SELECT n, ${sel(pcaL1)} FROM sums),
+        |l2 AS (SELECT ${sel(pcaL2)} FROM l1)
+        |SELECT ${sel(pcaL3)} FROM l2""".stripMargin,
+
+    "ml_logreg_gd" ->
+      """WITH raw AS (
+        |  SELECT CAST(ROUND(l_quantity) AS DOUBLE)/50.0 AS x1,
+        |         CAST(ROUND(l_discount*100) AS DOUBLE)/10.0 AS x2,
+        |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS yy
+        |  FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM raw),
+        |s0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (
+        |  SELECT
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
+        |  FROM raw, s0),
+        |s1 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
+        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
+        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
+        |       FROM s0, g1, nn),
+        |g2 AS (
+        |  SELECT
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
+        |  FROM raw, s1),
+        |s2 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
+        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
+        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
+        |       FROM s1, g2, nn),
+        |g3 AS (
+        |  SELECT
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
+        |  FROM raw, s2),
+        |s3 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
+        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
+        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
+        |       FROM s2, g3, nn)
+        |SELECT round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
+        |       round(avg(CASE WHEN (((w0 + w1*x1) + w2*x2) >= 0) = (yy = 1.0)
+        |                      THEN 1.0 ELSE 0.0 END), 6) AS acc
+        |FROM raw, s3
+        |GROUP BY w0, w1, w2""".stripMargin,
+
+    "ml_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |counts AS (SELECT lang AS cls, w, count(*) AS cnt
+        |           FROM train GROUP BY 1, 2),
+        |classes AS (SELECT lang AS cls, count(*) AS tot,
+        |                   count(DISTINCT doc_id) AS nd
+        |            FROM train GROUP BY 1),
+        |consts AS (SELECT count(DISTINCT w) AS v,
+        |                  count(DISTINCT doc_id) AS ndall
+        |           FROM train),
+        |test_tf AS (SELECT doc_id, lang AS actual, w, count(*) AS tf
+        |            FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT t.doc_id, t.actual, c.cls,
+        |         round(sum(t.tf * ln(CAST(coalesce(k.cnt, 0) + 1 AS DOUBLE)
+        |                             / CAST(c.tot + s.v AS DOUBLE)))
+        |           + ln(CAST(c.nd AS DOUBLE) / CAST(s.ndall AS DOUBLE)),
+        |           6) AS score
+        |  FROM test_tf t
+        |  CROSS JOIN classes c
+        |  CROSS JOIN consts s
+        |  LEFT JOIN counts k ON k.cls = c.cls AND k.w = t.w
+        |  GROUP BY t.doc_id, t.actual, c.cls, c.nd, s.ndall)
+        |SELECT doc_id, actual, cls AS pred, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cls) AS rn
+        |      FROM scored)
+        |WHERE rn = 1""".stripMargin,
+
+    "ml_apriori_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT count(DISTINCT ok) AS nn FROM items),
+        |freq AS (
+        |  SELECT item, count(*) AS cnt, nn
+        |  FROM items, nb GROUP BY item, nn
+        |  HAVING count(*) * 10 >= nn),
+        |fi AS (SELECT i.ok, i.item FROM items i
+        |       JOIN freq f ON f.item = i.item),
+        |pairs AS (
+        |  SELECT a.item AS i1, b.item AS i2, count(*) AS n_both
+        |  FROM fi a JOIN fi b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |bidir AS (
+        |  SELECT i1 AS ante, i2 AS cons, n_both FROM pairs
+        |  UNION ALL
+        |  SELECT i2, i1, n_both FROM pairs)
+        |SELECT r.ante, r.cons, r.n_both,
+        |       round(CAST(r.n_both AS DOUBLE) / CAST(fa.nn AS DOUBLE), 6)
+        |         AS support,
+        |       round(CAST(r.n_both AS DOUBLE) / CAST(fa.cnt AS DOUBLE), 6)
+        |         AS conf,
+        |       round(CAST(r.n_both AS DOUBLE) * CAST(fa.nn AS DOUBLE)
+        |             / (CAST(fa.cnt AS DOUBLE) * CAST(fc.cnt AS DOUBLE)), 6)
+        |         AS lift
+        |FROM bidir r
+        |JOIN freq fa ON fa.item = r.ante
+        |JOIN freq fc ON fc.item = r.cons
+        |WHERE r.n_both * 50 >= fa.nn
+        |  AND r.n_both * 25 >= fa.cnt * 3""".stripMargin)
+}

@@ -1,0 +1,202 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Contracts for the r7 ML-training + entity-resolution additions
+  * (MlTrain.scala, EntityRes.scala, JaroWinkler.scala). Value-level
+  * engine parity lives in the DuckDB oracle; these pin the ALGORITHMIC
+  * claims against independent local recomputation on sf0.001. */
+class MlTrainSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  // ---- Jaro-Winkler kernel ----
+
+  private def jw(a: String, b: String): Double =
+    graft.functions.JaroWinkler.jw(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro_winkler matches the published worked examples") {
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jw("CRATE", "TRACE") == 0.7333333333333334) // no boost at prefix 0
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 0.0)    // DuckDB convention: empty -> 0
+    assert(jw("a", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0) // window 0: no cross-position match
+  }
+
+  test("jaro_winkler strcmp95 integer transposition halving") {
+    // 'blue anvil' vs 'small gizmo': m=4, mismatched=3 -> floor 1 transp
+    // (a half-transposition convention would give 0.462879 instead)
+    assert(math.abs(jw("blue anvil", "small gizmo") - 0.5045454545454545)
+      < 1e-12)
+  }
+
+  test("jaro_winkler is symmetric and bounded on the name catalog") {
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    for (a <- names; b <- names) {
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(s == jw(b, a), s"asymmetric on ($a, $b)")
+      if (a == b) assert(s == 1.0)
+    }
+  }
+
+  test("jaro_winkler codegen agrees with interpreted eval") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_name").as("a"), reverse(col("p_name")).as("b"))
+      .limit(200)
+    // whole-stage codegen path
+    val gen = df.selectExpr("a", "b", "jaro_winkler(a, b) AS s").collect()
+    gen.foreach { r =>
+      assert(r.getDouble(2) == jw(r.getString(0), r.getString(1)))
+    }
+  }
+
+  // ---- entity resolution ----
+
+  test("er_clusters joins every planted corruption to its base record") {
+    val cl = SparkEntry.queries("er_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bases = cl.keySet.filter(_ < 100000L)
+    assert(bases.nonEmpty)
+    bases.foreach { rid =>
+      assert(cl(rid + 100000L) == cl(rid),
+        s"char-drop variant of $rid not clustered with it")
+      assert(cl(rid + 200000L) == cl(rid),
+        s"transposed variant of $rid not clustered with it")
+    }
+    // labels are the component minimum: every label is a member mapping
+    // to itself
+    cl.values.toSet.foreach { l: Long => assert(cl(l) == l) }
+  }
+
+  test("er star-star clustering equals min-label differential oracle") {
+    import graft.llm.Dedup
+    val pairs = SparkEntry.queries("er_blocked_pairs")(spark, sf)
+      .select(col("rid_a").as("doc1"), col("rid_b").as("doc2"))
+    val verts = SparkEntry.queries("er_clusters")(spark, sf)
+      .select(col("rid").as("doc_id"))
+    val fast = SparkEntry.queries("er_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = Dedup.connectedComponents(verts, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == slow)
+  }
+
+  // ---- ML training ----
+
+  test("ml_linreg solves the normal equations (gradient ~ 0 at optimum)") {
+    val Array(b0, b1, b2, r2) = SparkEntry.queries("ml_linreg")(spark, sf)
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("double"),
+        round(col("l_quantity")).cast("double"),
+        round(col("l_discount") * 100).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // X'(y - Xb) = 0 at the optimum; verify each gradient component
+    // relative to the moment magnitudes
+    var g0 = 0.0; var g1 = 0.0; var g2 = 0.0; var scale = 0.0
+    rows.foreach { case (y, x1, x2) =>
+      val e = y - (b0 + b1 * x1 + b2 * x2)
+      g0 += e; g1 += e * x1; g2 += e * x2; scale += y * y
+    }
+    assert(math.abs(g0) / scale < 1e-9)
+    assert(math.abs(g1) / scale < 1e-9)
+    assert(math.abs(g2) / scale < 1e-9)
+    // the synthetic generator draws price independent of quantity, so r2
+    // is legitimately near zero — the contract is only its range (the
+    // optimality claim is the gradient check above)
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("ml_pca satisfies the eigen equation C v = l1 v") {
+    val r = SparkEntry.queries("ml_pca")(spark, sf).collect()(0)
+    val (var1, var2, evr, vx, vy) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(var1 >= var2)
+    assert(evr >= 0.5 && evr <= 1.0)
+    assert(math.abs(vx * vx + vy * vy - 1.0) < 1e-5) // unit eigenvector
+    // recompute the covariance matrix locally and apply it to (vx, vy)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(round(col("l_quantity")).cast("double"),
+        round(col("l_discount") * 100).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = rows.length.toDouble
+    val mx = rows.map(_._1).sum / n
+    val my = rows.map(_._2).sum / n
+    val cxx = rows.map(p => (p._1 - mx) * (p._1 - mx)).sum / (n - 1)
+    val cxy = rows.map(p => (p._1 - mx) * (p._2 - my)).sum / (n - 1)
+    val cyy = rows.map(p => (p._2 - my) * (p._2 - my)).sum / (n - 1)
+    val ax = cxx * vx + cxy * vy
+    val ay = cxy * vx + cyy * vy
+    assert(math.abs(ax - var1 * vx) < 1e-3 * math.max(1.0, var1))
+    assert(math.abs(ay - var1 * vy) < 1e-3 * math.max(1.0, var1))
+  }
+
+  test("ml_logreg_gd replays the exact scaled-integer GD trajectory") {
+    val out = SparkEntry.queries("ml_logreg_gd")(spark, sf).collect()(0)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(round(col("l_quantity")).cast("double"),
+        round(col("l_discount") * 100).cast("double"),
+        col("l_returnflag"))
+      .collect().map(r => (r.getDouble(0) / 50.0, r.getDouble(1) / 10.0,
+        if (r.getString(2) == "R") 1.0 else 0.0))
+    val n = rows.length.toDouble
+    var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
+    for (_ <- 1 to 3) {
+      var g0 = 0L; var g1 = 0L; var g2 = 0L
+      rows.foreach { case (x1, x2, y) =>
+        val z = (w0 + w1 * x1) + w2 * x2
+        val sg = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+        def grid(v: Double): Long =
+          BigDecimal(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        g0 += grid((sg - y) * 1.0 * 1e12)
+        g1 += grid((sg - y) * x1 * 1e12)
+        g2 += grid((sg - y) * x2 * 1e12)
+      }
+      w0 = w0 - 2.0 * ((g0.toDouble / 1e12) / n)
+      w1 = w1 - 2.0 * ((g1.toDouble / 1e12) / n)
+      w2 = w2 - 2.0 * ((g2.toDouble / 1e12) / n)
+    }
+    assert(out.getDouble(0) == math.rint(w0 * 1e6) / 1e6 ||
+      math.abs(out.getDouble(0) - w0) < 1e-6)
+    assert(math.abs(out.getDouble(1) - w1) < 1e-6)
+    assert(math.abs(out.getDouble(2) - w2) < 1e-6)
+    val acc = out.getDouble(3)
+    assert(acc >= 0.0 && acc <= 1.0)
+  }
+
+  test("ml_naive_bayes beats the uniform-random baseline") {
+    val preds = SparkEntry.queries("ml_naive_bayes")(spark, sf).collect()
+    assert(preds.nonEmpty)
+    val langs = Set("en", "de", "fr", "es", "zh")
+    preds.foreach(r => assert(langs.contains(r.getString(2))))
+    val acc = preds.count(r => r.getString(1) == r.getString(2)).toDouble /
+      preds.length
+    assert(acc > 0.2, s"accuracy $acc not above the 5-class random 0.2")
+  }
+
+  test("ml_apriori_rules: metrics are mutually consistent") {
+    val rules = SparkEntry.queries("ml_apriori_rules")(spark, sf).collect()
+    assert(rules.nonEmpty)
+    val byPair = rules.map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    byPair.foreach { case ((a, c), (nb, sup, conf, lift)) =>
+      assert(sup >= 0.02 - 1e-9)
+      assert(conf >= 0.12 - 1e-9)
+      assert(conf >= sup) // n_both/cnt_a >= n_both/n since cnt_a <= n
+      // lift symmetry when the reverse rule survived its confidence gate
+      byPair.get((c, a)).foreach { case (nb2, sup2, _, lift2) =>
+        assert(nb2 == nb); assert(sup2 == sup)
+        assert(math.abs(lift2 - lift) < 2e-6)
+      }
+    }
+  }
+}

@@ -391,7 +391,25 @@ class PlanAuditSpec extends AnyFunSuite
       // categorical (|o_orderpriority| = 5), bounded by the domain, not
       // the data; chi2 needs structurally-empty cells, so the grid must
       // be the marginals' product, not the observed cells
-      "agg_mutual_info")
+      "agg_mutual_info",
+      // k-row centroid broadcast (k = 8), the llm_ann_ivf shape: every
+      // k-means step streams the fact side against the k centroids
+      "llm_kmeans_assign", "llm_kmeans_step", "llm_kmeans_iterate",
+      "llm_semdedup",
+      // ROUGE candidate pairs: the broadcast side is the bounded
+      // reference-summary set (same shape as the ≤50-query-vector
+      // cosine_topk broadcast)
+      "llm_rouge_pairs",
+      // kernel-coverage query: deliberate all-pairs over the DISTINCT
+      // part-name catalog (bounded by the name domain, not row count)
+      // to exercise every Jaro-Winkler branch against the oracle;
+      // production linkage goes through er_blocked_pairs' equi-join
+      // blocking instead
+      "fn_jaro_winkler",
+      // Naive Bayes scoring fans every test token out to the |classes|
+      // rows (= label domain, 5 here) — the broadcast side is bounded
+      // by the class vocabulary, never the data
+      "ml_naive_bayes")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
