@@ -353,6 +353,25 @@ object TextOps {
     // vocabulary head: exact token top-k (vocab-truncation building block).
     // word_shingles(text, 1) = the tokenizer itself; one partial+final agg
     // then a tiny global top-k — the TakeOrdered shape, no full sort.
+    // Good-Turing count-of-counts smoothing table: r* = (r+1)·N_{r+1}/N_r
+    // over the corpus unigram counts — the LM-smoothing statistic as two
+    // aggregations and one shifted self-join. Every input to the ratio is
+    // an exact integer; r without an occupied r+1 bucket yields NULL
+    // (same CASE-without-ELSE on both engines).
+    "llm_good_turing" -> ((s, d) => {
+      val cnt = spread(t(s, d, "documents"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+      val nr = cnt.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+          Seq("r"), "left")
+        .select(col("r"), col("n_r"),
+          when(col("n_r1").isNotNull,
+            round((col("r") + 1).cast("double") * col("n_r1").cast("double")
+              / col("n_r").cast("double"), 6)).as("r_star"))
+        .orderBy(col("r")).limit(50)
+    }),
+
     "llm_vocab_topk" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       spread(t(s, d, "documents"))
@@ -985,6 +1004,23 @@ object TextOps {
              list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                / CAST(len(toks) AS DOUBLE) AS mean_token_len
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""",
+
+    "llm_good_turing" -> """
+      WITH cnt AS (
+        SELECT tok, count(*) AS r
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+      ), nr AS (
+        SELECT r, count(*) AS n_r FROM cnt GROUP BY r
+      )
+      SELECT a.r, a.n_r,
+             CASE WHEN b.n_r IS NOT NULL THEN
+               round(CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE)
+                     / CAST(a.n_r AS DOUBLE), 6)
+             END AS r_star
+      FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+      ORDER BY a.r
+      LIMIT 50""",
 
     "llm_vocab_topk" -> """
       SELECT tok, count(*) AS n

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.t
+import graft.ops.Partitioning
 
 /** Distributed ML TRAINING via sufficient statistics (SURVEY.md §2 tier C
   * extension — the model-fitting counterpart of the FeatureEng encoders):
@@ -75,6 +76,79 @@ object MlTrain {
     "round(cxy/sqrt(cxy*cxy + (l1 - cxx)*(l1 - cxx)), 6) + 0.0 AS pc1_x",
     "round((l1 - cxx)/sqrt(cxy*cxy + (l1 - cxx)*(l1 - cxx)), 6) + 0.0 AS pc1_y")
 
+  /** Shared per-class ratio text (ml_confusion): F1 uses the exact
+    * identity 2PR/(P+R) = 2·tp/(n_pred + n_act), so every ratio is one
+    * division of exact integers. */
+  private val confusionSel = Seq(
+    "cls", "tp", "n_pred - tp AS fp", "n_act - tp AS fn",
+    "CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE)/CAST(n_pred AS DOUBLE), 6) ELSE 0.0 END AS prec",
+    "CASE WHEN n_act > 0 THEN round(CAST(tp AS DOUBLE)/CAST(n_act AS DOUBLE), 6) ELSE 0.0 END AS rec",
+    "CASE WHEN tp > 0 THEN round(CAST(2*tp AS DOUBLE)/CAST(n_pred + n_act AS DOUBLE), 6) ELSE 0.0 END AS f1")
+
+  private val aucSel =
+    "round(CAST(r1x2 - n1*(n1 + 1) AS DOUBLE) / CAST(2*n1*n0 AS DOUBLE), 6) AS auc"
+
+  /** Featurized GD frame + the 3-iteration weight trajectory — shared by
+    * ml_logreg_gd / ml_auc / ml_calibration. The collected gradient is 3
+    * longs per iteration (bounded driver action); the oracle replays the
+    * identical iterations in SQL, and because the gradients are exact
+    * integers the weights are bit-identical doubles on both engines. */
+  private def gdFit(s: SparkSession, d: String)
+      : (DataFrame, Double, Double, Double) = {
+    val raw = t(s, d, "lineitem").select(
+      (round(col("l_quantity")).cast("double") / 50.0).as("x1"),
+      (round(col("l_discount") * 100).cast("double") / 10.0).as("x2"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("yy"))
+      .localCheckpoint(eager = false) // 3 GD passes + the consumer's pass
+    val nD = raw.count().toDouble
+    var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
+    for (_ <- 1 to 3) {
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      def g(x: Column) =
+        sum(round((sg - col("yy")) * x * lit(1e12)).cast("bigint"))
+      val r = raw.agg(g(lit(1.0)), g(col("x1")), g(col("x2"))).head()
+      // identical update text as the oracle: w - 2.0*((g/1e12)/n)
+      w0 = w0 - 2.0 * ((r.getLong(0).toDouble / 1e12) / nD)
+      w1 = w1 - 2.0 * ((r.getLong(1).toDouble / 1e12) / nD)
+      w2 = w2 - 2.0 * ((r.getLong(2).toDouble / 1e12) / nD)
+    }
+    (raw, w0, w1, w2)
+  }
+
+  /** NB per-(test doc, class) rounded log-posterior scores — shared by
+    * ml_naive_bayes and ml_confusion. */
+  private def nbScored(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+    val train = toks.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val counts = train.groupBy(col("lang").as("cls"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = train.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("tot"), count_distinct(col("doc_id")).as("nd"))
+    val consts = train.agg(count_distinct(col("w")).as("v"),
+      count_distinct(col("doc_id")).as("ndall"))
+    val classInfo = classes.crossJoin(broadcast(consts)) // 5 × 1 rows
+    val testTf = toks.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .groupBy(col("doc_id"), col("lang").as("actual"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    testTf
+      .join(broadcast(classInfo))                    // |classes| fan-out
+      .join(counts, Seq("cls", "w"), "left")         // unseen → cnt null
+      .groupBy(col("doc_id"), col("actual"), col("cls"))
+      .agg((sum(col("tf") *
+          log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
+              (col("tot") + col("v")).cast("double")))
+        + first(log(col("nd").cast("double") / col("ndall").cast("double"))))
+        .as("score"))
+      .withColumn("score", round(col("score"), 6))
+  }
+
+  private def nbWindow =
+    Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls"))
+
   val defs: Map[String, Q] = Map(
 
     // OLS: l_extendedprice (cents) ~ l_quantity + 100·l_discount.
@@ -131,24 +205,7 @@ object MlTrain {
     // that); the collected gradient is 3 longs (bounded driver action) and
     // the weight update replays the oracle's formula on identical doubles.
     "ml_logreg_gd" -> ((s, d) => {
-      val raw = t(s, d, "lineitem").select(
-        (round(col("l_quantity")).cast("double") / 50.0).as("x1"),
-        (round(col("l_discount") * 100).cast("double") / 10.0).as("x2"),
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("yy"))
-        .localCheckpoint(eager = false) // 3 GD passes + the final scoring pass
-      val nD = raw.count().toDouble
-      var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
-      for (_ <- 1 to 3) {
-        val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
-        val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
-        def g(x: Column) =
-          sum(round((sg - col("yy")) * x * lit(1e12)).cast("bigint"))
-        val r = raw.agg(g(lit(1.0)), g(col("x1")), g(col("x2"))).head()
-        // identical update text as the oracle: w - 2.0*((g/1e12)/n)
-        w0 = w0 - 2.0 * ((r.getLong(0).toDouble / 1e12) / nD)
-        w1 = w1 - 2.0 * ((r.getLong(1).toDouble / 1e12) / nD)
-        w2 = w2 - 2.0 * ((r.getLong(2).toDouble / 1e12) / nD)
-      }
+      val (raw, w0, w1, w2) = gdFit(s, d)
       val zf = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
       raw.agg(
         round(lit(w0), 6).as("w0"), round(lit(w1), 6).as("w1"),
@@ -160,37 +217,78 @@ object MlTrain {
     // Multinomial NB with Laplace smoothing: predict `lang` of held-out
     // docs (doc_id % 5 = 0) from token counts of the other 80%.
     "ml_naive_bayes" -> ((s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(col("w") =!= "")
-      val train = toks.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      val counts = train.groupBy(col("lang").as("cls"), col("w"))
-        .agg(count(lit(1)).as("cnt"))
-      val classes = train.groupBy(col("lang").as("cls"))
-        .agg(count(lit(1)).as("tot"), count_distinct(col("doc_id")).as("nd"))
-      val consts = train.agg(count_distinct(col("w")).as("v"),
-        count_distinct(col("doc_id")).as("ndall"))
-      val classInfo = classes.crossJoin(broadcast(consts)) // 5 × 1 rows
-      val testTf = toks.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .groupBy(col("doc_id"), col("lang").as("actual"), col("w"))
-        .agg(count(lit(1)).as("tf"))
-      val scored = testTf
-        .join(broadcast(classInfo))                    // |classes| fan-out
-        .join(counts, Seq("cls", "w"), "left")         // unseen → cnt null
-        .groupBy(col("doc_id"), col("actual"), col("cls"))
-        .agg((sum(col("tf") *
-            log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
-                (col("tot") + col("v")).cast("double")))
-          + first(log(col("nd").cast("double") / col("ndall").cast("double"))))
-          .as("score"))
-        .withColumn("score", round(col("score"), 6))
-      scored
-        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("cls"))))
+      nbScored(s, d)
+        .withColumn("rn", row_number().over(nbWindow))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("actual"), col("cls").as("pred"),
           col("score"))
+    }),
+
+    // Confusion-matrix summary of the NB classifier: per-class tp/fp/fn
+    // and precision/recall/F1. Counts are exact integers; the ratios are
+    // one shared CASE text (confusionSel) evaluated identically by both
+    // engines.
+    "ml_confusion" -> ((s, d) => {
+      val pred = nbScored(s, d)
+        .withColumn("rn", row_number().over(nbWindow))
+        .filter(col("rn") === 1)
+        .select(col("actual"), col("cls").as("pred"))
+      val classes = t(s, d, "documents")
+        .select(col("lang").as("cls")).distinct()
+      val byActual = pred.groupBy(col("actual").as("cls"))
+        .agg(count(lit(1)).as("n_act"),
+          sum(when(col("actual") === col("pred"), 1L).otherwise(0L)).as("tp"))
+      val byPred = pred.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      classes
+        .join(byActual, Seq("cls"), "left")
+        .join(byPred, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_act"), lit(0L)).as("n_act"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        .selectExpr(confusionSel: _*)
+    }),
+
+    // ROC AUC of the GD classifier via the rank statistic (AUC is the
+    // normalized Mann-Whitney U of the scores): group by the EXACT score
+    // double (bit-identical per row on both engines), one distributed
+    // prefix sum for ranks — no global window, tie-averaged rank sum in
+    // exact bigints (the agg_mannwhitney machinery).
+    "ml_auc" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val byv = raw
+        .select(((lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2"))
+          .as("v"), col("yy"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_v"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("n1_v"))
+      val cum = Partitioning.rankedCumSum(
+        byv, col("n_v"), Seq(col("v")), 32, "cum_n")
+      cum.agg(
+          sum(col("n1_v")).as("n1"),
+          sum(col("n_v") - col("n1_v")).as("n0"),
+          sum(col("n1_v") * (lit(2) * (col("cum_n") - col("n_v"))
+            + col("n_v") + 1)).as("r1x2"))
+        .selectExpr("n1", "n0", aucSel)
+    }),
+
+    // Reliability diagram: fixed-width predicted-probability bins
+    // (0.005-wide — after 3 mild GD iterations the scores live near 0.5,
+    // so decile bins would collapse to one row) vs the observed positive
+    // rate. Bin membership is an integer floor of the deterministic
+    // per-row sigmoid — it cannot ulp-flip across engines.
+    "ml_calibration" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      raw.select(sg.as("sg"), col("yy"))
+        .withColumn("bin", least(floor(col("sg") * 200), lit(199L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("sg")), 6).as("pred_rate"),
+          round(sum(when(col("yy") === 1.0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6).as("obs_rate"))
     }),
 
     // Apriori: frequent brands (support ≥ 10%) → pairs among frequent
@@ -235,6 +333,77 @@ object MlTrain {
 
   private def sel(exprs: Seq[String]) = exprs.mkString(", ")
 
+  private val logregCtes =
+    """raw AS (
+        |  SELECT CAST(ROUND(l_quantity) AS DOUBLE)/50.0 AS x1,
+        |         CAST(ROUND(l_discount*100) AS DOUBLE)/10.0 AS x2,
+        |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS yy
+        |  FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM raw),
+        |s0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+        |g1 AS (
+        |  SELECT
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
+        |  FROM raw, s0),
+        |s1 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
+        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
+        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
+        |       FROM s0, g1, nn),
+        |g2 AS (
+        |  SELECT
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
+        |  FROM raw, s1),
+        |s2 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
+        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
+        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
+        |       FROM s1, g2, nn),
+        |g3 AS (
+        |  SELECT
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
+        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
+        |  FROM raw, s2),
+        |s3 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
+        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
+        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
+        |       FROM s2, g3, nn)"""
+      .stripMargin
+
+  private val nbCtes =
+    """toks AS (
+        |  SELECT doc_id, lang, w
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |        FROM documents)
+        |  WHERE w <> ''),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |counts AS (SELECT lang AS cls, w, count(*) AS cnt
+        |           FROM train GROUP BY 1, 2),
+        |classes AS (SELECT lang AS cls, count(*) AS tot,
+        |                   count(DISTINCT doc_id) AS nd
+        |            FROM train GROUP BY 1),
+        |consts AS (SELECT count(DISTINCT w) AS v,
+        |                  count(DISTINCT doc_id) AS ndall
+        |           FROM train),
+        |test_tf AS (SELECT doc_id, lang AS actual, w, count(*) AS tf
+        |            FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT t.doc_id, t.actual, c.cls,
+        |         round(sum(t.tf * ln(CAST(coalesce(k.cnt, 0) + 1 AS DOUBLE)
+        |                             / CAST(c.tot + s.v AS DOUBLE)))
+        |           + ln(CAST(c.nd AS DOUBLE) / CAST(s.ndall AS DOUBLE)),
+        |           6) AS score
+        |  FROM test_tf t
+        |  CROSS JOIN classes c
+        |  CROSS JOIN consts s
+        |  LEFT JOIN counts k ON k.cls = c.cls AND k.w = t.w
+        |  GROUP BY t.doc_id, t.actual, c.cls, c.nd, s.ndall)"""
+      .stripMargin
+
   val sql: Map[String, String] = Map(
 
     "ml_linreg" ->
@@ -275,43 +444,7 @@ object MlTrain {
         |SELECT ${sel(pcaL3)} FROM l2""".stripMargin,
 
     "ml_logreg_gd" ->
-      """WITH raw AS (
-        |  SELECT CAST(ROUND(l_quantity) AS DOUBLE)/50.0 AS x1,
-        |         CAST(ROUND(l_discount*100) AS DOUBLE)/10.0 AS x2,
-        |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS yy
-        |  FROM lineitem),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM raw),
-        |s0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
-        |g1 AS (
-        |  SELECT
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
-        |  FROM raw, s0),
-        |s1 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
-        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
-        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
-        |       FROM s0, g1, nn),
-        |g2 AS (
-        |  SELECT
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
-        |  FROM raw, s1),
-        |s2 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
-        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
-        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
-        |       FROM s1, g2, nn),
-        |g3 AS (
-        |  SELECT
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * 1.0 * 1e12) AS BIGINT)) AS g0,
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x1 * 1e12) AS BIGINT)) AS g1,
-        |    sum(CAST(round((0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) - yy) * x2 * 1e12) AS BIGINT)) AS g2
-        |  FROM raw, s2),
-        |s3 AS (SELECT w0 - 2.0*((CAST(g0 AS DOUBLE)/1e12)/n) AS w0,
-        |              w1 - 2.0*((CAST(g1 AS DOUBLE)/1e12)/n) AS w1,
-        |              w2 - 2.0*((CAST(g2 AS DOUBLE)/1e12)/n) AS w2
-        |       FROM s2, g3, nn)
+      s"""WITH $logregCtes
         |SELECT round(w0, 6) AS w0, round(w1, 6) AS w1, round(w2, 6) AS w2,
         |       round(avg(CASE WHEN (((w0 + w1*x1) + w2*x2) >= 0) = (yy = 1.0)
         |                      THEN 1.0 ELSE 0.0 END), 6) AS acc
@@ -319,39 +452,59 @@ object MlTrain {
         |GROUP BY w0, w1, w2""".stripMargin,
 
     "ml_naive_bayes" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, w
-        |  FROM (SELECT doc_id, lang,
-        |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-        |        FROM documents)
-        |  WHERE w <> ''),
-        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
-        |counts AS (SELECT lang AS cls, w, count(*) AS cnt
-        |           FROM train GROUP BY 1, 2),
-        |classes AS (SELECT lang AS cls, count(*) AS tot,
-        |                   count(DISTINCT doc_id) AS nd
-        |            FROM train GROUP BY 1),
-        |consts AS (SELECT count(DISTINCT w) AS v,
-        |                  count(DISTINCT doc_id) AS ndall
-        |           FROM train),
-        |test_tf AS (SELECT doc_id, lang AS actual, w, count(*) AS tf
-        |            FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
-        |scored AS (
-        |  SELECT t.doc_id, t.actual, c.cls,
-        |         round(sum(t.tf * ln(CAST(coalesce(k.cnt, 0) + 1 AS DOUBLE)
-        |                             / CAST(c.tot + s.v AS DOUBLE)))
-        |           + ln(CAST(c.nd AS DOUBLE) / CAST(s.ndall AS DOUBLE)),
-        |           6) AS score
-        |  FROM test_tf t
-        |  CROSS JOIN classes c
-        |  CROSS JOIN consts s
-        |  LEFT JOIN counts k ON k.cls = c.cls AND k.w = t.w
-        |  GROUP BY t.doc_id, t.actual, c.cls, c.nd, s.ndall)
+      s"""WITH $nbCtes
         |SELECT doc_id, actual, cls AS pred, score
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, cls) AS rn
         |      FROM scored)
         |WHERE rn = 1""".stripMargin,
+
+    "ml_confusion" ->
+      s"""WITH $nbCtes,
+        |pred AS (
+        |  SELECT actual, cls AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cls) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |cl AS (SELECT DISTINCT lang AS cls FROM documents),
+        |ba AS (SELECT actual AS cls, count(*) AS n_act,
+        |              sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS tp
+        |       FROM pred GROUP BY actual),
+        |bp AS (SELECT pred AS cls, count(*) AS n_pred FROM pred GROUP BY pred),
+        |m AS (SELECT cl.cls, coalesce(ba.tp, 0) AS tp,
+        |             coalesce(ba.n_act, 0) AS n_act,
+        |             coalesce(bp.n_pred, 0) AS n_pred
+        |      FROM cl LEFT JOIN ba ON ba.cls = cl.cls
+        |              LEFT JOIN bp ON bp.cls = cl.cls)
+        |SELECT ${sel(confusionSel)} FROM m""".stripMargin,
+
+    "ml_auc" ->
+      s"""WITH $logregCtes,
+        |zz AS (SELECT ((w0 + w1*x1) + w2*x2) AS v, yy FROM raw, s3),
+        |byv AS (SELECT v, count(*) AS n_v,
+        |               sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END) AS n1_v
+        |        FROM zz GROUP BY v),
+        |cum AS (SELECT *, sum(n_v) OVER (ORDER BY v) AS cum_n FROM byv),
+        |p AS (SELECT CAST(sum(n1_v) AS BIGINT) AS n1,
+        |             CAST(sum(n_v - n1_v) AS BIGINT) AS n0,
+        |             CAST(sum(n1_v * (2 * (cum_n - n_v) + n_v + 1)) AS BIGINT)
+        |               AS r1x2
+        |      FROM cum)
+        |SELECT n1, n0, $aucSel
+        |FROM p""".stripMargin,
+
+    "ml_calibration" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3)
+        |SELECT least(CAST(floor(sg*200) AS BIGINT), 199) AS bin,
+        |       count(*) AS n,
+        |       round(avg(sg), 6) AS pred_rate,
+        |       round(CAST(sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS obs_rate
+        |FROM sc
+        |GROUP BY least(CAST(floor(sg*200) AS BIGINT), 199)""".stripMargin,
 
     "ml_apriori_rules" ->
       """WITH items AS (

@@ -19,6 +19,23 @@ object Windows {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // h-index per supplier over per-part order reach: h = max h such that
+    // h of the supplier's parts each appear in >= h orders — the classic
+    // rank-vs-value crossing, one window over per-supplier part counts
+    // (bounded by parts-per-supplier, not data volume).
+    "win_h_index" -> ((s, d) => {
+      val pc = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .agg(count_distinct(col("l_orderkey")).as("n_orders"))
+      val rn = row_number().over(Window.partitionBy(col("sk"))
+        .orderBy(col("n_orders").desc, col("pk")))
+      pc.withColumn("rnk", rn)
+        .groupBy(col("sk"))
+        .agg(max(when(col("n_orders") >= col("rnk"), col("rnk"))
+          .otherwise(0L)).as("h_index"))
+        .orderBy(col("sk"))
+    }),
+
     // ranking family over a unique total order per partition
     "win_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -210,6 +227,20 @@ object Windows {
   )
 
   val sql: Map[String, String] = Map(
+    "win_h_index" -> """
+      WITH pc AS (
+        SELECT l_suppkey AS sk, l_partkey AS pk,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY 1, 2
+      ), rk AS (
+        SELECT sk, n_orders,
+               row_number() OVER (PARTITION BY sk
+                                  ORDER BY n_orders DESC, pk) AS rnk
+        FROM pc
+      )
+      SELECT sk, max(CASE WHEN n_orders >= rnk THEN rnk ELSE 0 END) AS h_index
+      FROM rk GROUP BY sk ORDER BY sk""",
+
     "win_topk_ties" -> """
       SELECT * FROM (
         SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -183,6 +183,107 @@ class MlTrainSpec extends AnyFunSuite {
     assert(acc > 0.2, s"accuracy $acc not above the 5-class random 0.2")
   }
 
+  test("ml_confusion totals reconcile with the per-doc predictions") {
+    val preds = SparkEntry.queries("ml_naive_bayes")(spark, sf).collect()
+    val conf = SparkEntry.queries("ml_confusion")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(conf.size == 5)
+    // micro totals: sum tp = correct predictions; sum(tp+fn) = #test docs
+    val tpSum = conf.values.map(_._1).sum
+    assert(tpSum == preds.count(r => r.getString(1) == r.getString(2)))
+    assert(conf.values.map(t => t._1 + t._3).sum == preds.length)
+    conf.foreach { case (cls, (tp, fp, fn, prec, rec, f1)) =>
+      if (tp + fp > 0)
+        assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-6)
+      if (tp + fn > 0)
+        assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-6)
+      if (tp > 0)
+        assert(math.abs(f1 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6, cls)
+    }
+  }
+
+  test("ml_auc is the pairwise concordance probability") {
+    val r = SparkEntry.queries("ml_auc")(spark, sf).collect()(0)
+    val (n1, n0, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n1 > 0 && n0 > 0)
+    assert(auc >= 0.0 && auc <= 1.0)
+    // brute-force concordance on the collected scores
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.round(col("l_quantity"))
+          .cast("double").as("q"),
+        org.apache.spark.sql.functions.round(col("l_discount") * 100)
+          .cast("double").as("dc"),
+        col("l_returnflag")).collect()
+      .map(x => (x.getDouble(0) / 50.0, x.getDouble(1) / 10.0,
+        x.getString(2) == "R"))
+    // recover the weights by replaying gdFit via the query itself
+    val w = SparkEntry.queries("ml_logreg_gd")(spark, sf).collect()(0)
+    val (w0, w1, w2) = (w.getDouble(0), w.getDouble(1), w.getDouble(2))
+    val scored = rows.map { case (x1, x2, y) => ((w0 + w1 * x1) + w2 * x2, y) }
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    var conc = 0.0
+    // group to keep the pair loop tractable: scores take few distinct values
+    val pg = pos.groupBy(identity).map { case (v, a) => (v, a.length.toLong) }
+    val ng = neg.groupBy(identity).map { case (v, a) => (v, a.length.toLong) }
+    for ((pv, pc) <- pg; (nv, nc) <- ng)
+      conc += (if (pv > nv) pc * nc.toDouble
+               else if (pv == nv) 0.5 * pc * nc else 0.0)
+    val brute = conc / (pos.length.toDouble * neg.length)
+    // rounded weights vs exact weights shift a few ties: loose tolerance
+    assert(math.abs(auc - brute) < 1e-3, s"auc $auc vs brute $brute")
+  }
+
+  test("ml_calibration bins partition the data") {
+    val bins = SparkEntry.queries("ml_calibration")(spark, sf).collect()
+    assert(bins.nonEmpty)
+    val total = bins.map(_.getLong(1)).sum
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(total == n)
+    bins.foreach { r =>
+      val (bin, pred, obs) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin <= 199)
+      // the bin's average predicted probability lies inside the bin bounds
+      assert(pred >= bin / 200.0 - 1e-6 && pred <= (bin + 1) / 200.0 + 1e-6)
+      assert(obs >= 0.0 && obs <= 1.0)
+    }
+  }
+
+  test("llm_good_turing mass identities hold") {
+    val gt = SparkEntry.queries("llm_good_turing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(gt.nonEmpty)
+    val byR = gt.map(t => t._1 -> t._2).toMap
+    gt.foreach { case (r, nr, rstar) =>
+      assert(nr > 0)
+      rstar match {
+        case Some(v) =>
+          val expect = (r + 1).toDouble * byR(r + 1) / nr
+          assert(math.abs(v - expect) < 1e-5, s"r=$r")
+        case None => assert(!byR.contains(r + 1))
+      }
+    }
+  }
+
+  test("win_h_index is the rank-value crossing point") {
+    val h = SparkEntry.queries("win_h_index")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pc = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("l_orderkey"))
+        .as("n")).collect()
+      .groupBy(_.getLong(0))
+    pc.foreach { case (sk, rows) =>
+      val counts = rows.map(_.getLong(2)).sortBy(-_)
+      val brute = counts.zipWithIndex
+        .filter { case (c, i) => c >= i + 1 }
+        .map(_._2 + 1).maxOption.getOrElse(0).toLong
+      assert(h(sk) == brute, s"supplier $sk")
+    }
+  }
+
   test("ml_apriori_rules: metrics are mutually consistent") {
     val rules = SparkEntry.queries("ml_apriori_rules")(spark, sf).collect()
     assert(rules.nonEmpty)
