@@ -30,6 +30,7 @@ object SparkEntry {
     graft.queries.Hypothesis.defs ++
     graft.queries.EntityRes.defs ++
     graft.queries.MlTrain.defs ++
+    graft.queries.Resampling.defs ++
     graft.llm.TextOps.defs ++
     graft.llm.Semantic.defs ++
     graft.llm.SimSearch.defs ++
@@ -51,6 +52,7 @@ object SparkEntry {
     graft.queries.Hypothesis.sql ++
     graft.queries.EntityRes.sql ++
     graft.queries.MlTrain.sql ++
+    graft.queries.Resampling.sql ++
     graft.llm.TextOps.sql ++
     graft.llm.Semantic.sql ++
     graft.llm.SimSearch.sql ++

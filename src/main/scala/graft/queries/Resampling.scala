@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Resampling, reweighting, and distribution alignment (SURVEY.md §2
+  * tier C — the survey-statistics / experiment-infrastructure family):
+  *
+  *   - iterative proportional fitting (raking): scale a contingency
+  *     table's weights until both margins hit their targets — 2 unrolled
+  *     IPF sweeps over a domain-bounded cell table (|segments|·|regions|
+  *     rows; the data-sized work is ONE count aggregate);
+  *   - quantile normalization: map each source's value distribution onto
+  *     the pooled distribution. Formulated at VALUE granularity so the
+  *     whole mapping lives on domain-bounded CDF tables (no per-row
+  *     global window, no data-sized sort): target(v) = min pooled w with
+  *     cdf_pool(w) ≥ cdf_src(v), compared as exact integer
+  *     cross-products; per-doc application is one broadcast join;
+  *   - deterministic Poisson bootstrap: B = 16 replicate estimates of
+  *     total revenue, each row's replicate weight drawn as Poisson(1)
+  *     via the inverse CDF on a PORTABLE md5-derived uniform (integer
+  *     thresholds = ⌊cdf·2³²⌋, so replicate membership is exact on both
+  *     engines and every replicate sum is an exact bigint). This is the
+  *     resampling scheme that actually scales: weights are computed
+  *     row-local from a hash — no sampling pass, no shuffle beyond the
+  *     16-way aggregate.
+  */
+object Resampling {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Poisson(1) inverse-CDF thresholds scaled to 2³² (⌊cdf_k · 2³²⌋):
+    * u32 < t(0) → weight 0, < t(1) → 1, ... else 5. */
+  private val pThresh = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L)
+
+  val defs: Map[String, Q] = Map(
+
+    // IPF raking to uniform margins over the (mktsegment × region)
+    // customer table: start from exact counts, alternate row/column
+    // scaling twice. The cell table is |domain|² rows — every window
+    // below is over a bounded frame, and the only data-sized job is the
+    // initial count.
+    "agg_raking_ipf" -> ((s, d) => {
+      val cells = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("region"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(eager = false) // 4 scaling sweeps read this
+      val wSeg = Window.partitionBy(col("seg"))
+      val wReg = Window.partitionBy(col("region"))
+      val wAll = Window.partitionBy()
+      // targets: uniform shares of the grand total, n/|margin levels| —
+      // computed inside the frame so no extra driver action
+      var w = cells.withColumn("w", col("cnt").cast("double"))
+      for (_ <- 1 to 2) {
+        w = w
+          .withColumn("w", col("w") *
+            ((sum(col("w")).over(wAll) / count(lit(1)).over(wAll)
+              * count(lit(1)).over(wSeg)) / sum(col("w")).over(wSeg)))
+          .withColumn("w", col("w") *
+            ((sum(col("w")).over(wAll) / count(lit(1)).over(wAll)
+              * count(lit(1)).over(wReg)) / sum(col("w")).over(wReg)))
+      }
+      w.select(col("seg"), col("region"), col("cnt"),
+        round(col("w"), 6).as("w"))
+    }),
+
+    // Quantile-normalize per-source document lengths onto the pooled
+    // length distribution, entirely on value-domain CDF tables.
+    "ml_quantile_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // per-(source, value) and pooled-value cumulative counts: windows
+      // ordered over the VALUE DOMAIN (bounded), not the row count
+      val srcCdf = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("n_v"))
+        .withColumn("cum_s", sum(col("n_v")).over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+        .withColumn("n_s", sum(col("n_v")).over(
+          Window.partitionBy(col("source"))))
+        .select(col("source"), col("n_chars"), col("cum_s"), col("n_s"))
+      val poolCdf = docs.groupBy(col("n_chars").as("w"))
+        .agg(count(lit(1)).as("n_w"))
+        .withColumn("cum_p", sum(col("n_w")).over(
+          Window.orderBy(col("w"))))
+        .withColumn("n_p", sum(col("n_w")).over(
+          Window.partitionBy()))
+        .select(col("w"), col("cum_p"), col("n_p"))
+      // min pooled w with cdf_pool(w) >= cdf_src(v), compared as exact
+      // integer cross-products; both sides are domain-bounded so the
+      // quadratic candidate join never touches row-count scale
+      val mapping = srcCdf.join(broadcast(poolCdf),
+          col("cum_p") * col("n_s") >= col("cum_s") * col("n_p"))
+        .groupBy(col("source"), col("n_chars"))
+        .agg(min(col("w")).as("qnorm"))
+      docs.join(broadcast(mapping), Seq("source", "n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("qnorm"))
+    }),
+
+    // 16 deterministic Poisson-bootstrap replicates of total revenue
+    // (cents): weight_r(row) = Poisson(1) inverse CDF at the portable
+    // md5 uniform of (replicate, order, line). Exact bigints end-to-end.
+    "agg_poisson_bootstrap" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+      val reps = li.select(col("ok"), col("ln"), col("cents"),
+        explode(sequence(lit(0), lit(15))).as("r"))
+      val u32 = conv(substring(md5(
+          concat(lit("boot"), col("r"), lit(":"), col("ok"),
+            lit(":"), col("ln"))), 1, 8), 16, 10).cast("bigint")
+      val wgt = when(u32 < pThresh(0), 0L)
+        .when(u32 < pThresh(1), 1L)
+        .when(u32 < pThresh(2), 2L)
+        .when(u32 < pThresh(3), 3L)
+        .when(u32 < pThresh(4), 4L)
+        .otherwise(5L)
+      reps.withColumn("wgt", wgt)
+        .groupBy(col("r"))
+        .agg(sum(col("wgt")).as("n_eff"),
+          sum(col("wgt") * col("cents")).as("boot_cents"))
+        .orderBy(col("r"))
+    }))
+
+  val sql: Map[String, String] = Map(
+
+    "agg_raking_ipf" -> """
+      WITH cells AS (
+        SELECT c.c_mktsegment AS seg, r.r_name AS region,
+               count(*) AS cnt
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+      ), w0 AS (
+        SELECT seg, region, cnt, CAST(cnt AS DOUBLE) AS w FROM cells
+      ), w1 AS (
+        SELECT seg, region, cnt, w *
+          ((sum(w) OVER () / count(*) OVER ()
+            * count(*) OVER (PARTITION BY seg))
+           / sum(w) OVER (PARTITION BY seg)) AS w
+        FROM w0
+      ), w2 AS (
+        SELECT seg, region, cnt, w *
+          ((sum(w) OVER () / count(*) OVER ()
+            * count(*) OVER (PARTITION BY region))
+           / sum(w) OVER (PARTITION BY region)) AS w
+        FROM w1
+      ), w3 AS (
+        SELECT seg, region, cnt, w *
+          ((sum(w) OVER () / count(*) OVER ()
+            * count(*) OVER (PARTITION BY seg))
+           / sum(w) OVER (PARTITION BY seg)) AS w
+        FROM w2
+      ), w4 AS (
+        SELECT seg, region, cnt, w *
+          ((sum(w) OVER () / count(*) OVER ()
+            * count(*) OVER (PARTITION BY region))
+           / sum(w) OVER (PARTITION BY region)) AS w
+        FROM w3
+      )
+      SELECT seg, region, cnt, round(w, 6) AS w FROM w4""",
+
+    "ml_quantile_normalize" -> """
+      WITH docs AS (
+        SELECT doc_id, source, n_chars FROM documents
+      ), src_cdf AS (
+        SELECT source, n_chars,
+               sum(n_v) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+               sum(n_v) OVER (PARTITION BY source) AS n_s
+        FROM (SELECT source, n_chars, count(*) AS n_v
+              FROM docs GROUP BY 1, 2)
+      ), pool_cdf AS (
+        SELECT w,
+               sum(n_w) OVER (ORDER BY w) AS cum_p,
+               sum(n_w) OVER () AS n_p
+        FROM (SELECT n_chars AS w, count(*) AS n_w FROM docs GROUP BY 1)
+      ), mapping AS (
+        SELECT s.source, s.n_chars, min(p.w) AS qnorm
+        FROM src_cdf s JOIN pool_cdf p
+          ON p.cum_p * s.n_s >= s.cum_s * p.n_p
+        GROUP BY s.source, s.n_chars
+      )
+      SELECT d.doc_id, d.source, d.n_chars, m.qnorm
+      FROM docs d JOIN mapping m
+        ON m.source = d.source AND m.n_chars = d.n_chars""",
+
+    "agg_poisson_bootstrap" -> """
+      WITH reps AS (
+        SELECT l_orderkey AS ok, l_linenumber AS ln,
+               CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
+               unnest(generate_series(0, 15)) AS r
+        FROM lineitem
+      ), drawn AS (
+        SELECT r, cents,
+               CAST(('0x' || substr(md5('boot' || r || ':' || ok || ':' || ln),
+                                    1, 8)) AS BIGINT) AS u32
+        FROM reps
+      ), weighted AS (
+        SELECT r, cents,
+               CASE WHEN u32 < 1580030168 THEN 0
+                    WHEN u32 < 3160060337 THEN 1
+                    WHEN u32 < 3950075421 THEN 2
+                    WHEN u32 < 4213413783 THEN 3
+                    WHEN u32 < 4279248373 THEN 4
+                    ELSE 5 END AS wgt
+        FROM drawn
+      )
+      SELECT r, CAST(sum(wgt) AS BIGINT) AS n_eff,
+             CAST(sum(wgt * cents) AS BIGINT) AS boot_cents
+      FROM weighted
+      GROUP BY r ORDER BY r"""
+  )
+}

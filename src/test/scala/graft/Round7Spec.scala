@@ -32,6 +32,62 @@ class Round7Spec extends AnyFunSuite {
     assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9, s"assortativity $r")
   }
 
+  test("agg_raking_ipf: final sweep pins region margins to uniform") {
+    val rows = SparkEntry.queries("agg_raking_ipf")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val total = rows.map(_._4).sum
+    val regions = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    regions.foreach { case (reg, m) =>
+      assert(math.abs(m - total / regions.size) < 1e-4 * total,
+        s"region $reg margin $m vs ${total / regions.size}")
+    }
+    // segment margins converge toward uniform (within 2% after 2 sweeps)
+    val segs = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    segs.foreach { case (seg, m) =>
+      assert(math.abs(m - total / segs.size) < 0.02 * total, s"segment $seg")
+    }
+    // raking preserves the grand total
+    assert(math.abs(total - rows.map(_._3).sum.toDouble) < 1e-6 * total)
+  }
+
+  test("ml_quantile_normalize is monotone and lands on pooled values") {
+    val rows = SparkEntry.queries("ml_quantile_normalize")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val pooled = rows.map(_._2).toSet // qnorm targets come from the pool
+    rows.foreach { case (_, _, q) => assert(pooled.contains(q)) }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val m = rs.map(t => t._2 -> t._3).distinct.sortBy(_._1)
+      m.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (v1, q1) = pair(0); val (v2, q2) = pair(1)
+        assert(q1 <= q2, s"$src: qnorm not monotone at $v1->$v2 ($q1, $q2)")
+      }
+      // the per-source maximum maps to the pooled maximum
+      assert(m.last._2 == rows.map(_._2).max, s"$src max mapping")
+    }
+  }
+
+  test("agg_poisson_bootstrap replicates center on the true total") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count()
+    val totalCents = li.selectExpr(
+      "sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS s")
+      .collect()(0).getLong(0)
+    val reps = SparkEntry.queries("agg_poisson_bootstrap")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(reps.length == 16)
+    reps.foreach { case (r, nEff, cents) =>
+      // Poisson(1) row weights: n_eff ~ N ± ~6·sqrt(N)
+      assert(math.abs(nEff - n) < 6 * math.sqrt(n.toDouble) + 10,
+        s"replicate $r n_eff $nEff vs $n")
+      assert(math.abs(cents - totalCents).toDouble <
+        0.05 * totalCents + 1e7, s"replicate $r sum")
+    }
+    // determinism: replicate sums must differ from each other (hash draw
+    // is per (replicate, row))
+    assert(reps.map(_._3).distinct.length > 8)
+  }
+
   test("llm_random_projection matches local recomputation, signs balanced") {
     val got = SparkEntry.queries("llm_random_projection")(spark, sf)
       .collect()
