@@ -353,6 +353,24 @@ object TextOps {
     // vocabulary head: exact token top-k (vocab-truncation building block).
     // word_shingles(text, 1) = the tokenizer itself; one partial+final agg
     // then a tiny global top-k — the TakeOrdered shape, no full sort.
+    // inverted index construction — the IR/RAG building block: one
+    // (token, doc) aggregate then a per-token fold into a SORTED posting
+    // list (array of (doc_id, tf) structs). Postings are data, not a
+    // driver structure: the index is itself a DataFrame, partitionable
+    // and joinable (this is how llm_bm25-style scoring would shard at
+    // 100 TB — postings co-partitioned by token).
+    "llm_inverted_index" -> ((s, d) => {
+      val tf = spread(t(s, d, "documents"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+            .as("postings"))
+        .filter(col("df") >= 5)
+        .orderBy(col("tok")).limit(200)
+    }),
+
     // Good-Turing count-of-counts smoothing table: r* = (r+1)·N_{r+1}/N_r
     // over the corpus unigram counts — the LM-smoothing statistic as two
     // aggregations and one shifted self-join. Every input to the ratio is
@@ -1004,6 +1022,22 @@ object TextOps {
              list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                / CAST(len(toks) AS DOUBLE) AS mean_token_len
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""",
+
+    "llm_inverted_index" -> """
+      WITH tf AS (
+        SELECT tok, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+      )
+      SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+             list(struct_pack(doc_id := doc_id, tf := tf)
+                  ORDER BY doc_id) AS postings
+      FROM tf
+      GROUP BY tok
+      HAVING count(*) >= 5
+      ORDER BY tok
+      LIMIT 200""",
 
     "llm_good_turing" -> """
       WITH cnt AS (

@@ -391,6 +391,36 @@ object EventsBatch {
           count(lit(1)).as("n_hours"))
     }),
 
+    // classical seasonal decomposition (moving-average flavor): per-type
+    // hourly counts split into trend (centered 25-hour MA — exact: a sum
+    // of 25 bigints divided by 25.0), hour-of-day seasonal component
+    // (mean detrended value, centered to sum ~0 per type), and residual.
+    // All windows run over the HOURLY aggregate — bounded by the time
+    // range, never the raw event rate.
+    "evt_decompose" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val wMa = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-12, 12)
+      val trended = hourly
+        .withColumn("wn", count(lit(1)).over(wMa))
+        .withColumn("trend", sum(col("n")).over(wMa).cast("double") / 25.0)
+        .filter(col("wn") === 25) // only fully-windowed interior hours
+        .withColumn("detr", col("n").cast("double") - col("trend"))
+        .withColumn("hod", hour(col("hr")))
+      val wHod = Window.partitionBy(col("event_type"), col("hod"))
+      val wType = Window.partitionBy(col("event_type"))
+      trended
+        .withColumn("seas_raw", avg(col("detr")).over(wHod))
+        .withColumn("seasonal",
+          col("seas_raw") - avg(col("seas_raw")).over(wType))
+        .select(col("event_type"), col("hr"), col("n"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("detr") - col("seasonal"), 6).as("resid"))
+    }),
+
     // trailing-window anomaly detection: each (type, hour) bucket scores
     // against the mean/stddev of its own trailing 24 buckets (ROWS frame
     // excludes the current row, so a spike can't mask itself). One
@@ -1025,6 +1055,34 @@ object EventsBatch {
                 sqrt(p.p_pool * (1.0 - p.p_pool) *
                      (1.0 / p.u0 + 1.0 / p.u1))) END AS z_stat
       FROM variants v CROSS JOIN pooled p""",
+
+    "evt_decompose" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ), trended AS (
+        SELECT event_type, hr, n,
+               CAST(sum(n) OVER w AS DOUBLE) / 25.0 AS trend,
+               count(*) OVER w AS wn
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+      ), detr AS (
+        SELECT event_type, hr, n, trend,
+               CAST(n AS DOUBLE) - trend AS detr,
+               CAST(hour(hr) AS BIGINT) AS hod
+        FROM trended WHERE wn = 25
+      ), seas AS (
+        SELECT *, avg(detr) OVER (PARTITION BY event_type, hod) AS seas_raw
+        FROM detr
+      )
+      SELECT event_type, hr, n,
+             round(trend, 6) AS trend,
+             round(seas_raw - avg(seas_raw) OVER (PARTITION BY event_type), 6)
+               AS seasonal,
+             round(detr - (seas_raw
+               - avg(seas_raw) OVER (PARTITION BY event_type)), 6) AS resid
+      FROM seas""",
 
     "evt_trend" -> """
       WITH hourly AS (

@@ -409,7 +409,12 @@ class PlanAuditSpec extends AnyFunSuite
       // Naive Bayes scoring fans every test token out to the |classes|
       // rows (= label domain, 5 here) — the broadcast side is bounded
       // by the class vocabulary, never the data
-      "ml_naive_bayes")
+      "ml_naive_bayes", "ml_confusion",
+      // quantile-normalize's cdf_pool >= cdf_src candidate join runs
+      // between two VALUE-DOMAIN CDF tables (bounded by the distinct
+      // value count, never row count); the per-doc application join is
+      // an equi-join
+      "ml_quantile_normalize")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)

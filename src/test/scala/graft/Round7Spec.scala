@@ -88,6 +88,34 @@ class Round7Spec extends AnyFunSuite {
     assert(reps.map(_._3).distinct.length > 8)
   }
 
+  test("evt_decompose recomposes: trend + seasonal + resid = n") {
+    val rows = SparkEntry.queries("evt_decompose")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      val sum = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(sum - n) < 1e-4, s"recompose $sum vs $n")
+    }
+    // seasonal component is centered per type (sums to ~0 over rows)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val mean = rs.map(_.getDouble(4)).sum / rs.length
+      assert(math.abs(mean) < 1e-3, s"$tpe seasonal mean $mean")
+    }
+  }
+
+  test("llm_inverted_index postings are sorted and reconcile with df/cf") {
+    val rows = SparkEntry.queries("llm_inverted_index")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1); val cf = r.getLong(2)
+      val postings = r.getSeq[org.apache.spark.sql.Row](3)
+      assert(postings.length == df)
+      assert(cf == postings.map(_.getLong(1)).sum)
+      assert(postings.map(_.getLong(0)) == postings.map(_.getLong(0)).sorted)
+      assert(postings.map(_.getLong(0)).distinct.length == postings.length)
+    }
+  }
+
   test("llm_random_projection matches local recomputation, signs balanced") {
     val got = SparkEntry.queries("llm_random_projection")(spark, sf)
       .collect()
