@@ -102,6 +102,42 @@ object Resampling {
         .select(col("doc_id"), col("source"), col("n_chars"), col("qnorm"))
     }),
 
+    // Laplace-mechanism noisy counts (the differential-privacy release
+    // shape, ε = 0.5 ⇒ scale b = 2): noise = −b·sign(u−½)·ln(1−2|u−½|)
+    // with u a PORTABLE md5 uniform per group, shifted to (0,1) so the
+    // inverse CDF never sees 0 — the identical double reaches ln() on
+    // both engines and the release is reproducible. Counts are one
+    // aggregate; the noise is row-local on the |priority| result rows.
+    "etl_dp_counts" -> ((s, d) => {
+      val cnt = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("cnt"))
+      val hv = conv(substring(md5(concat(lit("dp:"), col("priority"))),
+        1, 8), 16, 10).cast("bigint")
+      val u = (hv.cast("double") + 0.5) / 4294967296.0
+      val noise = lit(-2.0) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      cnt.withColumn("noisy", round(col("cnt") + noise, 6))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    // per-row key = ln(u)/w on the portable md5 uniform, global top-50
+    // by (rounded key, doc_id). One scan + a TakeOrdered — the
+    // distributed one-pass weighted sampler (no per-partition state, no
+    // second pass); rounding the key to 12 decimals keeps the cut line
+    // engine-exact.
+    "llm_weighted_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val hv = conv(substring(md5(concat(lit("ws:"), col("doc_id"))),
+        1, 8), 16, 10).cast("bigint")
+      val u = (hv.cast("double") + 0.5) / 4294967296.0
+      docs
+        .withColumn("skey", round(log(u) / col("n_chars").cast("double"), 12))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // 16 deterministic Poisson-bootstrap replicates of total revenue
     // (cents): weight_r(row) = Poisson(1) inverse CDF at the portable
     // md5 uniform of (replicate, order, line). Exact bigints end-to-end.
@@ -189,6 +225,30 @@ object Resampling {
       SELECT d.doc_id, d.source, d.n_chars, m.qnorm
       FROM docs d JOIN mapping m
         ON m.source = d.source AND m.n_chars = d.n_chars""",
+
+    "etl_dp_counts" -> """
+      WITH cnt AS (
+        SELECT o_orderpriority AS priority, count(*) AS cnt
+        FROM orders GROUP BY 1
+      ), drawn AS (
+        SELECT priority, cnt,
+               (CAST(('0x' || substr(md5('dp:' || priority), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM cnt
+      )
+      SELECT priority, cnt,
+             round(cnt + (-2.0) * sign(u - 0.5)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy
+      FROM drawn""",
+
+    "llm_weighted_sample" -> """
+      SELECT doc_id, n_chars,
+             round(ln((CAST(('0x' || substr(md5('ws:' || doc_id), 1, 8))
+                            AS BIGINT) + 0.5) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 12) AS skey
+      FROM documents
+      ORDER BY skey DESC, doc_id
+      LIMIT 50""",
 
     "agg_poisson_bootstrap" -> """
       WITH reps AS (

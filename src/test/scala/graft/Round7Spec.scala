@@ -116,6 +116,36 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("etl_dp_counts noise is Laplace-shaped and reproducible") {
+    val a = SparkEntry.queries("etl_dp_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val b = SparkEntry.queries("etl_dp_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b)) // deterministic release
+    a.foreach { case (p, cnt, noisy) =>
+      val noise = noisy - cnt
+      // Laplace(b=2): |noise| < b·ln(2^31) ≈ 43 with certainty here
+      assert(math.abs(noise) < 45.0, s"$p noise $noise")
+      assert(noise != 0.0)
+    }
+  }
+
+  test("llm_weighted_sample favors heavy documents (E-S key law)") {
+    val sample = SparkEntry.queries("llm_weighted_sample")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sample.length == 50)
+    // keys sorted descending, all negative (ln u < 0)
+    assert(sample.map(_._3).toSeq == sample.map(_._3).sortBy(-_).toSeq)
+    sample.foreach { case (_, _, k) => assert(k < 0.0) }
+    // inclusion probability rises with weight: the sampled docs' mean
+    // length exceeds the corpus mean
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).collect()(0)
+      .getDouble(0)
+    val sampleMean = sample.map(_._2).sum.toDouble / sample.length
+    assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
+  }
+
   test("llm_random_projection matches local recomputation, signs balanced") {
     val got = SparkEntry.queries("llm_random_projection")(spark, sf)
       .collect()
