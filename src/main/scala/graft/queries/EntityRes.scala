@@ -97,6 +97,26 @@ object EntityRes {
       val verts = records(s, d).select(col("rid").as("doc_id"))
       graft.llm.Dedup.connectedComponentsFast(verts, pairs)
         .select(col("doc_id").as("rid"), col("label").as("cluster"))
+    }),
+
+    // Survivorship: fold each cluster into its golden record — canonical
+    // name = the name of the label record (the CC label IS a member rid,
+    // so canonicalization is one equi-join, no argmin over the cluster),
+    // plus member count and the sorted member list.
+    "er_survivorship" -> ((s, d) => {
+      val pairs = matchPairs(s, d)
+        .select(col("rid_a").as("doc1"), col("rid_b").as("doc2"))
+      val recs = records(s, d).localCheckpoint(eager = false)
+      val cl = graft.llm.Dedup.connectedComponentsFast(
+          recs.select(col("rid").as("doc_id")), pairs)
+        .select(col("doc_id").as("rid"), col("label").as("cluster"))
+      cl.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sort_array(collect_list(col("rid"))).as("members"))
+        .join(recs.select(col("rid").as("cluster"),
+          col("name").as("canonical")), Seq("cluster"))
+        .select(col("cluster"), col("canonical"), col("n_members"),
+          col("members"))
     }))
 
   // concat(...) instead of the || operator: these fragments are re-run
@@ -148,5 +168,22 @@ object EntityRes {
         |    UNION
         |    SELECT bi.d, r.lbl FROM reach r JOIN bi ON bi.s = r.node)
         |SELECT node AS rid, min(lbl) AS cluster
-        |FROM reach GROUP BY node""".stripMargin)
+        |FROM reach GROUP BY node""".stripMargin,
+
+    "er_survivorship" ->
+      s"""WITH RECURSIVE $pairsSql,
+        |  bi AS (SELECT rid_a AS s, rid_b AS d FROM pairs
+        |         UNION ALL SELECT rid_b, rid_a FROM pairs),
+        |  reach(node, lbl) AS (
+        |    SELECT rid, rid FROM records
+        |    UNION
+        |    SELECT bi.d, r.lbl FROM reach r JOIN bi ON bi.s = r.node),
+        |  cl AS (SELECT node AS rid, min(lbl) AS cluster
+        |         FROM reach GROUP BY node),
+        |  folded AS (
+        |    SELECT cluster, count(*) AS n_members,
+        |           list(rid ORDER BY rid) AS members
+        |    FROM cl GROUP BY cluster)
+        |SELECT f.cluster, r.name AS canonical, f.n_members, f.members
+        |FROM folded f JOIN records r ON r.rid = f.cluster""".stripMargin)
 }

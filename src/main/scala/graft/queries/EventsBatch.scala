@@ -391,6 +391,30 @@ object EventsBatch {
           count(lit(1)).as("n_hours"))
     }),
 
+    // seasonal-naive forecast backtest: predict each of the final 24
+    // hours as the count 24 hours earlier, then score MAE and sMAPE per
+    // type. Counts are exact ints, so MAE is an exact ratio; the only
+    // FP accumulation is the 24-term sMAPE sum (round-6 safe).
+    "evt_forecast_backtest" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // test leg + lag leg + horizon
+      val horizon = hourly.agg(max(col("hr")).as("hmax"))
+      val test = hourly.crossJoin(broadcast(horizon))
+        .filter(col("hr") > col("hmax") - expr("INTERVAL 24 HOURS"))
+        .withColumn("prev_hr", col("hr") - expr("INTERVAL 24 HOURS"))
+      test.join(hourly.select(col("event_type"),
+          col("hr").as("prev_hr"), col("n").as("f")),
+          Seq("event_type", "prev_hr"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(sum(abs(col("n") - col("f"))).cast("double")
+            / count(lit(1)).cast("double"), 6).as("mae"),
+          round(avg(lit(2.0) * abs(col("n") - col("f")).cast("double")
+            / (col("n") + col("f")).cast("double")), 6).as("smape"))
+    }),
+
     // classical seasonal decomposition (moving-average flavor): per-type
     // hourly counts split into trend (centered 25-hour MA — exact: a sum
     // of 25 bigints divided by 25.0), hour-of-day seasonal component
@@ -1055,6 +1079,27 @@ object EventsBatch {
                 sqrt(p.p_pool * (1.0 - p.p_pool) *
                      (1.0 / p.u0 + 1.0 / p.u1))) END AS z_stat
       FROM variants v CROSS JOIN pooled p""",
+
+    "evt_forecast_backtest" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ), horizon AS (
+        SELECT max(hr) AS hmax FROM hourly
+      ), test AS (
+        SELECT h.event_type, h.hr, h.n,
+               h.hr - INTERVAL 24 HOURS AS prev_hr
+        FROM hourly h, horizon
+        WHERE h.hr > hmax - INTERVAL 24 HOURS
+      )
+      SELECT t.event_type, count(*) AS n_hours,
+             round(CAST(sum(abs(t.n - p.n)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS mae,
+             round(avg(2.0 * CAST(abs(t.n - p.n) AS DOUBLE)
+                   / CAST(t.n + p.n AS DOUBLE)), 6) AS smape
+      FROM test t
+      JOIN hourly p ON p.event_type = t.event_type AND p.hr = t.prev_hr
+      GROUP BY t.event_type""",
 
     "evt_decompose" -> """
       WITH hourly AS (

@@ -32,6 +32,32 @@ object Hypothesis {
 
   val defs: Map[String, Q] = Map(
 
+    // Hill tail-index estimator over order totals: γ = mean ln(x_i/x_(k+1))
+    // on the top-k order statistics, α = 1/γ. The top-(k+1) set comes from
+    // ONE TakeOrdered with a full tiebreak (value desc, orderkey) — the
+    // VALUE multiset is deterministic even under ties, and values are
+    // exact cents so the only FP is the 200-term ln sum (round-6 safe).
+    // Pairs with llm_zipf_slope as the heavy-tail diagnostic family.
+    "agg_tail_index" -> ((s, d) => {
+      val k = 200
+      val top = t(s, d, "orders")
+        .select(round(col("o_totalprice") * 100).cast("bigint").as("v"),
+          col("o_orderkey"))
+        .orderBy(col("v").desc, col("o_orderkey"))
+        .limit(k + 1)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("v").desc, col("o_orderkey"))))
+      val xk1 = top.filter(col("rnk") === k + 1)
+        .select(col("v").as("vk"))
+      top.filter(col("rnk") <= k)
+        .crossJoin(broadcast(xk1))
+        .agg(round(avg(log(col("v").cast("double") / col("vk").cast("double"))),
+          6).as("gamma"),
+          round(lit(1.0) / avg(log(col("v").cast("double")
+            / col("vk").cast("double"))), 6).as("alpha"),
+          max(col("vk")).as("x_k1"))
+    }),
+
     // Mann-Whitney U on l_extendedprice, 'A' returns vs 'R' returns.
     // Group by exact cent value first (the rank of a value depends only
     // on the counts below it), then ONE distributed prefix sum gives
@@ -244,6 +270,25 @@ object Hypothesis {
   )
 
   val sql: Map[String, String] = Map(
+
+    "agg_tail_index" -> """
+      WITH top AS (
+        SELECT v, row_number() OVER (ORDER BY v DESC, o_orderkey) AS rnk
+        FROM (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+                     o_orderkey
+              FROM orders
+              ORDER BY v DESC, o_orderkey
+              LIMIT 201)
+      ), xk1 AS (
+        SELECT v AS vk FROM top WHERE rnk = 201
+      )
+      SELECT round(avg(ln(CAST(t.v AS DOUBLE) / CAST(x.vk AS DOUBLE))), 6)
+               AS gamma,
+             round(1.0 / avg(ln(CAST(t.v AS DOUBLE) / CAST(x.vk AS DOUBLE))), 6)
+               AS alpha,
+             max(x.vk) AS x_k1
+      FROM top t CROSS JOIN xk1 x
+      WHERE t.rnk <= 200""",
 
     "agg_mannwhitney" -> """
       WITH li AS (

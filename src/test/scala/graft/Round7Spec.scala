@@ -116,6 +116,42 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("er_survivorship folds clusters consistently") {
+    val rows = SparkEntry.queries("er_survivorship")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val clusters = SparkEntry.queries("er_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cl = r.getLong(0); val n = r.getLong(2)
+      val members = r.getSeq[Long](3)
+      assert(members.length == n)
+      assert(members.contains(cl))      // the label is a member
+      assert(members.min == cl)         // and it is the minimum rid
+      members.foreach(m => assert(clusters(m) == cl))
+    }
+    // every record lands in exactly one golden record
+    assert(rows.map(_.getLong(2)).sum == clusters.size)
+  }
+
+  test("evt_forecast_backtest scores are bounded and windows sized") {
+    val rows = SparkEntry.queries("evt_forecast_backtest")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 24)
+      assert(r.getDouble(2) >= 0.0)
+      val smape = r.getDouble(3)
+      assert(smape >= 0.0 && smape <= 2.0)
+    }
+  }
+
+  test("agg_tail_index: alpha inverts gamma, both positive") {
+    val r = SparkEntry.queries("agg_tail_index")(spark, sf).collect()(0)
+    val (gamma, alpha) = (r.getDouble(0), r.getDouble(1))
+    assert(gamma > 0.0 && alpha > 0.0)
+    assert(math.abs(alpha - 1.0 / gamma) < 1e-3 * alpha)
+  }
+
   test("etl_dp_counts noise is Laplace-shaped and reproducible") {
     val a = SparkEntry.queries("etl_dp_counts")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
