@@ -715,6 +715,29 @@ object Analytics {
             .as("at_risk_frac"))
     }),
 
+    // l-diversity audit — the companion to etl_k_anonymity: a QI group
+    // can be large (k-anonymous) yet expose its members if every row
+    // shares one sensitive value. l = distinct sensitive values per
+    // (nation, segment) group; summary mirrors the k-anon report shape.
+    "etl_l_diversity" -> ((s, d) => {
+      val g = t(s, d, "customer")
+        .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          floor(round(col("c_acctbal") * 100).cast("bigint") / 100000.0)
+            .cast("bigint").as("bal_band"))
+        .groupBy(col("nat"), col("seg"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("bal_band")).as("l"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).as("n_rows"),
+          min(col("l")).as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_groups_lt_3"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("n_rows_at_risk"))
+        .select(col("n_groups"), col("n_rows"), col("min_l"),
+          col("n_groups_lt_3"), col("n_rows_at_risk"),
+          round(col("n_rows_at_risk").cast("double")
+            / col("n_rows").cast("double"), 6).as("at_risk_frac"))
+    }),
+
     // Delete-one-group jackknife standard error of a ratio metric — the
     // error bar every dashboard ratio (avg order value here) needs but
     // a plain stddev can't give (the statistic is a ratio of sums, not
@@ -1307,6 +1330,26 @@ object Analytics {
       SELECT MIN(day) AS worst_day, CAST(COUNT(*) AS BIGINT) AS n_ties,
              ROUND(CAST(mx AS DOUBLE) / 100.0, 2) AS max_drawdown
       FROM dd, mx WHERE dd_u = mx GROUP BY mx""",
+
+    "etl_l_diversity" -> """
+      WITH g AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               count(*) AS n,
+               count(DISTINCT CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                 / 100000.0) AS BIGINT)) AS l
+        FROM customer
+        GROUP BY 1, 2
+      )
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(min(l) AS BIGINT) AS min_l,
+             CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_lt_3,
+             CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+             round(CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(n) AS DOUBLE), 6) AS at_risk_frac
+      FROM g""",
 
     "etl_k_anonymity" -> """
       WITH g AS (

@@ -253,6 +253,43 @@ object Scalars {
     // tree on both engines (the fn_trig precedent shows libm parity on
     // this data); only the emitted values are rounded. Everything is
     // scan-side — zero shuffles at any scale.
+    // point-in-polygon via ray casting: a point is inside iff a
+    // rightward ray crosses an odd number of polygon edges. The polygon
+    // (a concave hexagon) lives as a 6-row VALUES edge table — broadcast
+    // against the point stream, crossings summed per point; the
+    // crossing test is the textbook ((y1>py) != (y2>py)) AND
+    // px < x-at-py form, identical text on both engines. Horizontal
+    // edges divide by zero into ±Infinity, which the false first
+    // conjunct discards — no branch needed (IEEE, not ANSI-error, on
+    // double division in both engines).
+    "fn_point_in_polygon" -> ((s, d) => {
+      def frac(salt: String, span: Int): Column =
+        (conv(substring(md5(concat(lit(salt),
+          col("c_custkey").cast("string"))), 1, 6), 16, 10)
+          .cast("bigint") % span) / 10000.0
+      val pts = t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          (lit(40.2) + frac("pilat:", 12000)).as("py"),
+          (lit(-74.5) + frac("pilon:", 14000)).as("px"))
+      val edges = s.sql(
+        """SELECT * FROM VALUES
+          |  (-74.3D, 40.4D, -73.5D, 40.4D),
+          |  (-73.5D, 40.4D, -73.4D, 41.0D),
+          |  (-73.4D, 41.0D, -73.9D, 40.75D),
+          |  (-73.9D, 40.75D, -74.1D, 41.1D),
+          |  (-74.1D, 41.1D, -74.35D, 40.9D),
+          |  (-74.35D, 40.9D, -74.3D, 40.4D) AS t(x1, y1, x2, y2)"""
+          .stripMargin)
+      val crossing = ((col("y1") > col("py")) =!= (col("y2") > col("py"))) &&
+        (col("px") < (col("x2") - col("x1")) * (col("py") - col("y1"))
+          / (col("y2") - col("y1")) + col("x1"))
+      pts.crossJoin(broadcast(edges))
+        .groupBy(col("c_custkey"), col("px"), col("py"))
+        .agg(sum(when(crossing, 1L).otherwise(0L)).as("crossings"))
+        .select(col("c_custkey"), col("px"), col("py"), col("crossings"),
+          (pmod(col("crossings"), lit(2)) === 1).as("inside"))
+    }),
+
     "fn_geo" -> ((s, d) => {
       def deg(salt: String, span: Int): Column =
         (conv(substring(md5(concat(lit(salt),
@@ -794,6 +831,33 @@ object Scalars {
                AS hex_hash,
              printf('%-4s|', o_orderstatus) AS status_padded
       FROM orders WHERE o_orderkey <= 2000""",
+
+    "fn_point_in_polygon" -> """
+      WITH pts AS (
+        SELECT c_custkey,
+               40.2 + (CAST(('0x' || substr(md5('pilat:' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 12000) / 10000.0 AS py,
+               -74.5 + (CAST(('0x' || substr(md5('pilon:' || CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 14000) / 10000.0 AS px
+        FROM customer WHERE c_custkey <= 500
+      ), edges AS (
+        SELECT * FROM (VALUES
+          (-74.3, 40.4, -73.5, 40.4),
+          (-73.5, 40.4, -73.4, 41.0),
+          (-73.4, 41.0, -73.9, 40.75),
+          (-73.9, 40.75, -74.1, 41.1),
+          (-74.1, 41.1, -74.35, 40.9),
+          (-74.35, 40.9, -74.3, 40.4)) AS t(x1, y1, x2, y2)
+      ), crossed AS (
+        SELECT p.c_custkey, p.px, p.py,
+               sum(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                         AND (p.px < (e.x2 - e.x1) * (p.py - e.y1)
+                                     / (e.y2 - e.y1) + e.x1)
+                   THEN 1 ELSE 0 END) AS crossings
+        FROM pts p CROSS JOIN edges e
+        GROUP BY 1, 2, 3
+      )
+      SELECT c_custkey, px, py, CAST(crossings AS BIGINT) AS crossings,
+             crossings % 2 = 1 AS inside
+      FROM crossed""",
 
     "fn_geo" -> """
       WITH pts AS (

@@ -152,6 +152,48 @@ class Round7Spec extends AnyFunSuite {
     assert(math.abs(alpha - 1.0 / gamma) < 1e-3 * alpha)
   }
 
+  test("fn_point_in_polygon agrees with a local ray-cast and bbox bound") {
+    val poly = Seq((-74.3, 40.4), (-73.5, 40.4), (-73.4, 41.0),
+      (-73.9, 40.75), (-74.1, 41.1), (-74.35, 40.9))
+    def inside(px: Double, py: Double): Boolean = {
+      var c = 0
+      for (i <- poly.indices) {
+        val (x1, y1) = poly(i)
+        val (x2, y2) = poly((i + 1) % poly.length)
+        if (((y1 > py) != (y2 > py)) &&
+          px < (x2 - x1) * (py - y1) / (y2 - y1) + x1) c += 1
+      }
+      c % 2 == 1
+    }
+    val rows = SparkEntry.queries("fn_point_in_polygon")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var nIn = 0
+    rows.foreach { r =>
+      val (px, py, in) = (r.getDouble(1), r.getDouble(2), r.getBoolean(4))
+      assert(in == inside(px, py), s"point ($px, $py)")
+      if (in) {
+        nIn += 1
+        // every inside point is inside the polygon's bounding box
+        assert(px >= -74.35 && px <= -73.4 && py >= 40.4 && py <= 41.1)
+      }
+    }
+    assert(nIn > 0, "fixture should place some points inside")
+  }
+
+  test("etl_l_diversity reconciles with a direct distinct count") {
+    val r = SparkEntry.queries("etl_l_diversity")(spark, sf).collect()(0)
+    val (nGroups, nRows, minL) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    assert(nRows == cust.count())
+    val brute = cust.selectExpr("c_nationkey", "c_mktsegment",
+        "CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT) / 100000.0) AS BIGINT) AS b")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(org.apache.spark.sql.functions.countDistinct("b").as("l"))
+      .collect()
+    assert(nGroups == brute.length)
+    assert(minL == brute.map(_.getLong(2)).min)
+  }
+
   test("etl_dp_counts noise is Laplace-shaped and reproducible") {
     val a = SparkEntry.queries("etl_dp_counts")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
