@@ -275,6 +275,55 @@ object Semantic {
           round(sum(col("lam")), 4).as("dsir_logw"))
     }),
 
+    // Distributed PCA on the embedding space via power iteration: the
+    // 64×64 covariance matrix is BUILT distributed (one pair-expanded
+    // aggregate over the corpus — the only data-sized job) and lives as
+    // a (i, j, c) DataFrame; each power-iteration step is then a
+    // join + group-by between the matrix and the 64-row vector, with a
+    // scalar-broadcast normalization. Covariance entries are rounded to
+    // 8 decimals BEFORE iterating, so both engines iterate the identical
+    // matrix and the 3-step trajectory cannot drift. Output: top
+    // eigenvalue (Rayleigh quotient) and its share of total variance.
+    "ml_power_iteration" -> ((s, d) => {
+      val xs = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+      val n = xs.groupBy().agg(
+        (count(lit(1)) / lit(64)).cast("double").as("n"))
+      val mu = xs.groupBy(col("i")).agg((sum(col("x"))).as("sx"))
+        .crossJoin(broadcast(n))
+        .select(col("i"), (col("sx") / col("n")).as("mu"))
+      val cov = xs.alias("a")
+        .join(xs.alias("b"), col("a.vec_id") === col("b.vec_id"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.x") * col("b.x")).as("sxy"))
+        .crossJoin(broadcast(n))
+        .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), Seq("i"))
+        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mj"))),
+          Seq("j"))
+        .select(col("i"), col("j"),
+          round(col("sxy") / col("n") - col("mi") * col("mj"), 8).as("c"))
+        .localCheckpoint(eager = false) // 3 iterations + trace read this
+      var v = mu.select(col("i"), lit(0.125).as("v")) // uniform unit start
+      for (_ <- 1 to 3) {
+        val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+          .groupBy(col("i")).agg(sum(col("c") * col("v")).as("w"))
+        val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("i"), (col("w") / col("nrm")).as("v"))
+      }
+      val cv = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("c") * col("v")).as("cv"))
+      val lambda = cv.join(v, Seq("i"))
+        .agg(sum(col("v") * col("cv")).as("l1"))
+      val trace = cov.filter(col("i") === col("j"))
+        .agg(sum(col("c")).as("tr"))
+      lambda.crossJoin(broadcast(trace))
+        .select(round(col("l1"), 4).as("lambda1"),
+          round(col("l1") / col("tr"), 6).as("evr"),
+          round(col("tr"), 4).as("trace"))
+    }),
+
     // Johnson-Lindenstrauss sign projection 64 → 8 dims. The sign matrix
     // is the quadratic-residue parity of m = 37·i + 101·j + 7 mod 97 —
     // pure integer arithmetic both engines reproduce exactly (no engine
@@ -434,6 +483,57 @@ object Semantic {
              round(sum(l.lam), 4) AS dsir_logw
       FROM toks t JOIN lam l ON t.f = l.f
       GROUP BY t.doc_id""",
+
+    "ml_power_iteration" -> """
+      WITH xs AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+      ), nn AS (
+        SELECT CAST(count(*) / 64 AS DOUBLE) AS n FROM xs
+      ), mu AS (
+        SELECT i, sum(x) / n AS mu FROM xs, nn GROUP BY i, n
+      ), sxy AS (
+        SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+        FROM xs a JOIN xs b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2
+      ), cov AS (
+        SELECT s.i, s.j, round(s.sxy / nn.n - ma.mu * mb.mu, 8) AS c
+        FROM sxy s
+        CROSS JOIN nn
+        JOIN mu ma ON ma.i = s.i
+        JOIN mu mb ON mb.i = s.j
+      ), v0 AS (
+        SELECT i, 0.125 AS v FROM mu
+      ), w1 AS (
+        SELECT c.i, sum(c.c * v.v) AS w FROM cov c
+        JOIN v0 v ON v.i = c.j GROUP BY c.i
+      ), v1 AS (
+        SELECT i, w / nrm AS v
+        FROM w1, (SELECT sqrt(sum(w*w)) AS nrm FROM w1)
+      ), w2 AS (
+        SELECT c.i, sum(c.c * v.v) AS w FROM cov c
+        JOIN v1 v ON v.i = c.j GROUP BY c.i
+      ), v2 AS (
+        SELECT i, w / nrm AS v
+        FROM w2, (SELECT sqrt(sum(w*w)) AS nrm FROM w2)
+      ), w3 AS (
+        SELECT c.i, sum(c.c * v.v) AS w FROM cov c
+        JOIN v2 v ON v.i = c.j GROUP BY c.i
+      ), v3 AS (
+        SELECT i, w / nrm AS v
+        FROM w3, (SELECT sqrt(sum(w*w)) AS nrm FROM w3)
+      ), cv AS (
+        SELECT c.i, sum(c.c * v.v) AS cv FROM cov c
+        JOIN v3 v ON v.i = c.j GROUP BY c.i
+      ), lam AS (
+        SELECT sum(v.v * cv.cv) AS l1 FROM v3 v JOIN cv ON cv.i = v.i
+      ), tr AS (
+        SELECT sum(c) AS tr FROM cov WHERE i = j
+      )
+      SELECT round(l1, 4) AS lambda1, round(l1 / tr, 6) AS evr,
+             round(tr, 4) AS trace
+      FROM lam, tr""",
 
     "llm_random_projection" -> """
       WITH xs AS (

@@ -224,6 +224,32 @@ class Round7Spec extends AnyFunSuite {
     assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
   }
 
+  test("ml_power_iteration replays against a local 3-step power method") {
+    val r = SparkEntry.queries("ml_power_iteration")(spark, sf).collect()(0)
+    val (l1, evr, tr) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(l1 > 0 && tr > 0 && evr > 0 && evr <= 1.0)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val n = vecs.length; val dim = 64
+    val mu = Array.tabulate(dim)(i => vecs.map(_(i).toDouble).sum / n)
+    val c = Array.tabulate(dim, dim) { (i, j) =>
+      math.rint((vecs.map(v => v(i).toDouble * v(j)).sum / n
+        - mu(i) * mu(j)) * 1e8) / 1e8
+    }
+    var v = Array.fill(dim)(0.125)
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val cv = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * v(j)).sum)
+    val lam = (0 until dim).map(i => v(i) * cv(i)).sum
+    val trace = (0 until dim).map(i => c(i)(i)).sum
+    assert(math.abs(l1 - lam) < 1e-3, s"$l1 vs $lam")
+    assert(math.abs(tr - trace) < 1e-3)
+  }
+
   test("llm_random_projection matches local recomputation, signs balanced") {
     val got = SparkEntry.queries("llm_random_projection")(spark, sf)
       .collect()
