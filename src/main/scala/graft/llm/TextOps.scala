@@ -353,6 +353,48 @@ object TextOps {
     // vocabulary head: exact token top-k (vocab-truncation building block).
     // word_shingles(text, 1) = the tokenizer itself; one partial+final agg
     // then a tiny global top-k — the TakeOrdered shape, no full sort.
+    // interpolated bigram language model: train on the 80% split
+    // (doc_id % 5 != 0), score held-out docs' perplexity under
+    // p(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·(c(w2)+1)/(N+V). Bigrams are
+    // a positional self-join on (doc, pos+1); training IS two count
+    // aggregates; scoring is two broadcast-able left joins against the
+    // count tables keyed on vocabulary. Unseen w1 zeroes the bigram
+    // term (CASE, no 0/0); the unigram back-off is Laplace-smoothed so
+    // the log never sees 0.
+    "llm_bigram_lm" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "w")))
+      val bi = toks.alias("a")
+        .join(toks.alias("b"), col("a.doc_id") === col("b.doc_id")
+          && col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"),
+          col("b.w").as("w2"))
+      val train = bi.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val cb = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cb"))
+      val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val trainTok = toks.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val cu = trainTok.groupBy(col("w").as("w2")).agg(count(lit(1)).as("cu"))
+      val consts = trainTok.agg(count(lit(1)).as("nn"),
+        count_distinct(col("w")).as("v"))
+      bi.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(cu, Seq("w2"), "left")
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"),
+          (-log(
+            lit(0.7) * when(coalesce(col("c1"), lit(0L)) > 0,
+              coalesce(col("cb"), lit(0L)).cast("double")
+                / col("c1").cast("double")).otherwise(lit(0.0))
+            + lit(0.3) * (coalesce(col("cu"), lit(0L)) + lit(1)).cast("double")
+                / (col("nn") + col("v")).cast("double"))).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(exp(avg(col("nll"))), 4).as("ppl"))
+    }),
+
     // inverted index construction — the IR/RAG building block: one
     // (token, doc) aggregate then a per-token fold into a SORTED posting
     // list (array of (doc_id, tf) structs). Postings are data, not a
@@ -1022,6 +1064,46 @@ object TextOps {
              list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                / CAST(len(toks) AS DOUBLE) AS mean_token_len
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""",
+
+    "llm_bigram_lm" -> """
+      WITH toks AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+      ), bi AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      ), train AS (
+        SELECT * FROM bi WHERE doc_id % 5 <> 0
+      ), cb AS (
+        SELECT w1, w2, count(*) AS cb FROM train GROUP BY 1, 2
+      ), c1 AS (
+        SELECT w1, count(*) AS c1 FROM train GROUP BY 1
+      ), train_tok AS (
+        SELECT * FROM toks WHERE doc_id % 5 <> 0
+      ), cu AS (
+        SELECT w AS w2, count(*) AS cu FROM train_tok GROUP BY 1
+      ), consts AS (
+        SELECT count(*) AS nn, count(DISTINCT w) AS v FROM train_tok
+      ), scored AS (
+        SELECT t.doc_id,
+               -ln(0.7 * (CASE WHEN coalesce(c1.c1, 0) > 0
+                     THEN CAST(coalesce(cb.cb, 0) AS DOUBLE)
+                          / CAST(c1.c1 AS DOUBLE)
+                     ELSE 0.0 END)
+                   + 0.3 * CAST(coalesce(cu.cu, 0) + 1 AS DOUBLE)
+                         / CAST(s.nn + s.v AS DOUBLE)) AS nll
+        FROM bi t
+        LEFT JOIN cb ON cb.w1 = t.w1 AND cb.w2 = t.w2
+        LEFT JOIN c1 ON c1.w1 = t.w1
+        LEFT JOIN cu ON cu.w2 = t.w2
+        CROSS JOIN consts s
+        WHERE t.doc_id % 5 = 0
+      )
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(exp(avg(nll)), 4) AS ppl
+      FROM scored GROUP BY doc_id""",
 
     "llm_inverted_index" -> """
       WITH tf AS (

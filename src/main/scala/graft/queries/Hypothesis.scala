@@ -58,6 +58,40 @@ object Hypothesis {
           max(col("vk")).as("x_k1"))
     }),
 
+    // Mann-Kendall trend test per event type over the daily count
+    // series: S = Σ_{i<j} sign(n_j − n_i) — an EXACT integer from the
+    // pair self-join over the bounded daily aggregate (|days|² pairs,
+    // never raw events) — with the tie-corrected variance
+    // (m(m−1)(2m+5) − Σ t(t−1)(2t+5))/18 and the continuity-corrected
+    // z. The nonparametric companion to evt_trend's least-squares slope.
+    "evt_mann_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // pair join + tie groups + m
+      val pairs = daily.alias("a")
+        .join(daily.alias("b"), col("a.event_type") === col("b.event_type")
+          && col("a.dy") < col("b.dy"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(signum(col("b.n") - col("a.n")).cast("bigint")).as("s"))
+      val ties = daily.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"),
+          sum(col("t")).as("m"))
+      pairs.join(ties, Seq("event_type"))
+        .select(col("event_type"), col("s"), col("m"),
+          ((col("m") * (col("m") - 1) * (col("m") * 2 + 5) - col("tsum"))
+            .cast("double") / 18.0).as("var_s"))
+        .select(col("event_type"), col("s"), col("m"),
+          round(col("var_s"), 6).as("var_s"),
+          round(when(col("s") > 0,
+              (col("s") - 1).cast("double") / sqrt(col("var_s")))
+            .when(col("s") < 0,
+              (col("s") + 1).cast("double") / sqrt(col("var_s")))
+            .otherwise(0.0), 6).as("z"))
+    }),
+
     // Mann-Whitney U on l_extendedprice, 'A' returns vs 'R' returns.
     // Group by exact cent value first (the rank of a value depends only
     // on the counts below it), then ONE distributed prefix sum gives
@@ -270,6 +304,35 @@ object Hypothesis {
   )
 
   val sql: Map[String, String] = Map(
+
+    "evt_mann_kendall" -> """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS dy, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ), pairs AS (
+        SELECT a.event_type,
+               CAST(sum(sign(b.n - a.n)) AS BIGINT) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.dy < b.dy
+        GROUP BY a.event_type
+      ), ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum,
+               CAST(sum(t) AS BIGINT) AS m
+        FROM (SELECT event_type, n, count(*) AS t
+              FROM daily GROUP BY 1, 2)
+        GROUP BY event_type
+      ), scored AS (
+        SELECT p.event_type, p.s, t.m,
+               CAST(t.m * (t.m - 1) * (2 * t.m + 5) - t.tsum AS DOUBLE)
+                 / 18.0 AS var_s
+        FROM pairs p JOIN ties t ON t.event_type = p.event_type
+      )
+      SELECT event_type, s, m, round(var_s, 6) AS var_s,
+             round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                        ELSE 0.0 END, 6) AS z
+      FROM scored""",
 
     "agg_tail_index" -> """
       WITH top AS (

@@ -224,6 +224,37 @@ class Round7Spec extends AnyFunSuite {
     assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
   }
 
+  test("evt_mann_kendall: S bounded by pair count, z sign follows S") {
+    val rows = SparkEntry.queries("evt_mann_kendall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s_, m, varS, z) = (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))
+      assert(math.abs(s_) <= m * (m - 1) / 2)
+      assert(varS > 0)
+      assert(z.sign == s_.sign.toDouble || s_ == 0 && z == 0.0)
+      val expect =
+        if (s_ > 0) (s_ - 1).toDouble / math.sqrt(varS)
+        else if (s_ < 0) (s_ + 1).toDouble / math.sqrt(varS)
+        else 0.0
+      assert(math.abs(z - expect) < 1e-4, s"${r.getString(0)}")
+    }
+  }
+
+  test("llm_bigram_lm: held-out only, ppl above 1, bigram counts sane") {
+    val rows = SparkEntry.queries("llm_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, nb, ppl) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(id % 5 == 0, "train doc leaked into scoring")
+      assert(nb == toks(id) - 1, s"doc $id bigrams $nb vs ${toks(id) - 1}")
+      assert(ppl > 1.0)
+    }
+  }
+
   test("ml_power_iteration replays against a local 3-step power method") {
     val r = SparkEntry.queries("ml_power_iteration")(spark, sf).collect()(0)
     val (l1, evr, tr) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
