@@ -47,8 +47,10 @@ object Hypothesis {
         .limit(k + 1)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("v").desc, col("o_orderkey"))))
-      val xk1 = top.filter(col("rnk") === k + 1)
-        .select(col("v").as("vk"))
+      // x_(k+1) = min over the top-(k+1) set — a grouping-less aggregate
+      // (scalar broadcast), not a row filter, so the cross join's build
+      // side is provably one row
+      val xk1 = top.agg(min(col("v")).as("vk"))
       top.filter(col("rnk") <= k)
         .crossJoin(broadcast(xk1))
         .agg(round(avg(log(col("v").cast("double") / col("vk").cast("double"))),
@@ -343,7 +345,7 @@ object Hypothesis {
               ORDER BY v DESC, o_orderkey
               LIMIT 201)
       ), xk1 AS (
-        SELECT v AS vk FROM top WHERE rnk = 201
+        SELECT min(v) AS vk FROM top
       )
       SELECT round(avg(ln(CAST(t.v AS DOUBLE) / CAST(x.vk AS DOUBLE))), 6)
                AS gamma,

@@ -414,7 +414,11 @@ class PlanAuditSpec extends AnyFunSuite
       // between two VALUE-DOMAIN CDF tables (bounded by the distinct
       // value count, never row count); the per-doc application join is
       // an equi-join
-      "ml_quantile_normalize")
+      "ml_quantile_normalize",
+      // ray casting broadcasts the polygon EDGE TABLE (a 6-row literal
+      // VALUES relation — bounded by the polygon, not the data) against
+      // the point stream
+      "fn_point_in_polygon")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
