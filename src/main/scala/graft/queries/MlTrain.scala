@@ -291,6 +291,56 @@ object MlTrain {
             .cast("double") / count(lit(1)).cast("double"), 6).as("obs_rate"))
     }),
 
+    // 5-fold cross-validation of the OLS model WITHOUT retraining scans:
+    // per-fold moment sums come from ONE grouped aggregate, and each
+    // leave-fold-out model solves on (total − fold) moments — the
+    // sufficient-statistics algebra that makes k-fold CV a single pass
+    // at any scale. Out-of-sample scoring joins each row to its fold's
+    // 5-row broadcast model. Moments are exact integers; the solve and
+    // the residual accumulation reuse the shared Cramer texts.
+    "ml_kfold_cv" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        pmod(col("l_orderkey"), lit(5)).as("fold"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+        round(col("l_quantity")).cast("bigint").as("x1"),
+        round(col("l_discount") * 100).cast("bigint").as("x2"))
+        .localCheckpoint(eager = false) // moment pass + scoring pass
+      def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
+      val byFold = raw.groupBy(col("fold")).agg(
+        count(lit(1)).cast("double").as("fn"),
+        dsum(col("x1")).as("f1"), dsum(col("x2")).as("f2"),
+        dsum(col("x1") * col("x1")).as("f11"),
+        dsum(col("x1") * col("x2")).as("f12"),
+        dsum(col("x2") * col("x2")).as("f22"),
+        dsum(col("y")).as("fy"),
+        dsum(col("x1") * col("y")).as("f1y"),
+        dsum(col("x2") * col("y")).as("f2y"),
+        dsum(col("y") * col("y")).as("fyy"))
+      // leave-fold-out moments = column-wise (total − fold) over the
+      // 5-row fold table (bounded window)
+      val wAll = Window.partitionBy()
+      val loo = byFold.select(col("fold") +:
+        Seq("fn" -> "n", "f1" -> "s1", "f2" -> "s2", "f11" -> "s11",
+          "f12" -> "s12", "f22" -> "s22", "fy" -> "sy", "f1y" -> "s1y",
+          "f2y" -> "s2y", "fyy" -> "syy").map { case (f, o) =>
+          (sum(col(f)).over(wAll) - col(f)).as(o)
+        }: _*)
+      val models = loo
+        .selectExpr("fold" +: linregL1: _*)
+        .selectExpr("fold" +: linregL2.filter(_.contains(" AS b")): _*)
+      raw.join(broadcast(models), Seq("fold"))
+        .select(col("fold"),
+          (col("y").cast("double") - ((col("b0") + col("b1") * col("x1"))
+            + col("b2") * col("x2"))).as("e"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_oos"),
+          round(sqrt(sum(col("e") * col("e")) / count(lit(1))) / 100.0, 4)
+            .as("oos_rmse_dollars"))
+        .join(broadcast(models.select(col("fold"),
+          round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+          round(col("b2"), 6).as("b2"))), Seq("fold"))
+    }),
+
     // Apriori: frequent brands (support ≥ 10%) → pairs among frequent
     // only → directional rules at support ≥ 2%, confidence ≥ 12%. Every threshold is an
     // integer cross-multiplication — no FP boundary can flip membership.
@@ -505,6 +555,55 @@ object MlTrain {
         |             / CAST(count(*) AS DOUBLE), 6) AS obs_rate
         |FROM sc
         |GROUP BY least(CAST(floor(sg*200) AS BIGINT), 199)""".stripMargin,
+
+    "ml_kfold_cv" ->
+      s"""WITH raw AS (
+        |  SELECT l_orderkey % 5 AS fold,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount*100) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |byfold AS (
+        |  SELECT fold, CAST(count(*) AS DOUBLE) AS fn,
+        |         CAST(sum(x1) AS DOUBLE) AS f1, CAST(sum(x2) AS DOUBLE) AS f2,
+        |         CAST(sum(x1*x1) AS DOUBLE) AS f11,
+        |         CAST(sum(x1*x2) AS DOUBLE) AS f12,
+        |         CAST(sum(x2*x2) AS DOUBLE) AS f22,
+        |         CAST(sum(y) AS DOUBLE) AS fy,
+        |         CAST(sum(x1*y) AS DOUBLE) AS f1y,
+        |         CAST(sum(x2*y) AS DOUBLE) AS f2y,
+        |         CAST(sum(y*y) AS DOUBLE) AS fyy
+        |  FROM raw GROUP BY fold),
+        |loo AS (
+        |  SELECT fold,
+        |         sum(fn) OVER () - fn AS n,
+        |         sum(f1) OVER () - f1 AS s1,
+        |         sum(f2) OVER () - f2 AS s2,
+        |         sum(f11) OVER () - f11 AS s11,
+        |         sum(f12) OVER () - f12 AS s12,
+        |         sum(f22) OVER () - f22 AS s22,
+        |         sum(fy) OVER () - fy AS sy,
+        |         sum(f1y) OVER () - f1y AS s1y,
+        |         sum(f2y) OVER () - f2y AS s2y,
+        |         sum(fyy) OVER () - fyy AS syy
+        |  FROM byfold),
+        |l1 AS (SELECT fold, ${sel(linregL1)} FROM loo),
+        |models AS (SELECT fold, ${sel(linregL2.filter(_.contains(" AS b")))}
+        |           FROM l1),
+        |scored AS (
+        |  SELECT r.fold,
+        |         CAST(r.y AS DOUBLE) - ((m.b0 + m.b1 * r.x1) + m.b2 * r.x2)
+        |           AS e
+        |  FROM raw r JOIN models m ON m.fold = r.fold),
+        |agg AS (
+        |  SELECT fold, count(*) AS n_oos,
+        |         round(sqrt(sum(e*e) / count(*)) / 100.0, 4)
+        |           AS oos_rmse_dollars
+        |  FROM scored GROUP BY fold)
+        |SELECT a.fold, a.n_oos, a.oos_rmse_dollars,
+        |       round(m.b0, 6) AS b0, round(m.b1, 6) AS b1,
+        |       round(m.b2, 6) AS b2
+        |FROM agg a JOIN models m ON m.fold = a.fold""".stripMargin,
 
     "ml_apriori_rules" ->
       """WITH items AS (

@@ -284,6 +284,56 @@ class MlTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_kfold_cv: leave-fold-out models differ from and bracket the " +
+    "global fit") {
+    val folds = SparkEntry.queries("ml_kfold_cv")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(folds.length == 5)
+    assert(folds.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // fold sizes partition the table
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(folds.map(_._2).sum == n)
+    // the real contract: replay the leave-fold-out moment algebra
+    // locally (total − fold sums, Cramer solve) and match each model.
+    // (Coefficient closeness across folds is NOT asserted — the fixture
+    // draws price independent of the features, so coefficients are
+    // near-null noise and legitimately vary fold to fold.)
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey % 5 AS f",
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS x1",
+        "CAST(ROUND(l_discount*100) AS BIGINT) AS x2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    def solve(sel: ((Long, Long, Long, Long)) => Boolean) = {
+      val rs = rows.filter(sel)
+      val n = rs.length.toDouble
+      val s1 = rs.map(_._3).sum.toDouble; val s2 = rs.map(_._4).sum.toDouble
+      val s11 = rs.map(r => r._3 * r._3).sum.toDouble
+      val s12 = rs.map(r => r._3 * r._4).sum.toDouble
+      val s22 = rs.map(r => r._4 * r._4).sum.toDouble
+      val sy = rs.map(_._2).sum.toDouble
+      val s1y = rs.map(r => r._3 * r._2).sum.toDouble
+      val s2y = rs.map(r => r._4 * r._2).sum.toDouble
+      val m0 = s11 * s22 - s12 * s12; val m1 = s1 * s22 - s12 * s2
+      val m2 = s1 * s12 - s11 * s2; val m3 = s1y * s22 - s12 * s2y
+      val m4 = s1y * s12 - s11 * s2y; val m5 = s1 * s2y - s1y * s2
+      val m6 = s11 * s2y - s1y * s12
+      val det = n * m0 - s1 * m1 + s2 * m2
+      ((sy * m0 - s1 * m3 + s2 * m4) / det,
+        (n * m3 - sy * m1 + s2 * m5) / det,
+        (n * m6 - s1 * m5 + sy * m2) / det)
+    }
+    folds.foreach { case (f, _, rmse, b0, b1, b2) =>
+      assert(rmse > 0)
+      val (e0, e1, e2) = solve(_._1 != f)
+      assert(math.abs(b0 - e0) < 1e-4 * math.max(1.0, math.abs(e0)), s"f$f b0")
+      assert(math.abs(b1 - e1) < 1e-4 * math.max(1.0, math.abs(e1)), s"f$f b1")
+      assert(math.abs(b2 - e2) < 1e-4 * math.max(1.0, math.abs(e2)), s"f$f b2")
+    }
+  }
+
   test("ml_apriori_rules: metrics are mutually consistent") {
     val rules = SparkEntry.queries("ml_apriori_rules")(spark, sf).collect()
     assert(rules.nonEmpty)
