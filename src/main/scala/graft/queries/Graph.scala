@@ -208,6 +208,50 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // temporal (time-respecting) reachability: earliest month each
+    // nation becomes reachable from nation 0 when a trade edge
+    // (src → dst, month m) can only be traversed at arrival ≤ m —
+    // the "when could information first flow here" question static
+    // reachability gets wrong. Frontier loop over the MONTH-GRANULAR
+    // edge aggregate (|nations|²·|months| states, bounded); each step is
+    // one equi-join + min re-aggregation, converged via a 2-scalar probe.
+    "graph_temporal_reach" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val nation = t(s, d, "nation")
+      val tedges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"),
+          date_trunc("month", o("o_orderdate")).as("m"))
+        .distinct()
+        .localCheckpoint(eager = false) // one frontier join per round
+      val m0 = tedges.agg(min(col("m")).as("m0"))
+      var arr = m0.select(lit(0).as("node"), col("m0").as("arr"))
+        .localCheckpoint()
+      var last = (-1L, -1L)
+      var cur = (0L, 0L)
+      var iters = 0
+      def sig(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(unix_timestamp(col("arr"))), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      cur = sig(arr)
+      while (cur != last && iters < 26) {
+        val step = arr.join(tedges,
+            arr("node") === tedges("src") && tedges("m") >= arr("arr"))
+          .select(col("dst").as("node"), col("m").as("arr"))
+        arr = arr.union(step)
+          .groupBy(col("node")).agg(min(col("arr")).as("arr"))
+          .localCheckpoint()
+        last = cur; cur = sig(arr); iters += 1
+      }
+      arr.join(broadcast(nation), col("node") === col("n_nationkey"))
+        .select(col("n_name"), to_date(col("arr")).as("first_reach_month"))
+        .orderBy(col("n_name"))
+    }),
+
     // degree assortativity: Pearson correlation of endpoint degrees over
     // the directed (both-orientation) edge list. With both orientations
     // Σj = Σk and Σj² = Σk², so r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) —
@@ -437,6 +481,25 @@ object Graph {
         |FROM deg d
         |LEFT JOIN tcnt t ON t.node = d.node
         |JOIN nation n ON n.n_nationkey = d.node
+        |ORDER BY n.n_name""".stripMargin,
+
+    "graph_temporal_reach" ->
+      """WITH RECURSIVE tedges AS (
+        |    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |           date_trunc('month', o.o_orderdate) AS m
+        |    FROM lineitem l
+        |    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey  = c.c_custkey
+        |    JOIN supplier s ON l.l_suppkey  = s.s_suppkey),
+        |  reach(node, arr) AS (
+        |    SELECT 0, min(m) FROM tedges
+        |    UNION
+        |    SELECT e.dst, e.m
+        |    FROM reach r JOIN tedges e
+        |      ON e.src = r.node AND e.m >= r.arr)
+        |SELECT n.n_name, CAST(min(r.arr) AS DATE) AS first_reach_month
+        |FROM reach r JOIN nation n ON n.n_nationkey = r.node
+        |GROUP BY n.n_name
         |ORDER BY n.n_name""".stripMargin,
 
     "graph_assortativity" ->

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 /** Contracts for the r7 graph-metric + projection additions
   * (graph_clustering_coeff, graph_assortativity, llm_random_projection)
@@ -222,6 +223,38 @@ class Round7Spec extends AnyFunSuite {
       .getDouble(0)
     val sampleMean = sample.map(_._2).sum.toDouble / sample.length
     assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
+  }
+
+  test("graph_temporal_reach matches a local earliest-arrival replay") {
+    val got = SparkEntry.queries("graph_temporal_reach")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDate(1).toString).toMap
+    assert(got.nonEmpty)
+    // local replay on the collected month-granular edge list
+    val edges = spark.sql("SELECT 1").sparkSession.read
+      .parquet(s"$sf/lineitem.parquet").alias("l")
+      .join(spark.read.parquet(s"$sf/orders.parquet").alias("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(spark.read.parquet(s"$sf/customer.parquet").alias("c"),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .join(spark.read.parquet(s"$sf/supplier.parquet").alias("s"),
+        col("l.l_suppkey") === col("s.s_suppkey"))
+      .selectExpr("c.c_nationkey AS src", "s.s_nationkey AS dst",
+        "CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m")
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDate(2).toString))
+    val names = spark.read.parquet(s"$sf/nation.parquet").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val m0 = edges.map(_._3).min
+    val arr = scala.collection.mutable.Map(0 -> m0)
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (s_, d_, m) =>
+        if (arr.contains(s_) && m >= arr(s_) &&
+          arr.get(d_).forall(m < _)) { arr(d_) = m; changed = true }
+      }
+    }
+    assert(got == arr.map { case (k, v) => names(k) -> v }.toMap)
   }
 
   test("evt_mann_kendall: S bounded by pair count, z sign follows S") {
