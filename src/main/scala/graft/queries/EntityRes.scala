@@ -34,7 +34,7 @@ object EntityRes {
     * partkey carrying that name) + two corrupted variants with offset ids.
     * Corruptions preserve the first character, so first-char blocking has
     * full recall on the planted matches. */
-  private def records(s: SparkSession, d: String): DataFrame = {
+  private[graft] def records(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "part")
       .groupBy(col("p_name").as("name"))
       .agg(min(col("p_partkey")).as("rid"))
@@ -97,6 +97,18 @@ object EntityRes {
       val verts = records(s, d).select(col("rid").as("doc_id"))
       graft.llm.Dedup.connectedComponentsFast(verts, pairs)
         .select(col("doc_id").as("rid"), col("label").as("cluster"))
+    }),
+
+    // Fuzzy-identity gate, batch twin: the corrupted variants stream
+    // against the canonical (clean) name index through the SAME
+    // stateless blocked-join + jaro_winkler plan the streaming gate
+    // runs (DedupGate.fuzzyGate; streamed ≡ batch in DedupGateSpec).
+    "er_fuzzy_gate" -> ((s, d) => {
+      val recs = records(s, d)
+      val canon = recs.filter(col("rid") < 100000L)
+      val incoming = recs.filter(col("rid") >= 100000L)
+      graft.streaming.DedupGate.fuzzyGate(incoming,
+        graft.streaming.DedupGate.fuzzyIndex(canon), 0.9)
     }),
 
     // Survivorship: fold each cluster into its golden record — canonical
@@ -169,6 +181,15 @@ object EntityRes {
         |    SELECT bi.d, r.lbl FROM reach r JOIN bi ON bi.s = r.node)
         |SELECT node AS rid, min(lbl) AS cluster
         |FROM reach GROUP BY node""".stripMargin,
+
+    "er_fuzzy_gate" ->
+      s"""WITH $recordsSql
+        |SELECT i.rid AS new_id, c.rid AS canon_id,
+        |       round(jaro_winkler_similarity(i.name, c.name), 6) AS jw
+        |FROM (SELECT * FROM records WHERE rid >= 100000) i
+        |JOIN (SELECT * FROM records WHERE rid < 100000) c
+        |  ON substr(i.name, 1, 1) = substr(c.name, 1, 1)
+        |WHERE round(jaro_winkler_similarity(i.name, c.name), 6) >= 0.9""".stripMargin,
 
     "er_survivorship" ->
       s"""WITH RECURSIVE $pairsSql,

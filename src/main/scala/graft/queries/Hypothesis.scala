@@ -60,6 +60,35 @@ object Hypothesis {
           max(col("vk")).as("x_k1"))
     }),
 
+    // TOST equivalence test (±δ = 5.00 on the A/B value metric): the
+    // experiment readout "are the variants the SAME within a margin" —
+    // the question a nonsignificant t-test does NOT answer. Welch SE
+    // from exact cents-bigint moments; both one-sided statistics are
+    // identical doubles on both engines, so the equivalence verdict
+    // (t_lower > 1.645 ∧ t_upper < −1.645) cannot flip cross-engine.
+    "agg_tost_equivalence" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(pmod(col("user_id"), lit(2)).as("variant"),
+          round(col("value") * 100).cast("bigint").as("v"))
+      ev.agg( // ONE conditional aggregate: no join, 1 row by construction
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("v")).otherwise(0L)).as("sv0"),
+          sum(when(col("variant") === 0, col("v") * col("v")).otherwise(0L))
+            .as("svv0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("v")).otherwise(0L)).as("sv1"),
+          sum(when(col("variant") === 1, col("v") * col("v")).otherwise(0L))
+            .as("svv1"))
+        .selectExpr(
+          "CAST(sv1 AS DOUBLE)/n1 - CAST(sv0 AS DOUBLE)/n0 AS d",
+          "sqrt((CAST(svv0 AS DOUBLE)/n0 - (CAST(sv0 AS DOUBLE)/n0)*(CAST(sv0 AS DOUBLE)/n0))/n0 + (CAST(svv1 AS DOUBLE)/n1 - (CAST(sv1 AS DOUBLE)/n1)*(CAST(sv1 AS DOUBLE)/n1))/n1) AS se")
+        .selectExpr("round(d/100.0, 6) AS diff",
+          "round(se/100.0, 6) AS se",
+          "round((d + 500.0)/se, 6) AS t_lower",
+          "round((d - 500.0)/se, 6) AS t_upper",
+          "((d + 500.0)/se > 1.645) AND ((d - 500.0)/se < -1.645) AS equivalent")
+    }),
+
     // Mann-Kendall trend test per event type over the daily count
     // series: S = Σ_{i<j} sign(n_j − n_i) — an EXACT integer from the
     // pair self-join over the bounded daily aggregate (|days|² pairs,
@@ -306,6 +335,35 @@ object Hypothesis {
   )
 
   val sql: Map[String, String] = Map(
+
+    "agg_tost_equivalence" -> """
+      WITH ev AS (
+        SELECT user_id % 2 AS variant,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+      ), ab AS (
+        SELECT
+          CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN variant = 0 THEN v ELSE 0 END) AS BIGINT) AS sv0,
+          CAST(sum(CASE WHEN variant = 0 THEN v*v ELSE 0 END) AS BIGINT)
+            AS svv0,
+          CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN variant = 1 THEN v ELSE 0 END) AS BIGINT) AS sv1,
+          CAST(sum(CASE WHEN variant = 1 THEN v*v ELSE 0 END) AS BIGINT)
+            AS svv1
+        FROM ev
+      ), st AS (
+        SELECT CAST(sv1 AS DOUBLE)/n1 - CAST(sv0 AS DOUBLE)/n0 AS d,
+               sqrt((CAST(svv0 AS DOUBLE)/n0 - (CAST(sv0 AS DOUBLE)/n0)*(CAST(sv0 AS DOUBLE)/n0))/n0 + (CAST(svv1 AS DOUBLE)/n1 - (CAST(sv1 AS DOUBLE)/n1)*(CAST(sv1 AS DOUBLE)/n1))/n1) AS se
+        FROM ab
+      )
+      SELECT round(d/100.0, 6) AS diff,
+             round(se/100.0, 6) AS se,
+             round((d + 500.0)/se, 6) AS t_lower,
+             round((d - 500.0)/se, 6) AS t_upper,
+             ((d + 500.0)/se > 1.645) AND ((d - 500.0)/se < -1.645)
+               AS equivalent
+      FROM st""",
 
     "evt_mann_kendall" -> """
       WITH daily AS (

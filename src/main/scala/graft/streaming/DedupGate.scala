@@ -113,6 +113,33 @@ object DedupGate {
       .select(col("new_id"), col("corpus_id").as("dup_of"), col("jaccard"))
   }
 
+  /** Static side of the fuzzy-identity gate: canonical records keyed by
+    * the first-character blocking key. Persist bucketed by `blk` at
+    * scale; production blocking would widen to phonetic/prefix buckets —
+    * the key is a scalar expression either way. */
+  def fuzzyIndex(canon: DataFrame): DataFrame =
+    canon.select(col("rid").as("canon_id"), col("name").as("canon_name"),
+      substring(col("name"), 1, 1).as("blk"))
+
+  /** Streaming record-linkage gate: incoming records matched against the
+    * canonical index by blocked equi-join + the native `jaro_winkler`
+    * codegen kernel. The blocking key and the score are scalar
+    * expressions, so the identical plan runs batch or `readStream`
+    * append-mode with no state store — the ER counterpart of [[gate]].
+    * The threshold compares the 6-decimal-rounded score, matching the
+    * batch/oracle twins' engine-exact cut. */
+  def fuzzyGate(incoming: DataFrame, index: DataFrame,
+                minJw: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    incoming
+      .select(col("rid").as("new_id"), col("name").as("new_name"),
+        substring(col("name"), 1, 1).as("blk"))
+      .join(index, Seq("blk"))
+      .withColumn("jw", round(expr("jaro_winkler(new_name, canon_name)"), 6))
+      .filter(col("jw") >= minJw)
+      .select(col("new_id"), col("canon_id"), col("jw"))
+  }
+
   /** Sign-octant bucket of an embedding's first 8 dimensions — the
     * deterministic (engine-independent) axis-aligned special case of
     * hyperplane LSH, shared with `llm_embedding_neardup_exact`. A scalar

@@ -145,6 +145,32 @@ class DedupGateSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed fuzzy-identity gate equals the er_fuzzy_gate batch twin") {
+    val recs = graft.queries.EntityRes.records(spark, sf).localCheckpoint()
+    val index = DedupGate.fuzzyIndex(recs.filter(col("rid") < 100000L))
+      .localCheckpoint()
+    val incomingDir =
+      Files.createTempDirectory("graft-fuzzy").toString + "/incoming"
+    recs.filter(col("rid") >= 100000L).write.parquet(incomingDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(incomingDir)
+    EventStreams.runToMemory(
+      DedupGate.fuzzyGate(stream, index, minJw = 0.9), "fuzzy_out")
+    val streamed = spark.table("fuzzy_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val batch = SparkEntry.queries("er_fuzzy_gate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} != batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("the gate plan is stateless: no state store operators under streaming") {
     val docs = t(spark, sf, "documents")
     val index = DedupGate.corpusIndex(
