@@ -60,6 +60,44 @@ object Hypothesis {
           max(col("vk")).as("x_k1"))
     }),
 
+    // Difference-in-differences over the 2×2 (variant × before/after
+    // midpoint) design: DiD = (Δ treated) − (Δ control), SE from the
+    // four cell variances. The midpoint is integer epoch arithmetic on
+    // a 1-row min/max aggregate (scalar broadcast); all twelve cell
+    // moments come from ONE conditional aggregate over exact cents.
+    "evt_did" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(pmod(col("user_id"), lit(2)).as("g"),
+          unix_timestamp(col("ts")).as("ut"),
+          round(col("value") * 100).cast("bigint").as("v"))
+      // `div`, not `/`: fractional division + cast would TRUNCATE on
+      // Spark but ROUND on DuckDB for an odd epoch sum; integer floor
+      // division agrees on both engines (epochs are positive)
+      val mid = ev.agg(min(col("ut")).as("mn"), max(col("ut")).as("mx"))
+        .selectExpr("(mn + mx) div 2 AS mid")
+      def cell(g: Int, p: Int) = {
+        val in = col("g") === g &&
+          (if (p == 1) col("ut") >= col("mid") else col("ut") < col("mid"))
+        Seq(sum(when(in, 1L).otherwise(0L)).as(s"n$g$p"),
+          sum(when(in, col("v")).otherwise(0L)).as(s"sv$g$p"),
+          sum(when(in, col("v") * col("v")).otherwise(0L)).as(s"svv$g$p"))
+      }
+      val cells = Seq(cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1)).flatten
+      val agged = ev.crossJoin(broadcast(mid))
+        .agg(cells.head, cells.tail: _*)
+      val mexpr = Seq(0, 1).flatMap(g => Seq(0, 1).map(p =>
+        s"CAST(sv$g$p AS DOUBLE)/n$g$p AS m$g$p")) ++
+        Seq(0, 1).flatMap(g => Seq(0, 1).map(p =>
+          s"(CAST(svv$g$p AS DOUBLE)/n$g$p - (CAST(sv$g$p AS DOUBLE)/n$g$p)*(CAST(sv$g$p AS DOUBLE)/n$g$p))/n$g$p AS vm$g$p"))
+      agged.selectExpr(mexpr: _*)
+        .selectExpr(
+          "round(m00/100.0, 6) AS m_ctl_pre", "round(m01/100.0, 6) AS m_ctl_post",
+          "round(m10/100.0, 6) AS m_trt_pre", "round(m11/100.0, 6) AS m_trt_post",
+          "round(((m11 - m10) - (m01 - m00))/100.0, 6) AS did",
+          "round(sqrt(vm00 + vm01 + vm10 + vm11)/100.0, 6) AS se",
+          "round(((m11 - m10) - (m01 - m00))/sqrt(vm00 + vm01 + vm10 + vm11), 6) AS t")
+    }),
+
     // TOST equivalence test (±δ = 5.00 on the A/B value metric): the
     // experiment readout "are the variants the SAME within a margin" —
     // the question a nonsignificant t-test does NOT answer. Welch SE
@@ -335,6 +373,50 @@ object Hypothesis {
   )
 
   val sql: Map[String, String] = Map(
+
+    "evt_did" -> """
+      WITH ev AS (
+        SELECT user_id % 2 AS g,
+               -- FLOOR before the cast: ts carries sub-second precision,
+               -- Spark's unix_timestamp floors but DuckDB's double cast
+               -- would round
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS ut,
+               CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events
+      ), mid AS (
+        SELECT (min(ut) + max(ut)) // 2 AS mid FROM ev
+      ), cells AS (
+        SELECT
+          CAST(sum(CASE WHEN g = 0 AND ut < mid THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+          CAST(sum(CASE WHEN g = 0 AND ut < mid THEN v ELSE 0 END) AS BIGINT) AS sv00,
+          CAST(sum(CASE WHEN g = 0 AND ut < mid THEN v*v ELSE 0 END) AS BIGINT) AS svv00,
+          CAST(sum(CASE WHEN g = 0 AND ut >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN g = 0 AND ut >= mid THEN v ELSE 0 END) AS BIGINT) AS sv01,
+          CAST(sum(CASE WHEN g = 0 AND ut >= mid THEN v*v ELSE 0 END) AS BIGINT) AS svv01,
+          CAST(sum(CASE WHEN g = 1 AND ut < mid THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN g = 1 AND ut < mid THEN v ELSE 0 END) AS BIGINT) AS sv10,
+          CAST(sum(CASE WHEN g = 1 AND ut < mid THEN v*v ELSE 0 END) AS BIGINT) AS svv10,
+          CAST(sum(CASE WHEN g = 1 AND ut >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+          CAST(sum(CASE WHEN g = 1 AND ut >= mid THEN v ELSE 0 END) AS BIGINT) AS sv11,
+          CAST(sum(CASE WHEN g = 1 AND ut >= mid THEN v*v ELSE 0 END) AS BIGINT) AS svv11
+        FROM ev CROSS JOIN mid
+      ), m AS (
+        SELECT CAST(sv00 AS DOUBLE)/n00 AS m00,
+               CAST(sv01 AS DOUBLE)/n01 AS m01,
+               CAST(sv10 AS DOUBLE)/n10 AS m10,
+               CAST(sv11 AS DOUBLE)/n11 AS m11,
+               (CAST(svv00 AS DOUBLE)/n00 - (CAST(sv00 AS DOUBLE)/n00)*(CAST(sv00 AS DOUBLE)/n00))/n00 AS vm00,
+               (CAST(svv01 AS DOUBLE)/n01 - (CAST(sv01 AS DOUBLE)/n01)*(CAST(sv01 AS DOUBLE)/n01))/n01 AS vm01,
+               (CAST(svv10 AS DOUBLE)/n10 - (CAST(sv10 AS DOUBLE)/n10)*(CAST(sv10 AS DOUBLE)/n10))/n10 AS vm10,
+               (CAST(svv11 AS DOUBLE)/n11 - (CAST(sv11 AS DOUBLE)/n11)*(CAST(sv11 AS DOUBLE)/n11))/n11 AS vm11
+        FROM cells
+      )
+      SELECT round(m00/100.0, 6) AS m_ctl_pre, round(m01/100.0, 6) AS m_ctl_post,
+             round(m10/100.0, 6) AS m_trt_pre, round(m11/100.0, 6) AS m_trt_post,
+             round(((m11 - m10) - (m01 - m00))/100.0, 6) AS did,
+             round(sqrt(vm00 + vm01 + vm10 + vm11)/100.0, 6) AS se,
+             round(((m11 - m10) - (m01 - m00))/sqrt(vm00 + vm01 + vm10 + vm11), 6) AS t
+      FROM m""",
 
     "agg_tost_equivalence" -> """
       WITH ev AS (

@@ -291,6 +291,33 @@ object MlTrain {
             .cast("double") / count(lit(1)).cast("double"), 6).as("obs_rate"))
     }),
 
+    // Ridge regression = the SAME normal-equation machinery with λ added
+    // to the feature diagonal (intercept unpenalized) — regularized
+    // training costs nothing extra at scale: identical one-pass moments,
+    // one extra addition before the Cramer solve. λ = 10000 (raw units;
+    // documented, not tuned — the operator contract is the algebra).
+    "ml_ridge" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+        round(col("l_quantity")).cast("bigint").as("x1"),
+        round(col("l_discount") * 100).cast("bigint").as("x2"))
+      def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
+      raw.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+          dsum(col("x1") * col("x1")).as("s11r"),
+          dsum(col("x1") * col("x2")).as("s12"),
+          dsum(col("x2") * col("x2")).as("s22r"),
+          dsum(col("y")).as("sy"),
+          dsum(col("x1") * col("y")).as("s1y"),
+          dsum(col("x2") * col("y")).as("s2y"),
+          dsum(col("y") * col("y")).as("syy"))
+        .selectExpr("n", "s1", "s2", "s12", "sy", "s1y", "s2y", "syy",
+          "s11r + 10000.0 AS s11", "s22r + 10000.0 AS s22")
+        .selectExpr(linregL1: _*).selectExpr(linregL2: _*)
+        .selectExpr(linregL3.filter(_.contains(" AS b")): _*)
+    }),
+
     // 5-fold cross-validation of the OLS model WITHOUT retraining scans:
     // per-fold moment sums come from ONE grouped aggregate, and each
     // leave-fold-out model solves on (total − fold) moments — the
@@ -555,6 +582,30 @@ object MlTrain {
         |             / CAST(count(*) AS DOUBLE), 6) AS obs_rate
         |FROM sc
         |GROUP BY least(CAST(floor(sg*200) AS BIGINT), 199)""".stripMargin,
+
+    "ml_ridge" ->
+      s"""WITH raw AS (
+        |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount*100) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |         CAST(sum(x1*x1) AS DOUBLE) AS s11r,
+        |         CAST(sum(x1*x2) AS DOUBLE) AS s12,
+        |         CAST(sum(x2*x2) AS DOUBLE) AS s22r,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x1*y) AS DOUBLE) AS s1y,
+        |         CAST(sum(x2*y) AS DOUBLE) AS s2y,
+        |         CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM raw),
+        |pen AS (SELECT n, s1, s2, s12, sy, s1y, s2y, syy,
+        |               s11r + 10000.0 AS s11, s22r + 10000.0 AS s22
+        |        FROM sums),
+        |l1 AS (SELECT ${sel(linregL1)} FROM pen),
+        |l2 AS (SELECT ${sel(linregL2)} FROM l1)
+        |SELECT ${sel(linregL3.filter(_.contains(" AS b")))} FROM l2""".stripMargin,
 
     "ml_kfold_cv" ->
       s"""WITH raw AS (

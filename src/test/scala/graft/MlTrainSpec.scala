@@ -334,6 +334,36 @@ class MlTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_ridge solves the penalized normal equations") {
+    val r = SparkEntry.queries("ml_ridge")(spark, sf).collect()(0)
+    val (b0, b1, b2) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(round(col("l_extendedprice") * 100).cast("double"),
+        round(col("l_quantity")).cast("double"),
+        round(col("l_discount") * 100).cast("double"))
+      .collect().map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2)))
+    // (X'X + λI_feat)β = X'y  ⇒ gradient with the penalty term ≈ 0
+    val lam = 10000.0
+    var g0 = 0.0; var g1 = 0.0; var g2 = 0.0; var scale = 0.0
+    rows.foreach { case (y, x1, x2) =>
+      val e = y - (b0 + b1 * x1 + b2 * x2)
+      g0 += e; g1 += e * x1; g2 += e * x2; scale += y * y
+    }
+    g1 -= lam * b1; g2 -= lam * b2 // penalty gradient (intercept free)
+    assert(math.abs(g0) / scale < 1e-9)
+    assert(math.abs(g1) / scale < 1e-9)
+    assert(math.abs(g2) / scale < 1e-9)
+  }
+
+  test("evt_did is internally consistent") {
+    val r = SparkEntry.queries("evt_did")(spark, sf).collect()(0)
+    val Seq(cp, ca, tp_, ta, did, se, t) =
+      (0 until 7).map(r.getDouble)
+    assert(math.abs(did - ((ta - tp_) - (ca - cp))) < 1e-5)
+    assert(se > 0)
+    assert(math.abs(t - did / se) < 2e-3 * math.max(1.0, math.abs(t)))
+  }
+
   test("ml_apriori_rules: metrics are mutually consistent") {
     val rules = SparkEntry.queries("ml_apriori_rules")(spark, sf).collect()
     assert(rules.nonEmpty)
