@@ -715,6 +715,33 @@ object Analytics {
             .as("at_risk_frac"))
     }),
 
+    // IQR-fence outlier profile per order priority: Tukey fences
+    // (q1 − 1.5·IQR, q3 + 1.5·IQR) from interpolated quartiles over
+    // exact cents (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    // agg_percentile pairing), then exact integer comparisons against
+    // the fences. Two passes: quartiles per group (broadcast back), then
+    // one conditional count aggregate.
+    "etl_outlier_iqr" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          round(col("o_totalprice") * 100).cast("bigint").as("pc"))
+        .localCheckpoint(eager = false) // quartile pass + count pass
+      val q = o.groupBy(col("priority"))
+        .agg(expr("percentile(pc, 0.25)").as("q1"),
+          expr("percentile(pc, 0.75)").as("q3"))
+        .select(col("priority"), col("q1"), col("q3"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      o.join(broadcast(q), Seq("priority"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pc") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("pc") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+          round(max(col("lo")) / 100.0, 2).as("fence_lo"),
+          round(max(col("hi")) / 100.0, 2).as("fence_hi"))
+        .orderBy(col("priority"))
+    }),
+
     // l-diversity audit — the companion to etl_k_anonymity: a QI group
     // can be large (k-anonymous) yet expose its members if every row
     // shares one sensitive value. l = distinct sensitive values per
@@ -1330,6 +1357,31 @@ object Analytics {
       SELECT MIN(day) AS worst_day, CAST(COUNT(*) AS BIGINT) AS n_ties,
              ROUND(CAST(mx AS DOUBLE) / 100.0, 2) AS max_drawdown
       FROM dd, mx WHERE dd_u = mx GROUP BY mx""",
+
+    "etl_outlier_iqr" -> """
+      WITH o AS (
+        SELECT o_orderpriority AS priority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders
+      ), q AS (
+        SELECT priority,
+               quantile_cont(pc, 0.25) AS q1,
+               quantile_cont(pc, 0.75) AS q3
+        FROM o GROUP BY priority
+      ), f AS (
+        SELECT priority, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        FROM q
+      )
+      SELECT o.priority, count(*) AS n,
+             CAST(sum(CASE WHEN o.pc < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low,
+             CAST(sum(CASE WHEN o.pc > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high,
+             round(max(f.lo) / 100.0, 2) AS fence_lo,
+             round(max(f.hi) / 100.0, 2) AS fence_hi
+      FROM o JOIN f ON f.priority = o.priority
+      GROUP BY o.priority
+      ORDER BY o.priority""",
 
     "etl_l_diversity" -> """
       WITH g AS (

@@ -391,6 +391,30 @@ object EventsBatch {
           count(lit(1)).as("n_hours"))
     }),
 
+    // rolling 24-hour correlation between the click and purchase hourly
+    // revenue series — the co-movement diagnostic. The two series are
+    // EXACT cents sums joined on the hour; corr runs as a window
+    // aggregate over the bounded hourly frame (ROWS 23 PRECEDING), only
+    // full windows emitted.
+    "evt_rolling_corr" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      val clicks = hourly.filter(col("event_type") === "click")
+        .select(col("hr"), col("cents").as("c_click"))
+      val purch = hourly.filter(col("event_type") === "purchase")
+        .select(col("hr"), col("cents").as("c_purchase"))
+      val w = Window.orderBy(col("hr")).rowsBetween(-23, 0)
+      clicks.join(purch, Seq("hr"))
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("r", corr(col("c_click").cast("double"),
+          col("c_purchase").cast("double")).over(w))
+        .filter(col("wn") === 24)
+        .select(col("hr"), col("c_click"), col("c_purchase"),
+          round(col("r"), 6).as("rolling_corr"))
+    }),
+
     // seasonal-naive forecast backtest: predict each of the final 24
     // hours as the count 24 hours earlier, then score MAE and sMAPE per
     // type. Counts are exact ints, so MAE is an exact ratio; the only
@@ -1079,6 +1103,31 @@ object EventsBatch {
                 sqrt(p.p_pool * (1.0 - p.p_pool) *
                      (1.0 / p.u0 + 1.0 / p.u1))) END AS z_stat
       FROM variants v CROSS JOIN pooled p""",
+
+    "evt_rolling_corr" -> """
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               sum(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2
+      ), joined AS (
+        SELECT c.hr, c.cents AS c_click, p.cents AS c_purchase
+        FROM (SELECT hr, cents FROM hourly WHERE event_type = 'click') c
+        JOIN (SELECT hr, cents FROM hourly WHERE event_type = 'purchase') p
+          ON p.hr = c.hr
+      ), rolled AS (
+        SELECT hr, c_click, c_purchase,
+               count(*) OVER w AS wn,
+               corr(CAST(c_click AS DOUBLE), CAST(c_purchase AS DOUBLE))
+                 OVER w AS r
+        FROM joined
+        WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+      )
+      SELECT hr, CAST(c_click AS BIGINT) AS c_click,
+             CAST(c_purchase AS BIGINT) AS c_purchase,
+             round(r, 6) AS rolling_corr
+      FROM rolled WHERE wn = 24""",
 
     "evt_forecast_backtest" -> """
       WITH hourly AS (

@@ -208,6 +208,34 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // Adamic-Adar link prediction: for NON-adjacent pairs, score
+    // Σ_{w ∈ N(a)∩N(b)} 1/ln(deg w) — common neighbors discounted by
+    // their popularity. One wedge self-join + an anti-join against the
+    // edge set; the wedge middle always has degree ≥ 2 so ln never sees
+    // 1. Top-10 by rounded score with a full (a, b) tiebreak.
+    "graph_adamic_adar" -> ((s, d) => {
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint()
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy(col("v").as("w")).agg(count(lit(1)).as("degw"))
+      val wedges = adj.select(col("v").as("w"), col("u").as("x"))
+        .join(adj.select(col("v").as("w2"), col("u").as("y")),
+          col("w") === col("w2") && col("x") < col("y"))
+        .select(col("x").as("a"), col("y").as("b"), col("w"))
+      wedges
+        .join(und.select(col("a"), col("b"), lit(1).as("adj")),
+          Seq("a", "b"), "left_anti") // non-adjacent pairs only
+        .join(deg, Seq("w"))
+        .groupBy(col("a"), col("b"))
+        .agg(round(sum(lit(1.0) / log(col("degw").cast("double"))), 6)
+          .as("aa"), count(lit(1)).as("common"))
+        .orderBy(col("aa").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
     // temporal (time-respecting) reachability: earliest month each
     // nation becomes reachable from nation 0 when a trade edge
     // (src → dst, month m) can only be traversed at arrival ≤ m —
@@ -482,6 +510,30 @@ object Graph {
         |LEFT JOIN tcnt t ON t.node = d.node
         |JOIN nation n ON n.n_nationkey = d.node
         |ORDER BY n.n_name""".stripMargin,
+
+    "graph_adamic_adar" ->
+      s"""WITH $sparseCte,
+        |  und AS (
+        |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |    FROM sparse),
+        |  adj AS (
+        |    SELECT a AS u, b AS v FROM und
+        |    UNION ALL SELECT b, a FROM und),
+        |  deg AS (SELECT v AS w, count(*) AS degw FROM adj GROUP BY v),
+        |  wedges AS (
+        |    SELECT p.u AS a, q.u AS b, p.v AS w
+        |    FROM adj p JOIN adj q ON p.v = q.v AND p.u < q.u),
+        |  nonadj AS (
+        |    SELECT w.a, w.b, w.w FROM wedges w
+        |    WHERE NOT EXISTS (SELECT 1 FROM und e
+        |                      WHERE e.a = w.a AND e.b = w.b))
+        |SELECT n.a, n.b,
+        |       round(sum(1.0 / ln(CAST(d.degw AS DOUBLE))), 6) AS aa,
+        |       count(*) AS common
+        |FROM nonadj n JOIN deg d ON d.w = n.w
+        |GROUP BY n.a, n.b
+        |ORDER BY aa DESC, n.a, n.b
+        |LIMIT 10""".stripMargin,
 
     "graph_temporal_reach" ->
       """WITH RECURSIVE tedges AS (

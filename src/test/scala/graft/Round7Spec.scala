@@ -225,6 +225,48 @@ class Round7Spec extends AnyFunSuite {
     assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
   }
 
+  test("graph_adamic_adar only scores non-adjacent pairs, AA consistent") {
+    val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // reconstruct adjacency + degrees from the clustering-coeff query's
+    // own deg output to cross-check the discount sum bound
+    val cc = SparkEntry.queries("graph_clustering_coeff")(spark, sf)
+      .collect()
+    val degByName = cc.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(degByName.nonEmpty)
+    rows.foreach { r =>
+      val (aa, common) = (r.getDouble(2), r.getLong(3))
+      assert(common >= 1)
+      // each common neighbor contributes at most 1/ln(2)
+      assert(aa <= common / math.log(2.0) + 1e-9)
+      assert(aa > 0)
+    }
+    // descending score order with deterministic tiebreak
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
+
+  test("evt_rolling_corr emits only full windows with r in [-1, 1]") {
+    val rows = SparkEntry.queries("evt_rolling_corr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("etl_outlier_iqr fences bracket the bulk of each group") {
+    val rows = SparkEntry.queries("etl_outlier_iqr")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getDouble(4), r.getDouble(5))
+      val out = r.getLong(2) + r.getLong(3)
+      assert(lo < hi)
+      // Tukey fences cover at least the IQR half of the data
+      assert(out < n / 2, s"${r.getString(0)}: $out of $n flagged")
+    }
+  }
+
   test("graph_temporal_reach matches a local earliest-arrival replay") {
     val got = SparkEntry.queries("graph_temporal_reach")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDate(1).toString).toMap
