@@ -250,6 +250,81 @@ object MlTrain {
         .selectExpr(confusionSel: _*)
     }),
 
+    // Cohen's kappa of the NB classifier: chance-corrected agreement
+    // κ = (p_o − p_e)/(1 − p_e) with p_e from the marginal products —
+    // the one-number summary ml_confusion's per-class table rolls up to.
+    // All inputs exact integers; three ratios at the end.
+    "ml_cohens_kappa" -> ((s, d) => {
+      val pred = nbScored(s, d)
+        .withColumn("rn", row_number().over(nbWindow))
+        .filter(col("rn") === 1)
+        .select(col("actual"), col("cls").as("pred"))
+      val byActual = pred.groupBy(col("actual").as("cls"))
+        .agg(count(lit(1)).as("n_act"),
+          sum(when(col("actual") === col("pred"), 1L).otherwise(0L)).as("tp"))
+      val byPred = pred.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      byActual.join(byPred, Seq("cls"), "full")
+        .select(coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_act"), lit(0L)).as("n_act"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        .agg(sum(col("tp")).as("tpsum"), sum(col("n_act")).as("nn"),
+          sum(col("n_act") * col("n_pred")).as("crossp"))
+        .selectExpr("nn AS n",
+          "round(CAST(tpsum AS DOUBLE)/nn, 6) AS po",
+          "round(CAST(crossp AS DOUBLE)/(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE)), 6) AS pe",
+          "round((CAST(tpsum AS DOUBLE)/nn - CAST(crossp AS DOUBLE)/(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE))) / (1.0 - CAST(crossp AS DOUBLE)/(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE))), 6) AS kappa")
+    }),
+
+    // Learning curve by cumulative-fold moment algebra: train on folds
+    // {1}, {1,2}, {1,2,3}, {1,2,3,4} (a 4-row window prefix-sum over the
+    // per-fold moments — NOT four training scans), always test on fold 0.
+    // The same sufficient-statistics trick as ml_kfold_cv, shaped as the
+    // sample-size/error diagnostic.
+    "ml_learning_curve" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        pmod(col("l_orderkey"), lit(5)).as("fold"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+        round(col("l_quantity")).cast("bigint").as("x1"),
+        round(col("l_discount") * 100).cast("bigint").as("x2"))
+        .localCheckpoint(eager = false) // moment pass + scoring pass
+      def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
+      val byFold = raw.filter(col("fold") =!= 0)
+        .groupBy(col("fold")).agg(
+          count(lit(1)).cast("double").as("fn"),
+          dsum(col("x1")).as("f1"), dsum(col("x2")).as("f2"),
+          dsum(col("x1") * col("x1")).as("f11"),
+          dsum(col("x1") * col("x2")).as("f12"),
+          dsum(col("x2") * col("x2")).as("f22"),
+          dsum(col("y")).as("fy"),
+          dsum(col("x1") * col("y")).as("f1y"),
+          dsum(col("x2") * col("y")).as("f2y"),
+          dsum(col("y") * col("y")).as("fyy"))
+      val wCum = Window.orderBy(col("fold"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = byFold.select(col("fold").as("k") +:
+        Seq("fn" -> "n", "f1" -> "s1", "f2" -> "s2", "f11" -> "s11",
+          "f12" -> "s12", "f22" -> "s22", "fy" -> "sy", "f1y" -> "s1y",
+          "f2y" -> "s2y", "fyy" -> "syy").map { case (f, o) =>
+          sum(col(f)).over(wCum).as(o)
+        }: _*)
+      val models = cum
+        .selectExpr(Seq("k", "n AS n_train") ++ linregL1: _*)
+        .selectExpr("k" +: "n_train" +:
+          linregL2.filter(_.contains(" AS b")): _*)
+      raw.filter(col("fold") === 0)
+        .crossJoin(broadcast(models)) // 4-row model table, fold-bounded
+        .select(col("k"), col("n_train"),
+          (col("y").cast("double") - ((col("b0") + col("b1") * col("x1"))
+            + col("b2") * col("x2"))).as("e"))
+        .groupBy(col("k"))
+        .agg(max(col("n_train")).cast("bigint").as("n_train"),
+          count(lit(1)).as("n_test"),
+          round(sqrt(sum(col("e") * col("e")) / count(lit(1))) / 100.0, 4)
+            .as("test_rmse_dollars"))
+        .orderBy(col("k"))
+    }),
+
     // ROC AUC of the GD classifier via the rank statistic (AUC is the
     // normalized Mann-Whitney U of the scores): group by the EXACT score
     // double (bit-identical per row on both engines), one distributed
@@ -555,6 +630,77 @@ object MlTrain {
         |      FROM cl LEFT JOIN ba ON ba.cls = cl.cls
         |              LEFT JOIN bp ON bp.cls = cl.cls)
         |SELECT ${sel(confusionSel)} FROM m""".stripMargin,
+
+    "ml_cohens_kappa" ->
+      s"""WITH $nbCtes,
+        |pred AS (
+        |  SELECT actual, cls AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, cls) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1),
+        |ba AS (SELECT actual AS cls, count(*) AS n_act,
+        |              sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS tp
+        |       FROM pred GROUP BY actual),
+        |bp AS (SELECT pred AS cls, count(*) AS n_pred FROM pred GROUP BY pred),
+        |cells AS (
+        |  SELECT coalesce(ba.tp, 0) AS tp, coalesce(ba.n_act, 0) AS n_act,
+        |         coalesce(bp.n_pred, 0) AS n_pred
+        |  FROM ba FULL JOIN bp ON bp.cls = ba.cls),
+        |tot AS (
+        |  SELECT CAST(sum(tp) AS BIGINT) AS tpsum,
+        |         CAST(sum(n_act) AS BIGINT) AS nn,
+        |         CAST(sum(n_act * n_pred) AS BIGINT) AS crossp
+        |  FROM cells)
+        |SELECT nn AS n,
+        |       round(CAST(tpsum AS DOUBLE)/nn, 6) AS po,
+        |       round(CAST(crossp AS DOUBLE)/(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE)), 6) AS pe,
+        |       round((CAST(tpsum AS DOUBLE)/nn - CAST(crossp AS DOUBLE)/(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE))) / (1.0 - CAST(crossp AS DOUBLE)/(CAST(nn AS DOUBLE)*CAST(nn AS DOUBLE))), 6) AS kappa
+        |FROM tot""".stripMargin,
+
+    "ml_learning_curve" ->
+      s"""WITH raw AS (
+        |  SELECT l_orderkey % 5 AS fold,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount*100) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |byfold AS (
+        |  SELECT fold, CAST(count(*) AS DOUBLE) AS fn,
+        |         CAST(sum(x1) AS DOUBLE) AS f1, CAST(sum(x2) AS DOUBLE) AS f2,
+        |         CAST(sum(x1*x1) AS DOUBLE) AS f11,
+        |         CAST(sum(x1*x2) AS DOUBLE) AS f12,
+        |         CAST(sum(x2*x2) AS DOUBLE) AS f22,
+        |         CAST(sum(y) AS DOUBLE) AS fy,
+        |         CAST(sum(x1*y) AS DOUBLE) AS f1y,
+        |         CAST(sum(x2*y) AS DOUBLE) AS f2y,
+        |         CAST(sum(y*y) AS DOUBLE) AS fyy
+        |  FROM raw WHERE fold <> 0 GROUP BY fold),
+        |cum AS (
+        |  SELECT fold AS k,
+        |         sum(fn) OVER w AS n, sum(f1) OVER w AS s1,
+        |         sum(f2) OVER w AS s2, sum(f11) OVER w AS s11,
+        |         sum(f12) OVER w AS s12, sum(f22) OVER w AS s22,
+        |         sum(fy) OVER w AS sy, sum(f1y) OVER w AS s1y,
+        |         sum(f2y) OVER w AS s2y, sum(fyy) OVER w AS syy
+        |  FROM byfold
+        |  WINDOW w AS (ORDER BY fold ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW)),
+        |l1 AS (SELECT k, n AS n_train, ${sel(linregL1)} FROM cum),
+        |models AS (SELECT k, n_train,
+        |                  ${sel(linregL2.filter(_.contains(" AS b")))}
+        |           FROM l1),
+        |scored AS (
+        |  SELECT m.k, m.n_train,
+        |         CAST(r.y AS DOUBLE) - ((m.b0 + m.b1 * r.x1) + m.b2 * r.x2)
+        |           AS e
+        |  FROM raw r CROSS JOIN models m
+        |  WHERE r.fold = 0)
+        |SELECT k, CAST(max(n_train) AS BIGINT) AS n_train,
+        |       count(*) AS n_test,
+        |       round(sqrt(sum(e*e) / count(*)) / 100.0, 4)
+        |         AS test_rmse_dollars
+        |FROM scored GROUP BY k ORDER BY k""".stripMargin,
 
     "ml_auc" ->
       s"""WITH $logregCtes,

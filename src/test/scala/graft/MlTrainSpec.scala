@@ -334,6 +334,41 @@ class MlTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_cohens_kappa reconciles with the confusion table") {
+    val r = SparkEntry.queries("ml_cohens_kappa")(spark, sf).collect()(0)
+    val (n, po, pe, kappa) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    val conf = SparkEntry.queries("ml_confusion")(spark, sf).collect()
+    val tp = conf.map(_.getLong(1)).sum
+    val nAct = conf.map(c => c.getLong(1) + c.getLong(3)) // tp + fn
+    val nPred = conf.map(c => c.getLong(1) + c.getLong(2)) // tp + fp
+    assert(n == nAct.sum)
+    assert(math.abs(po - tp.toDouble / n) < 1e-6)
+    val peB = nAct.zip(nPred).map { case (a, p) => a.toDouble * p }.sum /
+      (n.toDouble * n)
+    assert(math.abs(pe - peB) < 1e-6)
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 2e-5)
+    // kappa's SIGN is data-dependent (the 50-doc sf0.001 split hugs
+    // chance agreement); the contract is the identity + range
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
+  test("ml_learning_curve: sizes grow, fold-4 model equals kfold fold 0") {
+    val lc = SparkEntry.queries("ml_learning_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(lc.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // training sizes strictly increase and partition the non-test folds
+    assert(lc.map(_._2).toSeq == lc.map(_._2).sorted.toSeq)
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(lc.last._2 + lc.head._3 == n) // full train + test = all rows
+    lc.foreach { case (_, nt, _, rmse) => assert(nt > 0 && rmse > 0) }
+    // the k=4 model trains on folds 1..4 = exactly kfold's leave-fold-0
+    val kf = SparkEntry.queries("ml_kfold_cv")(spark, sf).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(math.abs(lc.last._4 - kf.getDouble(2)) < 1e-6)
+  }
+
   test("ml_ridge solves the penalized normal equations") {
     val r = SparkEntry.queries("ml_ridge")(spark, sf).collect()(0)
     val (b0, b1, b2) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
