@@ -418,7 +418,13 @@ class PlanAuditSpec extends AnyFunSuite
       // ray casting broadcasts the polygon EDGE TABLE (a 6-row literal
       // VALUES relation — bounded by the polygon, not the data) against
       // the point stream
-      "fn_point_in_polygon")
+      "fn_point_in_polygon",
+      // kappa inherits ml_naive_bayes' class-domain fan-out (the NB
+      // scoring BNLJ); its own final joins are ≤|classes|-row aggregates
+      "ml_cohens_kappa",
+      // the learning-curve scoring pass fans fold-0 rows across the
+      // 4-row cumulative-model table — bounded by the fold count
+      "ml_learning_curve")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
