@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.t
@@ -58,6 +58,70 @@ object Hypothesis {
           round(lit(1.0) / avg(log(col("v").cast("double")
             / col("vk").cast("double"))), 6).as("alpha"),
           max(col("vk")).as("x_k1"))
+    }),
+
+    // Spearman rank correlation between quantity and discount, computed
+    // EXACTLY over the (q, d) contingency grid: tie-averaged ranks come
+    // from the marginal cumulative counts (2·rank = 2·cum_below + n_v + 1
+    // stays integer), and the weighted Pearson over ranks uses
+    // decimal(38) ≡ HUGEINT sums — no per-row ranking pass, no global
+    // sort; everything is bounded by the VALUE DOMAINS (50 × 11 cells).
+    "agg_spearman" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        round(col("l_quantity")).cast("bigint").as("q"),
+        round(col("l_discount") * 100).cast("bigint").as("dc"))
+      val cells = raw.groupBy(col("q"), col("dc"))
+        .agg(count(lit(1)).as("n"))
+      def marg(key: String, rank: String) = {
+        val w = Window.orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        raw.groupBy(col(key)).agg(count(lit(1)).as("nv"))
+          .withColumn("cum", sum(col("nv")).over(w))
+          .select(col(key),
+            (lit(2) * (col("cum") - col("nv")) + col("nv") + 1).as(rank))
+      }
+      def dsum(e: Column) = sum(e.cast("decimal(38,0)")).cast("double")
+      cells
+        .join(broadcast(marg("q", "rq")), Seq("q"))
+        .join(broadcast(marg("dc", "rd")), Seq("dc"))
+        .agg(sum(col("n")).cast("double").as("w"),
+          dsum(col("n") * col("rq")).as("sq"),
+          dsum(col("n") * col("rd")).as("sd"),
+          dsum(col("n") * col("rq") * col("rq")).as("sqq"),
+          dsum(col("n") * col("rd") * col("rd")).as("sdd"),
+          dsum(col("n") * col("rq") * col("rd")).as("sqd"))
+        .selectExpr(
+          "round((w*sqd - sq*sd) / sqrt((w*sqq - sq*sq) * (w*sdd - sd*sd)), 6) AS spearman_rho")
+    }),
+
+    // Kendall tau-b on the same grid: concordant/discordant pair weights
+    // from the cell-pair join (|q domain|·|d domain| cells squared —
+    // bounded by the domains, never the row count), tie corrections from
+    // the marginals. C, D, and the tie terms are exact bigints.
+    "agg_kendall_tau" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        round(col("l_quantity")).cast("bigint").as("q"),
+        round(col("l_discount") * 100).cast("bigint").as("dc"))
+      val cells = raw.groupBy(col("q"), col("dc"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // pair join reads both sides
+      val pairs = cells.alias("a")
+        .join(broadcast(cells.alias("b")), col("a.q") < col("b.q"))
+        .agg(
+          sum(when(col("a.dc") < col("b.dc"),
+            col("a.n") * col("b.n")).otherwise(0L)).as("c"),
+          sum(when(col("a.dc") > col("b.dc"),
+            col("a.n") * col("b.n")).otherwise(0L)).as("dd"))
+      val ties = raw.agg(count(lit(1)).as("nn")).crossJoin(
+        raw.groupBy(col("q")).agg(count(lit(1)).as("tq"))
+          .agg(sum(col("tq") * (col("tq") - 1)).as("tq2x")).crossJoin(
+            raw.groupBy(col("dc")).agg(count(lit(1)).as("td"))
+              .agg(sum(col("td") * (col("td") - 1)).as("td2x"))))
+      pairs.crossJoin(broadcast(ties))
+        .selectExpr("c", "dd AS d",
+          "round(CAST(c - dd AS DOUBLE) / sqrt(" +
+            "CAST(nn*(nn - 1) - tq2x AS DOUBLE) / 2.0 * " +
+            "(CAST(nn*(nn - 1) - td2x AS DOUBLE) / 2.0)), 6) AS kendall_tau_b")
     }),
 
     // Difference-in-differences over the 2×2 (variant × before/after
@@ -373,6 +437,66 @@ object Hypothesis {
   )
 
   val sql: Map[String, String] = Map(
+
+    "agg_spearman" -> """
+      WITH raw AS (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+               CAST(ROUND(l_discount*100) AS BIGINT) AS dc
+        FROM lineitem
+      ), cells AS (
+        SELECT q, dc, count(*) AS n FROM raw GROUP BY 1, 2
+      ), mq AS (
+        SELECT q, 2 * (cum - nv) + nv + 1 AS rq
+        FROM (SELECT q, count(*) AS nv,
+                     sum(count(*)) OVER (ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM raw GROUP BY q)
+      ), md AS (
+        SELECT dc, 2 * (cum - nv) + nv + 1 AS rd
+        FROM (SELECT dc, count(*) AS nv,
+                     sum(count(*)) OVER (ORDER BY dc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM raw GROUP BY dc)
+      ), sums AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS w,
+               CAST(sum(n * rq) AS DOUBLE) AS sq,
+               CAST(sum(n * rd) AS DOUBLE) AS sd,
+               CAST(sum(n * rq * rq) AS DOUBLE) AS sqq,
+               CAST(sum(n * rd * rd) AS DOUBLE) AS sdd,
+               CAST(sum(n * rq * rd) AS DOUBLE) AS sqd
+        FROM cells c JOIN mq ON mq.q = c.q JOIN md ON md.dc = c.dc
+      )
+      SELECT round((w*sqd - sq*sd)
+                   / sqrt((w*sqq - sq*sq) * (w*sdd - sd*sd)), 6)
+               AS spearman_rho
+      FROM sums""",
+
+    "agg_kendall_tau" -> """
+      WITH raw AS (
+        SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+               CAST(ROUND(l_discount*100) AS BIGINT) AS dc
+        FROM lineitem
+      ), cells AS (
+        SELECT q, dc, count(*) AS n FROM raw GROUP BY 1, 2
+      ), pairs AS (
+        SELECT
+          CAST(sum(CASE WHEN a.dc < b.dc THEN a.n * b.n ELSE 0 END)
+            AS BIGINT) AS c,
+          CAST(sum(CASE WHEN a.dc > b.dc THEN a.n * b.n ELSE 0 END)
+            AS BIGINT) AS dd
+        FROM cells a JOIN cells b ON a.q < b.q
+      ), ties AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw) AS nn,
+               (SELECT CAST(sum(tq * (tq - 1)) AS BIGINT)
+                FROM (SELECT count(*) AS tq FROM raw GROUP BY q)) AS tq2x,
+               (SELECT CAST(sum(td * (td - 1)) AS BIGINT)
+                FROM (SELECT count(*) AS td FROM raw GROUP BY dc)) AS td2x
+      )
+      SELECT p.c, p.dd AS d,
+             round(CAST(p.c - p.dd AS DOUBLE) / sqrt(CAST(t.nn*(t.nn - 1) - t.tq2x AS DOUBLE) / 2.0 * (CAST(t.nn*(t.nn - 1) - t.td2x AS DOUBLE) / 2.0)), 6) AS kendall_tau_b
+      FROM pairs p CROSS JOIN ties t""",
 
     "evt_did" -> """
       WITH ev AS (

@@ -424,7 +424,11 @@ class PlanAuditSpec extends AnyFunSuite
       "ml_cohens_kappa",
       // the learning-curve scoring pass fans fold-0 rows across the
       // 4-row cumulative-model table — bounded by the fold count
-      "ml_learning_curve")
+      "ml_learning_curve",
+      // Kendall's concordance pair join runs between two copies of the
+      // (q, d) CONTINGENCY GRID — bounded by the value domains
+      // (50 × 11 cells), never the row count
+      "agg_kendall_tau")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)

@@ -225,6 +225,54 @@ class Round7Spec extends AnyFunSuite {
     assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
   }
 
+  test("agg_spearman and agg_kendall_tau match direct local computation") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(ROUND(l_quantity) AS BIGINT) AS q",
+        "CAST(ROUND(l_discount*100) AS BIGINT) AS dc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // tie-averaged ranks
+    def ranks(xs: Array[Long]): Array[Double] = {
+      val byV = xs.zipWithIndex.groupBy(_._1)
+      val sorted = xs.sorted
+      val firstIdx = scala.collection.mutable.Map[Long, Int]()
+      sorted.zipWithIndex.foreach { case (v, i) =>
+        if (!firstIdx.contains(v)) firstIdx(v) = i
+      }
+      xs.map { v =>
+        val lo = firstIdx(v) + 1; val n = byV(v).length
+        lo + (n - 1) / 2.0
+      }
+    }
+    val rq = ranks(rows.map(_._1)); val rd = ranks(rows.map(_._2))
+    val n = rows.length.toDouble
+    val mq = rq.sum / n; val md = rd.sum / n
+    val num = rq.indices.map(i => (rq(i) - mq) * (rd(i) - md)).sum
+    val den = math.sqrt(rq.map(x => (x - mq) * (x - mq)).sum *
+      rd.map(x => (x - md) * (x - md)).sum)
+    val rho = SparkEntry.queries("agg_spearman")(spark, sf)
+      .collect()(0).getDouble(0)
+    assert(math.abs(rho - num / den) < 1e-5, s"$rho vs ${num / den}")
+    // Kendall tau-b via grid-free pair counting on the grouped values
+    val grid = rows.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+      .toArray
+    var c = 0L; var dcnt = 0L
+    for (((q1, d1), n1) <- grid; ((q2, d2), n2) <- grid
+         if q1 < q2) {
+      if (d1 < d2) c += n1 * n2
+      else if (d1 > d2) dcnt += n1 * n2
+    }
+    val nn = rows.length.toLong
+    val tq2 = rows.groupBy(_._1).values.map(g => g.length.toLong)
+      .map(t => t * (t - 1)).sum
+    val td2 = rows.groupBy(_._2).values.map(g => g.length.toLong)
+      .map(t => t * (t - 1)).sum
+    val tauB = (c - dcnt).toDouble / math.sqrt(
+      (nn * (nn - 1) - tq2) / 2.0 * ((nn * (nn - 1) - td2) / 2.0))
+    val got = SparkEntry.queries("agg_kendall_tau")(spark, sf).collect()(0)
+    assert(got.getLong(0) == c && got.getLong(1) == dcnt)
+    assert(math.abs(got.getDouble(2) - tauB) < 1e-5)
+  }
+
   test("graph_adamic_adar only scores non-adjacent pairs, AA consistent") {
     val rows = SparkEntry.queries("graph_adamic_adar")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
