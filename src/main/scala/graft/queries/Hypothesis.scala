@@ -191,6 +191,41 @@ object Hypothesis {
           "((d + 500.0)/se > 1.645) AND ((d - 500.0)/se < -1.645) AS equivalent")
     }),
 
+    // Single change-point detection (binary-segmentation step) per event
+    // type: the split day maximizing the normalized mean-shift statistic
+    // |m_pre − m_post|·sqrt(n_pre·n_post/n) over daily revenue. Prefix
+    // sums over the BOUNDED daily aggregate give every candidate split in
+    // one window pass; the argmax orders by the rounded statistic with a
+    // full (type, day) tiebreak, so the pick cannot flip cross-engine.
+    "evt_changepoint" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("sv"),
+          count(lit(1)).as("nv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("dy"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("cs", sum(col("sv")).over(w))
+        .withColumn("cn", sum(col("nv")).over(w))
+        .withColumn("ts_", sum(col("sv")).over(wAll))
+        .withColumn("tn", sum(col("nv")).over(wAll))
+        .filter(col("cn") < col("tn")) // a split needs a non-empty tail
+        .selectExpr("event_type", "dy",
+          "CAST(cs AS DOUBLE)/cn AS m_pre",
+          "CAST(ts_ - cs AS DOUBLE)/(tn - cn) AS m_post",
+          "round(abs(CAST(cs AS DOUBLE)/cn - CAST(ts_ - cs AS DOUBLE)/(tn - cn)) * sqrt(CAST(cn AS DOUBLE) * (tn - cn) / tn), 6) AS shift_stat")
+      scored
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("shift_stat").desc, col("dy"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), to_date(col("dy")).as("split_day"),
+          round(col("m_pre") / 100.0, 4).as("mean_pre_dollars"),
+          round(col("m_post") / 100.0, 4).as("mean_post_dollars"),
+          col("shift_stat"))
+    }),
+
     // Mann-Kendall trend test per event type over the daily count
     // series: S = Σ_{i<j} sign(n_j − n_i) — an EXACT integer from the
     // pair self-join over the bounded daily aggregate (|days|² pairs,
@@ -570,6 +605,36 @@ object Hypothesis {
              ((d + 500.0)/se > 1.645) AND ((d - 500.0)/se < -1.645)
                AS equivalent
       FROM st""",
+
+    "evt_changepoint" -> """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS dy,
+               sum(CAST(ROUND(value * 100) AS BIGINT)) AS sv,
+               count(*) AS nv
+        FROM events GROUP BY 1, 2
+      ), pre AS (
+        SELECT event_type, dy,
+               sum(sv) OVER w AS cs, sum(nv) OVER w AS cn,
+               sum(sv) OVER wt AS ts_, sum(nv) OVER wt AS tn
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY dy
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wt AS (PARTITION BY event_type)
+      ), scored AS (
+        SELECT event_type, dy,
+               CAST(cs AS DOUBLE)/cn AS m_pre,
+               CAST(ts_ - cs AS DOUBLE)/(tn - cn) AS m_post,
+               round(abs(CAST(cs AS DOUBLE)/cn - CAST(ts_ - cs AS DOUBLE)/(tn - cn)) * sqrt(CAST(cn AS DOUBLE) * (tn - cn) / tn), 6) AS shift_stat
+        FROM pre WHERE cn < tn
+      )
+      SELECT event_type, CAST(dy AS DATE) AS split_day,
+             round(m_pre / 100.0, 4) AS mean_pre_dollars,
+             round(m_post / 100.0, 4) AS mean_post_dollars,
+             shift_stat
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY shift_stat DESC, dy) AS rn
+            FROM scored)
+      WHERE rn = 1""",
 
     "evt_mann_kendall" -> """
       WITH daily AS (

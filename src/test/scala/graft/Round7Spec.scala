@@ -347,6 +347,40 @@ class Round7Spec extends AnyFunSuite {
     assert(got == arr.map { case (k, v) => names(k) -> v }.toMap)
   }
 
+  test("evt_changepoint picks the argmax split per type (local replay)") {
+    val got = SparkEntry.queries("evt_changepoint")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDate(1).toString, r.getDouble(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type",
+        "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS dy",
+        "CAST(ROUND(value*100) AS BIGINT) AS v")
+      .groupBy("event_type", "dy")
+      .agg(org.apache.spark.sql.functions.sum("v").as("sv"),
+        org.apache.spark.sql.functions.count(col("v")).as("nv"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3)))
+      .groupBy(_._1)
+    daily.foreach { case (tpe, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val totS = sorted.map(_._3).sum.toDouble
+      val totN = sorted.map(_._4).sum.toDouble
+      var cs = 0.0; var cn = 0.0
+      var best = (-1.0, "")
+      sorted.init.foreach { case (_, day, sv, nv) =>
+        cs += sv; cn += nv
+        val stat = math.abs(cs / cn - (totS - cs) / (totN - cn)) *
+          math.sqrt(cn * (totN - cn) / totN)
+        val rs = math.rint(stat * 1e6) / 1e6
+        if (rs > best._1) best = (rs, day)
+      }
+      assert(got(tpe)._1 == best._2, s"$tpe split ${got(tpe)._1} vs $best")
+      assert(math.abs(got(tpe)._2 - best._1) < 1e-5)
+    }
+  }
+
   test("evt_mann_kendall: S bounded by pair count, z sign follows S") {
     val rows = SparkEntry.queries("evt_mann_kendall")(spark, sf).collect()
     assert(rows.nonEmpty)
