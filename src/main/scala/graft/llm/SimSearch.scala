@@ -339,6 +339,33 @@ object SimSearch {
         .filter(col("rn") <= 5)
     }),
 
+    // retrieval evaluation: precision@5 of exact cosine retrieval
+    // against the embedding labels — the quality number every ANN/
+    // retrieval pipeline reports. Same broadcast-query top-k shape as
+    // llm_cosine_topk, rolled up to one exact ratio per query.
+    "ml_precision_at_k" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val cands = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label").as("clabel"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      cands.join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+        .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+          col("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("hits"))
+        .select(col("qid"), col("qlabel"), col("hits"),
+          round(col("hits").cast("double") / 5.0, 6).as("p_at_5"))
+    }),
+
     // k-NN label vote: majority label among top-10 exact neighbors
     "llm_knn_label" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -560,6 +587,37 @@ object SimSearch {
                  ORDER BY dot / sqrt(qq * cc) DESC, cid) AS rn
         FROM dots
       ) WHERE rn <= 5""",
+
+    "ml_precision_at_k" -> """
+      WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) AS dot, sum(q.x * q.x) AS qq,
+               sum(c.x * c.x) AS cc
+        FROM pos q
+        JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+      ), top5 AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY dot / sqrt(qq * cc) DESC, cid) AS rn
+          FROM dots
+        ) WHERE rn <= 5
+      )
+      SELECT t.qid, q.label AS qlabel,
+             CAST(sum(CASE WHEN c.label = q.label THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits,
+             round(CAST(sum(CASE WHEN c.label = q.label THEN 1 ELSE 0 END)
+               AS DOUBLE) / 5.0, 6) AS p_at_5
+      FROM top5 t
+      JOIN embeddings q ON q.vec_id = t.qid
+      JOIN embeddings c ON c.vec_id = t.cid
+      GROUP BY t.qid, q.label""",
 
     "llm_knn_label" -> """
       WITH pos AS (

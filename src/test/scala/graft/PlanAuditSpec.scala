@@ -428,7 +428,9 @@ class PlanAuditSpec extends AnyFunSuite
       // Kendall's concordance pair join runs between two copies of the
       // (q, d) CONTINGENCY GRID — bounded by the value domains
       // (50 × 11 cells), never the row count
-      "agg_kendall_tau")
+      "agg_kendall_tau",
+      // the same ≤20-query-vector broadcast as llm_cosine_topk
+      "ml_precision_at_k")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)

@@ -347,6 +347,25 @@ class Round7Spec extends AnyFunSuite {
     assert(got == arr.map { case (k, v) => names(k) -> v }.toMap)
   }
 
+  test("ml_precision_at_k reconciles with llm_cosine_topk's neighbors") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top5 = SparkEntry.queries("llm_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SparkEntry.queries("ml_precision_at_k")(spark, sf).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val (qid, qlabel, hits, p5) = (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3))
+      assert(qlabel == labels(qid))
+      val expectHits = top5(qid).count(c => labels(c) == qlabel)
+      assert(hits == expectHits, s"query $qid")
+      assert(math.abs(p5 - hits / 5.0) < 1e-9)
+    }
+  }
+
   test("evt_changepoint picks the argmax split per type (local replay)") {
     val got = SparkEntry.queries("evt_changepoint")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDate(1).toString, r.getDouble(4)))
