@@ -90,10 +90,21 @@ object Semantic {
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
     var assigned = assignTo(emb, cents)
     for (_ <- 2 to rounds) {
+      // integer-exact M-step (the ml_power_iteration discipline): each
+      // member coordinate lands on a 1e-6 grid via floor(x·1e6 + 0.5)
+      // (floor is bit-deterministic on both engines, unlike round), the
+      // grid values sum EXACTLY in decimal(38,0) ≡ HUGEINT regardless
+      // of summation order, and the mean is ONE double division of
+      // identical operands — so both engines iterate the identical
+      // centroid table and the whole trajectory is oracle-replayable.
       val means = assigned.join(emb, Seq("vec_id"))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
+        .agg(sum(floor(col("x") * 1e6 + 0.5).cast("decimal(38,0)")).as("sx"),
+          count(lit(1)).as("cn"))
+        .select(col("cell"), col("pos"),
+          (col("sx").cast("double") / (col("cn").cast("double") * 1e6))
+            .as("mx"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           c => c.getField("mx").cast("float")).as("cvec"))
@@ -162,20 +173,46 @@ object Semantic {
     // Scores are rounded to 6 decimals BEFORE ranking on both engines —
     // rounding may create ties, but the doc_id tiebreak then decides
     // identically everywhere; unrounded doubles could order differently
-    // across engines at 1-ulp gaps. Scale note: partitionBy(lang) puts
-    // a whole language in one task — the honest production variant
-    // computes tercile cutpoints via approx_percentile and joins them
-    // back (the llm_quality_filter pattern); exact ntile is kept here
-    // because equal-size buckets are the CCNet contract and the parity
-    // check needs exact rank arithmetic.
+    // across engines at 1-ulp gaps.
+    //
+    // Scale design: a naive ntile(3) OVER (PARTITION BY lang ...) sorts
+    // a WHOLE LANGUAGE in one task — the canonical skew scale-killer
+    // (the DuckDB twin keeps that plain form as the semantic spec). The
+    // engine instead replays ntile's exact integer arithmetic over the
+    // (lang, rounded-score) GRID, the same domain-bounding trick as
+    // agg_spearman: cell counts + a per-language cumulative over CELLS
+    // (window input = |distinct scores|, not |docs|), a row_number
+    // bounded by one CELL for the in-cell tiebreak, then bucket =
+    // ntile's first-(n mod k)-tiles-take-one-extra formula in pure
+    // integer arithmetic — bit-identical to the window ntile, with no
+    // task ever holding more than one score-cell of one language.
     "llm_ccnet_buckets" -> ((s, d) => {
       val scored = TextOps.defs("llm_lm_score")(s, d)
         .select(col("doc_id"), round(col("lm_score"), 6).as("lm6"))
       val j = t(s, d, "documents").select(col("doc_id"), col("lang"))
         .join(scored, Seq("doc_id"))
-      val nt = ntile(3).over(
-        Window.partitionBy(col("lang")).orderBy(col("lm6").desc, col("doc_id")))
-      j.withColumn("nt", nt)
+        .localCheckpoint(eager = false) // cells leg + rank leg
+      val cells = j.groupBy(col("lang"), col("lm6"))
+        .agg(count(lit(1)).as("cn"))
+      val wCum = Window.partitionBy(col("lang"))
+        .orderBy(col("lm6").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = cells
+        .withColumn("cb", sum(col("cn")).over(wCum) - col("cn"))
+        .withColumn("n", sum(col("cn"))
+          .over(Window.partitionBy(col("lang"))))
+        .select(col("lang"), col("lm6"), col("cb"), col("n"))
+      val wCell = Window.partitionBy(col("lang"), col("lm6"))
+        .orderBy(col("doc_id"))
+      j.withColumn("rc", row_number().over(wCell))
+        .join(cum, Seq("lang", "lm6"))
+        .withColumn("r", col("cb") + col("rc"))
+        .withColumn("nt", expr(
+          // ntile(k): q = n div k rows per tile, first n%k tiles get +1
+          "CASE WHEN r <= (n div 3 + 1) * (n % 3)" +
+          " THEN (r + n div 3) div (n div 3 + 1)" +
+          " ELSE n % 3 + (r - (n div 3 + 1) * (n % 3) + n div 3 - 1)" +
+          "      div (n div 3) END"))
         .select(col("doc_id"), col("lang"), col("lm6"),
           when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
             .otherwise("tail").as("ppl_bucket"))
@@ -344,6 +381,37 @@ object Semantic {
     })
   )
 
+  /** One assign stage of the kmeans-iterate twin: centroid CTE `cn` →
+    * assignment CTE `an`, mirroring [[assignTo]] term for term. */
+  private def assignStage(cn: String, an: String): String = s"""
+      sims_$an AS (
+        SELECT v.vec_id, c.cell,
+               sum(v.x * c.cx) / sqrt(sum(v.x * v.x) * sum(c.cx * c.cx)) AS sim
+        FROM v JOIN $cn c ON v.i = c.i
+        GROUP BY v.vec_id, c.cell
+      ), $an AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(sim, 6) DESC, cell ASC) AS rn
+          FROM sims_$an)
+        WHERE rn = 1
+      )"""
+
+  /** One integer-exact M-step of the kmeans-iterate twin: assignment
+    * CTE `an` → centroid CTE `cn`. floor(x·1e6 + 0.5) grid values sum
+    * exactly (HUGEINT ≡ the Spark side's decimal(38,0)); the REAL cast
+    * replays the Spark side's float centroid storage. */
+  private def meanStage(an: String, cn: String): String = s"""
+      $cn AS (
+        SELECT a.cell, v.i,
+               CAST(CAST(
+                 CAST(sum(CAST(floor(v.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1e6) AS REAL) AS DOUBLE) AS cx
+        FROM $an a JOIN v ON v.vec_id = a.vec_id
+        GROUP BY a.cell, v.i
+      )"""
+
   /** Shared oracle CTE: per-component unnest of embeddings + the
     * nearest-centroid pick, mirroring [[assignCells]] term for term
     * (dot / sqrt(|x|²·|y|²), 6-decimal rounding before the argmax). */
@@ -377,6 +445,23 @@ object Semantic {
       SELECT cell, count(*) AS n_members,
              round(avg(round(sim, 6)), 4) AS avg_cos
       FROM assigned GROUP BY cell""",
+
+    // 3 full Lloyd rounds unrolled (the pagerank-twin pattern): seed
+    // centroids = vec_id < K, then assign → integer-exact mean → assign
+    // → mean → assign. Every stage mirrors the Spark loop term for term.
+    "llm_kmeans_iterate" -> s"""
+      WITH v AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), c1 AS (
+        SELECT vec_id AS cell, x AS cx, i FROM v WHERE vec_id < $K
+      ), ${assignStage("c1", "a1")},
+      ${meanStage("a1", "c2")},
+      ${assignStage("c2", "a2")},
+      ${meanStage("a2", "c3")},
+      ${assignStage("c3", "a3")}
+      SELECT vec_id, cell FROM a3""",
 
     "llm_semdedup" -> s"""$assignSql, pv AS (
         SELECT a.vec_id, a.cell, v.x, v.i

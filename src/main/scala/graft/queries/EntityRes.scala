@@ -30,20 +30,32 @@ import graft.functions.GraftFunctions
 object EntityRes {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Variant-rid offset, derived FROM THE DATA: max(p_partkey) + 1.
+    * A fixed constant (the old +100000) silently collides with clean
+    * rids once |part| ≥ 100k (TPC-H sf ≥ 0.5) — and because both
+    * engines would compute the same broken fixture, the oracle hash
+    * could never catch it. One tiny aggregate over the part dimension;
+    * collected as a bounded driver scalar (1 row). */
+  private[graft] def ridOffset(s: SparkSession, d: String): Long =
+    t(s, d, "part").agg(max(col("p_partkey")).cast("bigint"))
+      .head.getLong(0) + 1L
+
   /** Record universe: one clean record per distinct part name (rid = min
-    * partkey carrying that name) + two corrupted variants with offset ids.
+    * partkey carrying that name) + two corrupted variants with offset ids
+    * (clean < +off < +2·off bands, disjoint at any sf by construction).
     * Corruptions preserve the first character, so first-char blocking has
     * full recall on the planted matches. */
   private[graft] def records(s: SparkSession, d: String): DataFrame = {
+    val off = ridOffset(s, d)
     val base = t(s, d, "part")
       .groupBy(col("p_name").as("name"))
-      .agg(min(col("p_partkey")).as("rid"))
+      .agg(min(col("p_partkey")).cast("bigint").as("rid"))
     // drop the 3rd character: "small ring" -> "smll ring"
-    val drop3 = base.select((col("rid") + 100000L).as("rid"),
+    val drop3 = base.select((col("rid") + off).as("rid"),
       concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
         .as("name"))
     // transpose characters 2 and 3: "small ring" -> "samll ring"
-    val swap23 = base.select((col("rid") + 200000L).as("rid"),
+    val swap23 = base.select((col("rid") + 2L * off).as("rid"),
       concat(substring(col("name"), 1, 1), substring(col("name"), 3, 1),
         substring(col("name"), 2, 1), expr("substring(name, 4)"))
         .as("name"))
@@ -104,9 +116,10 @@ object EntityRes {
     // stateless blocked-join + jaro_winkler plan the streaming gate
     // runs (DedupGate.fuzzyGate; streamed ≡ batch in DedupGateSpec).
     "er_fuzzy_gate" -> ((s, d) => {
+      val off = ridOffset(s, d)
       val recs = records(s, d)
-      val canon = recs.filter(col("rid") < 100000L)
-      val incoming = recs.filter(col("rid") >= 100000L)
+      val canon = recs.filter(col("rid") < off)
+      val incoming = recs.filter(col("rid") >= off)
       graft.streaming.DedupGate.fuzzyGate(incoming,
         graft.streaming.DedupGate.fuzzyIndex(canon), 0.9)
     }),
@@ -114,7 +127,10 @@ object EntityRes {
     // Survivorship: fold each cluster into its golden record — canonical
     // name = the name of the label record (the CC label IS a member rid,
     // so canonicalization is one equi-join, no argmin over the cluster),
-    // plus member count and the sorted member list.
+    // plus member count and the sorted member list. The member list is
+    // emitted as a comma-joined STRING (not array<bigint>): the sorted
+    // array is the in-engine API, but the driver's pandas canonicalizer
+    // cannot sort ndarray cells, so the driver-facing row serializes it.
     "er_survivorship" -> ((s, d) => {
       val pairs = matchPairs(s, d)
         .select(col("rid_a").as("doc1"), col("rid_b").as("doc2"))
@@ -128,22 +144,26 @@ object EntityRes {
         .join(recs.select(col("rid").as("cluster"),
           col("name").as("canonical")), Seq("cluster"))
         .select(col("cluster"), col("canonical"), col("n_members"),
-          col("members"))
+          array_join(col("members").cast("array<string>"), ",")
+            .as("members"))
     }))
 
   // concat(...) instead of the || operator: these fragments are re-run
   // through the consuming templates' stripMargin, which would eat a
   // leading | of a || that lands after line-start whitespace
   private val recordsSql =
-    """records AS (
-      |    SELECT min(p_partkey) AS rid, p_name AS name
+    """roff AS (
+      |    SELECT CAST(max(p_partkey) AS BIGINT) + 1 AS off FROM part),
+      |  records AS (
+      |    SELECT CAST(min(p_partkey) AS BIGINT) AS rid, p_name AS name
       |    FROM part GROUP BY p_name
       |    UNION ALL
-      |    SELECT min(p_partkey) + 100000,
+      |    SELECT CAST(min(p_partkey) AS BIGINT) + (SELECT off FROM roff),
       |           concat(substr(p_name, 1, 2), substr(p_name, 4))
       |    FROM part GROUP BY p_name
       |    UNION ALL
-      |    SELECT min(p_partkey) + 200000,
+      |    SELECT CAST(min(p_partkey) AS BIGINT)
+      |             + 2 * (SELECT off FROM roff),
       |           concat(substr(p_name, 1, 1), substr(p_name, 3, 1),
       |                  substr(p_name, 2, 1), substr(p_name, 4))
       |    FROM part GROUP BY p_name)""".stripMargin
@@ -186,8 +206,8 @@ object EntityRes {
       s"""WITH $recordsSql
         |SELECT i.rid AS new_id, c.rid AS canon_id,
         |       round(jaro_winkler_similarity(i.name, c.name), 6) AS jw
-        |FROM (SELECT * FROM records WHERE rid >= 100000) i
-        |JOIN (SELECT * FROM records WHERE rid < 100000) c
+        |FROM (SELECT * FROM records WHERE rid >= (SELECT off FROM roff)) i
+        |JOIN (SELECT * FROM records WHERE rid < (SELECT off FROM roff)) c
         |  ON substr(i.name, 1, 1) = substr(c.name, 1, 1)
         |WHERE round(jaro_winkler_similarity(i.name, c.name), 6) >= 0.9""".stripMargin,
 
@@ -203,7 +223,8 @@ object EntityRes {
         |         FROM reach GROUP BY node),
         |  folded AS (
         |    SELECT cluster, count(*) AS n_members,
-        |           list(rid ORDER BY rid) AS members
+        |           string_agg(CAST(rid AS VARCHAR), ',' ORDER BY rid)
+        |             AS members
         |    FROM cl GROUP BY cluster)
         |SELECT f.cluster, r.name AS canonical, f.n_members, f.members
         |FROM folded f JOIN records r ON r.rid = f.cluster""".stripMargin)

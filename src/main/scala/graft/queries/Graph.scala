@@ -309,16 +309,16 @@ object Graph {
     // Edge weights are EXACT integer revenue units (price-cents ×
     // (100 − disc%)) so the mean-weight edge cutoff — the part that decides
     // the graph's shape — is integer arithmetic and cannot ulp-flip between
-    // engines. Min-label propagation: every node starts as its own label,
-    // each superstep folds the smallest label seen across one more hop
-    // (join + min re-aggregation, localCheckpoint between steps), until a
-    // fixpoint. Convergence detection is a 1-row sum aggregate per step:
-    // labels only ever decrease, so sum(label) strictly decreases until the
-    // fixpoint — the only driver traffic in the loop is that single scalar.
-    // Min-label is fine HERE because the vertex set is the 25-nation table
-    // (diameter bounded by a constant); for unbounded vertex sets the
-    // production CC is [[graft.llm.Dedup.connectedComponentsFast]]
-    // (large-star/small-star, O(log d) rounds — see docs/PLANS.md).
+    // engines. The vertex set is the 25-row nation table, so the kept
+    // graph has ≤ C(25,2) = 300 edges BY CONSTRUCTION — the only
+    // data-sized work is the trade-edge aggregate in exactEdges. The
+    // bounded edge list is collected and union-found on the driver (same
+    // bounded-action class as the BPE argmax), which replaces ~diameter
+    // supersteps of join + min-agg + checkpoint; labeling each component
+    // by its minimum member reproduces min-label semantics exactly. For
+    // unbounded vertex sets the production CC is
+    // [[graft.llm.Dedup.connectedComponentsFast]] (large-star/small-star,
+    // O(log d) rounds — see docs/PLANS.md and CcBench).
     "graph_components" -> ((s, d) => {
       val nation = t(s, d, "nation")
       val und = exactEdges(s, d).filter(col("src") =!= col("dst"))
@@ -330,27 +330,28 @@ object Graph {
       // (scalar-broadcast pattern: the build side is a 1-row aggregate)
       val kept = und.crossJoin(broadcast(tot))
         .filter(col("wu") * col("n") > col("t"))
-        .select(col("a"), col("b"))
-      val bi = kept.select(col("a").as("es"), col("b").as("ed"))
-        .union(kept.select(col("b"), col("a"))).localCheckpoint()
-      var comp = nation
-        .select(col("n_nationkey").as("node"),
-                col("n_nationkey").cast("bigint").as("comp"))
-        .localCheckpoint()
-      var last = -1L
-      var cur = comp.agg(sum(col("comp"))).head.getLong(0)
-      var iters = 0
-      while (cur != last && iters < 30) {
-        val prop = comp.join(bi, comp("node") === col("es"))
-          .select(col("ed").as("node"), col("comp"))
-        comp = comp.union(prop).groupBy(col("node"))
-          .agg(min(col("comp")).as("comp")).localCheckpoint()
-        last = cur
-        cur = comp.agg(sum(col("comp"))).head.getLong(0)
-        iters += 1
+        .select(col("a").cast("bigint").as("a"),
+                col("b").cast("bigint").as("b"))
+      val edges = kept.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
       }
-      comp.join(broadcast(nation), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("comp"))
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val labeled = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => (n, find(n))).toSeq
+      import s.implicits._
+      val compDf = s.createDataset(labeled).toDF("node", "comp")
+      nation
+        .select(col("n_name"), col("n_nationkey").cast("bigint").as("node"))
+        .join(broadcast(compDf), Seq("node"), "left")
+        .select(col("n_name"),
+          coalesce(col("comp"), col("node")).as("comp"))
         .orderBy(col("n_name"))
     }))
 

@@ -80,16 +80,22 @@ object Hypothesis {
           .select(col(key),
             (lit(2) * (col("cum") - col("nv")) + col("nv") + 1).as(rank))
       }
-      def dsum(e: Column) = sum(e.cast("decimal(38,0)")).cast("double")
+      // widen the OPERANDS, not just the sum: tie-averaged ranks scale
+      // with the row count (rq ≈ 2N), so the per-row long product
+      // n·rq·rd would silently wrap at ~1e9-1e10 rows while the DuckDB
+      // twin's HUGEINT stays exact. decimal(18,0) holds any realistic
+      // count/rank; the triple product then lands in decimal(38,0).
+      def dec(c: Column) = c.cast("decimal(18,0)")
+      def dsum(e: Column) = sum(e).cast("double")
       cells
         .join(broadcast(marg("q", "rq")), Seq("q"))
         .join(broadcast(marg("dc", "rd")), Seq("dc"))
         .agg(sum(col("n")).cast("double").as("w"),
-          dsum(col("n") * col("rq")).as("sq"),
-          dsum(col("n") * col("rd")).as("sd"),
-          dsum(col("n") * col("rq") * col("rq")).as("sqq"),
-          dsum(col("n") * col("rd") * col("rd")).as("sdd"),
-          dsum(col("n") * col("rq") * col("rd")).as("sqd"))
+          dsum(dec(col("n")) * dec(col("rq"))).as("sq"),
+          dsum(dec(col("n")) * dec(col("rd"))).as("sd"),
+          dsum(dec(col("n")) * dec(col("rq")) * dec(col("rq"))).as("sqq"),
+          dsum(dec(col("n")) * dec(col("rd")) * dec(col("rd"))).as("sdd"),
+          dsum(dec(col("n")) * dec(col("rq")) * dec(col("rd"))).as("sqd"))
         .selectExpr(
           "round((w*sqd - sq*sd) / sqrt((w*sqq - sq*sq) * (w*sdd - sd*sd)), 6) AS spearman_rho")
     }),
@@ -105,20 +111,29 @@ object Hypothesis {
       val cells = raw.groupBy(col("q"), col("dc"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint(eager = false) // pair join reads both sides
+      // decimal(18,0) operands: total C/D grow as N²/2, so a long sum
+      // of a.n·b.n wraps silently past ~4e9 rows while DuckDB promotes
+      // to HUGEINT — widen before multiplying, like agg_spearman.
+      def dec(c: Column) = c.cast("decimal(18,0)")
       val pairs = cells.alias("a")
         .join(broadcast(cells.alias("b")), col("a.q") < col("b.q"))
         .agg(
           sum(when(col("a.dc") < col("b.dc"),
-            col("a.n") * col("b.n")).otherwise(0L)).as("c"),
+            dec(col("a.n")) * dec(col("b.n")))
+            .otherwise(lit(0).cast("decimal(37,0)"))).as("c"),
           sum(when(col("a.dc") > col("b.dc"),
-            col("a.n") * col("b.n")).otherwise(0L)).as("dd"))
+            dec(col("a.n")) * dec(col("b.n")))
+            .otherwise(lit(0).cast("decimal(37,0)"))).as("dd"))
       val ties = raw.agg(count(lit(1)).as("nn")).crossJoin(
         raw.groupBy(col("q")).agg(count(lit(1)).as("tq"))
           .agg(sum(col("tq") * (col("tq") - 1)).as("tq2x")).crossJoin(
             raw.groupBy(col("dc")).agg(count(lit(1)).as("td"))
               .agg(sum(col("td") * (col("td") - 1)).as("td2x"))))
+      // c/d emitted as DOUBLE: the decimal→double cast is correctly
+      // rounded on both engines (DuckDB: HUGEINT→DOUBLE), so the hash
+      // contract survives row counts where a BIGINT output would wrap
       pairs.crossJoin(broadcast(ties))
-        .selectExpr("c", "dd AS d",
+        .selectExpr("CAST(c AS DOUBLE) AS c", "CAST(dd AS DOUBLE) AS d",
           "round(CAST(c - dd AS DOUBLE) / sqrt(" +
             "CAST(nn*(nn - 1) - tq2x AS DOUBLE) / 2.0 * " +
             "(CAST(nn*(nn - 1) - td2x AS DOUBLE) / 2.0)), 6) AS kendall_tau_b")
@@ -495,12 +510,14 @@ object Hypothesis {
                        AS cum
               FROM raw GROUP BY dc)
       ), sums AS (
+        -- HUGEINT operands mirror the Spark side's decimal(18,0)
+        -- widening: the per-row triple product must not wrap either
         SELECT CAST(sum(n) AS DOUBLE) AS w,
-               CAST(sum(n * rq) AS DOUBLE) AS sq,
-               CAST(sum(n * rd) AS DOUBLE) AS sd,
-               CAST(sum(n * rq * rq) AS DOUBLE) AS sqq,
-               CAST(sum(n * rd * rd) AS DOUBLE) AS sdd,
-               CAST(sum(n * rq * rd) AS DOUBLE) AS sqd
+               CAST(sum(CAST(n AS HUGEINT) * rq) AS DOUBLE) AS sq,
+               CAST(sum(CAST(n AS HUGEINT) * rd) AS DOUBLE) AS sd,
+               CAST(sum(CAST(n AS HUGEINT) * rq * rq) AS DOUBLE) AS sqq,
+               CAST(sum(CAST(n AS HUGEINT) * rd * rd) AS DOUBLE) AS sdd,
+               CAST(sum(CAST(n AS HUGEINT) * rq * rd) AS DOUBLE) AS sqd
         FROM cells c JOIN mq ON mq.q = c.q JOIN md ON md.dc = c.dc
       )
       SELECT round((w*sqd - sq*sd)
@@ -516,11 +533,13 @@ object Hypothesis {
       ), cells AS (
         SELECT q, dc, count(*) AS n FROM raw GROUP BY 1, 2
       ), pairs AS (
+        -- HUGEINT operands + DOUBLE output mirror the Spark side's
+        -- decimal widening: C/D grow as N²/2, past BIGINT at ~4e9 rows
         SELECT
-          CAST(sum(CASE WHEN a.dc < b.dc THEN a.n * b.n ELSE 0 END)
-            AS BIGINT) AS c,
-          CAST(sum(CASE WHEN a.dc > b.dc THEN a.n * b.n ELSE 0 END)
-            AS BIGINT) AS dd
+          sum(CASE WHEN a.dc < b.dc
+                   THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS ch,
+          sum(CASE WHEN a.dc > b.dc
+                   THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS dh
         FROM cells a JOIN cells b ON a.q < b.q
       ), ties AS (
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw) AS nn,
@@ -529,8 +548,8 @@ object Hypothesis {
                (SELECT CAST(sum(td * (td - 1)) AS BIGINT)
                 FROM (SELECT count(*) AS td FROM raw GROUP BY dc)) AS td2x
       )
-      SELECT p.c, p.dd AS d,
-             round(CAST(p.c - p.dd AS DOUBLE) / sqrt(CAST(t.nn*(t.nn - 1) - t.tq2x AS DOUBLE) / 2.0 * (CAST(t.nn*(t.nn - 1) - t.td2x AS DOUBLE) / 2.0)), 6) AS kendall_tau_b
+      SELECT CAST(p.ch AS DOUBLE) AS c, CAST(p.dh AS DOUBLE) AS d,
+             round(CAST(p.ch - p.dh AS DOUBLE) / sqrt(CAST(t.nn*(t.nn - 1) - t.tq2x AS DOUBLE) / 2.0 * (CAST(t.nn*(t.nn - 1) - t.td2x AS DOUBLE) / 2.0)), 6) AS kendall_tau_b
       FROM pairs p CROSS JOIN ties t""",
 
     "evt_did" -> """

@@ -77,13 +77,19 @@ object MlTrain {
     "round((l1 - cxx)/sqrt(cxy*cxy + (l1 - cxx)*(l1 - cxx)), 6) + 0.0 AS pc1_y")
 
   /** Shared per-class ratio text (ml_confusion): F1 uses the exact
-    * identity 2PR/(P+R) = 2·tp/(n_pred + n_act), so every ratio is one
-    * division of exact integers. */
+    * identity 2PR/(P+R) = 2·tp/(n_pred + n_act). Ratios are emitted as
+    * parts-per-million BIGINTs via floor(1e6·x + 0.5): every step (exact
+    * long→double promote, one IEEE division, +0.5, floor) is bit-
+    * deterministic across engines — unlike round(double, 6), where Spark
+    * rounds the exact BigDecimal expansion while DuckDB rounds via FP
+    * x*1e6, flipping ratios that land on a 6th-decimal boundary. floor
+    * MUST precede the cast: DuckDB's double→BIGINT cast rounds to
+    * nearest while Spark's truncates. */
   private val confusionSel = Seq(
     "cls", "tp", "n_pred - tp AS fp", "n_act - tp AS fn",
-    "CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE)/CAST(n_pred AS DOUBLE), 6) ELSE 0.0 END AS prec",
-    "CASE WHEN n_act > 0 THEN round(CAST(tp AS DOUBLE)/CAST(n_act AS DOUBLE), 6) ELSE 0.0 END AS rec",
-    "CASE WHEN tp > 0 THEN round(CAST(2*tp AS DOUBLE)/CAST(n_pred + n_act AS DOUBLE), 6) ELSE 0.0 END AS f1")
+    "CASE WHEN n_pred > 0 THEN CAST(floor(1e6*tp/n_pred + 0.5) AS BIGINT) ELSE 0 END AS prec_ppm",
+    "CASE WHEN n_act > 0 THEN CAST(floor(1e6*tp/n_act + 0.5) AS BIGINT) ELSE 0 END AS rec_ppm",
+    "CASE WHEN tp > 0 THEN CAST(floor(2e6*tp/(n_pred + n_act) + 0.5) AS BIGINT) ELSE 0 END AS f1_ppm")
 
   private val aucSel =
     "round(CAST(r1x2 - n1*(n1 + 1) AS DOUBLE) / CAST(2*n1*n0 AS DOUBLE), 6) AS auc"
@@ -93,6 +99,14 @@ object MlTrain {
     * longs per iteration (bounded driver action); the oracle replays the
     * identical iterations in SQL, and because the gradients are exact
     * integers the weights are bit-identical doubles on both engines. */
+  // one weight fit per corpus per JVM (the bpeCache/ivfCache
+  // amortization pattern): ml_logreg_gd / ml_auc / ml_calibration /
+  // ml_roc_points each consume the SAME 3-pass trajectory, so without
+  // the cache every entry refits from scratch (~8 s across the family
+  // in BENCH_r07). The cached value is 3 doubles — nothing data-sized.
+  private val gdCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Double, Double, Double)]
+
   private def gdFit(s: SparkSession, d: String)
       : (DataFrame, Double, Double, Double) = {
     val raw = t(s, d, "lineitem").select(
@@ -100,25 +114,48 @@ object MlTrain {
       (round(col("l_discount") * 100).cast("double") / 10.0).as("x2"),
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("yy"))
       .localCheckpoint(eager = false) // 3 GD passes + the consumer's pass
+    val (c0, c1, c2) = gdCache.getOrElseUpdate(d, {
     val nD = raw.count().toDouble
     var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
     for (_ <- 1 to 3) {
       val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
       val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      // per-row contribution stays a bigint on the 1e-12 grid, but the
+      // SUM is decimal(38,0): |contrib| ≤ ~2e13, so a long sum wraps
+      // silently past ~9e5 rows-per-unit headroom (sf ≳ 1.5) while the
+      // DuckDB twin's sum(BIGINT) auto-promotes to HUGEINT — the
+      // decimal sum keeps both engines exact at any sf
       def g(x: Column) =
-        sum(round((sg - col("yy")) * x * lit(1e12)).cast("bigint"))
+        sum(round((sg - col("yy")) * x * lit(1e12)).cast("bigint")
+          .cast("decimal(38,0)"))
       val r = raw.agg(g(lit(1.0)), g(col("x1")), g(col("x2"))).head()
-      // identical update text as the oracle: w - 2.0*((g/1e12)/n)
-      w0 = w0 - 2.0 * ((r.getLong(0).toDouble / 1e12) / nD)
-      w1 = w1 - 2.0 * ((r.getLong(1).toDouble / 1e12) / nD)
-      w2 = w2 - 2.0 * ((r.getLong(2).toDouble / 1e12) / nD)
+      // identical update text as the oracle: w - 2.0*((g/1e12)/n);
+      // BigDecimal→double is the same correctly-rounded conversion as
+      // DuckDB's HUGEINT→DOUBLE cast
+      def gd(i: Int) = r.getDecimal(i).doubleValue
+      w0 = w0 - 2.0 * ((gd(0) / 1e12) / nD)
+      w1 = w1 - 2.0 * ((gd(1) / 1e12) / nD)
+      w2 = w2 - 2.0 * ((gd(2) / 1e12) / nD)
     }
-    (raw, w0, w1, w2)
+    (w0, w1, w2)
+    })
+    (raw, c0, c1, c2)
   }
+
+  // one scored frame per corpus per JVM: ml_naive_bayes / ml_confusion /
+  // ml_cohens_kappa all consume the same scores; the lazily-checkpointed
+  // handle materializes once (|test docs| × |classes| rows — linear in
+  // the corpus, stored off-heap by localCheckpoint, not on the driver)
+  private val nbCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** NB per-(test doc, class) rounded log-posterior scores — shared by
     * ml_naive_bayes and ml_confusion. */
-  private def nbScored(s: SparkSession, d: String): DataFrame = {
+  private def nbScored(s: SparkSession, d: String): DataFrame =
+    nbCache.getOrElseUpdate(d, nbScoredBuild(s, d)
+      .localCheckpoint(eager = false))
+
+  private def nbScoredBuild(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), "[^a-z]+")).as("w"))
@@ -200,10 +237,10 @@ object MlTrain {
 
     // Full-batch GD, 3 iterations, lr = 2: P(return | quantity, discount)
     // with the rational sigmoid. Each iteration is ONE aggregation whose
-    // per-row contributions are integers on a 1e-12 grid (|contrib| ≤ 1e12,
-    // so the bigint sum holds to ~9e6 rows — DECIMAL(38,0)/HUGEINT past
-    // that); the collected gradient is 3 longs (bounded driver action) and
-    // the weight update replays the oracle's formula on identical doubles.
+    // per-row contributions are integers on a 1e-12 grid, summed as
+    // DECIMAL(38,0) ≡ HUGEINT so the gradient is exact at any sf; the
+    // collected gradient is 3 decimals (bounded driver action) and the
+    // weight update replays the oracle's formula on identical doubles.
     "ml_logreg_gd" -> ((s, d) => {
       val (raw, w0, w1, w2) = gdFit(s, d)
       val zf = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")

@@ -553,7 +553,11 @@ object Relational {
 
     // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // match each other, unlike plain = — the standard trap when joining
-    // on nullable dimensions.
+    // on nullable dimensions. The aggregate side is |status domain| = 3
+    // rows, so it is broadcast explicitly: without the hint the planner
+    // shuffle-joins on a 3-value key — every row of the fact side hashes
+    // into 3 tasks, the canonical skew scale-killer (and BroadcastHashJoin
+    // supports <=> as its key expression).
     "join_null_safe" -> ((s, d) => {
       val a = t(s, d, "orders").select(
         nullif(col("o_orderstatus"), lit("P")).as("k"),
@@ -561,7 +565,7 @@ object Relational {
       val b = t(s, d, "orders")
         .select(nullif(col("o_orderstatus"), lit("P")).as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n_same_status"))
-      a.join(b, a("k") <=> b("k"))
+      a.join(broadcast(b), a("k") <=> b("k"))
         .groupBy(a("k").as("status_or_null"))
         .agg(count(lit(1)).as("n_orders"), max(col("n_same_status")).as("n_same"))
     }),

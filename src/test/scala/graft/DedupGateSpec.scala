@@ -147,11 +147,12 @@ class DedupGateSpec extends AnyFunSuite {
 
   test("streamed fuzzy-identity gate equals the er_fuzzy_gate batch twin") {
     val recs = graft.queries.EntityRes.records(spark, sf).localCheckpoint()
-    val index = DedupGate.fuzzyIndex(recs.filter(col("rid") < 100000L))
+    val off = graft.queries.EntityRes.ridOffset(spark, sf)
+    val index = DedupGate.fuzzyIndex(recs.filter(col("rid") < off))
       .localCheckpoint()
     val incomingDir =
       Files.createTempDirectory("graft-fuzzy").toString + "/incoming"
-    recs.filter(col("rid") >= 100000L).write.parquet(incomingDir)
+    recs.filter(col("rid") >= off).write.parquet(incomingDir)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("rid",
         org.apache.spark.sql.types.LongType),

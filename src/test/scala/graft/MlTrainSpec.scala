@@ -64,12 +64,13 @@ class MlTrainSpec extends AnyFunSuite {
   test("er_clusters joins every planted corruption to its base record") {
     val cl = SparkEntry.queries("er_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bases = cl.keySet.filter(_ < 100000L)
+    val off = graft.queries.EntityRes.ridOffset(spark, sf)
+    val bases = cl.keySet.filter(_ < off)
     assert(bases.nonEmpty)
     bases.foreach { rid =>
-      assert(cl(rid + 100000L) == cl(rid),
+      assert(cl(rid + off) == cl(rid),
         s"char-drop variant of $rid not clustered with it")
-      assert(cl(rid + 200000L) == cl(rid),
+      assert(cl(rid + 2 * off) == cl(rid),
         s"transposed variant of $rid not clustered with it")
     }
     // labels are the component minimum: every label is a member mapping
@@ -187,19 +188,19 @@ class MlTrainSpec extends AnyFunSuite {
     val preds = SparkEntry.queries("ml_naive_bayes")(spark, sf).collect()
     val conf = SparkEntry.queries("ml_confusion")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
     assert(conf.size == 5)
     // micro totals: sum tp = correct predictions; sum(tp+fn) = #test docs
     val tpSum = conf.values.map(_._1).sum
     assert(tpSum == preds.count(r => r.getString(1) == r.getString(2)))
     assert(conf.values.map(t => t._1 + t._3).sum == preds.length)
+    // ratios are parts-per-million BIGINTs: floor(1e6·x + 0.5)
+    def ppm(num: Long, den: Long) =
+      math.floor(1e6 * num / den + 0.5).toLong
     conf.foreach { case (cls, (tp, fp, fn, prec, rec, f1)) =>
-      if (tp + fp > 0)
-        assert(math.abs(prec - tp.toDouble / (tp + fp)) < 1e-6)
-      if (tp + fn > 0)
-        assert(math.abs(rec - tp.toDouble / (tp + fn)) < 1e-6)
-      if (tp > 0)
-        assert(math.abs(f1 - 2.0 * tp / (2 * tp + fp + fn)) < 1e-6, cls)
+      if (tp + fp > 0) assert(prec == ppm(tp, tp + fp), s"$cls prec")
+      if (tp + fn > 0) assert(rec == ppm(tp, tp + fn), s"$cls rec")
+      if (tp > 0) assert(f1 == ppm(2 * tp, 2 * tp + fp + fn), s"$cls f1")
     }
   }
 

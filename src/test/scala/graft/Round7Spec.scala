@@ -109,11 +109,14 @@ class Round7Spec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val df = r.getLong(1); val cf = r.getLong(2)
-      val postings = r.getSeq[org.apache.spark.sql.Row](3)
+      // driver-facing serialization: "doc:tf,doc:tf,…" sorted by doc
+      val postings = r.getString(3).split(",").toSeq.map { p =>
+        val Array(doc, tf) = p.split(":"); (doc.toLong, tf.toLong)
+      }
       assert(postings.length == df)
-      assert(cf == postings.map(_.getLong(1)).sum)
-      assert(postings.map(_.getLong(0)) == postings.map(_.getLong(0)).sorted)
-      assert(postings.map(_.getLong(0)).distinct.length == postings.length)
+      assert(cf == postings.map(_._2).sum)
+      assert(postings.map(_._1) == postings.map(_._1).sorted)
+      assert(postings.map(_._1).distinct.length == postings.length)
     }
   }
 
@@ -124,7 +127,7 @@ class Round7Spec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val cl = r.getLong(0); val n = r.getLong(2)
-      val members = r.getSeq[Long](3)
+      val members = r.getString(3).split(",").toSeq.map(_.toLong)
       assert(members.length == n)
       assert(members.contains(cl))      // the label is a member
       assert(members.min == cl)         // and it is the minimum rid
@@ -269,7 +272,7 @@ class Round7Spec extends AnyFunSuite {
     val tauB = (c - dcnt).toDouble / math.sqrt(
       (nn * (nn - 1) - tq2) / 2.0 * ((nn * (nn - 1) - td2) / 2.0))
     val got = SparkEntry.queries("agg_kendall_tau")(spark, sf).collect()(0)
-    assert(got.getLong(0) == c && got.getLong(1) == dcnt)
+    assert(got.getDouble(0) == c.toDouble && got.getDouble(1) == dcnt.toDouble)
     assert(math.abs(got.getDouble(2) - tauB) < 1e-5)
   }
 
