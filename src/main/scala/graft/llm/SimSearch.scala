@@ -339,6 +339,32 @@ object SimSearch {
         .filter(col("rn") <= 5)
     }),
 
+    // hard-negative mining for contrastive training: for each query
+    // vector, the top-3 most-similar vectors carrying a DIFFERENT label
+    // — the near-miss negatives a retrieval/embedding trainer pairs with
+    // its positives. Same broadcast-query brute-force shape as
+    // llm_cosine_topk (queries broadcast, facts stream, embedding
+    // projected away before the top-k shuffle); at corpus scale the
+    // candidate stage swaps to the ANN index exactly like search does.
+    "llm_hard_negatives" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val cands = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label").as("clabel"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      cands.join(broadcast(queries),
+          col("cid") =!= col("qid") && col("clabel") =!= col("qlabel"))
+        .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+        .select(col("qid"), col("qlabel"), col("cid"), col("clabel"),
+          col("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }),
+
     // retrieval evaluation: precision@5 of exact cosine retrieval
     // against the embedding labels — the quality number every ANN/
     // retrieval pipeline reports. Same broadcast-query top-k shape as
@@ -587,6 +613,32 @@ object SimSearch {
                  ORDER BY dot / sqrt(qq * cc) DESC, cid) AS rn
         FROM dots
       ) WHERE rn <= 5""",
+
+    "llm_hard_negatives" -> """
+      WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) AS dot,
+               sum(q.x * q.x) AS qq,
+               sum(c.x * c.x) AS cc
+        FROM pos q
+        JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+      )
+      SELECT qid, qlabel, cid, clabel, sim, rn FROM (
+        SELECT d.qid, ql.label AS qlabel, d.cid, cl.label AS clabel,
+               dot / sqrt(qq * cc) AS sim,
+               row_number() OVER (PARTITION BY d.qid
+                 ORDER BY dot / sqrt(qq * cc) DESC, d.cid) AS rn
+        FROM dots d
+        JOIN embeddings ql ON ql.vec_id = d.qid
+        JOIN embeddings cl ON cl.vec_id = d.cid
+        WHERE ql.label <> cl.label
+      ) WHERE rn <= 3""",
 
     "ml_precision_at_k" -> """
       WITH pos AS (

@@ -1015,7 +1015,84 @@ object TextOps {
     "llm_langid" -> ((s, d) => langidNaiveBayes(s, d))
   )
 
+  /** BPE-train replay CTEs (the kmeans-iterate/pagerank-twin pattern,
+    * unrolled `rounds` times): the vocabulary's symbol arrays live as
+    * chr(31)-joined STRINGS, because DuckDB's `replace` scans left-to-
+    * right non-overlapping — exactly the greedy fold [[applyMerge]]
+    * implements (for "aaa" under (a,a): both produce [aa, a]). Each
+    * round is pair counts → argmax (count DESC, then binary string
+    * order, same as the Spark `orderBy(c.desc, l, rr)`) → one literal
+    * replace over the vocab. All counts are exact integers, so the
+    * argmax trajectory cannot diverge. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""words AS MATERIALIZED (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ), wf AS (
+        SELECT w, count(*) AS n FROM words WHERE length(w) > 0 GROUP BY w
+      ), v0 AS MATERIALIZED (
+        SELECT n, array_to_string(string_split(w, ''), chr(31)) AS syms
+        FROM wf
+      )""")
+    for (r <- 1 to rounds) {
+      sb.append(s""", p$r AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS c FROM (
+          SELECT n, unnest(list_transform(range(1, len(ss)),
+            i -> struct_pack(l := ss[i], r := ss[i + 1]))) AS p
+          FROM (SELECT n, string_split(syms, chr(31)) AS ss
+                FROM v${r - 1})
+        ) GROUP BY 1, 2
+      ), m$r AS MATERIALIZED (
+        SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1
+      ), v$r AS MATERIALIZED (
+        SELECT n, replace(syms,
+          (SELECT l FROM m$r) || chr(31) || (SELECT r FROM m$r),
+          (SELECT l || r FROM m$r)) AS syms
+        FROM v${r - 1}
+      )""")
+    }
+    sb.toString
+  }
+
+  /** The encode half: the same trained merge scalars applied IN RANK
+    * ORDER to every (doc, word) symbol string. */
+  private def bpeEncodeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s""", dwords AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ), d0 AS MATERIALIZED (
+        SELECT doc_id, w,
+               array_to_string(string_split(w, ''), chr(31)) AS syms
+        FROM dwords WHERE length(w) > 0
+      )""")
+    for (r <- 1 to rounds) {
+      sb.append(s""", d$r AS MATERIALIZED (
+        SELECT doc_id, w, replace(syms,
+          (SELECT l FROM m$r) || chr(31) || (SELECT r FROM m$r),
+          (SELECT l || r FROM m$r)) AS syms
+        FROM d${r - 1}
+      )""")
+    }
+    sb.toString
+  }
+
   val sql: Map[String, String] = Map(
+    "llm_bpe_train" -> {
+      val ranks = (1 to 10).map(r =>
+        s"""SELECT $r AS rank, l AS "left", r AS "right",
+            c AS pair_count FROM m$r""").mkString("\n UNION ALL ")
+      s"""WITH ${bpeTrainCtes(10)}
+       $ranks"""
+    },
+
+    "llm_bpe_encode" -> s"""
+      WITH ${bpeTrainCtes(10)} ${bpeEncodeCtes(10)}
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(sum(length(w)) AS BIGINT) AS n_chars
+      FROM d10 GROUP BY doc_id""",
+
     "llm_exact_dedup" -> """
       SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
       FROM documents GROUP BY md5(text)""",

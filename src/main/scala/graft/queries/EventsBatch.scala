@@ -15,6 +15,29 @@ object EventsBatch {
   type Q = (SparkSession, String) => DataFrame
 
   val defs: Map[String, Q] = Map(
+    // frequent ordered 2-sequences (the sequence-mining support count):
+    // for every ordered event-type pair (a, b), how many users performed
+    // an a-event STRICTLY BEFORE some b-event. "Exists a before b" ⇔
+    // min ts(a) < max ts(b), so the whole mining pass is ONE per-(user,
+    // type) min/max aggregate (bounded at |users|·|types| rows) and a
+    // within-user self-join whose fan-out is |types|² = 25 per user —
+    // never an event×event join; the shuffle key is user_id.
+    "evt_frequent_seq2" -> ((s, d) => {
+      val spans = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .localCheckpoint(eager = false) // both self-join legs
+      val a = spans.select(col("user_id"), col("event_type").as("etype_a"),
+        col("first_ts"))
+      val b = spans.select(col("user_id"), col("event_type").as("etype_b"),
+        col("last_ts"))
+      a.join(b, Seq("user_id"))
+        .filter(col("etype_a") =!= col("etype_b") &&
+          col("first_ts") < col("last_ts"))
+        .groupBy(col("etype_a"), col("etype_b"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // tumbling 1h window per event_type
     "evt_tumbling_window" -> ((s, d) => {
       t(s, d, "events")
@@ -776,6 +799,19 @@ object EventsBatch {
   )
 
   val sql: Map[String, String] = Map(
+    "evt_frequent_seq2" -> """
+      WITH spans AS (
+        SELECT user_id, event_type,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY user_id, event_type)
+      SELECT a.event_type AS etype_a, b.event_type AS etype_b,
+             count(*) AS n_users
+      FROM spans a JOIN spans b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.first_ts < b.last_ts
+      GROUP BY 1, 2""",
+
     // closed-form truncated EWMA: Σ vᵢ·0.8^(rn−rnᵢ) / Σ 0.8^(rn−rnᵢ)
     // over the 50-row band — same ordering, same α, same truncation
     "evt_ewma" -> """

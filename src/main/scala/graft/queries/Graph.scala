@@ -152,6 +152,54 @@ object Graph {
     // exactly once, then unpivoted to its three corners — the standard
     // distributed triangle count (two self-joins on the oriented edge
     // list; candidate volume is Σ deg², bounded here by the top-3 pruning).
+    // harmonic closeness centrality over the undirected sparsified trade
+    // graph: H(v) = Σ_{u ≠ v reachable within 6 hops} 1/d(v,u). The
+    // vertex set is the 25-nation table and the sparse graph ≤ 75 edges
+    // BY CONSTRUCTION, so after the one data-sized job (the trade-edge
+    // aggregate feeding sparseEdges) the hop BFS runs on the driver
+    // (bounded action — the graph_components r8 pattern). The 6-hop cap
+    // is part of the METRIC on both engines (the DuckDB twin's walk
+    // recursion carries the same depth < 6 bound), so parity is exact
+    // even if a component's diameter exceeds it. 1/d terms are summed as
+    // integers scaled by lcm(1..6) = 60 — 60/d is exact for every d ≤ 6
+    // — so the harmonic sum is ONE double division at the end and cannot
+    // drift with summation order.
+    "graph_harmonic_centrality" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+                greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+      val edges = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = nation.select(col("n_nationkey").cast("long"))
+        .collect().map(_.getLong(0))
+      val rows = nodes.map { src =>
+        var frontier = Set(src); var seen = Set(src)
+        var depth = 0; var reach = 0L; var h60 = 0L
+        while (frontier.nonEmpty && depth < 6) {
+          depth += 1
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+            .diff(seen)
+          seen ++= frontier
+          reach += frontier.size
+          h60 += frontier.size * (60L / depth)
+        }
+        (src, reach, h60)
+      }.toSeq
+      import s.implicits._
+      // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): h60/60 is a repeating
+      // binary fraction and round(double, 6) is BigDecimal-exact on
+      // Spark but FP on DuckDB — the ml_confusion trap
+      s.createDataset(rows).toDF("node", "n_reach", "h60")
+        .join(broadcast(nation), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("n_reach"),
+          (floor(col("h60") * lit(1e6) / lit(60.0) + 0.5) / lit(1e6))
+            .as("harmonic"))
+        .orderBy(col("n_name"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       val nation = t(s, d, "nation")
       val und = sparseEdges(s, d)
@@ -462,6 +510,34 @@ object Graph {
         |FROM walk w JOIN nation n ON n.n_nationkey = w.node
         |GROUP BY n.n_name
         |ORDER BY cost, n_name""".stripMargin,
+
+    // hop-BFS via a depth-capped recursive walk (depth < 6 mirrors the
+    // engine's 6-hop metric cap); 1/d summed as exact 60/d integers
+    "graph_harmonic_centrality" ->
+      s"""WITH RECURSIVE $sparseCte,
+        |  und AS (
+        |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |    FROM sparse),
+        |  bi AS (SELECT a AS s, b AS d FROM und
+        |         UNION ALL SELECT b, a FROM und),
+        |  walk(src, node, depth) AS (
+        |    SELECT n_nationkey, n_nationkey, 0 FROM nation
+        |    UNION ALL
+        |    SELECT w.src, bi.d, w.depth + 1
+        |    FROM walk w JOIN bi ON bi.s = w.node
+        |    WHERE w.depth < 6),
+        |  dist AS (
+        |    SELECT src, node, min(depth) AS dd
+        |    FROM walk GROUP BY src, node)
+        |SELECT n.n_name,
+        |       CAST(sum(CASE WHEN node <> src THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_reach,
+        |       floor(CAST(sum(CASE WHEN node <> src THEN 60 // dd
+        |                          ELSE 0 END) AS DOUBLE) * 1e6 / 60.0
+        |             + 0.5) / 1e6 AS harmonic
+        |FROM dist JOIN nation n ON n.n_nationkey = dist.src
+        |GROUP BY n.n_name
+        |ORDER BY n_name""".stripMargin,
 
     "graph_triangles" ->
       s"""WITH $sparseCte,

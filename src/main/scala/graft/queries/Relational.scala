@@ -857,11 +857,217 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    }),
+
+    // Q3 shape (shipping priority): segment-filtered customers × orders
+    // placed before the cutoff × lines shipped after it, top-10 orders by
+    // revenue. Both date predicates push to their scans; the limit plans
+    // as TakeOrderedAndProject (per-partition heap, never a global sort);
+    // l_orderkey is the unique tiebreak the hash compare needs.
+    "tpch_q3_shipping" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+        .join(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_shipdate") > cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+    }),
+
+    // Q4 shape (order-priority checking, EXISTS adapted to the schema:
+    // "has a returned line" replaces commit<receipt): the EXISTS plans as
+    // a LeftSemi hash join — lineitem is filtered BEFORE the shuffle and
+    // only order keys cross it; counts per priority are exact integers.
+    "tpch_q4_priority_check" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("2000-01-01").cast("timestamp"))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Q7 shape (volume shipping between two nations, by direction and
+    // year): both nation dimensions are broadcast PRE-FILTERED to the two
+    // nations of interest, so the 4-way fact join only carries qualifying
+    // rows; the anti-symmetric pair filter runs on the 2×2 broadcast
+    // product, not the facts.
+    "tpch_q7_nation_volume" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(t(s, d, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+    }),
+
+    // Q17 shape (small-quantity-order revenue): the correlated per-part
+    // average decorrelates into ONE grouped aggregate equi-joined back —
+    // never a per-row subquery. The branded line set is materialized once
+    // (lazy checkpoint) for both the aggregate and the probe. Quantities
+    // are integral doubles, so avg = exact-sum/count is deterministic on
+    // both engines and the 0.2·avg threshold cannot ulp-flip.
+    "tpch_q17_small_qty" -> ((s, d) => {
+      val branded = t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_brand") === "Brand#3")
+          .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .localCheckpoint(eager = false)
+      val avgQty = branded.groupBy(col("l_partkey").as("ap"))
+        .agg((avg(col("l_quantity")) * lit(0.2)).as("qty_cut"))
+      branded.join(avgQty, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg((sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // Q18 shape (large-volume customers): the HAVING sum(qty) aggregate
+    // runs FIRST and only qualifying order keys join outward to orders/
+    // customer — the classic aggregate-then-join ordering that keeps the
+    // join input at |big orders|, not |lineitem|. Integral quantities ⇒
+    // exact threshold; top-20 via TakeOrderedAndProject.
+    "tpch_q18_big_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Q22 shape (prospect customers, adapted: "no RECENT order" replaces
+    // the phone-prefix filter): the positive-balance average is computed
+    // over exact CENTS (2-decimal doubles recover integers), so the
+    // threshold is summation-order-free on both engines; the NOT EXISTS
+    // is a left-anti join against the date-filtered order keys (filter
+    // pushed to the scan, only keys shuffle).
+    "tpch_q22_prospects" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_acctbal"),
+        round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"))
+      val thr = cust.filter(col("bal_cents") > 0L)
+        .agg((sum(col("bal_cents").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_cents"))
+      cust.join(broadcast(thr),
+          col("bal_cents").cast("double") > col("avg_cents"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
     })
   )
 
   /** DuckDB-equivalent SQL, same aliases, same table names. */
   val sql: Map[String, String] = Map(
+    "tpch_q3_shipping" -> """
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             o_orderdate
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""",
+
+    "tpch_q4_priority_check" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate <  TIMESTAMP '2000-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority""",
+
+    "tpch_q7_nation_volume" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             sum(l_extendedprice * (1.0 - l_discount)) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3""",
+
+    "tpch_q17_small_qty" -> """
+      WITH branded AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_brand = 'Brand#3')
+      ), cuts AS (
+        SELECT l_partkey AS ap, avg(l_quantity) * 0.2 AS qty_cut
+        FROM branded GROUP BY l_partkey
+      )
+      SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      FROM branded JOIN cuts ON l_partkey = ap
+      WHERE l_quantity < qty_cut""",
+
+    "tpch_q18_big_orders" -> """
+      WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300.0
+      )
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+             total_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20""",
+
+    "tpch_q22_prospects" -> """
+      WITH cust AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+      ), thr AS (
+        SELECT CAST(sum(bal_cents) AS DOUBLE) / count(*) AS avg_cents
+        FROM cust WHERE bal_cents > 0
+      )
+      SELECT c_nationkey AS nationkey, count(*) AS numcust,
+             sum(c_acctbal) AS totacctbal
+      FROM cust, thr
+      WHERE CAST(bal_cents AS DOUBLE) > avg_cents
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01')
+      GROUP BY c_nationkey""",
+
     "tpch_q10_returns" -> """
       SELECT c_custkey, c_name, n_name, c_acctbal,
              sum(l_extendedprice * (1.0 - l_discount)) AS revenue

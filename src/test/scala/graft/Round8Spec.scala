@@ -76,6 +76,74 @@ class Round8Spec extends AnyFunSuite {
     assert(recs.distinct.length == recs.length)
   }
 
+  test("evt_frequent_seq2 matches a brute-force local support count") {
+    val rows = SparkEntry.queries("evt_frequent_seq2")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = graft.core.Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = ev.groupBy(_._1)
+    val types = ev.map(_._2).distinct
+    val want = (for {
+      a <- types; b <- types if a != b
+    } yield (a, b) -> byUser.values.count { es =>
+      val as = es.filter(_._2 == a).map(_._3)
+      val bs = es.filter(_._2 == b).map(_._3)
+      as.nonEmpty && bs.nonEmpty && as.min < bs.max
+    }.toLong).filter(_._2 > 0).toMap
+    assert(rows == want)
+  }
+
+  test("graph_harmonic_centrality invariants: bounds and label sanity") {
+    val rows = SparkEntry.queries("graph_harmonic_centrality")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 25)
+    rows.foreach { case (name, reach, h) =>
+      assert(reach >= 0 && reach <= 24, s"$name reach $reach")
+      // 1/d <= 1 per reachable node, and >= 1/6 under the 6-hop cap
+      assert(h <= reach.toDouble + 1e-9, s"$name h=$h reach=$reach")
+      assert(h >= reach.toDouble / 6.0 - 1e-9, s"$name h=$h reach=$reach")
+      assert((h == 0.0) == (reach == 0), name)
+    }
+  }
+
+  test("llm_hard_negatives: different label, ranked, below global top-1") {
+    val negs = SparkEntry.queries("llm_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (qid, qlabel, cid, clabel, _, rn) =>
+      assert(clabel != qlabel, s"q$qid got same-label negative $cid")
+      assert(rn >= 1 && rn <= 3)
+      assert(cid != qid)
+    }
+    // per query: sims non-increasing in rank
+    negs.groupBy(_._1).foreach { case (qid, g) =>
+      val byRank = g.sortBy(_._6).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"q$qid")
+    }
+    // a hard negative can never beat the unconstrained top-1 neighbor
+    val top1 = SparkEntry.queries("llm_cosine_topk")(spark, sf).collect()
+      .filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    negs.filter(_._6 == 1).foreach { case (qid, _, _, _, sim, _) =>
+      top1.get(qid).foreach(t => assert(sim <= t + 1e-12, s"q$qid"))
+    }
+  }
+
+  test("tpch_q18_big_orders: thresholds hold and totals reconcile") {
+    val rows = SparkEntry.queries("tpch_q18_big_orders")(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val ok = r.getLong(2); val tq = r.getDouble(5)
+      assert(tq > 300.0)
+      assert(math.abs(li(ok) - tq) < 1e-9)
+    }
+    assert(rows.length <= 20)
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)
