@@ -273,6 +273,23 @@ object TextOps {
     "llm_bpe_encode" -> ((s, d) =>
       bpeEncode(spread(t(s, d, "documents")), bpeMergesFor(s, d))),
 
+    // tokenizer fertility (tokens per word) per language under the
+    // trained BPE merges — the cost metric a tokenizer change is judged
+    // by before a multilingual training run. Rides the cached merge
+    // table + the per-doc encode aggregate; fertility is a floor-ppm
+    // integer ratio of exact token/word counts (÷1e6 back to a double —
+    // same integer, same division on both engines).
+    "llm_bpe_fertility" -> ((s, d) => {
+      defs("llm_bpe_encode")(s, d)
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("words"),
+          sum(col("n_bpe_tokens")).as("tokens"))
+        .selectExpr("lang", "words", "tokens",
+          "floor(1e6*tokens/words + 0.5) / 1e6 AS fertility")
+    }),
+
     // exact dedup: content-hash group (reference-style idempotent keeper =
     // min doc_id). At scale: one hash-partitioned aggregate, no sort.
     "llm_exact_dedup" -> ((s, d) => {
@@ -1092,6 +1109,16 @@ object TextOps {
                AS n_bpe_tokens,
              CAST(sum(length(w)) AS BIGINT) AS n_chars
       FROM d10 GROUP BY doc_id""",
+
+    "llm_bpe_fertility" -> s"""
+      WITH ${bpeTrainCtes(10)} ${bpeEncodeCtes(10)}
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS words,
+             CAST(sum(len(string_split(x.syms, chr(31)))) AS BIGINT)
+               AS tokens,
+             floor(1e6 * sum(len(string_split(x.syms, chr(31))))
+                   / count(*) + 0.5) / 1e6 AS fertility
+      FROM d10 x JOIN documents d ON d.doc_id = x.doc_id
+      GROUP BY d.lang""",
 
     "llm_exact_dedup" -> """
       SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper

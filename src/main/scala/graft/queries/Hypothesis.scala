@@ -275,6 +275,31 @@ object Hypothesis {
             .otherwise(0.0), 6).as("z"))
     }),
 
+    // Theil–Sen robust trend: per event type, the slope estimate is the
+    // MEDIAN of all pairwise slopes (n_j − n_i)/(d_j − d_i) over the
+    // daily counts — the estimator complement of evt_mann_kendall's S
+    // test, resistant to ~29% outliers. Pair volume is bounded by the
+    // CALENDAR (|days|² per type), never the event count. Slopes land
+    // on an exact ppm grid via floor(1e6·s + 0.5) (bit-deterministic,
+    // unlike round), so the median — including the even-count midpoint
+    // average, exact at half-integers — is identical on both engines.
+    "evt_theil_sen" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false) // both pair-join legs
+      val slopes = daily.alias("a")
+        .join(daily.alias("b"), col("a.event_type") === col("b.event_type")
+          && col("a.dy") < col("b.dy"))
+        .select(col("a.event_type").as("event_type"),
+          floor((col("b.n") - col("a.n")).cast("double") * 1e6 /
+            datediff(col("b.dy"), col("a.dy")).cast("double") + 0.5)
+            .as("sppm"))
+      slopes.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (expr("percentile(sppm, 0.5)") / 1e6).as("slope_per_day"))
+    }),
+
     // Mann-Whitney U on l_extendedprice, 'A' returns vs 'R' returns.
     // Group by exact cent value first (the rank of a value depends only
     // on the counts below it), then ONE distributed prefix sum gives
@@ -654,6 +679,22 @@ object Hypothesis {
               ORDER BY shift_stat DESC, dy) AS rn
             FROM scored)
       WHERE rn = 1""",
+
+    "evt_theil_sen" -> """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS dy, count(*) AS n
+        FROM events GROUP BY 1, 2
+      ), slopes AS (
+        SELECT a.event_type,
+               floor(CAST(b.n - a.n AS DOUBLE) * 1e6 /
+                     CAST(date_diff('day', a.dy, b.dy) AS DOUBLE) + 0.5)
+                 AS sppm
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.dy < b.dy
+      )
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(sppm, 0.5) / 1e6 AS slope_per_day
+      FROM slopes GROUP BY event_type""",
 
     "evt_mann_kendall" -> """
       WITH daily AS (

@@ -403,6 +403,36 @@ object MlTrain {
             .cast("double") / count(lit(1)).cast("double"), 6).as("obs_rate"))
     }),
 
+    // Precision-recall curve of the GD classifier over the calibration
+    // score bins: predict-positive-at-bin-b ⇒ tp/pred are suffix sums of
+    // the per-bin counts. The cumulative window runs over the BIN table
+    // (≤ 200 rows by construction — the integer floor of the sigmoid —
+    // never the data), so the unpartitioned window is a bounded single
+    // task by design; ratios are floor-ppm integers (the ml_confusion
+    // discipline).
+    "ml_pr_curve" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      val bins = raw.select(sg.as("sg"), col("yy"))
+        .withColumn("bin", least(floor(col("sg") * 200), lit(199L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("np"))
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = bins.agg(sum(col("np")).as("npos_total"))
+      bins
+        .withColumn("tp", sum(col("np")).over(w))
+        .withColumn("pp", sum(col("n")).over(w))
+        .crossJoin(broadcast(tot))
+        .selectExpr("bin", "tp", "pp",
+          "CAST(floor(1e6*tp/pp + 0.5) AS BIGINT) AS prec_ppm",
+          "CASE WHEN npos_total > 0 THEN " +
+            "CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT) " +
+            "ELSE 0 END AS rec_ppm")
+    }),
+
     // Ridge regression = the SAME normal-equation machinery with λ added
     // to the feature diagonal (intercept unpenalized) — regularized
     // training costs nothing extra at scale: identical one-pass moments,
@@ -765,6 +795,30 @@ object MlTrain {
         |             / CAST(count(*) AS DOUBLE), 6) AS obs_rate
         |FROM sc
         |GROUP BY least(CAST(floor(sg*200) AS BIGINT), 199)""".stripMargin,
+
+    "ml_pr_curve" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |bins AS (
+        |  SELECT least(CAST(floor(sg*200) AS BIGINT), 199) AS bin,
+        |         count(*) AS n,
+        |         sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END) AS np
+        |  FROM sc GROUP BY 1),
+        |cum AS (
+        |  SELECT bin,
+        |         CAST(sum(np) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |         CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |  FROM bins),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS npos_total FROM bins)
+        |SELECT bin, tp, pp,
+        |       CAST(floor(1e6*tp/pp + 0.5) AS BIGINT) AS prec_ppm,
+        |       CASE WHEN npos_total > 0 THEN
+        |         CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT)
+        |         ELSE 0 END AS rec_ppm
+        |FROM cum, tot""".stripMargin,
 
     "ml_ridge" ->
       s"""WITH raw AS (

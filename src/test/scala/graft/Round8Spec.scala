@@ -144,6 +144,76 @@ class Round8Spec extends AnyFunSuite {
     assert(rows.length <= 20)
   }
 
+  test("evt_theil_sen matches a local pairwise-median replay") {
+    val got = SparkEntry.queries("evt_theil_sen")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val daily = graft.core.Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("dy"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (tpe, ds) =>
+      val pts = ds.map(t => (t._2 / 86400000L, t._3)).sortBy(_._1)
+      val sl = for {
+        i <- pts.indices; j <- pts.indices if i < j
+      } yield math.floor(
+        (pts(j)._2 - pts(i)._2).toDouble * 1e6 /
+          (pts(j)._1 - pts(i)._1).toDouble + 0.5)
+      if (sl.nonEmpty) {
+        val s = sl.sorted
+        val med = if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        val (np, slope) = got(tpe)
+        assert(np == sl.length, tpe)
+        assert(math.abs(slope - med / 1e6) < 1e-12, s"$tpe $slope vs $med")
+      }
+    }
+  }
+
+  test("ml_pr_curve: suffix sums are monotone and anchor to the totals") {
+    val rows = SparkEntry.queries("ml_pr_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, tp, pp, prec, rec) =>
+      assert(tp <= pp)
+      assert(prec >= 0 && prec <= 1000000)
+      assert(rec >= 0 && rec <= 1000000)
+    }
+    // tp and pp are suffix sums: non-increasing as the threshold rises
+    rows.sliding(2).foreach {
+      case Array((_, tp1, pp1, _, r1), (_, tp2, pp2, _, r2)) =>
+        assert(tp1 >= tp2 && pp1 >= pp2)
+        assert(r1 >= r2) // recall falls with the threshold
+      case _ =>
+    }
+    // the lowest threshold predicts everything positive: recall = 1
+    assert(rows.head._5 == 1000000)
+  }
+
+  test("llm_bpe_fertility reconciles with the per-doc encode output") {
+    val fert = SparkEntry.queries("llm_bpe_fertility")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val enc = SparkEntry.queries("llm_bpe_encode")(spark, sf)
+      .join(graft.core.Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getString(4), r.getLong(1), r.getLong(2)))
+    val byLang = enc.groupBy(_._1).map { case (l, g) =>
+      l -> (g.map(_._2).sum, g.map(_._3).sum)
+    }
+    assert(fert.keySet == byLang.keySet)
+    fert.foreach { case (lang, (words, tokens, f)) =>
+      assert((words, tokens) == byLang(lang), lang)
+      assert(f >= 1.0, s"$lang fertility $f below 1 token/word")
+      assert(f == math.floor(1e6 * tokens / words + 0.5) / 1e6, lang)
+    }
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)
