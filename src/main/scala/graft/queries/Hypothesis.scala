@@ -30,7 +30,49 @@ import graft.ops.Partitioning
 object Hypothesis {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared Welch layers (agg_welch_t): exact-integer moment sums →
+    * means + squared standard errors (L1) → t and Welch-Satterthwaite
+    * df (L2), every FP op an identical expression on identical operands;
+    * outputs on the floor-ppm grid. Squares are written as x*x, never
+    * power(x, 2) — libm pow is not guaranteed to equal the product. */
+  private val welchL1 = Seq(
+    "n1", "n2",
+    "s1/n1 AS m1", "s2/n2 AS m2",
+    "((q1 - s1*s1/n1)/(n1 - 1))/n1 AS se1",
+    "((q2 - s2*s2/n2)/(n2 - 1))/n2 AS se2")
+  private val welchL2 = Seq(
+    "floor(1e6 * ((m1 - m2) / sqrt(se1 + se2)) + 0.5) / 1e6 AS t_stat",
+    "floor(1e6 * (((se1 + se2)*(se1 + se2)) / " +
+      "(se1*se1/(n1 - 1) + se2*se2/(n2 - 1))) + 0.5) / 1e6 AS df")
+
   val defs: Map[String, Q] = Map(
+
+    // Welch's unequal-variance t on order-line price cents, returnflag
+    // 'A' vs 'R': one conditional moment aggregate (counts/sums/sums of
+    // squares as decimal(38,0) ≡ HUGEINT — exact at any sf), then the
+    // shared closed form. The classic two-sample readout alongside
+    // agg_mannwhitney's rank test.
+    "agg_welch_t" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(19,0)")
+      val v = round(col("l_extendedprice") * 100).cast("bigint")
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(when(col("l_returnflag") === "A", 1).otherwise(0).as("a"),
+          v.as("v"))
+        .agg(
+          sum(col("a")).cast("double").as("n1"),
+          sum(when(col("a") === 1, dec(col("v")))
+            .otherwise(lit(0).cast("decimal(19,0)"))).cast("double").as("s1"),
+          sum(when(col("a") === 1, dec(col("v")) * dec(col("v")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("q1"),
+          sum(lit(1) - col("a")).cast("double").as("n2"),
+          sum(when(col("a") === 0, dec(col("v")))
+            .otherwise(lit(0).cast("decimal(19,0)"))).cast("double").as("s2"),
+          sum(when(col("a") === 0, dec(col("v")) * dec(col("v")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as("q2"))
+        .selectExpr(welchL1: _*)
+        .selectExpr(welchL2: _*)
+    }),
 
     // Hill tail-index estimator over order totals: γ = mean ln(x_i/x_(k+1))
     // on the top-k order statistics, α = 1/γ. The top-(k+1) set comes from
@@ -511,7 +553,28 @@ object Hypothesis {
     })
   )
 
+  private def sel(exprs: Seq[String]) = exprs.mkString(", ")
+
   val sql: Map[String, String] = Map(
+    "agg_welch_t" ->
+      s"""WITH cells AS (
+        |  SELECT CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |), sums AS (
+        |  SELECT CAST(sum(a) AS DOUBLE) AS n1,
+        |         CAST(sum(CASE WHEN a = 1 THEN v ELSE 0 END) AS DOUBLE)
+        |           AS s1,
+        |         CAST(sum(CASE WHEN a = 1 THEN CAST(v AS HUGEINT)*v
+        |                       ELSE 0 END) AS DOUBLE) AS q1,
+        |         CAST(sum(1 - a) AS DOUBLE) AS n2,
+        |         CAST(sum(CASE WHEN a = 0 THEN v ELSE 0 END) AS DOUBLE)
+        |           AS s2,
+        |         CAST(sum(CASE WHEN a = 0 THEN CAST(v AS HUGEINT)*v
+        |                       ELSE 0 END) AS DOUBLE) AS q2
+        |  FROM cells
+        |), l1 AS (SELECT ${sel(welchL1)} FROM sums)
+        |SELECT ${sel(welchL2)} FROM l1""".stripMargin,
 
     "agg_spearman" -> """
       WITH raw AS (

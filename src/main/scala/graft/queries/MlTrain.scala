@@ -91,6 +91,20 @@ object MlTrain {
     "CASE WHEN n_act > 0 THEN CAST(floor(1e6*tp/n_act + 0.5) AS BIGINT) ELSE 0 END AS rec_ppm",
     "CASE WHEN tp > 0 THEN CAST(floor(2e6*tp/(n_pred + n_act) + 0.5) AS BIGINT) ELSE 0 END AS f1_ppm")
 
+  /** Shared weighted-Gini text (ml_decision_stump): inputs nl/pl/n/p are
+    * exact integers, every ratio an IEEE division of identical operands,
+    * and the output a floor-ppm integer — evaluated identically by both
+    * engines. */
+  private val stumpGini =
+    "CAST(floor(1e6 * ((nl * (1.0" +
+    " - (CAST(pl AS DOUBLE)/nl)*(CAST(pl AS DOUBLE)/nl)" +
+    " - (CAST(nl - pl AS DOUBLE)/nl)*(CAST(nl - pl AS DOUBLE)/nl))" +
+    " + (n - nl) * (1.0" +
+    " - (CAST(p - pl AS DOUBLE)/(n - nl))*(CAST(p - pl AS DOUBLE)/(n - nl))" +
+    " - (CAST(n - p - nl + pl AS DOUBLE)/(n - nl))" +
+    "*(CAST(n - p - nl + pl AS DOUBLE)/(n - nl)))) / n)" +
+    " + 0.5) AS BIGINT) AS gini_ppm"
+
   private val aucSel =
     "round(CAST(r1x2 - n1*(n1 + 1) AS DOUBLE) / CAST(2*n1*n0 AS DOUBLE), 6) AS auc"
 
@@ -431,6 +445,34 @@ object MlTrain {
           "CASE WHEN npos_total > 0 THEN " +
             "CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT) " +
             "ELSE 0 END AS rec_ppm")
+    }),
+
+    // 1-split decision tree (decision stump) on quantity → returnflag=R:
+    // candidate thresholds are the ≤50 DISTINCT integral quantities, so
+    // after one grouped count the whole search is a 50-row cumulative +
+    // argmin — the domain-bounding trick again (nothing data-sized past
+    // the first aggregate). All split counts are exact integers and the
+    // weighted-Gini expression text is shared with the twin, so the
+    // argmin trajectory cannot diverge; ties break to the lowest
+    // threshold.
+    "ml_decision_stump" -> ((s, d) => {
+      val byQ = t(s, d, "lineitem")
+        .select(round(col("l_quantity")).cast("bigint").as("q"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("nq"), sum(col("pos")).as("pq"))
+      val w = Window.orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = byQ.agg(sum(col("nq")).as("n"), sum(col("pq")).as("p"))
+      byQ
+        .withColumn("nl", sum(col("nq")).over(w))
+        .withColumn("pl", sum(col("pq")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n")) // right side must be non-empty
+        .selectExpr("q AS threshold", "nl AS n_left", "n - nl AS n_right",
+          stumpGini)
+        .orderBy(col("gini_ppm"), col("threshold"))
+        .limit(1)
     }),
 
     // Ridge regression = the SAME normal-equation machinery with λ added
@@ -819,6 +861,26 @@ object MlTrain {
         |         CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT)
         |         ELSE 0 END AS rec_ppm
         |FROM cum, tot""".stripMargin,
+
+    "ml_decision_stump" ->
+      s"""WITH byq AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q, count(*) AS nq,
+        |         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pq
+        |  FROM lineitem GROUP BY 1
+        |), cum AS (
+        |  SELECT q,
+        |         CAST(sum(nq) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+        |         CAST(sum(pq) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+        |  FROM byq
+        |), tot AS (
+        |  SELECT CAST(sum(nq) AS BIGINT) AS n,
+        |         CAST(sum(pq) AS BIGINT) AS p FROM byq)
+        |SELECT q AS threshold, nl AS n_left, n - nl AS n_right, $stumpGini
+        |FROM cum, tot WHERE nl < n
+        |ORDER BY gini_ppm, threshold
+        |LIMIT 1""".stripMargin,
 
     "ml_ridge" ->
       s"""WITH raw AS (

@@ -457,6 +457,55 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class SeqSpanState(spans: Map[String, (Long, Long)],
+                          emitted: Seq[(String, String)])
+  case class SeqPairOut(user_id: Long, etype_a: String, etype_b: String)
+
+  /** Streaming ordered-2-sequence gate — the incremental twin of the
+    * batch `evt_frequent_seq2` support count: per user, emit (a, b) the
+    * FIRST time the observed history satisfies "some a-event strictly
+    * before some b-event" (⇔ min ts(a) < max ts(b)). State per user is
+    * |types| span pairs + the emitted-pair list (≤ |types|² entries) —
+    * bounded by the type vocabulary, never the event count. The
+    * satisfied-pair predicate is a monotone function of the span state
+    * (spans only widen), so the emitted SET is arrival-order invariant
+    * and converges to exactly the batch answer under any micro-batch
+    * replay (asserted streamed ≡ batch in StreamingSpec). */
+  def seqGate(events: Dataset[Ev]): Dataset[SeqPairOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqSpanState, SeqPairOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SeqSpanState]) =>
+          var s = state.getOption
+            .getOrElse(SeqSpanState(Map.empty, Seq.empty))
+          var emitted = s.emitted.toSet
+          val out = scala.collection.mutable.ListBuffer.empty[SeqPairOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val ts = e.ts.getTime
+            val (lo, hi) = s.spans.getOrElse(e.event_type,
+              (Long.MaxValue, Long.MinValue))
+            s = s.copy(spans = s.spans.updated(e.event_type,
+              (math.min(lo, ts), math.max(hi, ts))))
+            val (nlo, nhi) = s.spans(e.event_type)
+            s.spans.foreach { case (other, (olo, ohi)) =>
+              if (other != e.event_type) {
+                if (nlo < ohi && !emitted((e.event_type, other))) {
+                  out += SeqPairOut(uid, e.event_type, other)
+                  emitted += ((e.event_type, other))
+                }
+                if (olo < nhi && !emitted((other, e.event_type))) {
+                  out += SeqPairOut(uid, other, e.event_type)
+                  emitted += ((other, e.event_type))
+                }
+              }
+            }
+          }
+          state.update(SeqSpanState(s.spans, emitted.toSeq))
+          out.iterator
+      }
+  }
+
   /** Run any of the above to a memory sink, processing all available input
     * once (deterministic batch-replay for tests). Returns the sink table name. */
   def runToMemory(df: DataFrame, name: String,

@@ -214,6 +214,58 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("ml_decision_stump matches a brute-force Gini search") {
+    val r = SparkEntry.queries("ml_decision_stump")(spark, sf).collect()(0)
+    val (thr, nl, nr, gini) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.round(col("l_quantity"))
+        .cast("long").as("q"), col("l_returnflag")).collect()
+      .map(x => (x.getLong(0), x.getString(1) == "R"))
+    val n = rows.length.toLong
+    val p = rows.count(_._2).toLong
+    def wg(t: Long): (Long, Long, Long) = {
+      val left = rows.filter(_._1 <= t)
+      val (nlb, plb) = (left.length.toLong, left.count(_._2).toLong)
+      def g(pp: Long, nn: Long) =
+        1.0 - (pp.toDouble / nn) * (pp.toDouble / nn) -
+          ((nn - pp).toDouble / nn) * ((nn - pp).toDouble / nn)
+      val w = (nlb * g(plb, nlb) + (n - nlb) * g(p - plb, n - nlb)) / n
+      (nlb, math.floor(1e6 * w + 0.5).toLong, plb)
+    }
+    val best = rows.map(_._1).distinct.sorted.filter(t => wg(t)._1 < n)
+      .map(t => (wg(t)._2, t)).min
+    assert(thr == best._2, s"threshold $thr vs ${best._2}")
+    assert(gini == best._1)
+    val (nlb, _, _) = wg(thr)
+    assert(nl == nlb && nr == n - nlb)
+  }
+
+  test("agg_welch_t matches a local Welch computation") {
+    val r = SparkEntry.queries("agg_welch_t")(spark, sf).collect()(0)
+    val (tStat, df) = (r.getDouble(0), r.getDouble(1))
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"),
+        org.apache.spark.sql.functions.round(col("l_extendedprice") * 100)
+          .cast("long")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    def stats(g: String) = {
+      val v = rows.filter(_._1 == g).map(_._2)
+      val nn = v.length.toDouble
+      val m = v.map(BigInt(_)).sum.toDouble / nn
+      val q = v.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val va = (q - nn * m * m) / (nn - 1)
+      (nn, m, va / nn)
+    }
+    val (n1, m1, se1) = stats("A"); val (n2, m2, se2) = stats("R")
+    val tB = (m1 - m2) / math.sqrt(se1 + se2)
+    val dfB = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    assert(math.abs(tStat - tB) < 1e-4, s"$tStat vs $tB")
+    assert(math.abs(df - dfB) / dfB < 1e-4, s"$df vs $dfB")
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)

@@ -301,6 +301,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() >= matched(batch).size)
   }
 
+  test("streamed seq gate emits exactly the batch evt_frequent_seq2 support") {
+    import spark.implicits._
+    val src = EventStreams.readEventStream(spark, replayDir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Ev]
+    EventStreams.runToMemory(EventStreams.seqGate(src).toDF(), "seq_gate")
+    val triples = spark.table("seq_gate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // each (user, a, b) emitted at most once
+    assert(triples.distinct.length == triples.length)
+    val got = triples.groupBy(t => (t._2, t._3))
+      .map { case (k, v) => k -> v.length.toLong }
+    val want = graft.queries.EventsBatch.defs("evt_frequent_seq2")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"streamed support ${got.size} pairs vs ${want.size}")
+  }
+
   test("flatMapGroupsWithState sessionization closes gap-separated sessions") {
     import spark.implicits._
     // batch-mode execution of the stateful function: every session CLOSED
