@@ -859,6 +859,74 @@ object Relational {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
     }),
 
+    // Q5 proper (local-supplier volume): distinct from join_star_revenue
+    // by the defining Q5 twist — the supplier must sit in the SAME
+    // nation as the customer (s_nationkey = c_nationkey inside the join
+    // condition), so revenue only counts intra-nation fulfilment. The
+    // region-filtered nation list broadcasts; the equality lands in the
+    // supplier hash join's key, not a post-filter.
+    "tpch_q5_local_supplier" -> ((s, d) => {
+      val asia = broadcast(t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("2000-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .join(asia, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
+
+    // item-item cosine recommender: per anchor item, the top-5
+    // co-purchased neighbors by cooccurrence cosine cooc/√(f_i·f_j).
+    // Pairs come from the SAME within-basket HOF expansion as
+    // join_basket_pairs (quadratic in basket size only, never in
+    // orders); the per-anchor candidate set is bounded by co-purchase
+    // degree, so the rank window never sees more than one item's
+    // neighborhood. Cosine inputs are exact integers; the score lands
+    // on the floor-ppm grid.
+    "rec_item_cosine" -> ((s, d) => {
+      val baskets = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint(eager = false)
+      val perPart = baskets
+        .select(explode(col("parts")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("f"))
+      val pairs = baskets
+        .filter(size(col("parts")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(parts) - 1)," +
+            " i -> transform(sequence(i + 1, size(parts))," +
+            " j -> struct(element_at(parts, i) AS p1," +
+            " element_at(parts, j) AS p2))))")).as("p"))
+        .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
+      val sym = pairs.union(pairs.select(col("p2"), col("p1"), col("n_both")))
+      val w = Window.partitionBy(col("p1"))
+        .orderBy(col("cos_ppm").desc, col("p2"))
+      sym
+        .join(perPart.select(col("pk").as("p1"), col("f").as("n_p1")),
+          Seq("p1"))
+        .join(perPart.select(col("pk").as("p2"), col("f").as("n_p2")),
+          Seq("p2"))
+        .filter(col("n_both") >= 2)
+        .selectExpr("p1", "p2", "n_both",
+          "CAST(floor(1e6 * n_both / sqrt(CAST(n_p1 AS DOUBLE) * " +
+            "CAST(n_p2 AS DOUBLE)) + 0.5) AS BIGINT) AS cos_ppm")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    }),
+
     // Q3 shape (shipping priority): segment-filtered customers × orders
     // placed before the cutoff × lines shipped after it, top-10 orders by
     // revenue. Both date predicates push to their scans; the limit plans
@@ -901,7 +969,11 @@ object Relational {
     // rows; the anti-symmetric pair filter runs on the 2×2 broadcast
     // product, not the facts.
     "tpch_q7_nation_volume" -> ((s, d) => {
-      val pair = Seq("NATION_1", "NATION_2")
+      // 4-nation set: at sf0.001 the tiny supplier table covers only a
+      // couple of nations, so a literal 2-nation pair can be empty —
+      // the 4×4 grid keeps the anti-symmetric shape non-degenerate at
+      // every sf while staying a broadcast-filtered dimension
+      val pair = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
       val n1 = broadcast(t(s, d, "nation")
         .filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
@@ -984,6 +1056,46 @@ object Relational {
 
   /** DuckDB-equivalent SQL, same aliases, same table names. */
   val sql: Map[String, String] = Map(
+    "tpch_q5_local_supplier" -> """
+      SELECT n_name,
+             sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND s_nationkey = c_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate <  TIMESTAMP '2000-01-01'
+      GROUP BY n_name""",
+
+    "rec_item_cosine" -> """
+      WITH bp AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      ), freq AS (
+        SELECT p, count(*) AS f FROM bp GROUP BY p
+      ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2, count(*) AS n_both
+        FROM bp a JOIN bp b ON a.ok = b.ok AND a.p <> b.p
+        GROUP BY 1, 2
+      ), scored AS (
+        SELECT p1, p2, n_both,
+               CAST(floor(1e6 * n_both / sqrt(CAST(n_p1 AS DOUBLE) * CAST(n_p2 AS DOUBLE)) + 0.5) AS BIGINT) AS cos_ppm
+        FROM (SELECT pairs.p1, pairs.p2, pairs.n_both,
+                     f1.f AS n_p1, f2.f AS n_p2
+              FROM pairs
+              JOIN freq f1 ON f1.p = pairs.p1
+              JOIN freq f2 ON f2.p = pairs.p2)
+        WHERE n_both >= 2
+      )
+      SELECT p1, p2, n_both, cos_ppm, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY p1
+          ORDER BY cos_ppm DESC, p2) AS rn
+        FROM scored)
+      WHERE rn <= 5""",
+
     "tpch_q3_shipping" -> """
       SELECT l_orderkey,
              sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
@@ -1017,8 +1129,8 @@ object Relational {
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        AND n2.n_name IN ('NATION_1', 'NATION_2')
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
         AND n1.n_name <> n2.n_name
       GROUP BY 1, 2, 3""",
 

@@ -430,7 +430,10 @@ class PlanAuditSpec extends AnyFunSuite
       // (50 × 11 cells), never the row count
       "agg_kendall_tau",
       // the same ≤20-query-vector broadcast as llm_cosine_topk
-      "ml_precision_at_k")
+      "ml_precision_at_k",
+      // hard-negative mining: the identical ≤20-query-vector broadcast,
+      // with the different-label predicate on top of the non-equi pair
+      "llm_hard_negatives")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
