@@ -290,6 +290,35 @@ object Scalars {
           (pmod(col("crossings"), lit(2)) === 1).as("inside"))
     }),
 
+    // geohash encoding (6 chars = 30 bits = 15-bit lon/lat ordinals)
+    // through the InterleaveBits codegen expression: quantization is PURE
+    // INTEGER (xi·32768 div 10000 — no FP anywhere), the Morton code puts
+    // lon bits at odd positions so the MSB-first base32 read starts with
+    // longitude (the geohash convention), and the DuckDB twin recomputes
+    // the SAME morton with an INDEPENDENT shift-mask spread — the oracle
+    // is therefore also a differential test of the custom expression.
+    "fn_geohash" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def axis(salt: String): Column =
+        conv(substring(md5(concat(lit(salt),
+          col("s_suppkey").cast("string"))), 1, 4), 16, 10)
+          .cast("bigint") % 10000
+      val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val q = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"),
+          axis("gx:").as("xi"), axis("gy:").as("yi"))
+        .select(col("k"), col("xi"), col("yi"),
+          expr("CAST(xi * 32768 DIV 10000 AS INT)").as("lonq"),
+          expr("CAST(yi * 32768 DIV 10000 AS INT)").as("latq"))
+        .withColumn("morton", expr("interleave_bits(latq, lonq)"))
+      val hash = (0 to 5).map(i =>
+        expr(s"substring('$b32', CAST(shiftright(morton, ${25 - 5 * i}) " +
+          s"& 31 AS INT) + 1, 1)"))
+      q.select(col("k"), col("lonq").cast("bigint").as("lonq"),
+        col("latq").cast("bigint").as("latq"), col("morton"),
+        concat(hash: _*).as("geohash"))
+    }),
+
     "fn_geo" -> ((s, d) => {
       def deg(salt: String, span: Int): Column =
         (conv(substring(md5(concat(lit(salt),
@@ -858,6 +887,55 @@ object Scalars {
       SELECT c_custkey, px, py, CAST(crossings AS BIGINT) AS crossings,
              crossings % 2 = 1 AS inside
       FROM crossed""",
+
+    // independent Morton formulation (shift-mask spread16, not the
+    // engine's codegen kernel) — hash parity doubles as a differential
+    // test of InterleaveBits
+    "fn_geohash" -> """
+      WITH q AS (
+        SELECT s_suppkey AS k,
+               (CAST(('0x' || substr(md5('gx:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000) AS xi,
+               (CAST(('0x' || substr(md5('gy:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000) AS yi
+        FROM supplier
+      ), ord AS (
+        SELECT k, xi * 32768 // 10000 AS lonq, yi * 32768 // 10000 AS latq
+        FROM q
+      ), s1 AS (
+        SELECT k, lonq, latq,
+               ((lonq | (lonq << 8)) & 16711935) AS lo,
+               ((latq | (latq << 8)) & 16711935) AS la
+        FROM ord
+      ), s2 AS (
+        SELECT k, lonq, latq,
+               ((lo | (lo << 4)) & 252645135) AS lo,
+               ((la | (la << 4)) & 252645135) AS la FROM s1
+      ), s3 AS (
+        SELECT k, lonq, latq,
+               ((lo | (lo << 2)) & 858993459) AS lo,
+               ((la | (la << 2)) & 858993459) AS la FROM s2
+      ), s4 AS (
+        SELECT k, lonq, latq,
+               ((lo | (lo << 1)) & 1431655765) AS lo,
+               ((la | (la << 1)) & 1431655765) AS la FROM s3
+      ), m AS (
+        SELECT k, lonq, latq, la | (lo << 1) AS morton FROM s4
+      )
+      SELECT k, lonq, latq, morton,
+             substr('0123456789bcdefghjkmnpqrstuvwxyz',
+               CAST((morton >> 25) & 31 AS INT) + 1, 1) ||
+             substr('0123456789bcdefghjkmnpqrstuvwxyz',
+               CAST((morton >> 20) & 31 AS INT) + 1, 1) ||
+             substr('0123456789bcdefghjkmnpqrstuvwxyz',
+               CAST((morton >> 15) & 31 AS INT) + 1, 1) ||
+             substr('0123456789bcdefghjkmnpqrstuvwxyz',
+               CAST((morton >> 10) & 31 AS INT) + 1, 1) ||
+             substr('0123456789bcdefghjkmnpqrstuvwxyz',
+               CAST((morton >> 5) & 31 AS INT) + 1, 1) ||
+             substr('0123456789bcdefghjkmnpqrstuvwxyz',
+               CAST(morton & 31 AS INT) + 1, 1) AS geohash
+      FROM m""",
 
     "fn_geo" -> """
       WITH pts AS (

@@ -266,6 +266,25 @@ class Round8Spec extends AnyFunSuite {
     assert(math.abs(df - dfB) / dfB < 1e-4, s"$df vs $dfB")
   }
 
+  test("fn_geohash: local morton + base32 replay, lon leads the bits") {
+    val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val rows = SparkEntry.queries("fn_geohash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lonq, latq, morton, gh) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(lonq >= 0 && lonq < 32768 && latq >= 0 && latq < 32768)
+      assert(morton ==
+        graft.functions.ZOrderBits.interleave16(latq.toInt, lonq.toInt))
+      val expect = (0 to 5)
+        .map(i => b32.charAt(((morton >> (25 - 5 * i)) & 31).toInt))
+        .mkString
+      assert(gh == expect)
+      // MSB of the 30-bit code is the longitude's top bit (geohash order)
+      assert(((morton >> 29) & 1) == ((lonq >> 14) & 1))
+    }
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)
