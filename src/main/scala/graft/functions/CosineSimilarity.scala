@@ -137,6 +137,8 @@ object GraftFunctions {
     "jaro_winkler" -> (es => JaroWinkler(es.head, es(1))),
     // Z-order (Morton) key of two 16-bit bucket ordinals — see ZOrder.scala
     "interleave_bits" -> (es => InterleaveBits(es.head, es(1))),
+    // Hilbert-curve index of two cell ordinals — see Hilbert.scala
+    "hilbert_index" -> (es => HilbertIndex(es.head, es(1))),
     // Catalyst's own runtime-filter pair (internal registry only in stock
     // Spark), surfaced for explicit semi-join pre-filters: bloom_agg builds
     // the sketch distributed (TypedImperativeAggregate over xxhash64-ed

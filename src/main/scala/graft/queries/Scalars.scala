@@ -290,6 +290,26 @@ object Scalars {
           (pmod(col("crossings"), lit(2)) === 1).as("inside"))
     }),
 
+    // Hilbert-curve index of the synthetic supplier points (order-14
+    // grid): the locality-preserving layout key — consecutive indices
+    // are ALWAYS grid neighbors, unlike Z-order's diagonal jumps. The
+    // engine side is the codegen kernel (functions/Hilbert.scala); the
+    // DuckDB twin unrolls the identical 14-step rotate/reflect loop in
+    // SQL, so hash parity differentially tests the kernel.
+    "fn_hilbert" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      def axis(salt: String): Column =
+        conv(substring(md5(concat(lit(salt),
+          col("s_suppkey").cast("string"))), 1, 4), 16, 10)
+          .cast("bigint") % 10000
+      t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"),
+          axis("gx:").cast("int").as("xi"), axis("gy:").cast("int").as("yi"))
+        .select(col("k"), col("xi").cast("bigint").as("xi"),
+          col("yi").cast("bigint").as("yi"),
+          expr("hilbert_index(xi, yi)").as("h"))
+    }),
+
     // geohash encoding (6 chars = 30 bits = 15-bit lon/lat ordinals)
     // through the InterleaveBits codegen expression: quantization is PURE
     // INTEGER (xi·32768 div 10000 — no FP anywhere), the Morton code puts
@@ -887,6 +907,42 @@ object Scalars {
       SELECT c_custkey, px, py, CAST(crossings AS BIGINT) AS crossings,
              crossings % 2 = 1 AS inside
       FROM crossed""",
+
+    // the xy2d loop unrolled: step i handles bit-plane s = 2^(13-i);
+    // quadrant Gray-code contribution + rotate/reflect of the lower
+    // plane, all integer CASEs — an independent formulation of the
+    // engine's codegen kernel
+    "fn_hilbert" -> {
+      val steps = (0 until 14).map { i =>
+        val sBit = 1 << (13 - i)
+        val ss = sBit.toLong * sBit
+        s"""
+      , h${i + 1} AS (
+        SELECT k, xi, yi,
+          d + $ss * (CASE WHEN (x & $sBit) > 0 AND (y & $sBit) > 0 THEN 2
+                          WHEN (x & $sBit) > 0 THEN 3
+                          WHEN (y & $sBit) > 0 THEN 1 ELSE 0 END) AS d,
+          CASE WHEN (y & $sBit) > 0 THEN x
+               WHEN (x & $sBit) > 0 THEN $sBit - 1 - y
+               ELSE y END AS x,
+          CASE WHEN (y & $sBit) > 0 THEN y
+               WHEN (x & $sBit) > 0 THEN $sBit - 1 - x
+               ELSE x END AS y
+        FROM h$i)"""
+      }.mkString
+      s"""
+      WITH pts AS (
+        SELECT s_suppkey AS k,
+               (CAST(('0x' || substr(md5('gx:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000) AS xi,
+               (CAST(('0x' || substr(md5('gy:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000) AS yi
+        FROM supplier
+      ), h0 AS (
+        SELECT k, xi, yi, CAST(0 AS BIGINT) AS d, xi AS x, yi AS y FROM pts
+      )$steps
+      SELECT k, xi, yi, d AS h FROM h14"""
+    },
 
     // independent Morton formulation (shift-mask spread16, not the
     // engine's codegen kernel) — hash parity doubles as a differential

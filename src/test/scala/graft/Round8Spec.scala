@@ -285,6 +285,34 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("hilbert kernel: known table, bijection, unit-step continuity") {
+    import graft.functions.HilbertBits.xy2d
+    // order-1 canonical U: (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3
+    assert(xy2d(1, 0, 0) == 0L && xy2d(1, 0, 1) == 1L)
+    assert(xy2d(1, 1, 1) == 2L && xy2d(1, 1, 0) == 3L)
+    // order-5: a bijection onto [0, 1024) whose consecutive indices are
+    // ALWAYS grid neighbors — the locality property Z-order lacks
+    val n = 32
+    val all = for (x <- 0 until n; y <- 0 until n) yield (xy2d(5, x, y), x, y)
+    assert(all.map(_._1).sorted == (0L until (n.toLong * n)).toSeq)
+    all.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, x1, y1), (_, x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"curve jumps between ($x1,$y1) and ($x2,$y2)")
+      case _ =>
+    }
+  }
+
+  test("fn_hilbert matches the local kernel on the real points") {
+    val rows = SparkEntry.queries("fn_hilbert")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xi, yi, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(h == graft.functions.HilbertBits.xy2d(14, xi.toInt, yi.toInt))
+      assert(h >= 0 && h < (1L << 28))
+    }
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)
