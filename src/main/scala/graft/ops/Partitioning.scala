@@ -102,6 +102,40 @@ object Partitioning {
       .drop("__za", "__zb", "__zkey")
   }
 
+  /** Hilbert-curve variant of [[clusterByZOrder]]: identical ordinal
+    * normalization (14-bit here — hilbert_index's grid order), but the
+    * sort key is the Hilbert distance (functions/Hilbert.scala). The
+    * curve has NO diagonal jumps, so each range-partitioned file covers
+    * a contiguous curve segment whose bounding box is tighter in the
+    * worst case than the Morton tiling's — the layout the lakehouse
+    * engines ship as HILBERT clustering. */
+  def clusterByHilbert(df: DataFrame, n: Int, colA: String, colB: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def num(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(c).cast("timestamp_ltz").cast("double")
+      case _ => col(c).cast("double")
+    }
+    val bounds = df.agg(
+      min(num(colA)).as("mna"), max(num(colA)).as("mxa"),
+      min(num(colB)).as("mnb"), max(num(colB)).as("mxb")).head()
+    def b(i: Int): Double = if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
+    def ordinal(c: String, mn: Double, mx: Double): Column = {
+      val scaled =
+        if (mx > mn) ((num(c) - lit(mn)) / lit(mx - mn) * lit(16383.0))
+        else lit(0.0)
+      coalesce(scaled.cast("int"), lit(-1))
+    }
+    df.withColumn("__ha", ordinal(colA, b(0), b(1)))
+      .withColumn("__hb", ordinal(colB, b(2), b(3)))
+      .withColumn("__hkey", expr("hilbert_index(__ha, __hb)"))
+      .repartitionByRange(n, col("__hkey"))
+      .sortWithinPartitions(col("__hkey"))
+      .drop("__ha", "__hb", "__hkey")
+  }
+
   /** Distributed prefix sum: cumulative `valueCol` in global `order`,
     * WITHOUT the single-partition global window (`Window.orderBy` with no
     * partitionBy funnels every row through one task — the classic scale

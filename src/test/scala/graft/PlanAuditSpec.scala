@@ -298,6 +298,17 @@ class PlanAuditSpec extends AnyFunSuite
       s"z-order did not skip on partkey: read $zPart of $total rows")
     assert(zDate <= total / 2,
       s"z-order did not skip on date: read $zDate of $total rows")
+    // the Hilbert layout must deliver the same either-column skipping
+    // (its curve segments have no diagonal jumps, so per-file bounding
+    // boxes are at least as tight as the Morton tiling's)
+    graft.ops.Partitioning.clusterByHilbert(li, 16, "ship_date", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/hilbert")
+    val hPart = scanRows(s"$dir/hilbert", partPred)
+    val hDate = scanRows(s"$dir/hilbert", datePred)
+    assert(hPart <= total / 2,
+      s"hilbert did not skip on partkey: read $hPart of $total rows")
+    assert(hDate <= total / 2,
+      s"hilbert did not skip on date: read $hDate of $total rows")
   }
 
   test("interleave_bits: bit-exact Morton order, codegen ≡ interpreted") {
