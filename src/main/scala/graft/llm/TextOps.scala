@@ -290,6 +290,25 @@ object TextOps {
           "floor(1e6*tokens/words + 0.5) / 1e6 AS fertility")
     }),
 
+    // cross-source overlap matrix: per source pair, the number of
+    // distinct word-3-gram shingles both sources contain — the corpus-
+    // composition readout behind mixture design and cross-source
+    // decontamination (how much of src_a is already in src_b?). The
+    // shuffle key is the SHINGLE; per-shingle fan-out is bounded by
+    // |sources|², never doc×doc, and the output is a |sources|² matrix.
+    "llm_source_overlap" -> ((s, d) => {
+      val sh = shingles(s, d)
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("shingle"), col("source")).distinct()
+      sh.select(col("shingle"), col("source").as("src_a"))
+        .join(sh.select(col("shingle"), col("source").as("src_b")),
+          Seq("shingle"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+    }),
+
     // exact dedup: content-hash group (reference-style idempotent keeper =
     // min doc_id). At scale: one hash-partitioned aggregate, no sort.
     "llm_exact_dedup" -> ((s, d) => {
@@ -1302,6 +1321,31 @@ object TextOps {
                  1, 4)) AS INTEGER) % 100 AS bucket
         FROM survivors
       )
+      GROUP BY 1, 2""",
+
+    "llm_source_overlap" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), ss AS (
+        SELECT DISTINCT shingle, source
+        FROM sh JOIN documents USING (doc_id)
+      )
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_shared_shingles
+      FROM ss a JOIN ss b
+        ON a.shingle = b.shingle AND a.source < b.source
       GROUP BY 1, 2""",
 
     "llm_decontaminate" -> """

@@ -38,6 +38,49 @@ object EventsBatch {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // growth accounting (new / retained / resurrected / churned per
+    // active day) — the standard DAU lifecycle decomposition. Everything
+    // runs on the DISTINCT (user, day) activity set: per-user lag/lead
+    // windows are bounded by the CALENDAR (≤ |days| rows per user), the
+    // churn horizon is a 1-row max broadcast, and day ids are integer
+    // epoch-day arithmetic (unix seconds div 86400 — identical floor on
+    // both engines).
+    "evt_growth_accounting" -> ((s, d) => {
+      val mu = t(s, d, "events")
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) / lit(86400L)).cast("bigint").as("di"))
+        .distinct()
+        .localCheckpoint(eager = false) // status, churn, and horizon legs
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("di"))
+      val status = mu
+        .withColumn("prev_di", lag(col("di"), 1).over(wU))
+        .withColumn("status",
+          when(col("prev_di").isNull, "new")
+            .when(col("prev_di") === col("di") - 1, "retained")
+            .otherwise("resurrected"))
+        .groupBy(col("di"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("di"))
+        .agg(sum(when(col("status") === "new", col("n")).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("status") === "retained", col("n")).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "resurrected", col("n")).otherwise(0L))
+            .as("n_resurrected"))
+      val horizon = mu.agg(max(col("di")).as("max_di"))
+      val churn = mu
+        .withColumn("next_di", lead(col("di"), 1).over(wU))
+        .filter(col("next_di").isNull || col("next_di") > col("di") + 1)
+        .select((col("di") + 1).as("di"))
+        .crossJoin(broadcast(horizon))
+        .filter(col("di") <= col("max_di"))
+        .groupBy(col("di")).agg(count(lit(1)).as("n_churned"))
+      status.join(churn, Seq("di"), "left")
+        .select(col("di"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+    }),
+
     // tumbling 1h window per event_type
     "evt_tumbling_window" -> ((s, d) => {
       t(s, d, "events")
@@ -799,6 +842,38 @@ object EventsBatch {
   )
 
   val sql: Map[String, String] = Map(
+    "evt_growth_accounting" -> """
+      WITH mu AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS di
+        FROM events
+      ), st AS (
+        SELECT di,
+          CAST(sum(CASE WHEN prev_di IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+          CAST(sum(CASE WHEN prev_di = di - 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+          CAST(sum(CASE WHEN prev_di IS NOT NULL AND prev_di < di - 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM (SELECT user_id, di,
+                     lag(di) OVER (PARTITION BY user_id ORDER BY di)
+                       AS prev_di
+              FROM mu)
+        GROUP BY di
+      ), ch AS (
+        SELECT di + 1 AS di, count(*) AS n_churned
+        FROM (SELECT user_id, di,
+                     lead(di) OVER (PARTITION BY user_id ORDER BY di)
+                       AS next_di
+              FROM mu)
+        WHERE (next_di IS NULL OR next_di > di + 1)
+          AND di + 1 <= (SELECT max(di) FROM mu)
+        GROUP BY 1
+      )
+      SELECT st.di, n_new, n_retained, n_resurrected,
+             CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+      FROM st LEFT JOIN ch ON ch.di = st.di""",
+
     "evt_frequent_seq2" -> """
       WITH spans AS (
         SELECT user_id, event_type,

@@ -313,6 +313,53 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("evt_growth_accounting: identities hold against the activity set") {
+    val rows = SparkEntry.queries("evt_growth_accounting")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val mu = graft.core.Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) / lit(86400L)).cast("long").as("di"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = mu.groupBy(_._2).map { case (d, v) => d -> v.length.toLong }
+    // new + retained + resurrected = DAU for every day
+    rows.foreach { case (d, (nw, rt, rs, _)) =>
+      assert(nw + rt + rs == byDay(d), s"day $d DAU mismatch")
+    }
+    // total new = distinct users; churn conservation: every churn is
+    // preceded by a new or a resurrection (a user churns once per stint)
+    assert(rows.values.map(_._1).sum == mu.map(_._1).distinct.length)
+    assert(rows.values.map(_._4).sum <=
+      rows.values.map(t => t._1 + t._3).sum)
+    // retained(d) ≤ DAU(d-1)
+    rows.foreach { case (d, (_, rt, _, _)) =>
+      byDay.get(d - 1).foreach(prev => assert(rt <= prev, s"day $d"))
+    }
+  }
+
+  test("llm_source_overlap is a symmetric-upper matrix bounded by corpora") {
+    val rows = SparkEntry.queries("llm_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n) =>
+      assert(a < b, s"not canonical: $a !< $b")
+      assert(n > 0)
+    }
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // shared shingles with any partner cannot exceed a source's own
+    // distinct shingle count
+    val own = graft.llm.TextOps.shingles(spark, sf)
+      .join(graft.core.Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("shingle"), col("source")).distinct()
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (a, b, n) =>
+      assert(n <= math.min(own(a), own(b)), s"$a-$b overlap $n too large")
+    }
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)
