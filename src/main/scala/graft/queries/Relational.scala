@@ -578,6 +578,34 @@ object Relational {
     // only the reported distance takes one sqrt, computed identically on
     // both engines. The DuckDB oracle is the brute-force O(n²) join, so
     // hash parity PROVES blocked ≡ exact on the real points.
+    // radius-bounded kNN (top-3 nearest within r = 1200) per point: the
+    // candidate set comes from the SAME grid blocking as
+    // join_spatial_grid (complete within r by construction), then one
+    // per-anchor rank window over the radius-bounded — hence locally
+    // bounded — neighbor list. The radius bound is what makes blocked
+    // kNN exact: an unbounded kNN could have its k-th neighbor outside
+    // the 3×3 cell ring. Distances are exact bigints; ties break on the
+    // neighbor key. The DuckDB oracle is the brute-force quadratic form,
+    // so hash parity proves blocked ≡ exact.
+    "join_spatial_knn" -> ((s, d) => {
+      def axis(salt: String): Column =
+        conv(substring(md5(concat(lit(salt),
+          col("s_suppkey").cast("string"))), 1, 4), 16, 10)
+          .cast("bigint") % 10000
+      val pts = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"),
+          axis("gx:").as("xi"), axis("gy:").as("yi"))
+      val pairs = graft.ops.SpatialGrid.radiusSelfJoin(pts, 1200L)
+        .filter(col("k1") =!= col("k2"))
+      val sym = pairs.select(col("k1").as("anchor"), col("k2").as("nb"),
+          col("d2"))
+        .union(pairs.select(col("k2"), col("k1"), col("d2")))
+      val w = Window.partitionBy(col("anchor"))
+        .orderBy(col("d2"), col("nb"))
+      sym.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }),
+
     "join_spatial_grid" -> ((s, d) => {
       def axis(salt: String): Column =
         conv(substring(md5(concat(lit(salt),
@@ -1231,6 +1259,27 @@ object Relational {
         ON length(a.c_name) = length(b.c_name)
        AND a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= 1""",
+
+    "join_spatial_knn" -> """
+      WITH pts AS (
+        SELECT s_suppkey AS k,
+               CAST(('0x' || substr(md5('gx:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000 AS xi,
+               CAST(('0x' || substr(md5('gy:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000 AS yi
+        FROM supplier
+      ), cand AS (
+        SELECT a.k AS anchor, b.k AS nb,
+               (a.xi-b.xi)*(a.xi-b.xi) + (a.yi-b.yi)*(a.yi-b.yi) AS d2
+        FROM pts a JOIN pts b ON a.k <> b.k
+        WHERE (a.xi-b.xi)*(a.xi-b.xi) + (a.yi-b.yi)*(a.yi-b.yi) <= 1440000
+      )
+      SELECT anchor, nb, d2, rn FROM (
+        SELECT anchor, nb, d2,
+               row_number() OVER (PARTITION BY anchor
+                 ORDER BY d2, nb) AS rn
+        FROM cand)
+      WHERE rn <= 3""",
 
     "join_spatial_grid" -> """
       WITH pts AS (
