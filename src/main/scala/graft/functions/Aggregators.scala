@@ -146,8 +146,68 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKEntry]]()
   }
 
+  /** Mergeable decimal-HDR histogram sketch for quantile estimates over
+    * positive longs (cents): bin = (decimal length, first two digits) —
+    * two-significant-digit log10 resolution (≤ 2% relative error), the
+    * HdrHistogram idea on a base-10 grid. Everything is INTEGER (string
+    * length + prefix, exact counts, ceil thresholds via (n·p + 99) div
+    * 100), so unlike the engine-hash sketches (HLL/CMS/minhash) this
+    * sketch is bit-replayable in DuckDB SQL and hash-checkable. The
+    * buffer is a fixed 19×90 count array: constant size per group, safe
+    * map-side partials, shuffle carries the array not the data. */
+  case class DecHistBuf(var counts: Array[Long])
+
+  object DecHistAgg extends Aggregator[Long, DecHistBuf, Seq[Long]] {
+    private val Slots = 19 * 90
+    /** bin index for v > 0: (len−1)·90 + first2 − 10, where a 1-digit v
+      * uses v·10 as its 2-digit prefix. */
+    private def bin(v: Long): Int = {
+      val s = v.toString
+      val first2 = if (s.length >= 2) s.substring(0, 2).toInt else v.toInt * 10
+      (s.length - 1) * 90 + first2 - 10
+    }
+    /** lower bound of bin i — the quantile estimate the walk returns:
+      * first2 followed by len−2 zeros. */
+    private def lower(i: Int): Long = {
+      val len = i / 90 + 1; val first2 = i % 90 + 10
+      if (len == 1) first2 / 10
+      else first2.toString.padTo(len, '0').toLong
+    }
+    override def zero: DecHistBuf = DecHistBuf(new Array[Long](Slots))
+    override def reduce(b: DecHistBuf, v: Long): DecHistBuf = {
+      if (v > 0) b.counts(bin(v)) += 1
+      b
+    }
+    override def merge(a: DecHistBuf, b: DecHistBuf): DecHistBuf = {
+      var i = 0
+      while (i < Slots) { a.counts(i) += b.counts(i); i += 1 }
+      a
+    }
+    /** (n, p50, p90, p99) — quantile = lower bound of the first bin whose
+      * cumulative count reaches ceil(n·p/100). */
+    override def finish(b: DecHistBuf): Seq[Long] = {
+      val n = b.counts.sum
+      def q(p: Int): Long = {
+        val thr = (n * p + 99) / 100
+        var cum = 0L; var i = 0
+        while (i < Slots) {
+          cum += b.counts(i)
+          if (cum >= thr && thr > 0) return lower(i)
+          i += 1
+        }
+        0L
+      }
+      Seq(n, q(50), q(90), q(99))
+    }
+    override def bufferEncoder: Encoder[DecHistBuf] =
+      Encoders.product[DecHistBuf]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("kahan_sum", udaf(KahanSum))
+    spark.udf.register("dec_hist", udaf(DecHistAgg))
     spark.udf.register("minhash16", udaf(new MinHashAgg(16)))
     // 64 permutations: feeds r=2/b=32 banding in Dedup (r·b = 64), which
     // needs the longer signature to keep recall ≥ 0.95 at J = 0.3

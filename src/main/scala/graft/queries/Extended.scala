@@ -153,6 +153,23 @@ object Extended {
     // custom typed UDAF surface: Kahan-compensated sum (udaf(Aggregator))
     // running as a real partial+final aggregate; equals plain sum on this
     // data to oracle precision
+    // mergeable histogram-quantile SKETCH with full oracle parity: the
+    // dec_hist typed aggregate (Aggregators.DecHistAgg) bins positive
+    // cents by (decimal length, first two digits) — 2-significant-digit
+    // HDR resolution — and its quantile walk is pure integer arithmetic,
+    // so unlike HLL/CMS/minhash this sketch is bit-replayable in DuckDB
+    // and HASH-checked, not rows-only. The buffer is a constant 1710-slot
+    // array per group: map-side partials stay tiny and the shuffle
+    // carries sketches, never values.
+    "agg_hdr_quantiles" -> ((s, d) => {
+      graft.functions.Aggregators.register(s)
+      t(s, d, "lineitem").groupBy(col("l_returnflag").as("g"))
+        .agg(expr(
+          "dec_hist(CAST(round(l_extendedprice * 100) AS BIGINT))").as("qs"))
+        .select(col("g"), col("qs")(0).as("n"), col("qs")(1).as("p50"),
+          col("qs")(2).as("p90"), col("qs")(3).as("p99"))
+    }),
+
     "agg_custom_udaf" -> ((s, d) => {
       graft.functions.Aggregators.register(s)
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
@@ -576,6 +593,42 @@ object Extended {
   )
 
   val sql: Map[String, String] = Map(
+    // the dec_hist sketch replayed relationally: same integer binning
+    // (decimal length + 2-digit prefix), same ceil thresholds, quantile
+    // = min lower-bound among bins whose cumulative count reaches it
+    "agg_hdr_quantiles" -> """
+      WITH v AS (
+        SELECT l_returnflag AS g,
+               CAST(round(l_extendedprice*100) AS BIGINT) AS v
+        FROM lineitem
+      ), pre AS (
+        SELECT g, length(CAST(v AS VARCHAR)) AS len,
+               CASE WHEN length(CAST(v AS VARCHAR)) >= 2
+                    THEN CAST(substr(CAST(v AS VARCHAR), 1, 2) AS INT)
+                    ELSE CAST(v AS INT) * 10 END AS first2
+        FROM v WHERE v > 0
+      ), b AS (
+        SELECT g, len, first2, count(*) AS c,
+               CASE WHEN len = 1 THEN first2 // 10
+                    ELSE CAST(CAST(first2 AS VARCHAR) ||
+                              repeat('0', len - 2) AS BIGINT) END AS lb
+        FROM pre GROUP BY g, len, first2
+      ), cum AS (
+        SELECT g, lb,
+               sum(c) OVER (PARTITION BY g ORDER BY len, first2
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM b
+      ), tot AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n
+        FROM v WHERE v > 0 GROUP BY g
+      )
+      SELECT t.g, t.n,
+             min(CASE WHEN cc >= (t.n*50 + 99)//100 THEN lb END) AS p50,
+             min(CASE WHEN cc >= (t.n*90 + 99)//100 THEN lb END) AS p90,
+             min(CASE WHEN cc >= (t.n*99 + 99)//100 THEN lb END) AS p99
+      FROM cum c JOIN tot t ON c.g = t.g
+      GROUP BY t.g, t.n""",
+
     // full recompute — the incremental merge must hash-equal this
     "etl_incremental_agg" -> """
       SELECT o_orderpriority,

@@ -360,6 +360,29 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("agg_hdr_quantiles brackets the exact order statistics") {
+    val rows = SparkEntry.queries("agg_hdr_quantiles")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vals = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"),
+        org.apache.spark.sql.functions.round(col("l_extendedprice") * 100)
+          .cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).sorted }
+    rows.foreach { case (g, (n, p50, p90, p99)) =>
+      val v = vals(g)
+      assert(n == v.length)
+      Seq((50, p50), (90, p90), (99, p99)).foreach { case (p, est) =>
+        val exact = v(((n * p + 99) / 100 - 1).toInt) // ceil(n·p/100)-th
+        // the sketch returns the 2-significant-digit bin's lower bound:
+        // est ≤ exact < est · (f2+1)/f2 ≤ 1.1 · est
+        assert(est <= exact, s"$g p$p est $est above exact $exact")
+        assert(exact < est * 11 / 10 + 10, s"$g p$p est $est too far below $exact")
+      }
+    }
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)
