@@ -99,7 +99,48 @@ object Multimodal {
   val fixtureDir = "/root/repo/fixtures/multimodal"
 
   val defs: Map[String, Q] = Map(
-    "llm_multimodal_meta" -> ((s, _) => fileMeta(s, fixtureDir)))
+    "llm_multimodal_meta" -> ((s, _) => fileMeta(s, fixtureDir)),
+
+    // frame sampling with a hash-checkable contract: every 4th 256-byte
+    // chunk of each payload (the stub stand-in for decoded video frames)
+    // emits (offset, sha) — chunking runs over the UPPERCASE-HEX
+    // rendering of the blob because that is the only byte-slicing
+    // surface both engines share (DuckDB 1.0 has no BLOB substring);
+    // 2 hex chars ≡ 1 payload byte, so offsets stay byte-addressed.
+    // The explode is the row-per-frame fan-out a real decoder feeds.
+    "mm_frame_sample" -> ((s, _) => {
+      val a = s.read.format("binaryFile").load(fixtureDir).select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        hex(col("content")).as("hx"),
+        length(col("content")).cast(LongType).as("bl"))
+      a.withColumn("n_chunks",
+          greatest(lit(1L), expr("bl DIV 256")))
+        .withColumn("frame_idx",
+          explode(expr("filter(sequence(0, n_chunks - 1), i -> i % 4 = 0)")))
+        .select(col("file_name"), col("frame_idx").cast(LongType).as("frame_idx"),
+          (col("frame_idx") * 256).cast(LongType).as("byte_offset"),
+          sha2(expr("substring(hx, CAST(frame_idx * 512 + 1 AS INT), 512)"),
+            256).as("chunk_sha"))
+    }),
+
+    // patch-grid plumbing: image dims come from the decode stub
+    // (deterministic arithmetic on byte length — a real decoder would
+    // fill meta.width/height), then each asset explodes into its 32×32
+    // patch coordinates with edge clipping — the row-per-patch shape a
+    // vision featurizer consumes.
+    "mm_patch_grid" -> ((s, _) => {
+      val a = s.read.format("binaryFile").load(fixtureDir).select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        length(col("content")).cast(LongType).as("bl"))
+      a.withColumn("w", (lit(64L) + col("bl") % 193).cast(LongType))
+        .withColumn("h", (lit(64L) + (col("bl") * 7) % 157).cast(LongType))
+        .withColumn("px", explode(expr("sequence(0L, (w - 1) DIV 32)")))
+        .withColumn("py", explode(expr("sequence(0L, (h - 1) DIV 32)")))
+        .select(col("file_name"), col("w"), col("h"), col("px"), col("py"),
+          (col("px") * 32).as("x0"), (col("py") * 32).as("y0"),
+          least(lit(32L), col("w") - col("px") * 32).as("pw"),
+          least(lit(32L), col("h") - col("py") * 32).as("ph"))
+    }))
 
   val sql: Map[String, String] = Map(
     "llm_multimodal_meta" -> """
@@ -107,7 +148,45 @@ object Multimodal {
              regexp_extract(filename, '\.([A-Za-z0-9]+)$', 1) AS fmt,
              octet_length(content) AS byte_len,
              sha256(hex(content)) AS sha_hex
-      FROM read_blob('/root/repo/fixtures/multimodal/*')""")
+      FROM read_blob('/root/repo/fixtures/multimodal/*')""",
+
+    "mm_frame_sample" -> """
+      WITH a AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               hex(content) AS hx, octet_length(content) AS bl
+        FROM read_blob('/root/repo/fixtures/multimodal/*')
+      ), idx AS (
+        SELECT file_name, hx,
+               unnest(range(0, greatest(1, bl // 256))) AS frame_idx
+        FROM a
+      )
+      SELECT file_name, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
+             sha256(substr(hx, CAST(frame_idx * 512 + 1 AS BIGINT), 512))
+               AS chunk_sha
+      FROM idx WHERE frame_idx % 4 = 0""",
+
+    "mm_patch_grid" -> """
+      WITH a AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               octet_length(content) AS bl
+        FROM read_blob('/root/repo/fixtures/multimodal/*')
+      ), dims AS (
+        SELECT file_name,
+               CAST(64 + bl % 193 AS BIGINT) AS w,
+               CAST(64 + (bl * 7) % 157 AS BIGINT) AS h
+        FROM a
+      ), px AS (
+        SELECT file_name, w, h, unnest(range(0, (w - 1) // 32 + 1)) AS px
+        FROM dims
+      )
+      SELECT file_name, w, h, CAST(px AS BIGINT) AS px,
+             CAST(py AS BIGINT) AS py,
+             CAST(px * 32 AS BIGINT) AS x0, CAST(py * 32 AS BIGINT) AS y0,
+             least(32, w - px * 32) AS pw, least(32, h - py * 32) AS ph
+      FROM (SELECT file_name, w, h, px,
+                   unnest(range(0, (h - 1) // 32 + 1)) AS py
+            FROM px)""")
 
   /** Frame-sampling operator for video-like payloads: emit every k-th
     * chunk of the payload as its own row (stub chunking = fixed-size
