@@ -353,6 +353,50 @@ object EventsBatch {
           sum(col("n")).over(Window.partitionBy(col("prev_type"))), 6))
     }),
 
+    // steady-state distribution of the event-type Markov chain: 10 power
+    // steps from the uniform vector, ALL-INTEGER — transition cells on a
+    // 1e-9 grid (floor(1e9·n/n_prev + 0.5)), state mass on a 1e-12 grid,
+    // each step Σᵢ vᵢ·tᵢⱼ computed exactly in BigInt then floor-divided
+    // by 1e9 — so the 10-step trajectory is bit-replayable in DuckDB
+    // (HUGEINT, unrolled CTEs). The matrix is |types|² = 25 cells BY THE
+    // TYPE DOMAIN: collected and iterated on the driver (bounded action,
+    // the graph_components pattern) — the only data-sized job is the
+    // transition-count aggregate.
+    "evt_markov_steady" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val cells = tr.withColumn("np",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .selectExpr("prev_type", "next_type",
+          "CAST(floor(1e9 * n / np + 0.5) AS BIGINT) AS t")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = cells.map(_._1).distinct.sorted ++
+        cells.map(_._2).distinct.diff(cells.map(_._1).distinct).sorted
+      var v: Map[String, BigInt] =
+        states.map(_ -> BigInt(1000000000000L) / states.length).toMap
+      for (_ <- 1 to 10) {
+        val nv = states.map { j =>
+          j -> cells.filter(_._2 == j)
+            .map { case (i, _, tt) => v(i) * tt }
+            .foldLeft(BigInt(0))(_ + _) / BigInt(1000000000L)
+        }.toMap
+        v = nv
+      }
+      import s.implicits._
+      s.createDataset(states.map(st => (st, v(st).toLong)).toSeq)
+        .toDF("state", "v_scaled")
+        .select(col("state"), col("v_scaled"),
+          (col("v_scaled").cast("double") / 1e12).as("p"))
+        .orderBy(col("state"))
+    }),
+
     // inter-event dwell-time distribution per event type (lead on the
     // same user-keyed window the other sequence queries ride; the last
     // event per user has no successor and drops out)
@@ -978,6 +1022,45 @@ object EventsBatch {
                wf AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       )""",
+
+    // 10 unrolled integer power steps (the kmeans-iterate twin pattern):
+    // HUGEINT products/sums ≡ the driver's BigInt arithmetic exactly
+    "evt_markov_steady" -> {
+      val steps = (1 to 10).map { r =>
+        s""", v$r AS MATERIALIZED (
+        SELECT tm.j AS st, sum(v.v * tm.t) // 1000000000 AS v
+        FROM v${r - 1} v JOIN tm ON tm.i = v.st
+        GROUP BY tm.j
+      )"""
+      }.mkString
+      s"""
+      WITH pairs AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+      ), c AS (
+        SELECT prev_type, next_type, count(*) AS n FROM pairs
+        WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+      ), tm AS MATERIALIZED (
+        SELECT prev_type AS i, next_type AS j,
+               CAST(floor(1e9 * n / sum(n) OVER (PARTITION BY prev_type)
+                 + 0.5) AS BIGINT) AS t
+        FROM c
+      ), states AS (
+        SELECT DISTINCT prev_type AS st FROM c
+        UNION
+        SELECT DISTINCT next_type FROM c
+      ), v0 AS (
+        SELECT st, CAST(1000000000000 AS HUGEINT)
+                 // (SELECT count(*) FROM states) AS v
+        FROM states
+      )$steps
+      SELECT s.st AS state, CAST(coalesce(v.v, 0) AS BIGINT) AS v_scaled,
+             CAST(coalesce(v.v, 0) AS DOUBLE) / 1e12 AS p
+      FROM states s LEFT JOIN v10 v ON v.st = s.st
+      ORDER BY s.st"""
+    },
 
     "evt_markov_transitions" -> """
       WITH pairs AS (

@@ -475,6 +475,37 @@ object MlTrain {
         .limit(1)
     }),
 
+    // model-discrimination KS: the max gap between the positive and
+    // negative score CDFs — the credit-scoring companion of ml_auc,
+    // computed over the SAME ≤200-row sigmoid-bin table as ml_pr_curve
+    // (never a per-row sort). D is a max over floor-ppm integers of
+    // exact-count ratios, so the argmax bin and the statistic are
+    // engine-identical.
+    "ml_ks_model" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      val bins = raw.select(sg.as("sg"), col("yy"))
+        .withColumn("bin", least(floor(col("sg") * 200), lit(199L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("np"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = bins.agg(sum(col("np")).as("tp"),
+        sum(col("n") - col("np")).as("tn"))
+      bins
+        .withColumn("cp", sum(col("np")).over(w))
+        .withColumn("cn", sum(col("n") - col("np")).over(w))
+        .crossJoin(broadcast(tot))
+        .selectExpr("bin",
+          "abs(CAST(floor(1e6*cp/tp + 0.5) AS BIGINT) - " +
+            "CAST(floor(1e6*cn/tn + 0.5) AS BIGINT)) AS gap_ppm")
+        .orderBy(col("gap_ppm").desc, col("bin"))
+        .limit(1)
+        .selectExpr("bin AS ks_bin", "gap_ppm AS ks_ppm")
+    }),
+
     // Ridge regression = the SAME normal-equation machinery with λ added
     // to the feature diagonal (intercept unpenalized) — regularized
     // training costs nothing extra at scale: identical one-pass moments,
@@ -861,6 +892,31 @@ object MlTrain {
         |         CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT)
         |         ELSE 0 END AS rec_ppm
         |FROM cum, tot""".stripMargin,
+
+    "ml_ks_model" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |bins AS (
+        |  SELECT least(CAST(floor(sg*200) AS BIGINT), 199) AS bin,
+        |         count(*) AS n,
+        |         sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END) AS np
+        |  FROM sc GROUP BY 1),
+        |cum AS (
+        |  SELECT bin,
+        |         CAST(sum(np) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+        |         CAST(sum(n - np) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+        |  FROM bins),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp,
+        |               CAST(sum(n - np) AS BIGINT) AS tn FROM bins)
+        |SELECT bin AS ks_bin,
+        |       abs(CAST(floor(1e6*cp/tp + 0.5) AS BIGINT) -
+        |           CAST(floor(1e6*cn/tn + 0.5) AS BIGINT)) AS ks_ppm
+        |FROM cum, tot
+        |ORDER BY ks_ppm DESC, bin
+        |LIMIT 1""".stripMargin,
 
     "ml_decision_stump" ->
       s"""WITH byq AS (

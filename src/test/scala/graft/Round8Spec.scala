@@ -383,6 +383,69 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("ml_ks_model replays from the trained weights") {
+    val r = SparkEntry.queries("ml_ks_model")(spark, sf).collect()(0)
+    val (ksBin, ksPpm) = (r.getLong(0), r.getLong(1))
+    assert(ksPpm >= 0 && ksPpm <= 1000000)
+    val wRow = SparkEntry.queries("ml_logreg_gd")(spark, sf).collect()(0)
+    val (w0, w1, w2) = (wRow.getDouble(0), wRow.getDouble(1),
+      wRow.getDouble(2))
+    val pts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.round(col("l_quantity"))
+          .cast("double").as("q"),
+        org.apache.spark.sql.functions.round(col("l_discount") * 100)
+          .cast("double").as("dc"), col("l_returnflag"))
+      .collect()
+      .map(x => (x.getDouble(0) / 50.0, x.getDouble(1) / 10.0,
+        x.getString(2) == "R"))
+    // weights are round(w,6) in the driver output — recompute bins with
+    // them; the 0.005-wide bins absorb the 1e-6 weight rounding except
+    // exactly at a bin edge, so compare KS with a 1-bin tolerance
+    val binned = pts.map { case (x1, x2, pos) =>
+      val z = w0 + w1 * x1 + w2 * x2
+      val sg = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+      (math.min(math.floor(sg * 200).toLong, 199L), pos)
+    }
+    val p = binned.count(_._2).toLong; val n = binned.length - p
+    val byBin = binned.groupBy(_._1).toSeq.sortBy(_._1)
+    var cp = 0L; var cn = 0L; var best = 0L
+    byBin.foreach { case (_, g) =>
+      cp += g.count(_._2); cn += g.count(!_._2)
+      val gap = math.abs(math.floor(1e6 * cp / p + 0.5) -
+        math.floor(1e6 * cn / n + 0.5)).toLong
+      if (gap > best) best = gap
+    }
+    assert(math.abs(ksPpm - best) <= 1000, s"ks $ksPpm vs local $best")
+    assert(ksBin >= 0 && ksBin <= 199)
+  }
+
+  test("evt_markov_steady conserves mass and matches FP power iteration") {
+    val rows = SparkEntry.queries("evt_markov_steady")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val mass = rows.map(_._2).sum
+    assert(math.abs(mass - 1000000000000L) < 1e8,
+      s"mass drifted: $mass")
+    rows.foreach { case (_, v, pp) =>
+      assert(v >= 0)
+      assert(math.abs(pp - v.toDouble / 1e12) < 1e-15)
+    }
+    // double-precision power iteration from the same transition matrix
+    val tr = SparkEntry.queries("evt_markov_transitions")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getDouble(3))).toMap
+    val states = rows.map(_._1)
+    var v: Seq[Double] = states.toSeq.map(_ => 1.0 / states.length)
+    for (_ <- 1 to 10) {
+      v = states.toSeq.map(j => states.toSeq.zip(v).map { case (i, vi) =>
+        vi * tr.getOrElse((i, j), 0.0)
+      }.sum)
+    }
+    states.zip(v).zip(rows.map(_._3)).foreach { case ((st, fp), got) =>
+      assert(math.abs(fp - got) < 1e-4, s"$st: $got vs fp $fp")
+    }
+  }
+
   test("ml_confusion ppm ratios are floor(1e6 x + 0.5) integers") {
     val rows = SparkEntry.queries("ml_confusion")(spark, sf).collect()
     assert(rows.length == 5)
