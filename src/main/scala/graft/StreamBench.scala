@@ -94,6 +94,30 @@ object StreamBench {
     println(f"""[streambench] {"cusum_daily_rows":$nDaily,""" +
       f""""cusum_raw_events":$nEvents,"cusum_sec":$cusumSec%.2f,""" +
       f""""cusum_rows_per_sec":${nDaily / cusumSec}%.0f}""")
+
+    // ---- ordered-2-sequence support gate (flatMapGroupsWithState) ----
+    val evDir = Files.createTempDirectory("graft-sb").toString + "/events"
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(evDir)
+    val evSchema = spark.read.parquet(evDir).schema
+    def runSeq(name: String): Double = {
+      val stream = spark.readStream.schema(evSchema).parquet(evDir)
+        .as[EventStreams.Ev]
+      val t0 = System.nanoTime()
+      val q = EventStreams.seqGate(stream).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sb-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    runSeq("sb_seq_warm")
+    val seqSec = Seq(runSeq("sb_seq1"), runSeq("sb_seq2"),
+      runSeq("sb_seq3")).min
+    println(f"""[streambench] {"seq_raw_events":$nEvents,""" +
+      f""""seq_sec":$seqSec%.2f,""" +
+      f""""seq_events_per_sec":${nEvents / seqSec}%.0f}""")
     spark.stop()
   }
 }
