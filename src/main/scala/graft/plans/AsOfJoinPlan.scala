@@ -229,6 +229,7 @@ case class AsOfJoinExec(
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
     e.injectOptimizerRule(_ => AsOfJoinKeyPushdown)
     graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((

@@ -215,6 +215,26 @@ object EventsBatch {
         .agg(count(lit(1)).as("n_clicks"), min(col("ts")).as("first_click"))
     }),
 
+    // the SAME containment semantics through the NATIVE broadcast range
+    // join (plans/RangeJoinPlan.scala: sorted starts + prefix-max ends,
+    // O(log n + matches) probes instead of the BNLJ's O(n) scan per
+    // row). Shares join_interval's oracle SQL, so driver hash parity
+    // proves native ≡ bucket-composed ≡ DuckDB. Sides are re-read from
+    // source so they carry distinct attribute ids.
+    "join_interval_native" -> ((s, d) => {
+      val intervals = t(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("iv_id"), col("ts").as("iv_start"),
+          (col("ts") + expr("interval 90 minutes")).as("iv_end"))
+      val points = t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("pt_id"), col("ts"))
+      graft.plans.RangeNative.joinRangeNative(
+          points, intervals, "ts", "iv_start", "iv_end")
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("ts")).as("first_click"))
+    }),
+
     // as-of join, composed scale-friendly (SURVEY §2 "as-of / interval
     // join", §7.4 risk 7): for each purchase, the latest STRICTLY-PRIOR
     // click of the same user. Implemented as one pass over a
@@ -1228,6 +1248,16 @@ object EventsBatch {
        AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
 
     "join_interval" -> """
+      SELECT s.event_id AS iv_id, count(*) AS n_clicks,
+             min(c.ts) AS first_click
+      FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 90 MINUTE
+      GROUP BY s.event_id""",
+
+    // identical semantics through the native broadcast range join —
+    // hash parity proves native ≡ bucket-composed ≡ this brute force
+    "join_interval_native" -> """
       SELECT s.event_id AS iv_id, count(*) AS n_clicks,
              min(c.ts) AS first_click
       FROM (SELECT * FROM events WHERE event_type = 'signup') s
