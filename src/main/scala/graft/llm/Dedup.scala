@@ -313,6 +313,21 @@ object Dedup {
       .filter(col("doc1") < col("doc2"))
   }
 
+  // per-corpus cache of the exact-Jaccard CC labeling (the er-family
+  // amortization): llm_dedup_exact and llm_dedup_quality both consume
+  // the same pair graph + star-star labels
+  private val exactLabelsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def exactJaccardLabels(s: SparkSession, d: String): DataFrame =
+    exactLabelsCache.getOrElseUpdate(d, {
+      val pairs = TextOps.defs("llm_ngram_jaccard")(s, d)
+        .select(col("doc1"), col("doc2"))
+      connectedComponentsFast(
+          t(s, d, "documents").select(col("doc_id")), pairs)
+        .localCheckpoint(eager = false)
+    })
+
   val defs: Map[String, Q] = Map(
     // near-dup pairs via native banded MinHash (Jaccard ≥ 0.2)
     "llm_minhash_pairs" -> ((s, d) => minhashPairsNative(s, d)),
@@ -394,12 +409,9 @@ object Dedup {
     // rows-only check into a hash compare; llm_dedup_apply keeps the
     // scale path (banded MinHash pairs) that the oracle can't reproduce.
     "llm_dedup_exact" -> ((s, d) => {
-      val pairs = TextOps.defs("llm_ngram_jaccard")(s, d)
-        .select(col("doc1"), col("doc2"))
-      val docs = t(s, d, "documents")
-      val labels = connectedComponentsFast(docs.select(col("doc_id")), pairs)
-      labels.select(col("doc_id"), col("label").as("survivor_id"),
-        (col("doc_id") === col("label")).as("is_survivor"))
+      exactJaccardLabels(s, d)
+        .select(col("doc_id"), col("label").as("survivor_id"),
+          (col("doc_id") === col("label")).as("is_survivor"))
     }),
 
     // QUALITY-AWARE dedup execution: same connected components over the
@@ -410,10 +422,8 @@ object Dedup {
     // keeps. Ratio is an exact-int division on both engines, so the
     // DuckDB twin is bit-identical and this stays hash-checkable.
     "llm_dedup_quality" -> ((s, d) => {
-      val pairs = TextOps.defs("llm_ngram_jaccard")(s, d)
-        .select(col("doc1"), col("doc2"))
       val docs = t(s, d, "documents")
-      val labels = connectedComponentsFast(docs.select(col("doc_id")), pairs)
+      val labels = exactJaccardLabels(s, d)
       val q = docs.withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"),
           (size(array_distinct(col("toks"))).cast("double") /
