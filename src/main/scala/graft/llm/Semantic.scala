@@ -60,9 +60,17 @@ object Semantic {
     * before the comparison on BOTH engines so a cross-engine 1-ulp
     * summation difference cannot flip the winner except exactly at a
     * rounding boundary. */
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
+
+  // cached per plan identity: llm_kmeans_assign/step and llm_semdedup
+  // all consume the seed assignment of the same embedding frame
   private def assignCells(emb: DataFrame): DataFrame =
-    assignTo(emb, emb.filter(col("vec_id") < K)
-      .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+    assignCache.getOrElseUpdate(
+      emb.queryExecution.logical.semanticHash().toLong,
+      assignTo(emb, emb.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
+        .localCheckpoint(eager = false))
 
   /** Same assignment against an arbitrary (cell, cvec) centroid table
     * (the Lloyd update feeds recomputed means back through here). */
