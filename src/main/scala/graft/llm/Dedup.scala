@@ -63,12 +63,11 @@ object Dedup {
   // per-(corpus, threshold) cache: llm_minhash_pairs (0.2) and
   // llm_dedup_apply (0.3) each consume the banded pair set, and bench
   // reps repeat it — the signature aggregate is the expensive stage
-  private val minhashPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Double), DataFrame]
+  private val minhashPairsCache = new graft.core.SessionCache[DataFrame]
 
   def minhashPairsNative(s: SparkSession, d: String,
                          threshold: Double = 0.2): DataFrame =
-    minhashPairsCache.getOrElseUpdate((d, threshold),
+    minhashPairsCache.getOrElseUpdate(s, s"$d#$threshold",
       minhashPairsBuild(s, d, threshold).localCheckpoint(eager = false))
 
   private def minhashPairsBuild(s: SparkSession, d: String,
@@ -327,13 +326,11 @@ object Dedup {
   // per-corpus cache of the exact-Jaccard CC labeling (the er-family
   // amortization): llm_dedup_exact and llm_dedup_quality both consume
   // the same pair graph + star-star labels
-  private val exactLabelsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val minhashLabelsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val exactLabelsCache = new graft.core.SessionCache[DataFrame]
+  private val minhashLabelsCache = new graft.core.SessionCache[DataFrame]
 
   private def exactJaccardLabels(s: SparkSession, d: String): DataFrame =
-    exactLabelsCache.getOrElseUpdate(d, {
+    exactLabelsCache.getOrElseUpdate(s, d, {
       val pairs = TextOps.defs("llm_ngram_jaccard")(s, d)
         .select(col("doc1"), col("doc2"))
       connectedComponentsFast(
@@ -405,7 +402,7 @@ object Dedup {
     // propagation over the candidate-pair graph, iterated to convergence.
     "llm_dedup_apply" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val labels = minhashLabelsCache.getOrElseUpdate(d, {
+      val labels = minhashLabelsCache.getOrElseUpdate(s, d, {
         val pairs = minhashPairsNative(s, d, threshold = 0.3)
           .select(col("doc1"), col("doc2"))
         connectedComponentsFast(docs.select(col("doc_id")), pairs)

@@ -60,14 +60,15 @@ object Semantic {
     * before the comparison on BOTH engines so a cross-engine 1-ulp
     * summation difference cannot flip the winner except exactly at a
     * rounding boundary. */
-  private val assignCache =
-    scala.collection.concurrent.TrieMap.empty[Long, DataFrame]
+  private val assignCache = new graft.core.SessionCache[DataFrame]
 
-  // cached per plan identity: llm_kmeans_assign/step and llm_semdedup
-  // all consume the seed assignment of the same embedding frame
-  private def assignCells(emb: DataFrame): DataFrame =
-    assignCache.getOrElseUpdate(
-      emb.queryExecution.logical.semanticHash().toLong,
+  // cached per (session, corpus): llm_kmeans_assign/step and llm_semdedup
+  // all consume the seed assignment of the same embedding frame. Keyed by
+  // the corpus path, NOT a plan hash — a 32-bit semanticHash collision
+  // between two distinct embedding plans would silently hand the wrong
+  // cached cell assignment to a caller (ADVICE r8).
+  private def assignCells(d: String, emb: DataFrame): DataFrame =
+    assignCache.getOrElseUpdate(emb.sparkSession, d,
       assignTo(emb, emb.filter(col("vec_id") < K)
         .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
         .localCheckpoint(eager = false))
@@ -128,7 +129,7 @@ object Semantic {
     // of k-means as a standalone, oracle-checked operator.
     "llm_kmeans_assign" -> ((s, d) => {
       GraftFunctions.register(s)
-      assignCells(spread(t(s, d, "embeddings")))
+      assignCells(d, spread(t(s, d, "embeddings")))
         .select(col("vec_id"), col("cell"), round(col("sim"), 4).as("cos_sim"))
     }),
 
@@ -139,7 +140,7 @@ object Semantic {
     // the 4-decimal output.
     "llm_kmeans_step" -> ((s, d) => {
       GraftFunctions.register(s)
-      assignCells(spread(t(s, d, "embeddings")))
+      assignCells(d, spread(t(s, d, "embeddings")))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_members"),
           round(avg(round(col("sim"), 6)), 4).as("avg_cos"))
@@ -158,7 +159,7 @@ object Semantic {
     "llm_semdedup" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = spread(t(s, d, "embeddings"))
-      val a = assignCells(emb)
+      val a = assignCells(d, emb)
         .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .select(col("vec_id"), col("cell"), col("embedding"))
       val dominated = a.select(col("vec_id").as("id1"), col("cell"),

@@ -79,11 +79,10 @@ object SimSearch {
 
   // one fit per (corpus, k) per JVM: Verify/Bench/tests reuse the index so
   // repeated queries time SEARCH, not repeated k-means training
-  private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), IvfIndex]
+  private val ivfCache = new graft.core.SessionCache[IvfIndex]
 
   def ivfIndexFor(s: SparkSession, d: String, k: Int): IvfIndex =
-    ivfCache.getOrElseUpdate((d, k),
+    ivfCache.getOrElseUpdate(s, s"$d#$k",
       ivfFit(s, t(s, d, "embeddings"), k))
 
   /** IVF search: query → its nProbe closest cells (vs the broadcast
@@ -242,10 +241,10 @@ object SimSearch {
   }
 
   // one fit per corpus per JVM (same amortization story as ivfCache)
-  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, PqIndex]
+  private val pqCache = new graft.core.SessionCache[PqIndex]
 
   def pqIndexFor(s: SparkSession, d: String): PqIndex =
-    pqCache.getOrElseUpdate(d, pqFit(s, t(s, d, "embeddings")))
+    pqCache.getOrElseUpdate(s, d, pqFit(s, t(s, d, "embeddings")))
 
   /** PQ-ADC search: each query builds an (m × ksub) lookup table of
     * sub-dot-products against the broadcast codebooks; a candidate's

@@ -137,10 +137,10 @@ object TextOps {
   // amortization pattern): the bloom-build subquery, both join legs, AND
   // every bench rep reuse the same checkpoint instead of replaying the
   // scan+generate (the replay dominated llm_decontaminate in BENCH_r07)
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val lmScoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // session-keyed ([[graft.core.SessionCache]]): the checkpoint handles
+  // are bound to the SparkSession that created them
+  private val shingleCache = new graft.core.SessionCache[DataFrame]
+  private val lmScoreCache = new graft.core.SessionCache[DataFrame]
 
   def decontaminate(s: SparkSession, d: String,
                     evalBloom: Boolean): DataFrame = {
@@ -148,7 +148,7 @@ object TextOps {
     // one lazy materialization of (doc, shingle, bucket): three plan legs
     // consume it (train side, the bloom-build subquery, the eval join
     // side) and without the cut each would replay the scan+generate
-    val byDoc = shingleCache.getOrElseUpdate(d, shingles(s, d)
+    val byDoc = shingleCache.getOrElseUpdate(s, d, shingles(s, d)
       .join(t(s, d, "documents")
         .select(col("doc_id"), splitBucket.as("bucket")), Seq("doc_id"))
       .localCheckpoint(eager = false))
@@ -795,7 +795,7 @@ object TextOps {
     // collected), V as a 1-row broadcast like llm_tfidf's doc count.
     // cached per corpus (the shingleCache amortization): ccnet consumes
     // the same scored frame, and bench reps repeat the whole stack
-    "llm_lm_score" -> ((s, d) => lmScoreCache.getOrElseUpdate(d, {
+    "llm_lm_score" -> ((s, d) => lmScoreCache.getOrElseUpdate(s, d, {
       val toks = spread(t(s, d, "documents"))
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -1058,13 +1058,27 @@ object TextOps {
 
   /** BPE-train replay CTEs (the kmeans-iterate/pagerank-twin pattern,
     * unrolled `rounds` times): the vocabulary's symbol arrays live as
-    * chr(31)-joined STRINGS, because DuckDB's `replace` scans left-to-
-    * right non-overlapping — exactly the greedy fold [[applyMerge]]
-    * implements (for "aaa" under (a,a): both produce [aa, a]). Each
-    * round is pair counts → argmax (count DESC, then binary string
-    * order, same as the Spark `orderBy(c.desc, l, rr)`) → one literal
-    * replace over the vocab. All counts are exact integers, so the
-    * argmax trajectory cannot diverge. */
+    * chr(31)-joined STRINGS, and each round applies its merge with a
+    * `list_reduce` fold that is [[applyMerge]] term for term — acc holds
+    * the joined prefix, the last accumulated symbol equals `l` iff acc
+    * IS l or ENDS WITH chr(31)||l (the separator anchors whole symbols),
+    * and a hit appends `r` bare while a miss appends chr(31)||x. A plain
+    * string `replace(syms, l||chr(31)||r, l||r)` is NOT equivalent
+    * (ADVICE r8): it can match across symbol boundaries once multi-char
+    * symbols exist ([ab,c] under (b,c) via 'bc'), and even the
+    * boundary-anchored variant mis-pairs odd runs ('aaaaa' under (a,a):
+    * greedy = [aa,aa,a], non-overlapping anchored replace = [aa,a,aa]).
+    * Each round is pair counts → argmax (count DESC, then binary string
+    * order, same as the Spark `orderBy(c.desc, l, rr)`) → the fold over
+    * the vocab. All counts are exact integers, so the argmax trajectory
+    * cannot diverge. */
+  private def mergeFold(src: String): String =
+    s"""list_reduce(string_split($src, chr(31)),
+          (acc, x) -> CASE WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l))
+                            AND x = m.r
+                           THEN acc || m.r
+                           ELSE acc || chr(31) || x END)"""
+
   private def bpeTrainCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append("""words AS MATERIALIZED (
@@ -1086,17 +1100,16 @@ object TextOps {
       ), m$r AS MATERIALIZED (
         SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1
       ), v$r AS MATERIALIZED (
-        SELECT n, replace(syms,
-          (SELECT l FROM m$r) || chr(31) || (SELECT r FROM m$r),
-          (SELECT l || r FROM m$r)) AS syms
-        FROM v${r - 1}
+        SELECT n, ${mergeFold("v.syms")} AS syms
+        FROM v${r - 1} v, m$r m
       )""")
     }
     sb.toString
   }
 
-  /** The encode half: the same trained merge scalars applied IN RANK
-    * ORDER to every (doc, word) symbol string. */
+  /** The encode half: the same trained merge rules applied IN RANK
+    * ORDER to every (doc, word) symbol string, with the same
+    * whole-symbol [[mergeFold]]. */
   private def bpeEncodeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(s""", dwords AS (
@@ -1108,10 +1121,8 @@ object TextOps {
       )""")
     for (r <- 1 to rounds) {
       sb.append(s""", d$r AS MATERIALIZED (
-        SELECT doc_id, w, replace(syms,
-          (SELECT l FROM m$r) || chr(31) || (SELECT r FROM m$r),
-          (SELECT l || r FROM m$r)) AS syms
-        FROM d${r - 1}
+        SELECT doc_id, w, ${mergeFold("v.syms")} AS syms
+        FROM d${r - 1} v, m$r m
       )""")
     }
     sb.toString

@@ -67,16 +67,14 @@ object EntityRes {
   // pair set, and the latter two the same CC labeling — without the cache
   // each entry re-ran the jaro_winkler block join and the star-star
   // rounds from scratch (er_survivorship alone 4.8 s in the r8 bench)
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val clustersCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairsCache = new graft.core.SessionCache[DataFrame]
+  private val clustersCache = new graft.core.SessionCache[DataFrame]
 
   /** Blocked candidate pairs scored >= 0.88 (rounded — both engines
     * compare the same 6-decimal value, so the threshold cannot flip on a
     * final-ulp difference). */
   private def matchPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(d,
+    pairsCache.getOrElseUpdate(s, d,
       matchPairsBuild(s, d).localCheckpoint(eager = false))
 
   private def matchPairsBuild(s: SparkSession, d: String): DataFrame = {
@@ -95,7 +93,7 @@ object EntityRes {
 
   /** Shared CC labeling of the match graph — cached per corpus. */
   private def clusters(s: SparkSession, d: String): DataFrame =
-    clustersCache.getOrElseUpdate(d, {
+    clustersCache.getOrElseUpdate(s, d, {
       val pairs = matchPairs(s, d)
         .select(col("rid_a").as("doc1"), col("rid_b").as("doc2"))
       val verts = records(s, d).select(col("rid").as("doc_id"))

@@ -619,14 +619,18 @@ object Extended {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
         FROM b
       ), tot AS (
-        SELECT g, CAST(count(*) AS BIGINT) AS n
-        FROM v WHERE v > 0 GROUP BY g
+        -- ALL groups (filtered count), left-joined below: a group whose
+        -- values are all non-positive still owns an (empty) sketch, and
+        -- DecHistAgg.finish emits (0, 0, 0, 0) for it — the twin must
+        -- produce that row too, not drop it (ADVICE r8)
+        SELECT g, CAST(count(*) FILTER (WHERE v > 0) AS BIGINT) AS n
+        FROM v GROUP BY g
       )
       SELECT t.g, t.n,
-             min(CASE WHEN cc >= (t.n*50 + 99)//100 THEN lb END) AS p50,
-             min(CASE WHEN cc >= (t.n*90 + 99)//100 THEN lb END) AS p90,
-             min(CASE WHEN cc >= (t.n*99 + 99)//100 THEN lb END) AS p99
-      FROM cum c JOIN tot t ON c.g = t.g
+             coalesce(min(CASE WHEN cc >= (t.n*50 + 99)//100 THEN lb END), 0) AS p50,
+             coalesce(min(CASE WHEN cc >= (t.n*90 + 99)//100 THEN lb END), 0) AS p90,
+             coalesce(min(CASE WHEN cc >= (t.n*99 + 99)//100 THEN lb END), 0) AS p99
+      FROM tot t LEFT JOIN cum c ON c.g = t.g
       GROUP BY t.g, t.n""",
 
     // full recompute — the incremental merge must hash-equal this

@@ -33,14 +33,12 @@ object Graph {
   // reachability, shortest path, triangles, clustering coeff,
   // assortativity, components, and harmonic centrality all rebuilt them
   // from scratch per entry and per bench rep
-  private val tradeCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val exactCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val tradeCache = new graft.core.SessionCache[DataFrame]
+  private val exactCache = new graft.core.SessionCache[DataFrame]
 
   /** Revenue-weighted nation→nation trade edges (the distributed phase). */
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
-    tradeCache.getOrElseUpdate(d,
+    tradeCache.getOrElseUpdate(s, d,
       tradeEdgesBuild(s, d).localCheckpoint(eager = false))
 
   private def tradeEdgesBuild(s: SparkSession, d: String): DataFrame = {
@@ -424,7 +422,7 @@ object Graph {
     * the test range the unit sums would want DECIMAL(38,0); bigint has
     * ~4 orders of headroom over sf100 here.) */
   private def exactEdges(s: SparkSession, d: String): DataFrame =
-    exactCache.getOrElseUpdate(d,
+    exactCache.getOrElseUpdate(s, d,
       exactEdgesBuild(s, d).localCheckpoint(eager = false))
 
   private def exactEdgesBuild(s: SparkSession, d: String): DataFrame = {

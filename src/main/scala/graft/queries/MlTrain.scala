@@ -156,17 +156,18 @@ object MlTrain {
     (raw, c0, c1, c2)
   }
 
-  // one scored frame per corpus per JVM: ml_naive_bayes / ml_confusion /
-  // ml_cohens_kappa all consume the same scores; the lazily-checkpointed
-  // handle materializes once (|test docs| × |classes| rows — linear in
-  // the corpus, stored off-heap by localCheckpoint, not on the driver)
-  private val nbCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // one scored frame per corpus per session: ml_naive_bayes /
+  // ml_confusion / ml_cohens_kappa all consume the same scores; the
+  // lazily-checkpointed handle materializes once (|test docs| × |classes|
+  // rows — linear in the corpus, stored off-heap by localCheckpoint, not
+  // on the driver). Session-keyed: the checkpoint handle is bound to the
+  // SparkSession that created it ([[graft.core.SessionCache]]).
+  private val nbCache = new graft.core.SessionCache[DataFrame]
 
-  /** NB per-(test doc, class) rounded log-posterior scores — shared by
-    * ml_naive_bayes and ml_confusion. */
+  /** NB per-(test doc, class) integer ppm log-posterior scores — shared
+    * by ml_naive_bayes, ml_confusion and ml_cohens_kappa. */
   private def nbScored(s: SparkSession, d: String): DataFrame =
-    nbCache.getOrElseUpdate(d, nbScoredBuild(s, d)
+    nbCache.getOrElseUpdate(s, d, nbScoredBuild(s, d)
       .localCheckpoint(eager = false))
 
   private def nbScoredBuild(s: SparkSession, d: String): DataFrame = {
@@ -185,20 +186,32 @@ object MlTrain {
     val testTf = toks.filter(pmod(col("doc_id"), lit(5)) === 0)
       .groupBy(col("doc_id"), col("lang").as("actual"), col("w"))
       .agg(count(lit(1)).as("tf"))
+    // No floating point on the DECISION PATH: each token's log-likelihood
+    // is quantized to an integer ppm grid BEFORE summation —
+    // tf · floor(1e6·ln((cnt+1)/(tot+v)) + 0.5) — and the per-doc score is
+    // an exact BIGINT sum (order-independent, so engine summation order
+    // cannot move it; each ln sees identical operand pairs on both
+    // engines). The previous formulation summed doubles then rounded to
+    // 6 decimals: a cross-engine ulp in the ORDER-DEPENDENT sum near a
+    // 6th-decimal boundary flipped a rounded score, and a flip on a
+    // near-tied argmax changed `pred` → the r7/r8 ml_confusion driver
+    // hash-fails. The argmax (nbWindow) now compares exact integers.
+    val termPpm = floor(lit(1e6) *
+      log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
+          (col("tot") + col("v")).cast("double")) + lit(0.5)).cast("long")
+    val priorPpm = floor(lit(1e6) *
+      log(col("nd").cast("double") / col("ndall").cast("double"))
+      + lit(0.5)).cast("long")
     testTf
       .join(broadcast(classInfo))                    // |classes| fan-out
       .join(counts, Seq("cls", "w"), "left")         // unseen → cnt null
       .groupBy(col("doc_id"), col("actual"), col("cls"))
-      .agg((sum(col("tf") *
-          log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
-              (col("tot") + col("v")).cast("double")))
-        + first(log(col("nd").cast("double") / col("ndall").cast("double"))))
-        .as("score"))
-      .withColumn("score", round(col("score"), 6))
+      .agg((sum(col("tf") * termPpm) + first(priorPpm)).as("score_ppm"))
   }
 
   private def nbWindow =
-    Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls"))
+    Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("cls"))
 
   val defs: Map[String, Q] = Map(
 
@@ -272,7 +285,7 @@ object MlTrain {
         .withColumn("rn", row_number().over(nbWindow))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("actual"), col("cls").as("pred"),
-          col("score"))
+          col("score_ppm"))
     }),
 
     // Confusion-matrix summary of the NB classifier: per-class tp/fp/fn
@@ -685,10 +698,14 @@ object MlTrain {
         |            FROM toks WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
         |scored AS (
         |  SELECT t.doc_id, t.actual, c.cls,
-        |         round(sum(t.tf * ln(CAST(coalesce(k.cnt, 0) + 1 AS DOUBLE)
-        |                             / CAST(c.tot + s.v AS DOUBLE)))
-        |           + ln(CAST(c.nd AS DOUBLE) / CAST(s.ndall AS DOUBLE)),
-        |           6) AS score
+        |         CAST(sum(t.tf * CAST(floor(
+        |                 1e6 * ln(CAST(coalesce(k.cnt, 0) + 1 AS DOUBLE)
+        |                          / CAST(c.tot + s.v AS DOUBLE)) + 0.5)
+        |               AS BIGINT))
+        |           + CAST(floor(1e6 * ln(CAST(c.nd AS DOUBLE)
+        |                                 / CAST(s.ndall AS DOUBLE)) + 0.5)
+        |               AS BIGINT)
+        |           AS BIGINT) AS score_ppm
         |  FROM test_tf t
         |  CROSS JOIN classes c
         |  CROSS JOIN consts s
@@ -745,9 +762,9 @@ object MlTrain {
 
     "ml_naive_bayes" ->
       s"""WITH $nbCtes
-        |SELECT doc_id, actual, cls AS pred, score
+        |SELECT doc_id, actual, cls AS pred, score_ppm
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY score DESC, cls) AS rn
+        |        ORDER BY score_ppm DESC, cls) AS rn
         |      FROM scored)
         |WHERE rn = 1""".stripMargin,
 
@@ -756,7 +773,7 @@ object MlTrain {
         |pred AS (
         |  SELECT actual, cls AS pred FROM (
         |    SELECT *, row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY score DESC, cls) AS rn
+        |        ORDER BY score_ppm DESC, cls) AS rn
         |    FROM scored)
         |  WHERE rn = 1),
         |cl AS (SELECT DISTINCT lang AS cls FROM documents),
@@ -776,7 +793,7 @@ object MlTrain {
         |pred AS (
         |  SELECT actual, cls AS pred FROM (
         |    SELECT *, row_number() OVER (PARTITION BY doc_id
-        |        ORDER BY score DESC, cls) AS rn
+        |        ORDER BY score_ppm DESC, cls) AS rn
         |    FROM scored)
         |  WHERE rn = 1),
         |ba AS (SELECT actual AS cls, count(*) AS n_act,
