@@ -306,6 +306,79 @@ object SimSearch {
       .filter(col("rn") <= topK)
   }
 
+  /** IVF-PQ composition — the scale-shape ANN index (VERDICT r8 directive):
+    * IVF coarse cells bound WHERE a query looks (its nProbe closest of k
+    * cells), PQ-ADC orders candidates INSIDE the probed cells from the
+    * 8-byte code rows, and the exact cosine re-rank touches a CONSTANT
+    * pool of ADC survivors (default 8·topK — independent of corpus size).
+    * Contrast with flat [[pqSearch]], whose honest auto pool re-ranked
+    * max(8·k, 6% of the corpus) per query to hold recall on unclustered
+    * data — an O(N) per-query cost that made llm_ann_pq the r8 board's
+    * slowest query (4.15 s). Here every per-query stage is bounded by the
+    * probed-cell population (~nProbe/k of the corpus; nProbe·√N rows at
+    * the k ≈ √N production sizing), the ADC join reads codes, never
+    * embeddings, and with the codes table cell-partitioned on disk
+    * ([[ivfSave]] layout) the scan prunes to the probed directories.
+    * Recall floor (llm_ann_pq_recall, oracle-checked): ≥ 0.6 of exact
+    * top-5 — the IVF cell ceiling minus the ADC ordering loss that the
+    * constant re-rank pool recovers. */
+  def ivfPqSearch(ivf: IvfIndex, pq: PqIndex, queryPred: Column,
+                  nProbe: Int, topK: Int = 5, pool: Int = 0): DataFrame = {
+    GraftFunctions.register(ivf.assigned.sparkSession)
+    val m = pq.m; val dsub = pq.dsub
+    // default pool: 32·topK — CONSTANT in corpus size (the r8 fix). Sized
+    // from the measured ADC ordering loss of the m=8/ksub=16 codebook on
+    // the near-random fixture (RecallProbe, sf0.1: IVF ceiling 0.84;
+    // pool 40 → 0.48, 80 → 0.63, 160 → 0.73): the exact re-rank of 160
+    // rows costs microseconds while holding the 0.6 contract with margin.
+    val rerank = if (pool > 0) pool else topK * 32
+    val queries = ivf.assigned.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qCells = queries.crossJoin(broadcast(ivf.centroids))
+      .withColumn("csim", expr("cosine_similarity(qvec, centroid)"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crn") <= nProbe)
+      .select(col("qid"), col("cell"))
+    val lut = queries.select(col("qid"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1})," +
+          s" j -> slice(qvec, j * $dsub + 1, $dsub))"))
+        .as(Seq("sub", "qsub")))
+      .join(broadcast(pq.codebooks), Seq("sub"))
+      .withColumn("contrib", expr("dot_product(qsub, centroid)"))
+      .select(col("qid"), col("sub"), col("code"), col("contrib"))
+    // candidate pairs exist ONLY inside probed cells — the IVF gate; the
+    // ×m code explosion happens after the gate, so only probed-cell code
+    // rows fan out, and the (qid, cid) ADC sum map-side combines
+    val cand = ivf.assigned.select(col("vec_id").as("cid"), col("cell"))
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dot").desc, col("cid"))
+    val survivors = cand
+      .join(pq.codes.select(col("vec_id").as("cid"), col("codes")),
+        Seq("cid"))
+      .select(col("qid"), col("cid"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("contrib")).as("adc_dot"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    survivors
+      .join(broadcast(queries), Seq("qid"))
+      .join(ivf.assigned
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        Seq("cid"))
+      .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+      .select(col("qid"), col("cid"), col("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+  }
+
   /** Corpus-level recall of an ANN result against the exact top-k ground
     * truth, as a 1-row contract frame: (n_queries, recall_ok). Both inputs
     * carry (qid, cid); recall = |ann ∩ exact| / |exact|. */
@@ -459,13 +532,16 @@ object SimSearch {
     // documented floor hash-fails the driver check rather than hiding
     // behind a rows-only row count. Deterministic: planes/centroid seeds
     // and tiebreaks are fixed, so recall is a pure function of the data.
-    // ANN via product quantization + asymmetric distance computation —
-    // [[pqIndexFor]] (fit, cached) + [[pqSearch]]. Completes the ANN
+    // ANN via IVF-PQ — [[ivfIndexFor]] coarse cells (shared with
+    // llm_ann_ivf) + [[pqIndexFor]] codes + [[ivfPqSearch]] ADC within
+    // probed cells and a constant re-rank pool. Completes the ANN
     // family: brute force (exact), LSH (bucketing), IVF (coarse cells),
-    // PQ (compressed-domain scan + exact re-rank).
+    // IVF-PQ (compressed-domain scan inside probed cells). The flat
+    // [[pqSearch]] stays as the single-index API (PqSpec coverage) but
+    // the board entry is the composed, scale-safe shape (VERDICT r8).
     "llm_ann_pq" -> ((s, d) =>
-      pqSearch(pqIndexFor(s, d), spread(t(s, d, "embeddings")),
-        queryPred = col("vec_id") < 20)),
+      ivfPqSearch(ivfIndexFor(s, d, k = 16), pqIndexFor(s, d),
+        queryPred = col("vec_id") < 20, nProbe = 8)),
 
     "llm_ann_lsh_recall" -> ((s, d) => annRecall(s,
       defs("llm_ann_lsh")(s, d), defs("llm_cosine_topk")(s, d), 0.8)),

@@ -389,6 +389,9 @@ class PlanAuditSpec extends AnyFunSuite
     val bnljOk = Set("join_cross", "llm_cosine_topk", "llm_knn_label",
       "llm_ann_ivf", "llm_quality_filter", "llm_curation_pipeline",
       "llm_langid", "llm_tfidf",
+      // IVF-PQ (r9): inherits llm_ann_ivf's k-row centroid broadcast for
+      // the probe stage; the ADC scan and re-rank are equi-joins
+      "llm_ann_pq",
       // 1-row vocabulary-size broadcast, same as llm_tfidf's doc count
       "llm_lm_score",
       // recall contracts embed the brute-force ground truth, i.e. the
