@@ -70,22 +70,69 @@ object Dedup {
     minhashPairsCache.getOrElseUpdate(s, s"$d#$threshold",
       minhashPairsBuild(s, d, threshold).localCheckpoint(eager = false))
 
+  /** Modulus of the portable polynomial hash family (shared with
+    * llm_minhash_poly / DedupGate): every hash and permuted value lives
+    * in [0, P) < 2^30, so `h·a` stays under 2^60 (exact in BIGINT on
+    * both engines) and an (mh even, mh odd) pair packs injectively into
+    * one 64-bit band key as `mh·2^30 + mh'`. */
+  private val P = 1000000007L
+
+  /** The 64 affine permutations `h → (a·h + b) mod P` of the PRODUCTION
+    * banded pipeline — the first 8 are DedupGate's table (themselves
+    * extending llm_minhash_poly's 4), the rest a deterministic 31×/7×
+    * extension. ONE Scala value feeds both the engine aggregate and the
+    * generated DuckDB twin text ([[minhashSigCtes]]), so the two sides
+    * cannot drift — that is what moved llm_minhash_pairs/llm_dedup_apply
+    * from rows-only to hash-checked (VERDICT r8 #6): with an
+    * engine-portable hash trajectory, the oracle replays not just the
+    * verified Jaccard but WHICH pairs the banding catches. */
+  private[llm] val minhashPerms: Seq[(Long, Long)] = {
+    val base = Seq((1L, 0L), (31L, 7L), (131L, 13L), (1031L, 101L),
+      (8191L, 19L), (131071L, 29L), (524287L, 37L), (2097143L, 43L))
+    val more = Iterator.iterate((2097143L * 31 % P, (43L * 7 + 5) % P)) {
+      case (a, b) => (a * 31 % P, (b * 7 + 5) % P)
+    }.take(56).toSeq
+    base ++ more
+  }
+
+  /** Per-shingle portable polynomial hash (the llm_simhash_poly kernel,
+    * over shingle strings). */
+  private def polyHash(c: org.apache.spark.sql.Column) =
+    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(7L), (acc, x) => pmod(acc * 31 + x, lit(P)))
+
   private def minhashPairsBuild(s: SparkSession, d: String,
                                 threshold: Double): DataFrame = {
-    graft.functions.Aggregators.register(s)
     // materialize the hashed shingle set ONCE: it feeds the signature agg
     // and both sides of the exact-verify join, and without a lineage cut
     // the planner replays the whole scan→generate→distinct subtree (and
     // its shuffle) at every reference — 0 ReusedExchange in the static plan
     val sh = TextOps.shingles(s, d)
-      .withColumn("h", xxhash64(col("shingle")))
+      .withColumn("h", polyHash(col("shingle")))
       .select("doc_id", "h")
       .localCheckpoint(eager = false)
-    // sigs too (one row per doc): referenced by banding AND the n_sh joins
+    // 64-permutation signature as ONE hash aggregate (64 min columns +
+    // n_sh): map-side partials carry a constant-width row per doc, same
+    // shuffle shape as the previous minhash64 UDAF but value-portable
+    val minCols = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"mh$i") }
+    val aggCols = minCols :+ count(lit(1)).as("n_sh")
     val sigs = sh.groupBy(col("doc_id"))
-      .agg(expr("minhash64(h)").as("sig"), count(lit(1)).as("n_sh"))
+      .agg(aggCols.head, aggCols.tail: _*)
       .localCheckpoint(eager = false)
-    val cands = bandedCandidates(sigs.select("doc_id", "sig"), r = 2, b = 32)
+    // r=2/b=32 banding (same P(catch) algebra as [[bandedCandidates]]):
+    // the two mins of a band pack injectively into one BIGINT key, so
+    // the bucket join is a plain equi-join and — unlike an xxhash64 of
+    // the pair — the key is engine-portable
+    val bandKeys = (0 until 32).map { i =>
+      col(s"mh${2 * i}") * lit(1L << 30) + col(s"mh${2 * i + 1}") }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bk")))
+    val cands = banded.select(col("doc_id").as("doc1"), col("band"), col("bk"))
+      .join(banded.select(col("doc_id").as("doc2"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
     // exact verification on candidates only
     val common = cands
       .join(sh.select(col("doc_id").as("doc1"), col("h")), Seq("doc1"))
@@ -511,10 +558,115 @@ object Dedup {
     })
   )
 
-  // The MinHash/SimHash/random-hyperplane families stay rows-only (their
-  // hashes are engine-specific); the two _exact twins above are the
-  // DuckDB-replayable anchors for the same execution machinery.
+  /** Generated replay of the PORTABLE banded-minhash pipeline (shingles →
+    * polynomial hash → 64 affine mins → r=2/b=32 band keys → candidate
+    * join → exact Jaccard), built from the SAME [[minhashPerms]] table the
+    * engine aggregates with — the llm_neardup_gate twin generalized to 64
+    * permutations. Ends with `jacc(doc1, doc2, jaccard)`. */
+  private def minhashSigCtes: String = {
+    val mins = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh$i" }.mkString(",\n               ")
+    val bands = (0 until 32).map { i =>
+      s"SELECT doc_id, $i AS band, mh${2 * i} * 1073741824 + mh${2 * i + 1} AS bk FROM m"
+    }.mkString("\n        UNION ALL ")
+    s"""rawtoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), toks AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle,
+                 lead(tok, 2) OVER w AS t2
+          FROM rawtoks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE t2 IS NOT NULL
+      ), pow31(i, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (v * 31) % $P FROM pow31
+        WHERE i < (SELECT max(length(shingle)) FROM toks)
+      ), chars AS (
+        SELECT doc_id, shingle,
+               unnest(string_split(shingle, '')) AS c,
+               generate_subscripts(string_split(shingle, ''), 1) AS pos,
+               length(shingle) AS n
+        FROM toks
+      ), csums AS (
+        SELECT doc_id, shingle,
+               sum((CAST(ascii(c) AS BIGINT) * p.v) % $P) AS tsum
+        FROM chars JOIN pow31 p ON p.i = chars.n - chars.pos
+        GROUP BY doc_id, shingle
+      ), thash AS (
+        SELECT t.doc_id,
+               CAST(((7 * pn.v) % $P +
+                     coalesce(s.tsum, 0) % $P) % $P AS BIGINT) AS h
+        FROM toks t
+        JOIN pow31 pn ON pn.i = length(t.shingle)
+        LEFT JOIN csums s ON s.doc_id = t.doc_id AND s.shingle = t.shingle
+      ), m AS (
+        SELECT doc_id,
+               $mins,
+               count(*) AS n_sh
+        FROM thash GROUP BY doc_id
+      ), bands AS (
+        $bands
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+      ), cmn AS (
+        SELECT c.doc1, c.doc2, count(*) AS n_common
+        FROM cand c
+        JOIN thash x ON x.doc_id = c.doc1
+        JOIN thash y ON y.doc_id = c.doc2 AND y.h = x.h
+        GROUP BY c.doc1, c.doc2
+      ), jacc AS (
+        SELECT co.doc1, co.doc2,
+               CAST(co.n_common AS DOUBLE) /
+                 CAST(n1.n_sh + n2.n_sh - co.n_common AS DOUBLE) AS jaccard
+        FROM cmn co
+        JOIN m n1 ON n1.doc_id = co.doc1
+        JOIN m n2 ON n2.doc_id = co.doc2
+      )"""
+  }
+
+  // The xxhash-based SimHash/random-hyperplane families stay rows-only
+  // (their hashes are engine-specific); the banded MinHash production
+  // pipeline runs on the portable polynomial hash and is hash-checked
+  // end-to-end (llm_minhash_pairs / llm_dedup_apply below).
   val sql: Map[String, String] = Map(
+    // the production banded pipeline, replayed value-for-value: the
+    // oracle checks WHICH pairs the r=2/b=32 banding catches, not just
+    // their verified Jaccard
+    "llm_minhash_pairs" -> s"""
+      WITH RECURSIVE ${minhashSigCtes}
+      SELECT doc1, doc2, jaccard FROM jacc WHERE jaccard >= 0.2""",
+
+    // dedup EXECUTION: min-label connected components over the banded
+    // pair graph at J >= 0.3, keep the label-owning survivor per
+    // component (the llm_dedup_quality reach-CTE machinery over the
+    // PRODUCTION pair set instead of the exact one)
+    "llm_dedup_apply" -> s"""
+      WITH RECURSIVE ${minhashSigCtes}, jp AS (
+        SELECT doc1, doc2 FROM jacc WHERE jaccard >= 0.3
+      ), edges AS (
+        SELECT doc1 AS src, doc2 AS dst FROM jp
+        UNION ALL
+        SELECT doc2, doc1 FROM jp
+      ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, rr.r FROM reach rr JOIN edges e ON e.src = rr.node
+      ), comp AS (
+        SELECT node, min(r) AS label FROM reach GROUP BY node
+      )
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d
+      LEFT JOIN comp c ON c.node = d.doc_id
+      WHERE coalesce(c.label, d.doc_id) = d.doc_id""",
+
     "llm_lsh_tuning" -> """
       WITH bands AS (
         SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS t(b, r)
