@@ -991,13 +991,15 @@ object TextOps {
           .as("fingerprint"))
     }),
 
-    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
-    // the MOSS plagiarism-detection selection rule): hash every k=5
-    // char-gram, slide a w=4 window over the hash sequence, and keep the
-    // RIGHTMOST MINIMUM of each window; the distinct selected (hash,
-    // pos) pairs are the document's fingerprint sketch, guaranteeing any
-    // shared substring of length ≥ k+w−1 = 8 contributes a shared
-    // fingerprint. Fully relational: one generator for gram positions
+    // POSITIONAL winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 §2 —
+    // the full MOSS rule, complementing Curation's llm_winnow_fingerprint
+    // which keeps only the VALUE SET): hash every k=5 char-gram, slide a
+    // w=4 window over the hash sequence, and keep the RIGHTMOST MINIMUM
+    // of each window; the distinct selected (hash, pos) PAIRS are the
+    // document's fingerprint sketch — positions are what lets a matcher
+    // locate and extend shared regions, and the rightmost tiebreak is
+    // what bounds the density guarantee. Any shared substring of length
+    // ≥ k+w−1 = 8 contributes a shared fingerprint. Fully relational: one generator for gram positions
     // (the per-gram hash is the SHARED [[winnowHash]] SQL text — no
     // string materialized, just 5 ascii probes into the text), one
     // running-min window with the (h, −pos) tiebreak packed injectively
@@ -1007,7 +1009,7 @@ object TextOps {
     // narrow (doc_id, p, h) triples; the window partitions by doc (never
     // wider than a document), and the output is one row per doc. All
     // integer arithmetic — full DuckDB value twin.
-    "llm_winnowing" -> ((s, d) => {
+    "llm_winnow_positional" -> ((s, d) => {
       // length >= 5 filter on BOTH sides: Spark's sequence(1, n) DESCENDS
       // for n < 1 (it would emit bogus positions), DuckDB's range is
       // simply empty — pinning the domain makes the twins identical
@@ -1774,7 +1776,7 @@ object TextOps {
     // against Spark's LongType (the round-2 tpch_q12 lesson).
     // winnowing replay: same shared winnowHash text, same packed
     // (h, −pos) running-min window, same distinct+rollup
-    "llm_winnowing" -> s"""
+    "llm_winnow_positional" -> s"""
       WITH g AS (
         SELECT doc_id,
                CAST(unnest(range(1, length(text) - 3)) AS BIGINT) AS p, text

@@ -27,11 +27,11 @@ class Round9Spec extends AnyFunSuite {
     (n.toLong, (n - 3).toLong, sel)
   }
 
-  test("llm_winnowing matches a from-scratch reference on the fixture") {
+  test("llm_winnow_positional matches a from-scratch reference on the fixture") {
     val docs = graft.core.Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val got = SparkEntry.queries("llm_winnowing")(spark, sf).collect()
+    val got = SparkEntry.queries("llm_winnow_positional")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toMap
     assert(got.size == docs.count(_._2.length >= 5))
