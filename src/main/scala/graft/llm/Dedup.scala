@@ -158,9 +158,9 @@ object Dedup {
     * (`bit_count(s1 ^ s2)`, codegen'd) filters false bucket collisions.
     * Shuffle carries only (id, signature, key) — no text. */
   def simhashNearDup(sim: DataFrame, maxHamming: Int = 3,
-                     banks: Int = 4): DataFrame = {
+                     banks: Int = 4, sigBits: Int = 64): DataFrame = {
     require(banks > maxHamming, "pigeonhole needs banks > maxHamming")
-    val bankBits = 64 / banks
+    val bankBits = sigBits / banks
     val mask = (1L << bankBits) - 1
     val keys = (0 until banks).map(b =>
       expr(s"shiftrightunsigned(simhash, ${b * bankBits}) & $mask"))
@@ -440,9 +440,12 @@ object Dedup {
 
     // SimHash near-dup pairs at hamming ≤ 3 (banked, recall-exact; see
     // [[simhashNearDup]]) — the near-match complement of the
-    // identical-signature clusters above.
+    // identical-signature clusters above. sigBits = 60: the portable
+    // signature's live bits (r9), so all four 15-bit banks carry real
+    // key entropy instead of bank 3 straddling the always-clear top
+    // nibble — same pigeonhole guarantee, better bucket balance.
     "llm_simhash_neardup" -> ((s, d) =>
-      simhashNearDup(TextOps.defs("llm_simhash")(s, d))),
+      simhashNearDup(TextOps.defs("llm_simhash")(s, d), sigBits = 60)),
 
     // dedup EXECUTION (not just detection): exactly ONE survivor per
     // connected near-dup component — [[connectedComponents]] min-label
@@ -637,6 +640,31 @@ object Dedup {
   // pipeline runs on the portable polynomial hash and is hash-checked
   // end-to-end (llm_minhash_pairs / llm_dedup_apply below).
   val sql: Map[String, String] = Map(
+    // identical-signature clusters over the portable 60-bit simhash
+    // (r9: hash-checked, was rows-only under xxhash64)
+    "llm_simhash_clusters" -> s"""
+      WITH ${TextOps.simhash60Ctes}
+      SELECT simhash, count(*) AS n_docs, min(doc_id) AS keeper,
+             string_agg(CAST(doc_id AS VARCHAR), ','
+                        ORDER BY doc_id) AS members
+      FROM sig GROUP BY simhash HAVING count(*) > 1""",
+
+    // banked near-dup pairs: same 4×15-bit pigeonhole banks as
+    // [[simhashNearDup]](sigBits = 60), exact hamming verify
+    "llm_simhash_neardup" -> s"""
+      WITH ${TextOps.simhash60Ctes},
+      banked AS (
+        SELECT doc_id, simhash, b.bank,
+               (simhash >> (b.bank * 15)) & 32767 AS key
+        FROM sig, generate_series(0, 3) b(bank)
+      )
+      SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
+             CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER)
+               AS hamming
+      FROM banked a JOIN banked c
+        ON a.bank = c.bank AND a.key = c.key AND a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""",
+
     // the production banded pipeline, replayed value-for-value: the
     // oracle checks WHICH pairs the r=2/b=32 banding catches, not just
     // their verified Jaccard

@@ -552,6 +552,46 @@ object SimSearch {
     "llm_ann_pq_recall" -> ((s, d) => annRecall(s,
       defs("llm_ann_pq")(s, d), defs("llm_cosine_topk")(s, d), 0.6)),
 
+    // Matryoshka-truncation retrieval eval (the MRL question: how much
+    // of exact top-5 retrieval survives keeping only the FIRST 16 of 64
+    // dims — the dimension/cost knob an embedding-serving stack tunes):
+    // one broadcast-query pass computes full AND truncated cosines (the
+    // truncated kernel runs on slice(·,1,16) — same codegen expression,
+    // quarter the work), two per-query rank windows, and a per-query
+    // overlap rollup. Fully value-twinned: DuckDB replays both rankings
+    // from the same positional dot products (truncation = a CASE on the
+    // dim index), so the overlap accounting is hash-checked, not a
+    // rows-only contract. Scale shape = llm_cosine_topk (queries
+    // broadcast, facts stream, only (qid,cid,sim) crosses the shuffle).
+    "llm_mrl_truncation" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      val joined = cands.join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("simf", expr("cosine_similarity(qvec, cvec)"))
+        .withColumn("simt",
+          expr("cosine_similarity(slice(qvec, 1, 16), slice(cvec, 1, 16))"))
+        .select(col("qid"), col("cid"), col("simf"), col("simt"))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("simf").desc, col("cid"))
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(col("simt").desc, col("cid"))
+      joined
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rt", row_number().over(wt))
+        .groupBy(col("qid"))
+        .agg(
+          sum(when(col("rf") <= 5 && col("rt") <= 5, 1L).otherwise(0L))
+            .as("n_overlap"),
+          min(when(col("rf") === 1, col("cid"))).as("top1_full"),
+          min(when(col("rt") === 1, col("cid"))).as("top1_trunc"))
+        .withColumn("overlap_ppm",
+          floor(lit(1e6) * col("n_overlap") / 5 + 0.5).cast("long"))
+    }),
+
     // per-vector L2 norm + min/max component (embedding hygiene audit: a
     // zero or exploding norm is a broken upstream encoder). One sequential
     // fold per row inside codegen — a narrow scan projection, no shuffle,
@@ -665,6 +705,45 @@ object SimSearch {
       SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
              TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 20""",
+
+    // both rankings replayed from one positional dot-product aggregate;
+    // truncation to the first 16 dims is a CASE on the dim index (adding
+    // exact 0.0 terms cannot move a double sum, so the 16-term truncated
+    // cosine is the same arithmetic the sliced kernel runs)
+    "llm_mrl_truncation" -> """
+      WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) AS dot,
+               sum(q.x * q.x) AS qq,
+               sum(c.x * c.x) AS cc,
+               sum(CASE WHEN q.i <= 16 THEN q.x * c.x ELSE 0 END) AS dott,
+               sum(CASE WHEN q.i <= 16 THEN q.x * q.x ELSE 0 END) AS qqt,
+               sum(CASE WHEN q.i <= 16 THEN c.x * c.x ELSE 0 END) AS cct
+        FROM pos q
+        JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+      ), ranked AS (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot / sqrt(qq * cc) DESC, cid) AS rf,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dott / sqrt(qqt * cct) DESC, cid) AS rt
+        FROM dots
+      )
+      SELECT qid,
+             CAST(sum(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap,
+             min(CASE WHEN rf = 1 THEN cid END) AS top1_full,
+             min(CASE WHEN rt = 1 THEN cid END) AS top1_trunc,
+             CAST(floor(1e6 * sum(CASE WHEN rf <= 5 AND rt <= 5
+                                       THEN 1 ELSE 0 END) / 5 + 0.5)
+                  AS BIGINT) AS overlap_ppm
+      FROM ranked GROUP BY qid""",
 
     // same arithmetic, positional unnest join, all in double
     "llm_cosine_topk" -> """

@@ -991,6 +991,64 @@ object TextOps {
           .as("fingerprint"))
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word co-occurrence graph — adjacent-token pairs (undirected,
+    // corpus-count weights), out-weight-normalized transitions, damping
+    // 0.85, 5 fixed supersteps, top-10 words by score. Reuses the
+    // graph_pagerank execution discipline (vocabulary-sized state,
+    // localCheckpoint lineage cadence, |vocab| driver count as the only
+    // action) — the corpus-sized work is the ONE adjacent-pair
+    // aggregate; everything after runs on the bounded vocabulary graph.
+    // NUMERICS (the ml_confusion lesson): rank mass is carried as a ppb
+    // BIGINT, and every superstep quantizes each edge contribution
+    // floor(pr·wn + 0.5) BEFORE the neighbor sum — the sum is an exact
+    // integer aggregate (order-independent, cross-engine identical),
+    // and the only FP ops are single mul/divs on identical operand
+    // pairs. The ranking argmax therefore never sits on a double ulp.
+    // Twin: 5 unrolled CTE rounds (the pagerank-twin pattern).
+    "llm_textrank_keywords" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) > 0)
+      val wLead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val und = toks.withColumn("nxt", lead(col("tok"), 1).over(wLead))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("tok"))
+        .select(least(col("tok"), col("nxt")).as("a"),
+                greatest(col("tok"), col("nxt")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cw"))
+      val bi = und.select(col("a").as("src"), col("b").as("dst"), col("cw"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"), col("cw")))
+      val outw = bi.groupBy(col("src").as("osrc"))
+        .agg(sum(col("cw")).as("outw"))
+      val en = bi.join(outw, col("src") === col("osrc"))
+        .select(col("src"), col("dst"),
+          (col("cw").cast("double") / col("outw").cast("double")).as("wn"))
+        .localCheckpoint()
+      val nodes = bi.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val nN = nodes.count().toDouble // bounded driver action: |vocab|
+      val initPpb = math.floor(1e9 / nN + 0.5).toLong
+      val basePpb = math.floor(1.5e8 / nN + 0.5).toLong // 0.15 damping mass
+      var pr = nodes.select(col("node"), lit(initPpb).as("pr"))
+      for (i <- 1 to 5) {
+        val contrib = en.join(pr, en("src") === pr("node"))
+          .groupBy(en("dst"))
+          .agg(sum(floor(col("pr").cast("double") * col("wn") + lit(0.5))
+            .cast("long")).as("c"))
+        pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"),
+            (lit(basePpb) +
+              floor(lit(0.85) * coalesce(col("c"), lit(0L)).cast("double")
+                + lit(0.5)).cast("long")).as("pr"))
+        if (i % 3 == 0 && i < 5) pr = pr.localCheckpoint()
+      }
+      pr.select(col("node").as("word"), col("pr").as("textrank_ppb"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("textrank_ppb").desc, col("word"))))
+        .filter(col("rnk") <= 10)
+    }),
+
     // POSITIONAL winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 §2 —
     // the full MOSS rule, complementing Curation's llm_winnow_fingerprint
     // which keeps only the VALUE SET): hash every k=5 char-gram, slide a
@@ -1083,23 +1141,36 @@ object TextOps {
             .cast("long"))
     }),
 
-    // SimHash-64: per-token xxhash64 bit votes → 64-bit signature, built
-    // by the simhash64 TypedImperativeAggregate (bit-vote array buffer,
+    // SimHash-60: per-token bit votes → signature, built by the simhash64
+    // TypedImperativeAggregate (bit-vote array buffer,
     // [[graft.functions.Aggregators.SimHashAgg]]) — ONE row per (doc,
     // distinct token) into a single partial+final agg. The earlier
     // explode(sequence(0, 63)) form expanded 64 rows per token map-side
     // before a (doc, bit) + (doc) two-stage aggregate; AggregatorsSpec
-    // pins value-identity between the two. Engine-specific hash ⇒
-    // rows-only oracle; ScalaTest checks hamming(simhash) correlates with
-    // exact Jaccard.
+    // pins value-identity between the two.
+    // r9 (the llm_minhash_pairs precedent): the token hash is now the
+    // PORTABLE polynomial hash widened to 60 bits — bits 0..29 carry the
+    // mod-p polynomial h, bits 30..59 an affine remix pmod(131·h+13, p)
+    // (the llm_minhash_poly permutation family), so the production
+    // signature is DuckDB-replayable and this row plus its two
+    // downstream consumers (llm_simhash_clusters, llm_simhash_neardup)
+    // are hash-checked instead of rows-only. Bits 60..63 vote −1 per
+    // token and stay clear on both engines. Trade-off documented in
+    // COVERAGE.md: a mod-p affine family has weaker avalanche than
+    // xxhash64, which only matters against adversarial token sets.
     "llm_simhash" -> ((s, d) => {
       graft.functions.Aggregators.register(s)
       spread(t(s, d, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("h", expr(
+          "aggregate(transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(7 AS BIGINT), (acc, x) -> pmod(acc * 31 + x, 1000000007))"))
+        .withColumn("h60",
+          col("h") + pmod(col("h") * 131 + 13, lit(1000000007L)) *
+            lit(1L << 30))
         .groupBy(col("doc_id"))
-        .agg(expr("simhash64(h)").as("simhash"))
+        .agg(expr("simhash64(h60)").as("simhash"))
     }),
 
     // SimHash with the engine-portable polynomial token hash (the
@@ -1231,7 +1302,120 @@ object TextOps {
     sb.toString
   }
 
+  /** TextRank twin: 5 unrolled PageRank rounds over the adjacent-token
+    * co-occurrence graph, integer-ppb rank mass. Every neighbor sum is a
+    * BIGINT aggregate of per-edge floor(pr·wn + 0.5) terms, so the only
+    * FP ops are single mul/divs on operand pairs both engines compute
+    * identically — the engine loop is the same arithmetic. */
+  private val textrankTwin: String = {
+    val rounds = (1 to 5).map { i =>
+      s""",
+      |  c$i AS (
+      |    SELECT en.dst, CAST(sum(CAST(floor(p.pr * en.wn + 0.5)
+      |           AS BIGINT)) AS BIGINT) AS c
+      |    FROM en JOIN p${i - 1} p ON p.node = en.src GROUP BY 1),
+      |  p$i AS (
+      |    SELECT n.node,
+      |           CAST(floor(1.5e8 / s.nn + 0.5) AS BIGINT)
+      |           + CAST(floor(0.85 * coalesce(c.c, 0) + 0.5) AS BIGINT)
+      |             AS pr
+      |    FROM nodes n CROSS JOIN consts s
+      |    LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
+    }.mkString
+    s"""WITH toks AS (
+      |    SELECT doc_id,
+      |           generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |           unnest(string_split(text, ' ')) AS tok
+      |    FROM documents),
+      |  ft AS (SELECT * FROM toks WHERE length(tok) > 0),
+      |  prs AS (
+      |    SELECT doc_id, tok,
+      |           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |    FROM ft),
+      |  und AS (
+      |    SELECT least(tok, nxt) AS a, greatest(tok, nxt) AS b,
+      |           count(*) AS cw
+      |    FROM prs WHERE nxt IS NOT NULL AND nxt <> tok GROUP BY 1, 2),
+      |  bi AS (SELECT a AS src, b AS dst, cw FROM und
+      |         UNION ALL SELECT b, a, cw FROM und),
+      |  en AS (
+      |    SELECT bi.src, bi.dst,
+      |           CAST(bi.cw AS DOUBLE) / CAST(o.ow AS DOUBLE) AS wn
+      |    FROM bi JOIN (SELECT src AS osrc, sum(cw) AS ow
+      |                  FROM bi GROUP BY 1) o ON bi.src = o.osrc),
+      |  nodes AS (SELECT DISTINCT src AS node FROM bi),
+      |  consts AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+      |  p0 AS (
+      |    SELECT node, CAST(floor(1e9 / nn + 0.5) AS BIGINT) AS pr
+      |    FROM nodes CROSS JOIN consts)$rounds
+      |SELECT word, textrank_ppb, rnk FROM (
+      |  SELECT node AS word, pr AS textrank_ppb,
+      |         row_number() OVER (ORDER BY pr DESC, node) AS rnk
+      |  FROM p5)
+      |WHERE rnk <= 10""".stripMargin
+  }
+
+  /** Shared DuckDB replay of the production portable SimHash (r9): the
+    * polynomial token hash widened to 60 bits (affine remix in bits
+    * 30..59, the llm_minhash_poly permutation family), bit votes, sign
+    * threshold — exactly [[graft.functions.Aggregators.SimHashAgg]] over
+    * the h60 column that `llm_simhash` aggregates. Ends with
+    * `sig(doc_id, simhash)`; also used by Dedup's clusters/neardup twins. */
+  private[llm] val simhash60Ctes: String = """RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ) WHERE length(tok) > 0
+      ), pow31(i, v) AS (
+        SELECT 0, CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT i + 1, (v * 31) % 1000000007 FROM pow31
+        WHERE i < (SELECT max(length(tok)) FROM toks)
+      ), chars AS (
+        SELECT doc_id, tok,
+               unnest(string_split(tok, '')) AS c,
+               generate_subscripts(string_split(tok, ''), 1) AS pos,
+               length(tok) AS n
+        FROM toks
+      ), csums AS (
+        SELECT doc_id, tok,
+               sum((CAST(ascii(c) AS BIGINT) * p.v) % 1000000007) AS tsum
+        FROM chars JOIN pow31 p ON p.i = chars.n - chars.pos
+        GROUP BY doc_id, tok
+      ), thash AS (
+        SELECT t.doc_id,
+               CAST(((7 * pn.v) % 1000000007 +
+                     coalesce(s.tsum, 0) % 1000000007) % 1000000007 AS BIGINT)
+                 AS h
+        FROM toks t
+        JOIN pow31 pn ON pn.i = length(t.tok)
+        LEFT JOIN csums s ON s.doc_id = t.doc_id AND s.tok = t.tok
+      ), thash60 AS (
+        SELECT doc_id,
+               h + ((131 * h + 13) % 1000000007)
+                   * (CAST(1 AS BIGINT) << 30) AS h
+        FROM thash
+      ), votes AS (
+        SELECT doc_id, b.bit,
+               sum(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM thash60, generate_series(0, 63) b(bit)
+        GROUP BY doc_id, b.bit
+      ), sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v >= 0
+                             THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+      )"""
+
   val sql: Map[String, String] = Map(
+    "llm_textrank_keywords" -> textrankTwin,
+
+    // production simhash (r9: portable 60-bit poly hash — hash-checked,
+    // was rows-only under xxhash64)
+    "llm_simhash" -> s"""
+      WITH $simhash60Ctes
+      SELECT doc_id, simhash FROM sig""",
+
     "llm_bpe_train" -> {
       val ranks = (1 to 10).map(r =>
         s"""SELECT $r AS rank, l AS "left", r AS "right",

@@ -212,6 +212,49 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // label-propagation communities (synchronous, deterministic): start
+    // every node at its own id; each round, every node adopts the MODE
+    // of its neighbors' labels (ties → smallest label), 3 rounds. The
+    // async/random variants in the literature are irreproducible by
+    // design — the synchronous min-tiebreak form is the one that can be
+    // oracle-replayed (unrolled-CTE twin, the pagerank pattern), and on
+    // small diameters it converges to the same communities. Relational
+    // shape: per round ONE (node, label) count aggregate over the
+    // symmetric sparse edge list + ONE argmax (max of (count, -label)
+    // struct — no window sort), with the data-sized work in the cached
+    // trade-edge aggregate; label tables are |V|-sized throughout, so
+    // the same plan runs at any graph size (rounds bound the cost, the
+    // O(log d) CC note applies if full convergence is wanted).
+    "graph_label_prop" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+                greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+      val bi = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = false)
+      val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+      var labels = nodes.select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        val counts = bi
+          .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val upd = counts.groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("newl"))
+        labels = labels.join(upd, Seq("node"), "left")
+          .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      labels
+        .join(broadcast(nation),
+          col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("node"), col("lbl").as("community"))
+        .orderBy(col("n_name"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       val nation = t(s, d, "nation")
       val und = sparseEdges(s, d)
@@ -483,8 +526,43 @@ object Graph {
       |ORDER BY n.n_name""".stripMargin
   }
 
+  /** Label-propagation twin: 3 unrolled mode-update rounds (the
+    * pagerank-twin pattern), same symmetric sparse graph, same
+    * (count DESC, label ASC) tiebreak. */
+  private val labelPropTwin: String = {
+    val rounds = (1 to 3).map { i =>
+      s""",
+      |  c$i AS (
+      |    SELECT bi.u AS node, p.lbl, count(*) AS c
+      |    FROM bi JOIN l${i - 1} p ON p.node = bi.v
+      |    GROUP BY 1, 2),
+      |  u$i AS (
+      |    SELECT node, lbl FROM (
+      |      SELECT node, lbl, row_number() OVER (PARTITION BY node
+      |        ORDER BY c DESC, lbl) AS rn
+      |      FROM c$i) WHERE rn = 1),
+      |  l$i AS (
+      |    SELECT p.node, coalesce(u.lbl, p.lbl) AS lbl
+      |    FROM l${i - 1} p LEFT JOIN u$i u ON u.node = p.node)""".stripMargin
+    }.mkString
+    s"""WITH $sparseCte,
+      |  und AS (
+      |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |    FROM sparse),
+      |  bi AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+      |         FROM und
+      |         UNION ALL
+      |         SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+      |  l0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+      |                CAST(n_nationkey AS BIGINT) AS lbl FROM nation)$rounds
+      |SELECT na.n_name, l.node, l.lbl AS community
+      |FROM l3 l JOIN nation na ON na.n_nationkey = l.node
+      |ORDER BY na.n_name""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTwin,
+    "graph_label_prop" -> labelPropTwin,
 
     // bounded recursive BFS: UNION ALL paths capped at 4 hops, min-hop
     // folded outside the recursion (path count stays ≤ 3^4 per source

@@ -397,6 +397,10 @@ class PlanAuditSpec extends AnyFunSuite
       // recall contracts embed the brute-force ground truth, i.e. the
       // same ≤20-query-vector broadcast as llm_cosine_topk
       "llm_ann_lsh_recall", "llm_ann_ivf_recall", "llm_ann_pq_recall",
+      // MRL truncation eval (r9): one ≤20-query-vector broadcast feeds
+      // BOTH the full-dim and sliced-dim cosine kernels — facts stream,
+      // identical scale shape to llm_cosine_topk
+      "llm_mrl_truncation",
       // 1-row national-total threshold broadcast into a theta join —
       // the Q15/quality_filter scalar-reuse pattern
       "tpch_q11_important",

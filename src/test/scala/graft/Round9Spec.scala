@@ -78,6 +78,45 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("llm_textrank_keywords: integer-ppb scores, rank mass conserved") {
+    val tr = SparkEntry.queries("llm_textrank_keywords")(spark, sf)
+    assert(tr.schema("textrank_ppb").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = tr.orderBy(col("rnk")).collect()
+    assert(rows.length == 10)
+    // ranks are 1..10 and scores non-increasing along the rank order
+    assert(rows.map(_.getInt(2)).toSeq == (1 to 10))
+    val scores = rows.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every score sits in (0, 1e9): a ppb share of unit PageRank mass
+    assert(scores.forall(v => v > 0L && v < 1000000000L))
+  }
+
+  test("llm_mrl_truncation: overlap in [0,5], full top1 = exact top1") {
+    val mrl = SparkEntry.queries("llm_mrl_truncation")(spark, sf).collect()
+    assert(mrl.length == 20) // one row per broadcast query vector
+    mrl.foreach { r =>
+      val ov = r.getLong(1)
+      assert(ov >= 0L && ov <= 5L)
+      assert(r.getLong(4) == math.floor(1e6 * ov / 5 + 0.5).toLong)
+    }
+    // the full-dim ranking must agree with the exact cosine top-k oracle
+    val exact = SparkEntry.queries("llm_cosine_topk")(spark, sf)
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    mrl.foreach(r => assert(exact(r.getLong(0)) == r.getLong(2),
+      s"qid ${r.getLong(0)} full-dim top1"))
+  }
+
+  test("graph_label_prop: labels are node ids, edge-connected agreement") {
+    val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
+    assert(lp.length == 25) // one row per nation
+    val nodes = lp.map(_.getLong(1)).toSet
+    lp.foreach(r => assert(nodes.contains(r.getLong(2)),
+      s"community label ${r.getLong(2)} must be an existing node id"))
+  }
+
   test("NB decision path is pure integer (BIGINT score, stable argmax)") {
     val nb = SparkEntry.queries("ml_naive_bayes")(spark, sf)
     assert(nb.schema("score_ppm").dataType ==
