@@ -493,6 +493,30 @@ object TextOps {
         .limit(100)
     }),
 
+    // out-of-vocabulary rate per document against the top-10 corpus
+    // vocabulary (frequency desc, token asc tiebreak) — the tokenizer
+    // coverage audit a training pipeline runs before committing to a
+    // vocab size: a rising OOV tail means the vocabulary is too small
+    // for the corpus mix. Two corpus passes: one bounded vocab aggregate
+    // (top-k rows, broadcast back), one per-doc count join. The rate is
+    // floor-ppm of an exact integer ratio — engine-identical.
+    "llm_oov_rate" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok")).limit(10)
+        .select(col("tok").as("vtok"))
+      toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm",
+          floor(lit(1e6) * col("n_oov") / col("n_tokens") + lit(0.5))
+            .cast("long"))
+    }),
+
     // percentile-gated quality filter: keep docs above the corpus 25th
     // percentile of lexical diversity. The cutoff is ONE scalar broadcast
     // back over the scored frame — no per-row subquery, two passes total.
@@ -1585,6 +1609,26 @@ object TextOps {
       GROUP BY tok
       ORDER BY n DESC, tok
       LIMIT 100""",
+
+    "llm_oov_rate" -> """
+      WITH ft AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ) WHERE length(tok) > 0
+      ), vocab AS (
+        SELECT tok AS vtok FROM (
+          SELECT tok, count(*) AS n FROM ft GROUP BY tok
+          ORDER BY n DESC, tok LIMIT 10)
+      )
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+             CAST(floor(1e6 * sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END)
+                        / count(*) + 0.5) AS BIGINT) AS oov_ppm
+      FROM ft LEFT JOIN vocab v ON ft.tok = v.vtok
+      GROUP BY doc_id""",
 
     "llm_quality_filter" -> """
       WITH scored AS (

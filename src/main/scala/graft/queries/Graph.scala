@@ -255,6 +255,59 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // k-core decomposition (coreness) via the h-index iteration of Lü et
+    // al. 2016: start every node at its degree; each round, replace a
+    // node's value with the h-index of its neighbors' values (the largest
+    // h such that ≥ h neighbors hold value ≥ h). The sequence is
+    // monotonically non-increasing and converges to coreness; 6 rounds
+    // reach the fixpoint on this graph (Round9Spec re-runs an extra
+    // round in-test and asserts no change, plus the k-core witness
+    // property that only holds at convergence). ALL-INTEGER decision
+    // path — degrees, h-indices and the final coreness are exact
+    // BIGINTs, so the twin (6 unrolled CTE rounds) cannot diverge. Relational shape per round: one |E|
+    // join + one per-node window rank + one max aggregate; state stays
+    // |V|-sized, lineage truncated by localCheckpoint — the same loop
+    // runs on a billion-node graph, with the data-sized work confined to
+    // the cached trade-edge aggregate. The per-node window partitions by
+    // node id (skew bound = max degree; the standard salt-the-hub
+    // mitigation applies unchanged).
+    "graph_kcore" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+                greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+      val bi = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = false)
+      val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+      val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("h"))
+      var core = nodes.join(deg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
+      for (i <- 1 to 6) {
+        val nb = bi
+          .join(core.select(col("node").as("v"), col("h")), Seq("v"))
+          .select(col("u"), col("v"), col("h"))
+        // h-index = max_i min(i, h_(i)) over neighbors sorted by h desc;
+        // the value is invariant to tie ORDER (equal-h neighbors swap
+        // positions with equal h), the v tiebreak just pins the plan
+        val upd = nb
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("u"))
+              .orderBy(col("h").desc, col("v"))))
+          .groupBy(col("u").as("un"))
+          .agg(max(least(col("rn").cast("long"), col("h"))).as("hn"))
+        core = core.join(upd, col("node") === col("un"), "left")
+          .select(col("node"), coalesce(col("hn"), lit(0L)).as("h"))
+        if (i % 2 == 0) core = core.localCheckpoint()
+      }
+      core
+        .join(broadcast(nation),
+          col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("node"), col("h").as("coreness"))
+        .orderBy(col("n_name"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       val nation = t(s, d, "nation")
       val und = sparseEdges(s, d)
@@ -560,9 +613,44 @@ object Graph {
       |ORDER BY na.n_name""".stripMargin
   }
 
+  /** k-core twin: 6 unrolled h-index refinement rounds, all-BIGINT. */
+  private val kcoreTwin: String = {
+    val rounds = (1 to 6).map { i =>
+      s""",
+      |  r$i AS (
+      |    SELECT bi.u, p.h,
+      |           row_number() OVER (PARTITION BY bi.u
+      |             ORDER BY p.h DESC, bi.v) AS rn
+      |    FROM bi JOIN h${i - 1} p ON p.node = bi.v),
+      |  u$i AS (
+      |    SELECT u AS node, max(least(rn, h)) AS hn FROM r$i GROUP BY 1),
+      |  h$i AS (
+      |    SELECT p.node, CAST(coalesce(u.hn, 0) AS BIGINT) AS h
+      |    FROM h${i - 1} p LEFT JOIN u$i u ON u.node = p.node)""".stripMargin
+    }.mkString
+    s"""WITH $sparseCte,
+      |  und AS (
+      |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |    FROM sparse),
+      |  bi AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+      |         FROM und
+      |         UNION ALL
+      |         SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+      |  deg AS (SELECT u AS node, count(*) AS dg FROM bi GROUP BY 1),
+      |  h0 AS (
+      |    SELECT CAST(n_nationkey AS BIGINT) AS node,
+      |           CAST(coalesce(d.dg, 0) AS BIGINT) AS h
+      |    FROM nation LEFT JOIN deg d
+      |      ON d.node = CAST(n_nationkey AS BIGINT))$rounds
+      |SELECT na.n_name, c.node, c.h AS coreness
+      |FROM h6 c JOIN nation na ON na.n_nationkey = c.node
+      |ORDER BY na.n_name""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTwin,
     "graph_label_prop" -> labelPropTwin,
+    "graph_kcore" -> kcoreTwin,
 
     // bounded recursive BFS: UNION ALL paths capped at 4 hops, min-hop
     // folded outside the recursion (path count stays ≤ 3^4 per source

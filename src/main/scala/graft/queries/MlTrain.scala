@@ -488,6 +488,71 @@ object MlTrain {
         .limit(1)
     }),
 
+    // AdaBoost, 2 rounds of boosted stumps (Freund & Schapire 1997) on
+    // the same ≤50-value quantity grid → returnflag=R. The decision path
+    // is INTEGER end-to-end (the ml_confusion lesson): round-1 weights
+    // are raw counts, the stump argmin compares exact BIGINT weighted
+    // errors over (threshold, polarity) candidates, and the round-2
+    // reweight multiplies each grid cell by a floor-ppm integer factor
+    // M = floor(1e6·e^{2α} + 0.5) (correct cells ×1e6), so round-2
+    // errors are again exact BIGINTs. The only FP ops are one ln and one
+    // exp per round on identical integer-derived operands — single
+    // transcendental calls, never summed. α itself is published as
+    // floor-ppm. Scale shape: ONE distributed grid aggregate; everything
+    // after runs on the ≤50-row grid (two 1-row driver probes for the
+    // chosen stumps — the gdFit bounded-collect pattern). Weight
+    // headroom: tot_w2 ≤ n·M ≤ n·~3e6, inside BIGINT up to ~3e12 rows.
+    "ml_adaboost" -> ((s, d) => {
+      import s.implicits._
+      val cells0 = t(s, d, "lineitem")
+        .select(round(col("l_quantity")).cast("bigint").as("q"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("q"))
+        .agg(sum(col("pos")).as("wpos"),
+          (count(lit(1)) - sum(col("pos"))).as("wneg"))
+        .localCheckpoint(eager = false) // ≤50-row grid, read 4×
+      // best (threshold, polarity) by exact weighted error; 'le' =
+      // predict positive iff q ≤ t, 'gt' the complement; tie order
+      // (err, pol, q) matches the twin's ORDER BY exactly
+      def stump(cells: org.apache.spark.sql.DataFrame)
+          : (Long, String, Long, Long) = {
+        val w = Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = cells.agg(sum(col("wpos")).as("tp"),
+          sum(col("wneg")).as("tn"))
+        val cum = cells
+          .withColumn("cpos", sum(col("wpos")).over(w))
+          .withColumn("cneg", sum(col("wneg")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("q"),
+            (col("cneg") + col("tp") - col("cpos")).as("errle"),
+            (col("tp") + col("tn")).as("w"))
+        val cand = cum.select(col("q"), lit("le").as("pol"),
+            col("errle").as("err"), col("w"))
+          .union(cum.select(col("q"), lit("gt").as("pol"),
+            (col("w") - col("errle")).as("err"), col("w")))
+        val r = cand.orderBy(col("err"), col("pol"), col("q"))
+          .limit(1).collect()(0) // 1-row bounded probe
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      }
+      def alphaPpm(err: Long, w: Long): Long =
+        math.floor(1e6 * 0.5 *
+          math.log((w - err).toDouble / err.toDouble) + 0.5).toLong
+      val (t1, pol1, err1, w1) = stump(cells0)
+      val a1 = alphaPpm(err1, w1)
+      val m1 = math.floor(1e6 *
+        math.exp(2.0 * (a1.toDouble / 1e6)) + 0.5).toLong
+      val misPos = if (pol1 == "le") col("q") > t1 else col("q") <= t1
+      val misNeg = if (pol1 == "le") col("q") <= t1 else col("q") > t1
+      val cells2 = cells0.select(col("q"),
+        (col("wpos") * when(misPos, m1).otherwise(1000000L)).as("wpos"),
+        (col("wneg") * when(misNeg, m1).otherwise(1000000L)).as("wneg"))
+      val (t2, pol2, err2, w2) = stump(cells2)
+      val a2 = alphaPpm(err2, w2)
+      Seq((1L, pol1, t1, err1, w1, a1), (2L, pol2, t2, err2, w2, a2))
+        .toDF("round", "pol", "threshold", "err_w", "tot_w", "alpha_ppm")
+    }),
+
     // model-discrimination KS: the max gap between the positive and
     // negative score CDFs — the credit-scoring companion of ml_auc,
     // computed over the SAME ≤200-row sigmoid-bin table as ml_pr_curve
@@ -954,6 +1019,80 @@ object MlTrain {
         |FROM cum, tot WHERE nl < n
         |ORDER BY gini_ppm, threshold
         |LIMIT 1""".stripMargin,
+
+    // 2 unrolled boosting rounds, integer weighted errors; the only FP
+    // is one ln + one exp per round on identical integer-ratio operands
+    "ml_adaboost" ->
+      s"""WITH byq AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS wpos,
+        |         CAST(count(*) -
+        |              sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS wneg
+        |  FROM lineitem GROUP BY 1),
+        |cum1 AS (
+        |  SELECT q,
+        |         sum(wpos) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cpos,
+        |         sum(wneg) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cneg
+        |  FROM byq),
+        |tot1 AS (SELECT sum(wpos) AS tp, sum(wneg) AS tn FROM byq),
+        |cand1 AS (
+        |  SELECT q, 'le' AS pol, cneg + tp - cpos AS err, tp + tn AS w
+        |  FROM cum1, tot1
+        |  UNION ALL
+        |  SELECT q, 'gt', tp + tn - (cneg + tp - cpos), tp + tn
+        |  FROM cum1, tot1),
+        |s1 AS (
+        |  SELECT q, pol, CAST(err AS BIGINT) AS err, CAST(w AS BIGINT) AS w
+        |  FROM cand1 ORDER BY err, pol, q LIMIT 1),
+        |a1 AS (
+        |  SELECT q, pol, err, w,
+        |         CAST(floor(1e6 * 0.5 * ln(CAST(w - err AS DOUBLE)
+        |           / CAST(err AS DOUBLE)) + 0.5) AS BIGINT) AS alpha_ppm
+        |  FROM s1),
+        |m1 AS (
+        |  SELECT q, pol, err, w, alpha_ppm,
+        |         CAST(floor(1e6 * exp(2 * (CAST(alpha_ppm AS DOUBLE) / 1e6))
+        |           + 0.5) AS BIGINT) AS mult
+        |  FROM a1),
+        |cells2 AS (
+        |  SELECT b.q,
+        |         b.wpos * (CASE WHEN (m.pol = 'le' AND b.q > m.q)
+        |                          OR (m.pol = 'gt' AND b.q <= m.q)
+        |                        THEN m.mult ELSE 1000000 END) AS wpos,
+        |         b.wneg * (CASE WHEN (m.pol = 'le' AND b.q <= m.q)
+        |                          OR (m.pol = 'gt' AND b.q > m.q)
+        |                        THEN m.mult ELSE 1000000 END) AS wneg
+        |  FROM byq b, m1 m),
+        |cum2 AS (
+        |  SELECT q,
+        |         sum(wpos) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cpos,
+        |         sum(wneg) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+        |           PRECEDING AND CURRENT ROW) AS cneg
+        |  FROM cells2),
+        |tot2 AS (SELECT sum(wpos) AS tp, sum(wneg) AS tn FROM cells2),
+        |cand2 AS (
+        |  SELECT q, 'le' AS pol, cneg + tp - cpos AS err, tp + tn AS w
+        |  FROM cum2, tot2
+        |  UNION ALL
+        |  SELECT q, 'gt', tp + tn - (cneg + tp - cpos), tp + tn
+        |  FROM cum2, tot2),
+        |s2 AS (
+        |  SELECT q, pol, CAST(err AS BIGINT) AS err, CAST(w AS BIGINT) AS w
+        |  FROM cand2 ORDER BY err, pol, q LIMIT 1),
+        |a2 AS (
+        |  SELECT q, pol, err, w,
+        |         CAST(floor(1e6 * 0.5 * ln(CAST(w - err AS DOUBLE)
+        |           / CAST(err AS DOUBLE)) + 0.5) AS BIGINT) AS alpha_ppm
+        |  FROM s2)
+        |SELECT CAST(1 AS BIGINT) AS round, pol, q AS threshold,
+        |       err AS err_w, w AS tot_w, alpha_ppm FROM a1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), pol, q, err, w, alpha_ppm FROM a2""".stripMargin,
 
     "ml_ridge" ->
       s"""WITH raw AS (

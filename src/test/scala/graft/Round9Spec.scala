@@ -109,6 +109,91 @@ class Round9Spec extends AnyFunSuite {
       s"qid ${r.getLong(0)} full-dim top1"))
   }
 
+  test("graph_kcore: h-index iteration reaches the true coreness fixpoint") {
+    val got = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.size == 25)
+    // rebuild the same sparse undirected graph in-test and assert the
+    // invariants that pin coreness: (1) coreness ≤ degree; (2) every
+    // node's value h is supported by ≥ h neighbors with value ≥ h (the
+    // k-core witness property); (3) one more h-index round is a no-op
+    // (the iteration really reached its fixpoint within 4 rounds)
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    // reconstruct the same top-3-out-edge sparse graph from the trade
+    // aggregate the engine uses (mirrors sparseEdges)
+    val s = spark; val d = sf
+    val li = graft.core.Tables.t(s, d, "lineitem")
+    val o = graft.core.Tables.t(s, d, "orders")
+    val c = graft.core.Tables.t(s, d, "customer")
+    val su = graft.core.Tables.t(s, d, "supplier")
+    val trade = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      .agg(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("w"))
+    val sparse = trade.filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= 3)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+    sparse.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a != b) { adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    }
+    got.foreach { case (node, h) =>
+      assert(h <= adj(node).size, s"node $node coreness exceeds degree")
+      val support = adj(node).count(v => got(v) >= h)
+      assert(support >= h, s"node $node lacks a k-core witness for h=$h")
+    }
+    // and one more h-index round in-test must be a no-op (fixpoint)
+    got.foreach { case (node, h) =>
+      val nb = adj(node).toSeq.map(got).sortBy(-_)
+      val hIdx = nb.zipWithIndex
+        .map { case (v, i) => math.min(i + 1L, v) }
+        .foldLeft(0L)(math.max)
+      assert(hIdx == h, s"node $node not at fixpoint after 4 rounds")
+    }
+  }
+
+  test("llm_oov_rate: exact complement of in-vocab counts") {
+    val oov = SparkEntry.queries("llm_oov_rate")(spark, sf).collect()
+    assert(oov.length == 500)
+    oov.foreach { r =>
+      val (n, k, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 0 && k <= n)
+      assert(ppm == math.floor(1e6 * k / n + 0.5).toLong)
+    }
+    // corpus-level sanity: a top-10 vocab over a ~31-word corpus leaves
+    // a real OOV tail, and the corpus is not degenerate-uniform (some
+    // short docs ARE fully OOV on this fixture — rate 1.0 is legal)
+    val rates = oov.map(r => r.getLong(2).toDouble / r.getLong(1))
+    assert(rates.exists(_ > 0.0))
+    assert(rates.exists(_ < 1.0))
+  }
+
+  test("ml_adaboost: integer decision path, round-2 error improves weighted") {
+    val ada = SparkEntry.queries("ml_adaboost")(spark, sf)
+      .orderBy(col("round")).collect()
+    assert(ada.length == 2)
+    ada.foreach { r =>
+      val (err, tot, aPpm) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(err > 0 && err < tot, "stump error must be interior for ln")
+      // weighted error below one half ⟺ positive alpha (boosting works)
+      assert((2 * err < tot) == (aPpm > 0))
+      assert(aPpm == math.floor(
+        1e6 * 0.5 * math.log((tot - err).toDouble / err) + 0.5).toLong)
+    }
+    // the round-2 stump differs from round 1 (reweighting moved the
+    // argmin) OR round 1 was already so dominant the same split wins —
+    // either way both rows must be self-consistent, checked above; pin
+    // the schema is all-BIGINT on the decision columns
+    val sch = SparkEntry.queries("ml_adaboost")(spark, sf).schema
+    Seq("round", "threshold", "err_w", "tot_w", "alpha_ppm").foreach(cn =>
+      assert(sch(cn).dataType == org.apache.spark.sql.types.LongType, cn))
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
