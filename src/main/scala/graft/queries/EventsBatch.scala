@@ -545,6 +545,46 @@ object EventsBatch {
           round(col("r"), 6).as("rolling_corr"))
     }),
 
+    // Holt's linear (double-exponential) smoothing over the per-type
+    // hourly count series — the trend-aware forecasting companion of the
+    // seasonal-naive backtest below. α = 0.2, β = 0.1, states carried in
+    // micro-counts (count × 1e6) with an ALL-INTEGER recurrence: each
+    // step is l' = ⌊(2·y·1e6 + 8·(l+b))/10⌋, b' = ⌊((l'−l) + 9·b)/10⌋ —
+    // floor division of exactly-divisible-or-floored BIGINTs, so the
+    // whole trajectory is engine-exact (the ml_confusion discipline: no
+    // FP anywhere, not even a rounded one). Execution: ONE distributed
+    // hourly aggregate (the data-sized job), then a per-type sequential
+    // fold over the collected series via a HOF `aggregate` — bounded by
+    // the TIME RANGE (720 hours here), never the event rate, the same
+    // justification as evt_decompose's windows. The twin replays the
+    // recurrence as a recursive CTE joining rn = rn+1.
+    "evt_holt" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("y"))
+      val series = hourly.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("hr"), col("y")))).as("pts"))
+      val prev = "element_at(acc, -1)"
+      def fd(x: String) = s"((($x) - pmod($x, 10L)) div 10L)"
+      val lnew = fd(s"2L*x.y*1000000L + 8L*($prev.l + $prev.b)")
+      val bnew = fd(s"$lnew - $prev.l + 9L*$prev.b")
+      series
+        .withColumn("st", expr(
+          s"""aggregate(
+             |  slice(pts, 2, greatest(size(pts) - 1, 0)),
+             |  array(named_struct('l', element_at(pts, 1).y * 1000000L,
+             |                     'b', 0L)),
+             |  (acc, x) -> array_append(acc,
+             |    named_struct('l', $lnew, 'b', $bnew)))""".stripMargin))
+        .withColumn("r", explode(expr(
+          """zip_with(pts, st, (p, q) -> named_struct(
+            |  'hr', p.hr, 'y', p.y, 'level_mc', q.l, 'trend_mc', q.b,
+            |  'forecast_mc', q.l + q.b))""".stripMargin)))
+        .select(col("event_type"), col("r.hr").as("hr"), col("r.y").as("y"),
+          col("r.level_mc").as("level_mc"), col("r.trend_mc").as("trend_mc"),
+          col("r.forecast_mc").as("forecast_mc"))
+    }),
+
     // seasonal-naive forecast backtest: predict each of the final 24
     // hours as the count 24 hours earlier, then score MAE and sMAPE per
     // type. Counts are exact ints, so MAE is an exact ratio; the only
@@ -905,7 +945,36 @@ object EventsBatch {
     })
   )
 
+  /** Holt twin: the identical integer recurrence replayed as a recursive
+    * CTE (rn = rn+1 join per type). FD = floor division by 10 written as
+    * subtract-positive-remainder — engine-exact on negatives too (trend
+    * can dip below zero). */
+  private val holtTwin: String = {
+    def fd(x: String) =
+      s"CAST((($x) - ((($x) % 10) + 10) % 10) / 10 AS BIGINT)"
+    val lnew = fd("2*h.y*1000000 + 8*(s.l + s.b)")
+    val bnew = fd(s"$lnew - s.l + 9*s.b")
+    s"""WITH RECURSIVE hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |         CAST(count(*) AS BIGINT) AS y,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |              ORDER BY date_trunc('hour', ts)) AS BIGINT) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, rn, hr, y,
+      |         y * 1000000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM hourly WHERE rn = 1
+      |  UNION ALL
+      |  SELECT h.event_type, h.rn, h.hr, h.y, $lnew AS l, $bnew AS b
+      |  FROM st s JOIN hourly h
+      |    ON h.event_type = s.event_type AND h.rn = s.rn + 1)
+      |SELECT event_type, hr, y, l AS level_mc, b AS trend_mc,
+      |       l + b AS forecast_mc
+      |FROM st""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "evt_holt" -> holtTwin,
     "evt_growth_accounting" -> """
       WITH mu AS (
         SELECT DISTINCT user_id,

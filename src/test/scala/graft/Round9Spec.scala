@@ -194,6 +194,31 @@ class Round9Spec extends AnyFunSuite {
       assert(sch(cn).dataType == org.apache.spark.sql.types.LongType, cn))
   }
 
+  test("evt_holt: integer recurrence matches an in-test replay") {
+    val rows = SparkEntry.queries("evt_holt")(spark, sf)
+      .orderBy(col("event_type"), col("hr")).collect()
+    assert(rows.nonEmpty)
+    def fd(x: Long) = { val m = ((x % 10) + 10) % 10; (x - m) / 10 }
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      var l = rs.head.getLong(2) * 1000000L
+      var b = 0L
+      assert(rs.head.getLong(3) == l && rs.head.getLong(4) == 0L)
+      rs.tail.foreach { r =>
+        val y = r.getLong(2)
+        val ln = fd(2 * y * 1000000L + 8 * (l + b))
+        b = fd(ln - l + 9 * b)
+        l = ln
+        assert(r.getLong(3) == l, s"level at ${r.get(1)}")
+        assert(r.getLong(4) == b, s"trend at ${r.get(1)}")
+        assert(r.getLong(5) == l + b)
+      }
+    }
+    // the fixture has both rising and falling stretches — trend must
+    // change sign somewhere or the operator degenerated to EWMA
+    val trends = rows.map(_.getLong(4))
+    assert(trends.exists(_ > 0) && trends.exists(_ < 0))
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
