@@ -464,6 +464,47 @@ object SimSearch {
           round(col("hits").cast("double") / 5.0, 6).as("p_at_5"))
     }),
 
+    // NDCG@5 of exact cosine retrieval against the embedding labels —
+    // the graded-rank companion of ml_precision_at_k (precision treats
+    // rank 1 and rank 5 hits the same; NDCG discounts by position).
+    // NUMERICS: the discount table g(r) = floor(1e6/log2(r+1) + 0.5) is
+    // a 5-entry integer table (one log2 per rank on identical tiny-int
+    // operands, never summed as FP), so DCG and IDCG are exact BIGINT
+    // sums and NDCG a floor-ppm integer ratio. IDCG caps the ideal list
+    // at min(5, R) where R = the query's total relevant candidates —
+    // counted on the SAME per-query partition the rank window already
+    // shuffles, so no extra pass. Scale shape = llm_cosine_topk.
+    "ml_ndcg" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val wQ = Window.partitionBy(col("qid"))
+      val wRank = wQ.orderBy(col("sim").desc, col("cid"))
+      emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("label").as("clabel"))
+        .join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("sim", expr("cosine_similarity(qvec, cvec)"))
+        .withColumn("rel",
+          when(col("clabel") === col("qlabel"), 1L).otherwise(0L))
+        .select(col("qid"), col("qlabel"), col("cid"), col("rel"),
+          col("sim"))
+        .withColumn("rtot", sum(col("rel")).over(wQ))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 5)
+        .withColumn("g",
+          floor(lit(1e6) / log2(col("rn") + 1) + lit(0.5)).cast("long"))
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(sum(col("rel") * col("g")).as("dcg_g"),
+          sum(when(col("rn") <= col("rtot"), col("g")).otherwise(0L))
+            .as("idcg_g"))
+        .withColumn("ndcg_ppm",
+          when(col("idcg_g") > 0,
+            floor(lit(1e6) * col("dcg_g") / col("idcg_g") + lit(0.5))
+              .cast("long")).otherwise(lit(0L)))
+    }),
+
     // k-NN label vote: majority label among top-10 exact neighbors
     "llm_knn_label" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -824,6 +865,46 @@ object SimSearch {
       JOIN embeddings q ON q.vec_id = t.qid
       JOIN embeddings c ON c.vec_id = t.cid
       GROUP BY t.qid, q.label""",
+
+    "ml_ndcg" -> """
+      WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) AS dot, sum(q.x * q.x) AS qq,
+               sum(c.x * c.x) AS cc
+        FROM pos q
+        JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+      ), scored AS (
+        SELECT d.qid, q.label AS qlabel, d.cid,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (PARTITION BY d.qid
+                 ORDER BY d.dot / sqrt(d.qq * d.cc) DESC, d.cid) AS rn,
+               sum(CASE WHEN c.label = q.label THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY d.qid) AS rtot
+        FROM dots d
+        JOIN embeddings q ON q.vec_id = d.qid
+        JOIN embeddings c ON c.vec_id = d.cid
+      ), gained AS (
+        SELECT qid, qlabel, rel, rn, rtot,
+               CAST(floor(1e6 / log2(rn + 1) + 0.5) AS BIGINT) AS g
+        FROM scored WHERE rn <= 5
+      ), rolled AS (
+        SELECT qid, qlabel,
+               CAST(sum(rel * g) AS BIGINT) AS dcg_g,
+               CAST(sum(CASE WHEN rn <= rtot THEN g ELSE 0 END)
+                    AS BIGINT) AS idcg_g
+        FROM gained GROUP BY qid, qlabel
+      )
+      SELECT qid, qlabel, dcg_g, idcg_g,
+             CASE WHEN idcg_g > 0
+                  THEN CAST(floor(1e6 * dcg_g / idcg_g + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS ndcg_ppm
+      FROM rolled""",
 
     "llm_knn_label" -> """
       WITH pos AS (

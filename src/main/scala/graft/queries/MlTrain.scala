@@ -430,6 +430,58 @@ object MlTrain {
             .cast("double") / count(lit(1)).cast("double"), 6).as("obs_rate"))
     }),
 
+    // Brier score of the GD classifier — mean squared error between the
+    // deterministic sigmoid score and the 0/1 label. NUMERICS: the
+    // square is quantized floor(1e6·(sg−y)² + 0.5) PER ROW before
+    // summation (the ml_confusion lesson — a raw double sum of 60k
+    // squares is order-dependent; a BIGINT sum of per-row ppm integers
+    // is engine-exact), and the mean is a floor-ppm of the exact
+    // integer sum. One map-side-combinable aggregate over the shared
+    // cached gdFit frame.
+    "ml_brier" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      raw.select(
+          floor(lit(1e6) * (sg - col("yy")) * (sg - col("yy")) + lit(0.5))
+            .cast("long").as("sq_ppm"))
+        .agg(count(lit(1)).as("n"), sum(col("sq_ppm")).as("brier_sum_ppm"))
+        .withColumn("brier_ppm",
+          floor(col("brier_sum_ppm") / col("n") + lit(0.5)).cast("long"))
+    }),
+
+    // group-fairness audit of a transparent threshold model (stump:
+    // predict R iff quantity ≤ 25) across order priorities — demographic
+    // parity (per-group positive-prediction rate) and equalized-odds
+    // components (per-group TPR/FPR vs returnflag=R). The audit is the
+    // operator; the model is deliberately a fixed, inspectable rule.
+    // All counts exact integers, all rates floor-ppm — one co-keyed
+    // equi-join + one grouped aggregate, |groups| bounded by the
+    // priority domain (5).
+    "ml_fairness_parity" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderpriority").as("grp"),
+          when(round(col("l_quantity")) <= 25, 1L).otherwise(0L).as("pred"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pred")).as("n_pred_pos"),
+          sum(col("y")).as("n_pos"),
+          sum(col("pred") * col("y")).as("tp"),
+          sum(col("pred") * (lit(1L) - col("y"))).as("fp"))
+        .select(col("grp"), col("n"),
+          floor(lit(1e6) * col("n_pred_pos") / col("n") + lit(0.5))
+            .cast("long").as("pred_pos_ppm"),
+          when(col("n_pos") > 0,
+            floor(lit(1e6) * col("tp") / col("n_pos") + lit(0.5))
+              .cast("long")).otherwise(lit(0L)).as("tpr_ppm"),
+          when(col("n") > col("n_pos"),
+            floor(lit(1e6) * col("fp") / (col("n") - col("n_pos"))
+              + lit(0.5)).cast("long")).otherwise(lit(0L)).as("fpr_ppm"))
+    }),
+
     // Precision-recall curve of the GD classifier over the calibration
     // score bins: predict-positive-at-bin-b ⇒ tp/pred are suffix sums of
     // the per-bin counts. The cumulative window runs over the BIN table
@@ -950,6 +1002,44 @@ object MlTrain {
         |             / CAST(count(*) AS DOUBLE), 6) AS obs_rate
         |FROM sc
         |GROUP BY least(CAST(floor(sg*200) AS BIGINT), 199)""".stripMargin,
+
+    "ml_brier" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |q AS (
+        |  SELECT CAST(floor(1e6 * (sg - yy) * (sg - yy) + 0.5) AS BIGINT)
+        |           AS sq_ppm
+        |  FROM sc)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(sq_ppm) AS BIGINT) AS brier_sum_ppm,
+        |       CAST(floor(CAST(sum(sq_ppm) AS BIGINT)
+        |         / CAST(count(*) AS BIGINT) + 0.5) AS BIGINT) AS brier_ppm
+        |FROM q""".stripMargin,
+
+    "ml_fairness_parity" -> """
+      WITH g AS (
+        SELECT o.o_orderpriority AS grp,
+               CASE WHEN round(l_quantity) <= 25 THEN 1 ELSE 0 END AS pred,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      agg AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pred) AS BIGINT) AS n_pred_pos,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(pred * y) AS BIGINT) AS tp,
+               CAST(sum(pred * (1 - y)) AS BIGINT) AS fp
+        FROM g GROUP BY grp)
+      SELECT grp, n,
+             CAST(floor(1e6 * n_pred_pos / n + 0.5) AS BIGINT)
+               AS pred_pos_ppm,
+             CASE WHEN n_pos > 0
+                  THEN CAST(floor(1e6 * tp / n_pos + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS tpr_ppm,
+             CASE WHEN n > n_pos
+                  THEN CAST(floor(1e6 * fp / (n - n_pos) + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS fpr_ppm
+      FROM agg""",
 
     "ml_pr_curve" ->
       s"""WITH $logregCtes,

@@ -401,6 +401,9 @@ class PlanAuditSpec extends AnyFunSuite
       // BOTH the full-dim and sliced-dim cosine kernels — facts stream,
       // identical scale shape to llm_cosine_topk
       "llm_mrl_truncation",
+      // NDCG@5 (r9): same ≤20-query-vector broadcast + rank window as
+      // ml_precision_at_k, plus a same-partition relevant-count window
+      "ml_ndcg",
       // 1-row national-total threshold broadcast into a theta join —
       // the Q15/quality_filter scalar-reuse pattern
       "tpch_q11_important",

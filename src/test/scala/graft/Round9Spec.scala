@@ -194,6 +194,41 @@ class Round9Spec extends AnyFunSuite {
       assert(sch(cn).dataType == org.apache.spark.sql.types.LongType, cn))
   }
 
+  test("ml_ndcg: bounded gains, consistent with precision@5 hits") {
+    val gMax = (1 to 5).map(r =>
+      math.floor(1e6 / (math.log(r + 1) / math.log(2)) + 0.5).toLong).sum
+    val ndcg = SparkEntry.queries("ml_ndcg")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(ndcg.size == 20)
+    val hits = SparkEntry.queries("ml_precision_at_k")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ndcg.foreach { case (qid, (dcg, idcg, ppm)) =>
+      assert(dcg >= 0 && dcg <= idcg, s"qid $qid dcg/idcg order")
+      assert(idcg <= gMax, s"qid $qid idcg exceeds the 5-rank gain sum")
+      assert(ppm == math.floor(1e6 * dcg.toDouble / idcg + 0.5).toLong)
+      // a query scores dcg > 0 exactly when precision@5 found a hit
+      assert((dcg > 0) == (hits(qid) > 0), s"qid $qid hits consistency")
+    }
+  }
+
+  test("ml_brier and ml_fairness_parity: exact-integer decision paths") {
+    val b = SparkEntry.queries("ml_brier")(spark, sf).collect()(0)
+    assert(b.getLong(2) ==
+      math.floor(b.getLong(1).toDouble / b.getLong(0) + 0.5).toLong)
+    assert(b.getLong(2) >= 0 && b.getLong(2) <= 1000000L)
+    val fp = SparkEntry.queries("ml_fairness_parity")(spark, sf).collect()
+    assert(fp.length == 5) // |o_orderpriority| domain
+    val nTotal = graft.core.Tables.t(spark, sf, "lineitem").count()
+    assert(fp.map(_.getLong(1)).sum == nTotal)
+    fp.foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 1000000L,
+          s"${r.getString(0)} rate col $i out of [0, 1e6]")
+      }
+    }
+  }
+
   test("evt_holt: integer recurrence matches an in-test replay") {
     val rows = SparkEntry.queries("evt_holt")(spark, sf)
       .orderBy(col("event_type"), col("hr")).collect()
