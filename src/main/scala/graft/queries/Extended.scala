@@ -213,6 +213,29 @@ object Extended {
     // collision (status flipped to 'U' marks them), unmatched existing
     // rows survive, new keys append. The DuckDB twin spells out the same
     // NOT EXISTS ∪ UNION ALL algebra.
+    // CDC changelog apply — the delete-aware completion of merge_upsert:
+    // a change stream (key, version, op ∈ {U, D}, payload) folds to the
+    // table's final state by keeping each key's LATEST version and
+    // dropping keys whose latest op is a tombstone. One hash aggregate
+    // (max_by over the version struct — no window sort over the
+    // changelog), exactly the compaction a log-structured ingest runs;
+    // at 100 TB the changelog shuffles once on key, same as any grouped
+    // aggregate. Versions are (date, orderkey) — unique, so the argmax
+    // is deterministic on both engines.
+    "etl_cdc_apply" -> ((s, d) => {
+      t(s, d, "orders").select(col("o_custkey").as("key"),
+          col("o_orderdate").as("vts"), col("o_orderkey").as("vid"),
+          when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .groupBy(col("key"))
+        .agg(expr("max_by(struct(op, vid, o_orderstatus, o_totalprice)," +
+          " struct(vts, vid))").as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("key"), col("last.vid").as("last_version"),
+          col("last.o_orderstatus").as("o_orderstatus"),
+          col("last.o_totalprice").as("o_totalprice"))
+    }),
+
     "etl_merge_upsert" -> ((s, d) => {
       val orders = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -939,6 +962,20 @@ object Extended {
           SELECT count(*) AS n FROM lineitem
           GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
       )""",
+
+    "etl_cdc_apply" -> """
+      WITH chg AS (
+        SELECT o_custkey AS key, o_orderdate AS vts, o_orderkey AS vid,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderstatus, o_totalprice
+        FROM orders),
+      latest AS (
+        SELECT key, vid, op, o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY key
+                 ORDER BY vts DESC, vid DESC) AS rn
+        FROM chg)
+      SELECT key, vid AS last_version, o_orderstatus, o_totalprice
+      FROM latest WHERE rn = 1 AND op <> 'D'""",
 
     "etl_merge_upsert" -> """
       SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice

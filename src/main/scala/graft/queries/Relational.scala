@@ -620,6 +620,59 @@ object Relational {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // DBSCAN (Ester et al. 1996) over the same md5-derived supplier
+    // coordinates: eps = 600, minPts = 5 (core ⟺ ≥ 4 neighbors within
+    // eps). Fully composed from existing scale-safe machinery — the
+    // neighbor pairs come from the grid-blocked radius join (never a
+    // quadratic theta join), clusters are min-label connected components
+    // over the core-core subgraph (the large-star/small-star O(log d)
+    // loop), and border points take the MIN label among their adjacent
+    // cores (the deterministic replacement for scan-order assignment,
+    // which is irreproducible by design). Integer coordinates make the
+    // distance predicate exact; every role/label decision is integer.
+    // Twin: brute-force pairs + recursive-CTE closure (the dedup_exact
+    // pattern), so driver hash parity proves blocked ≡ exact again.
+    "spatial_dbscan" -> ((s, d) => {
+      def axis(salt: String): Column =
+        conv(substring(md5(concat(lit(salt),
+          col("s_suppkey").cast("string"))), 1, 4), 16, 10)
+          .cast("bigint") % 10000
+      val pts = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"),
+          axis("gx:").as("xi"), axis("gy:").as("yi"))
+        .localCheckpoint(eager = false) // pairs leg + noise anti-join leg
+      val pairs = graft.ops.SpatialGrid.radiusSelfJoin(pts, 600L)
+        .select(col("k1"), col("k2"))
+      val sym = pairs.union(pairs.select(col("k2"), col("k1")))
+        .toDF("a", "b")
+        .localCheckpoint(eager = false) // counts + core edges + border
+      val core = sym.groupBy(col("a")).agg(count(lit(1)).as("nn"))
+        .filter(col("nn") >= 3).select(col("a").as("k"))
+        .localCheckpoint(eager = false)
+      val coreEdges = sym
+        .join(core.select(col("k").as("a")), Seq("a"))
+        .join(core.select(col("k").as("b")), Seq("b"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("doc1"), col("b").as("doc2"))
+      val labels = graft.llm.Dedup.connectedComponentsFast(
+        core.select(col("k").as("doc_id")), coreEdges)
+        .localCheckpoint(eager = false) // core output + border assignment
+      val coreOut = labels.select(col("doc_id").as("k"),
+        lit("core").as("role"), col("label").as("cluster"))
+      val border = sym
+        .join(core.select(col("k").as("a")), Seq("a"), "left_anti")
+        .join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a").as("k"))
+        .agg(min(col("label")).as("cluster"))
+        .select(col("k"), lit("border").as("role"), col("cluster"))
+      val assigned = coreOut.union(border)
+      val noise = pts.select(col("k"))
+        .join(assigned.select(col("k")), Seq("k"), "left_anti")
+        .select(col("k"), lit("noise").as("role"),
+          lit(-1L).as("cluster"))
+      assigned.union(noise)
+    }),
+
     // ---- More TPC-H composite shapes -----------------------------------
     // Q10 shape: revenue lost to returned items per customer, top 20.
     // nation broadcasts (true dim); customer joins post-aggregate-sized
@@ -1296,6 +1349,50 @@ object Relational {
       FROM pts a JOIN pts b ON a.k < b.k
       WHERE (a.xi-b.xi)*(a.xi-b.xi) + (a.yi-b.yi)*(a.yi-b.yi) <= 1440000
       ORDER BY k1, k2""",
+
+    "spatial_dbscan" -> """
+      WITH RECURSIVE pts AS (
+        SELECT s_suppkey AS k,
+               CAST(('0x' || substr(md5('gx:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000 AS xi,
+               CAST(('0x' || substr(md5('gy:' || CAST(s_suppkey AS VARCHAR)),
+                 1, 4)) AS BIGINT) % 10000 AS yi
+        FROM supplier
+      ), prs AS (
+        SELECT a.k AS k1, b.k AS k2
+        FROM pts a JOIN pts b ON a.k < b.k
+        WHERE (a.xi-b.xi)*(a.xi-b.xi) + (a.yi-b.yi)*(a.yi-b.yi) <= 360000
+      ), sym AS (
+        SELECT k1 AS a, k2 AS b FROM prs
+        UNION ALL SELECT k2, k1 FROM prs
+      ), core AS (
+        SELECT a AS k FROM sym GROUP BY a HAVING count(*) >= 3
+      ), ce AS (
+        SELECT s.a AS src, s.b AS dst
+        FROM sym s JOIN core c1 ON c1.k = s.a JOIN core c2 ON c2.k = s.b
+      ), reach(node, r) AS (
+        SELECT DISTINCT src, src FROM ce
+        UNION
+        SELECT e.dst, rr.r FROM reach rr JOIN ce e ON e.src = rr.node
+      ), comp AS (
+        SELECT node, min(r) AS lbl FROM reach GROUP BY node
+      ), corelbl AS (
+        SELECT c.k, coalesce(mp.lbl, c.k) AS lbl
+        FROM core c LEFT JOIN comp mp ON mp.node = c.k
+      ), border AS (
+        SELECT s.a AS k, min(cl.lbl) AS lbl
+        FROM sym s JOIN corelbl cl ON cl.k = s.b
+        WHERE s.a NOT IN (SELECT k FROM core)
+        GROUP BY s.a
+      )
+      SELECT k, 'core' AS role, lbl AS cluster FROM corelbl
+      UNION ALL
+      SELECT k, 'border', lbl FROM border
+      UNION ALL
+      SELECT p.k, 'noise', CAST(-1 AS BIGINT)
+      FROM pts p
+      WHERE p.k NOT IN (SELECT k FROM corelbl)
+        AND p.k NOT IN (SELECT k FROM border)""",
 
     "join_null_safe" -> """
       SELECT a.k AS status_or_null, count(*) AS n_orders,

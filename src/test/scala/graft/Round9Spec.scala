@@ -229,6 +229,63 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("spatial_dbscan: roles partition, cores match a brute-force check") {
+    val out = SparkEntry.queries("spatial_dbscan")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // brute-force the coordinates + neighbor counts in-test
+    val pts = graft.core.Tables.t(spark, sf, "supplier")
+      .selectExpr("s_suppkey AS k",
+        "CAST(conv(substring(md5(concat('gx:', CAST(s_suppkey AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000 AS xi",
+        "CAST(conv(substring(md5(concat('gy:', CAST(s_suppkey AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000 AS yi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.size == pts.length)
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)) = {
+      val dx = a._2 - b._2; val dy = a._3 - b._3; dx * dx + dy * dy
+    }
+    val nbrs = pts.map(p =>
+      p._1 -> pts.filter(q => q._1 != p._1 && d2(p, q) <= 360000L)
+        .map(_._1).toSet).toMap
+    val trueCores = pts.map(_._1).filter(k => nbrs(k).size >= 3).toSet
+    out.foreach { case (k, (role, cl)) =>
+      role match {
+        case "core" =>
+          assert(trueCores(k), s"$k marked core but has <3 eps-neighbors")
+          assert(cl >= 0 && cl <= k, s"core $k label must be a min-id")
+        case "border" =>
+          assert(!trueCores(k))
+          assert(nbrs(k).exists(trueCores), s"border $k needs a core nbr")
+          // min label among adjacent cores
+          assert(cl == nbrs(k).filter(trueCores).map(out(_)._2).min)
+        case "noise" =>
+          assert(!trueCores(k) && !nbrs(k).exists(trueCores))
+          assert(cl == -1L)
+      }
+    }
+    assert(out.values.count(_._1 == "core") == trueCores.size)
+    // density-reachable cores share a label (CC over core-core edges)
+    trueCores.foreach { k =>
+      nbrs(k).filter(trueCores).foreach(j =>
+        assert(out(j)._2 == out(k)._2, s"cores $k,$j adjacent, labels differ"))
+    }
+  }
+
+  test("etl_cdc_apply: latest version wins, tombstoned keys vanish") {
+    val got = SparkEntry.queries("etl_cdc_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chg = graft.core.Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    val latest = chg.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.maxBy(r => (r._2, r._3))._3
+    }
+    latest.foreach { case (k, vid) =>
+      if (vid % 7 == 0) assert(!got.contains(k), s"key $k latest is a tombstone")
+      else assert(got(k) == vid, s"key $k last_version")
+    }
+    assert(got.size == latest.count(_._2 % 7 != 0))
+  }
+
   test("evt_holt: integer recurrence matches an in-test replay") {
     val rows = SparkEntry.queries("evt_holt")(spark, sf)
       .orderBy(col("event_type"), col("hr")).collect()
