@@ -308,6 +308,69 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // exact betweenness centrality from INTEGER shortest-path counts:
+    // walk-count "matrix powers" over the sparse undirected graph give
+    // σ(s,t) = #walks of length d(s,t) (minimal-length walks ARE paths),
+    // so pair dependencies σ_sv·σ_vt/σ_st are ratios of exact BIGINTs.
+    // Each ratio is quantized floor-ppm PER (s,t,v) TERM before the
+    // BIGINT sum (the textrank/ml_confusion discipline — a raw double
+    // sum over 25³ terms would be order-dependent). Hop cap 6 = the
+    // fixture graph's diameter bound (asserted in the spec: every pair
+    // reachable within 6). Everything after the cached edge aggregate is
+    // |V|²-bounded joins on the ≤25-node nation domain; the twin unrolls
+    // the same 6 walk powers as chained CTEs. At a billion-node design
+    // point exact betweenness is inherently Ω(V·E) — the production
+    // path is pivot SAMPLING over the same walk/dependency joins, which
+    // changes the node set, not the plan shape.
+    "graph_betweenness" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+                greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+      val bi = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = false)
+      // walk counts by length: w1 = adjacency, wk = w{k-1} ⋈ bi (a fresh
+      // per-round projection of bi breaks repeated-self-join ambiguity)
+      var wk = bi.select(col("u").as("s"), col("v").as("t"),
+        lit(1L).as("c"))
+      var walks = wk.withColumn("k", lit(1))
+      for (k <- 2 to 6) {
+        val bk = bi.toDF(s"ju$k", s"jv$k")
+        wk = wk.join(bk, col("t") === col(s"ju$k"))
+          .groupBy(col("s"), col(s"jv$k"))
+          .agg(sum(col("c")).as("c"))
+          .select(col("s"), col(s"jv$k").as("t"), col("c"))
+          .localCheckpoint(eager = false)
+        walks = walks.union(wk.withColumn("k", lit(k)))
+      }
+      // per (s,t): d = min k with walks > 0, σ = that k's walk count
+      val p = walks.filter(col("s") =!= col("t"))
+        .groupBy(col("s"), col("t"))
+        .agg(min(col("k")).as("d"),
+          expr("min_by(c, k)").as("sigma"))
+        .localCheckpoint(eager = false) // three self-join legs below
+      // three legs of the same pair table: fresh names break the
+      // self-join attribute ambiguity
+      val sv = p.toDF("ps", "v", "d1", "sig1")
+      val vt = p.toDF("v", "pt", "d2", "sig2")
+      val st = p.toDF("ps", "pt", "d", "sigma")
+      val dep = sv.join(vt, Seq("v"))
+        .filter(col("ps") < col("pt")) // each unordered pair once
+        .join(st, Seq("ps", "pt"))
+        .filter(col("d1") + col("d2") === col("d"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(floor(lit(1e6) * col("sig1") * col("sig2")
+          / col("sigma") + lit(0.5)).cast("long")).as("bc"))
+      nation
+        .select(col("n_name"), col("n_nationkey").cast("long").as("node"))
+        .join(dep, Seq("node"), "left")
+        .select(col("n_name"), col("node"),
+          coalesce(col("bc"), lit(0L)).as("betweenness_ppm"))
+        .orderBy(col("n_name"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       val nation = t(s, d, "nation")
       val und = sparseEdges(s, d)
@@ -647,10 +710,53 @@ object Graph {
       |ORDER BY na.n_name""".stripMargin
   }
 
+  /** Betweenness twin: 6 unrolled walk-power CTEs (integer path counts),
+    * min-k fold to (d, σ), the same 3-way dependency join, per-term
+    * floor-ppm quantization before the BIGINT sum. */
+  private val betweennessTwin: String = {
+    val powers = (2 to 6).map { k =>
+      s""",
+      |  w$k AS (
+      |    SELECT w.s, b.v AS t, CAST(sum(w.c) AS BIGINT) AS c
+      |    FROM w${k - 1} w JOIN bi b ON b.u = w.t GROUP BY 1, 2)""".stripMargin
+    }.mkString
+    val unions = (1 to 6).map(k =>
+      s"SELECT s, t, c, $k AS k FROM w$k").mkString("\n      |  UNION ALL ")
+    s"""WITH $sparseCte,
+      |  und AS (
+      |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |    FROM sparse),
+      |  bi AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+      |         FROM und
+      |         UNION ALL
+      |         SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+      |  w1 AS (SELECT u AS s, v AS t, CAST(1 AS BIGINT) AS c FROM bi)$powers,
+      |  allw AS (
+      |  $unions),
+      |  p AS (
+      |    SELECT s, t, min(k) AS d, min_by(c, k) AS sigma
+      |    FROM allw WHERE s <> t GROUP BY 1, 2),
+      |  dep AS (
+      |    SELECT sv.v AS node,
+      |           CAST(sum(CAST(floor(1e6 * sv.sig1 * vt.sig2 / st.sigma
+      |             + 0.5) AS BIGINT)) AS BIGINT) AS bc
+      |    FROM (SELECT s, t AS v, d AS d1, sigma AS sig1 FROM p) sv
+      |    JOIN (SELECT s AS v, t, d AS d2, sigma AS sig2 FROM p) vt
+      |      ON vt.v = sv.v
+      |    JOIN p st ON st.s = sv.s AND st.t = vt.t
+      |    WHERE sv.s < vt.t AND sv.d1 + vt.d2 = st.d
+      |    GROUP BY 1)
+      |SELECT n.n_name, CAST(n.n_nationkey AS BIGINT) AS node,
+      |       coalesce(dep.bc, CAST(0 AS BIGINT)) AS betweenness_ppm
+      |FROM nation n LEFT JOIN dep ON dep.node = CAST(n.n_nationkey AS BIGINT)
+      |ORDER BY n.n_name""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTwin,
     "graph_label_prop" -> labelPropTwin,
     "graph_kcore" -> kcoreTwin,
+    "graph_betweenness" -> betweennessTwin,
 
     // bounded recursive BFS: UNION ALL paths capped at 4 hops, min-hop
     // folded outside the recursion (path count stays ≤ 3^4 per source

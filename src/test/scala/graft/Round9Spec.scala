@@ -157,6 +157,79 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_betweenness: matches BFS path counting; hop cap covers") {
+    val got = SparkEntry.queries("graph_betweenness")(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // reconstruct the sparse undirected graph (as in the kcore test)
+    val s = spark; val d = sf
+    val li = graft.core.Tables.t(s, d, "lineitem")
+    val o = graft.core.Tables.t(s, d, "orders")
+    val c = graft.core.Tables.t(s, d, "customer")
+    val su = graft.core.Tables.t(s, d, "supplier")
+    val trade = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      .agg(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("w"))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    trade.filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= 3)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+    val nodes = adj.keySet.toSeq.sorted
+    // BFS per source: distance + shortest-path counts
+    def bfs(src: Long): (Map[Long, Int], Map[Long, Long]) = {
+      val dist = scala.collection.mutable.Map(src -> 0)
+      val sig = scala.collection.mutable.Map(src -> 1L)
+      var frontier = Seq(src)
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach { u =>
+          adj(u).foreach { v2 =>
+            if (!dist.contains(v2))
+              next(v2) = next.getOrElse(v2, 0L) + sig(u)
+            else if (dist(v2) == dist(u) + 1)
+              sig(v2) = sig(v2) + sig(u)
+          }
+        }
+        // merge: nodes first reached this level
+        val newly = next.keys.toSeq.filterNot(dist.contains)
+        newly.foreach { v2 =>
+          dist(v2) = dist(frontier.head) + 1
+          sig(v2) = next(v2)
+        }
+        frontier = newly
+      }
+      (dist.toMap, sig.toMap)
+    }
+    val all = nodes.map(n => n -> bfs(n)).toMap
+    // hop cap: the operator counts walks up to length 6 — every
+    // reachable pair must sit within that horizon
+    nodes.foreach(n => all(n)._1.values.foreach(dd => assert(dd <= 6)))
+    val ref = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      sN <- nodes; tN <- nodes if sN < tN
+      dst = all(sN)._1 if dst.contains(tN)
+      v <- nodes if v != sN && v != tN
+      if all(sN)._1.contains(v) && all(v)._1.contains(tN)
+      if all(sN)._1(v) + all(v)._1(tN) == dst(tN)
+    } ref(v) += math.floor(
+      1e6 * all(sN)._2(v) * all(v)._2(tN) / all(sN)._2(tN) + 0.5).toLong
+    graft.core.Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long")).collect()
+      .map(_.getLong(0)).foreach { n =>
+        assert(got(n) == ref(n), s"betweenness of node $n")
+      }
+  }
+
   test("llm_oov_rate: exact complement of in-vocab counts") {
     val oov = SparkEntry.queries("llm_oov_rate")(spark, sf).collect()
     assert(oov.length == 500)
