@@ -587,9 +587,15 @@ object MlTrain {
           .limit(1).collect()(0) // 1-row bounded probe
         (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
       }
-      def alphaPpm(err: Long, w: Long): Long =
+      // err clamped to the interior [1, w-1] before the ln — a perfectly
+      // separable grid would otherwise send alpha to ±inf (and DuckDB's
+      // floor(inf) diverges from the JVM's); on real data the clamp is
+      // inert, and the twin applies the identical greatest/least guard
+      def alphaPpm(err: Long, w: Long): Long = {
+        val e = math.max(1L, math.min(err, w - 1))
         math.floor(1e6 * 0.5 *
-          math.log((w - err).toDouble / err.toDouble) + 0.5).toLong
+          math.log((w - e).toDouble / e.toDouble) + 0.5).toLong
+      }
       val (t1, pol1, err1, w1) = stump(cells0)
       val a1 = alphaPpm(err1, w1)
       val m1 = math.floor(1e6 *
@@ -1140,8 +1146,10 @@ object MlTrain {
         |  FROM cand1 ORDER BY err, pol, q LIMIT 1),
         |a1 AS (
         |  SELECT q, pol, err, w,
-        |         CAST(floor(1e6 * 0.5 * ln(CAST(w - err AS DOUBLE)
-        |           / CAST(err AS DOUBLE)) + 0.5) AS BIGINT) AS alpha_ppm
+        |         CAST(floor(1e6 * 0.5 * ln(
+        |           CAST(w - greatest(least(err, w - 1), 1) AS DOUBLE)
+        |           / CAST(greatest(least(err, w - 1), 1) AS DOUBLE))
+        |           + 0.5) AS BIGINT) AS alpha_ppm
         |  FROM s1),
         |m1 AS (
         |  SELECT q, pol, err, w, alpha_ppm,
@@ -1176,8 +1184,10 @@ object MlTrain {
         |  FROM cand2 ORDER BY err, pol, q LIMIT 1),
         |a2 AS (
         |  SELECT q, pol, err, w,
-        |         CAST(floor(1e6 * 0.5 * ln(CAST(w - err AS DOUBLE)
-        |           / CAST(err AS DOUBLE)) + 0.5) AS BIGINT) AS alpha_ppm
+        |         CAST(floor(1e6 * 0.5 * ln(
+        |           CAST(w - greatest(least(err, w - 1), 1) AS DOUBLE)
+        |           / CAST(greatest(least(err, w - 1), 1) AS DOUBLE))
+        |           + 0.5) AS BIGINT) AS alpha_ppm
         |  FROM s2)
         |SELECT CAST(1 AS BIGINT) AS round, pol, q AS threshold,
         |       err AS err_w, w AS tot_w, alpha_ppm FROM a1
