@@ -505,6 +505,41 @@ object SimSearch {
               .cast("long")).otherwise(lit(0L)))
     }),
 
+    // greedy k-center coreset selection (Gonzalez 1985) over the
+    // embedding corpus — the diverse-subset primitive a curation
+    // pipeline uses to seed clustering / pick exemplars: start from the
+    // min-id vector, then 4 rounds of "add the candidate farthest from
+    // the selected set" (= minimal max-cosine, ties → min id). Each
+    // round streams the corpus against a ≤5-row broadcast of the
+    // selected vectors (O(k·N) total — the scale shape; the twin's full
+    // O(N²) similarity matrix is the oracle's brute force). Similarities
+    // are quantized floor-ppm PER PAIR before the max/argmin, so the
+    // selection trajectory is engine-exact; the 1-row argmin probes are
+    // the bounded gdFit-style driver collects.
+    "llm_coreset_kcenter" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(eager = false) // read once per round
+      val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
+      var selected = Seq((1L, seed, -1L))
+      for (r <- 2 to 5) {
+        val ids = selected.map(_._2)
+        val selDf = emb.filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id").as("sid"), col("embedding").as("svec"))
+        val pick = emb.filter(!col("vec_id").isin(ids: _*))
+          .join(broadcast(selDf), col("vec_id") =!= col("sid"))
+          .withColumn("sim_ppm",
+            floor(lit(1e6) * expr("cosine_similarity(embedding, svec)")
+              + lit(0.5)).cast("long"))
+          .groupBy(col("vec_id")).agg(max(col("sim_ppm")).as("ms"))
+          .orderBy(col("ms"), col("vec_id")).limit(1).head()
+        selected = selected :+ ((r.toLong, pick.getLong(0), pick.getLong(1)))
+      }
+      selected.toDF("rank", "vec_id", "maxsim_ppm")
+    }),
+
     // k-NN label vote: majority label among top-10 exact neighbors
     "llm_knn_label" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -865,6 +900,43 @@ object SimSearch {
       JOIN embeddings q ON q.vec_id = t.qid
       JOIN embeddings c ON c.vec_id = t.cid
       GROUP BY t.qid, q.label""",
+
+    "llm_coreset_kcenter" -> {
+      val rounds = (2 to 5).map { k =>
+        s""",
+        |  m$k AS (
+        |    SELECT s.cid, max(s.sim_ppm) AS ms
+        |    FROM simmat s JOIN sel${k - 1} t ON t.id = s.qid
+        |    WHERE s.cid NOT IN (SELECT id FROM sel${k - 1})
+        |    GROUP BY s.cid),
+        |  pick$k AS (SELECT cid AS id, ms FROM m$k ORDER BY ms, cid LIMIT 1),
+        |  sel$k AS (SELECT id FROM sel${k - 1}
+        |            UNION ALL SELECT id FROM pick$k)""".stripMargin
+      }.mkString
+      s"""WITH pos AS (
+        |    SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |           generate_subscripts(embedding, 1) AS i
+        |    FROM embeddings),
+        |  dots AS (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |           sum(q.x * c.x) AS dot, sum(q.x * q.x) AS qq,
+        |           sum(c.x * c.x) AS cc
+        |    FROM pos q JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        |    GROUP BY q.vec_id, c.vec_id),
+        |  simmat AS (
+        |    SELECT qid, cid,
+        |           CAST(floor(1e6 * (dot / sqrt(qq * cc)) + 0.5) AS BIGINT)
+        |             AS sim_ppm
+        |    FROM dots),
+        |  sel1 AS (SELECT min(vec_id) AS id FROM embeddings),
+        |  pick1 AS (SELECT id, CAST(-1 AS BIGINT) AS ms FROM sel1)$rounds
+        |SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, ms AS maxsim_ppm
+        |FROM pick1
+        |UNION ALL SELECT 2, id, ms FROM pick2
+        |UNION ALL SELECT 3, id, ms FROM pick3
+        |UNION ALL SELECT 4, id, ms FROM pick4
+        |UNION ALL SELECT 5, id, ms FROM pick5""".stripMargin
+    },
 
     "ml_ndcg" -> """
       WITH pos AS (

@@ -585,6 +585,54 @@ object EventsBatch {
           col("r.forecast_mc").as("forecast_mc"))
     }),
 
+    // two-state burst detection (Kleinberg 2002, two-level automaton,
+    // FILTERED decode): state 0 emits at the per-type base rate λ₀
+    // (corpus hourly mean, floor-ppm), state 1 at 3λ₀; per-hour Poisson
+    // NLL costs λ − y·ln λ are quantized floor-ppm PER (hour, state)
+    // BEFORE the DP sums, the state-switch penalty is a flat 2e6 ppm
+    // (2 nats), and the forward recurrence v_s' = c_s + min(v_s,
+    // v_{s'} + τ) runs in exact BIGINTs — so the burst flag (v1 < v0,
+    // the online filtered decision; the smoothed Viterbi path would
+    // need a backward pass) is engine-identical. Same execution shape
+    // as evt_holt: one hourly aggregate + a time-bounded per-type HOF
+    // fold; twin = recursive CTE. The only FP per cost is one ln on the
+    // shared λ plus one multiply by the integer count.
+    "evt_burst_filter" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("y"))
+      val rates = hourly.groupBy(col("event_type"))
+        .agg(floor(lit(1e6) * sum(col("y")) / count(lit(1)) + lit(0.5))
+          .cast("long").as("lam0_ppm"))
+      val series = hourly.join(rates, Seq("event_type"))
+        .groupBy(col("event_type"), col("lam0_ppm"))
+        .agg(sort_array(collect_list(struct(col("hr"), col("y")))).as("pts"))
+      val lam0 = "(lam0_ppm / 1e6)"
+      val lam1 = s"(3.0 * $lam0)"
+      def cost(lam: String, y: String) =
+        s"CAST(floor(1e6 * ($lam - $y * ln($lam)) + 0.5) AS BIGINT)"
+      val prev = "element_at(acc, -1)"
+      series
+        .withColumn("st", expr(
+          s"""aggregate(
+             |  slice(pts, 2, greatest(size(pts) - 1, 0)),
+             |  array(named_struct(
+             |    'v0', ${cost(lam0, "element_at(pts, 1).y")},
+             |    'v1', ${cost(lam1, "element_at(pts, 1).y")} + 2000000L)),
+             |  (acc, x) -> array_append(acc, named_struct(
+             |    'v0', ${cost(lam0, "x.y")}
+             |          + least($prev.v0, $prev.v1 + 2000000L),
+             |    'v1', ${cost(lam1, "x.y")}
+             |          + least($prev.v1, $prev.v0 + 2000000L))))""".stripMargin))
+        .withColumn("r", explode(expr(
+          """zip_with(pts, st, (p, q) -> named_struct(
+            |  'hr', p.hr, 'y', p.y, 'v0', q.v0, 'v1', q.v1,
+            |  'burst', q.v1 < q.v0))""".stripMargin)))
+        .select(col("event_type"), col("r.hr").as("hr"), col("r.y").as("y"),
+          col("r.v0").as("v0"), col("r.v1").as("v1"),
+          col("r.burst").as("burst"))
+    }),
+
     // seasonal-naive forecast backtest: predict each of the final 24
     // hours as the count 24 hours earlier, then score MAE and sMAPE per
     // type. Counts are exact ints, so MAE is an exact ratio; the only
@@ -973,8 +1021,44 @@ object EventsBatch {
       |FROM st""".stripMargin
   }
 
+  /** Burst-filter twin: identical recurrence as a recursive CTE; the
+    * per-(hour,state) costs share the same floor-ppm text. */
+  private val burstTwin: String = {
+    val lam0 = "(r.lam0_ppm / 1e6)"
+    val lam1 = s"(3.0 * $lam0)"
+    def cost(lam: String, y: String) =
+      s"CAST(floor(1e6 * ($lam - $y * ln($lam)) + 0.5) AS BIGINT)"
+    s"""WITH RECURSIVE hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr,
+      |         CAST(count(*) AS BIGINT) AS y,
+      |         CAST(row_number() OVER (PARTITION BY event_type
+      |              ORDER BY date_trunc('hour', ts)) AS BIGINT) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |rates AS (
+      |  SELECT event_type,
+      |         CAST(floor(1e6 * sum(y) / count(*) + 0.5) AS BIGINT)
+      |           AS lam0_ppm
+      |  FROM hourly GROUP BY 1),
+      |st AS (
+      |  SELECT h.event_type, h.rn, h.hr, h.y, r.lam0_ppm,
+      |         ${cost(lam0, "h.y")} AS v0,
+      |         ${cost(lam1, "h.y")} + 2000000 AS v1
+      |  FROM hourly h JOIN rates r ON r.event_type = h.event_type
+      |  WHERE h.rn = 1
+      |  UNION ALL
+      |  SELECT h.event_type, h.rn, h.hr, h.y, r.lam0_ppm,
+      |         ${cost(lam0, "h.y")} + least(s.v0, s.v1 + 2000000) AS v0,
+      |         ${cost(lam1, "h.y")} + least(s.v1, s.v0 + 2000000) AS v1
+      |  FROM st s
+      |  JOIN hourly h ON h.event_type = s.event_type AND h.rn = s.rn + 1
+      |  JOIN rates r ON r.event_type = h.event_type)
+      |SELECT event_type, hr, y, v0, v1, v1 < v0 AS burst
+      |FROM st""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "evt_holt" -> holtTwin,
+    "evt_burst_filter" -> burstTwin,
     "evt_growth_accounting" -> """
       WITH mu AS (
         SELECT DISTINCT user_id,

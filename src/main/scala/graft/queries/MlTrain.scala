@@ -482,6 +482,34 @@ object MlTrain {
               + lit(0.5)).cast("long")).otherwise(lit(0L)).as("fpr_ppm"))
     }),
 
+    // McNemar's paired test between the two classifiers the board
+    // already trains on the SAME rows — the GD sigmoid (threshold 0.5)
+    // and the quantity stump (predict R iff q ≤ 25 ⟺ x1 ≤ 0.5 on the
+    // gdFit grid). The statistic needs only the DISCORDANT counts
+    // b (stump right, GD wrong) and c (stump wrong, GD right) — exact
+    // integers — and (b−c)²/(b+c) lands as one floor-ppm division.
+    // One aggregate over the cached gdFit frame; the sigmoid compare at
+    // exactly 0.5 is engine-identical because sg is the same double.
+    "ml_mcnemar" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      raw.select(
+          when(sg >= 0.5, 1L).otherwise(0L).as("gd"),
+          when(col("x1") <= 0.5, 1L).otherwise(0L).as("st"),
+          col("yy").cast("long").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("st") === col("y") && col("gd") =!= col("y"), 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("st") =!= col("y") && col("gd") === col("y"), 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("n"), col("b"), col("c"),
+          when(col("b") + col("c") > 0,
+            floor(lit(1e6) * (col("b") - col("c")) * (col("b") - col("c"))
+              / (col("b") + col("c")) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("mcnemar_ppm"))
+    }),
+
     // Precision-recall curve of the GD classifier over the calibration
     // score bins: predict-positive-at-bin-b ⇒ tp/pred are suffix sums of
     // the per-bin counts. The cumulative window runs over the BIN table
@@ -1008,6 +1036,29 @@ object MlTrain {
         |             / CAST(count(*) AS DOUBLE), 6) AS obs_rate
         |FROM sc
         |GROUP BY least(CAST(floor(sg*200) AS BIGINT), 199)""".stripMargin,
+
+    "ml_mcnemar" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, x1, yy
+        |       FROM raw, s3),
+        |p AS (
+        |  SELECT CASE WHEN sg >= 0.5 THEN 1 ELSE 0 END AS gd,
+        |         CASE WHEN x1 <= 0.5 THEN 1 ELSE 0 END AS st,
+        |         CAST(yy AS BIGINT) AS y
+        |  FROM sc),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN st = y AND gd <> y THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b,
+        |         CAST(sum(CASE WHEN st <> y AND gd = y THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS c
+        |  FROM p)
+        |SELECT n, b, c,
+        |       CASE WHEN b + c > 0
+        |            THEN CAST(floor(1e6 * (b - c) * (b - c) / (b + c)
+        |                   + 0.5) AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS mcnemar_ppm
+        |FROM agg""".stripMargin,
 
     "ml_brier" ->
       s"""WITH $logregCtes,

@@ -404,6 +404,10 @@ class PlanAuditSpec extends AnyFunSuite
       // NDCG@5 (r9): same ≤20-query-vector broadcast + rank window as
       // ml_precision_at_k, plus a same-partition relevant-count window
       "ml_ndcg",
+      // k-center coreset (r9): each greedy round broadcasts the ≤5-row
+      // selected set against the streaming corpus — the kmeans_assign
+      // k-row-centroid shape
+      "llm_coreset_kcenter",
       // 1-row national-total threshold broadcast into a theta join —
       // the Q15/quality_filter scalar-reuse pattern
       "tpch_q11_important",

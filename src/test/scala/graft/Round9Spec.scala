@@ -359,6 +359,81 @@ class Round9Spec extends AnyFunSuite {
     assert(got.size == latest.count(_._2 % 7 != 0))
   }
 
+  test("llm_coreset_kcenter: greedy trajectory matches a brute-force replay") {
+    val got = SparkEntry.queries("llm_coreset_kcenter")(spark, sf)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.map(_._2).distinct.length == 5)
+    // farthest-point picks get monotonically closer to the selected set
+    val ms = got.drop(1).map(_._3)
+    assert(ms.zip(ms.tail).forall { case (a, b) => a <= b })
+    // brute-force replay with the identical floor-ppm quantization
+    val vecs = graft.core.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def simPpm(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var qq = 0.0; var cc = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); qq += a(i) * a(i); cc += b(i) * b(i); i += 1
+      }
+      math.floor(1e6 * (dot / math.sqrt(qq * cc)) + 0.5).toLong
+    }
+    var sel = Seq(vecs.keys.min)
+    got.drop(1).foreach { case (_, pickedId, pickedMs) =>
+      val cands = vecs.keys.filterNot(sel.contains).toSeq
+      val best = cands.map(cid =>
+        (sel.map(sid => simPpm(vecs(cid), vecs(sid))).max, cid)).min
+      assert(best._2 == pickedId, s"greedy pick mismatch at |sel|=${sel.size}")
+      assert(best._1 == pickedMs)
+      sel = sel :+ pickedId
+    }
+  }
+
+  test("evt_burst_filter: DP recurrence replays; both states occur") {
+    val rows = SparkEntry.queries("evt_burst_filter")(spark, sf)
+      .orderBy(col("event_type"), col("hr")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ys = rs.map(_.getLong(2))
+      val lam0 = math.floor(1e6 * ys.sum.toDouble / ys.length + 0.5) / 1e6
+      def cost(lam: Double, y: Long): Long =
+        math.floor(1e6 * (lam - y * math.log(lam)) + 0.5).toLong
+      var v0 = cost(lam0, ys.head)
+      var v1 = cost(3.0 * lam0, ys.head) + 2000000L
+      assert(rs.head.getLong(3) == v0 && rs.head.getLong(4) == v1)
+      rs.tail.foreach { r =>
+        val y = r.getLong(2)
+        val n0 = cost(lam0, y) + math.min(v0, v1 + 2000000L)
+        val n1 = cost(3.0 * lam0, y) + math.min(v1, v0 + 2000000L)
+        v0 = n0; v1 = n1
+        assert(r.getLong(3) == v0 && r.getLong(4) == v1)
+        assert(r.getBoolean(5) == (v1 < v0))
+      }
+    }
+    // at sf0.001 (~0.3 events/hour/type) the burst state never pays the
+    // 2-nat entry penalty — correct, not vacuous; the denser sf0.01
+    // series must show BOTH states so the flag is exercised end-to-end
+    val dense = SparkEntry.queries("evt_burst_filter")(
+        spark, "/root/testdata/sf0.01")
+      .select(col("burst")).distinct().collect().map(_.getBoolean(0)).toSet
+    assert(dense == Set(true, false),
+      "sf0.01 fixture should show both burst and base hours")
+  }
+
+  test("ml_mcnemar: discordant counts bound and floor-ppm statistic") {
+    val r = SparkEntry.queries("ml_mcnemar")(spark, sf).collect()(0)
+    val (n, b, c, stat) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(b >= 0 && c >= 0 && b + c <= n)
+    if (b + c > 0)
+      assert(stat == math.floor(
+        1e6 * (b - c).toDouble * (b - c) / (b + c) + 0.5).toLong)
+    else assert(stat == 0L)
+  }
+
   test("evt_holt: integer recurrence matches an in-test replay") {
     val rows = SparkEntry.queries("evt_holt")(spark, sf)
       .orderBy(col("event_type"), col("hr")).collect()
