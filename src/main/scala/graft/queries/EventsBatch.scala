@@ -259,6 +259,35 @@ object EventsBatch {
         .select(col("event_id"), col("user_id"), col("ts"), col("next_click_ts"))
     }),
 
+    // NEAREST as-of (either direction): for each purchase, the click of
+    // the same user minimizing |Δt|, ties → the earlier (backward)
+    // click. Completes the as-of family (backward / forward / nearest —
+    // the pandas merge_asof direction='nearest' contract). One sorted
+    // window pass computes BOTH candidates (last-before via a trailing
+    // RANGE frame, first-after via a leading one) and the pick is a
+    // CASE on exact microsecond deltas — still O(n) per user partition,
+    // no range join. Twin: two chained DuckDB ASOF joins + the same
+    // epoch-microsecond CASE.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(1, Window.unboundedFollowing)
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      ev.withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(wPrev))
+        .withColumn("next_ts", first(clickTs, ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("prev_ts").isNull, col("next_ts"))
+            .when(col("next_ts").isNull, col("prev_ts"))
+            .when(col("us") - unix_micros(col("prev_ts")) <=
+                  unix_micros(col("next_ts")) - col("us"), col("prev_ts"))
+            .otherwise(col("next_ts")).as("nearest_click_ts"))
+    }),
+
     // the NATIVE as-of operator (graft.plans.AsOfJoin — logical node +
     // strategy + sort-merge exec via SparkSessionExtensions), same
     // semantics and same DuckDB ASOF oracle as the composed join_asof
@@ -1423,6 +1452,23 @@ object EventsBatch {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts > p.ts""",
+
+    "join_asof_nearest" -> """
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE
+               WHEN b.ts IS NULL THEN f.ts
+               WHEN f.ts IS NULL THEN b.ts
+               WHEN epoch_us(p.ts) - epoch_us(b.ts)
+                    <= epoch_us(f.ts) - epoch_us(p.ts) THEN b.ts
+               ELSE f.ts
+             END AS nearest_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id AS bu, ts
+                      FROM events WHERE event_type = 'click') b
+        ON p.user_id = b.bu AND b.ts < p.ts
+      ASOF LEFT JOIN (SELECT user_id AS fu, ts
+                      FROM events WHERE event_type = 'click') f
+        ON p.user_id = f.fu AND f.ts > p.ts""",
 
     "join_asof" -> """
       SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts

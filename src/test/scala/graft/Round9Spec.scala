@@ -423,6 +423,27 @@ class Round9Spec extends AnyFunSuite {
       "sf0.01 fixture should show both burst and base hours")
   }
 
+  test("join_asof_nearest: picks the closer of the backward/forward hits") {
+    def m(q: String, c: Int) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(2), Option(r.getTimestamp(c))))
+      .toMap
+    val back = m("join_asof", 3)
+    val fwd = m("join_asof_forward", 3)
+    val near = m("join_asof_nearest", 3)
+    assert(near.keySet == back.keySet && near.keySet == fwd.keySet)
+    near.foreach { case (eid, (pts, got)) =>
+      val expected = (back(eid)._2, fwd(eid)._2) match {
+        case (None, n) => n
+        case (p, None) => p
+        case (Some(p), Some(n)) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          if (us(pts) - us(p) <= us(n) - us(pts)) Some(p) else Some(n)
+      }
+      assert(got == expected, s"event $eid nearest pick")
+    }
+  }
+
   test("ml_mcnemar: discordant counts bound and floor-ppm statistic") {
     val r = SparkEntry.queries("ml_mcnemar")(spark, sf).collect()(0)
     val (n, b, c, stat) =
