@@ -371,6 +371,42 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // 3-truss (Cohen 2008): iteratively peel edges supported by fewer
+    // than one triangle until fixpoint — the edge-level cohesion
+    // companion of graph_kcore (a node survives k-core by degree; an
+    // edge survives k-truss by shared neighbors). Per round: ONE
+    // wedge self-join of the surviving symmetric edge list grouped per
+    // (a, b) + one filtering left join — all integer counts, |E|-bounded
+    // state, 4 rounds reach fixpoint here (spec re-peels in-test). The
+    // twin unrolls the identical rounds. At scale the wedge join is the
+    // standard triangle-enumeration shuffle (keyed on the shared
+    // neighbor), same cost shape as graph_triangles.
+    "graph_ktruss" -> ((s, d) => {
+      var e = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+                greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+        .withColumn("sup", lit(0L))
+        .localCheckpoint(eager = false)
+      for (i <- 1 to 4) {
+        val sym = e.select(col("a").as("u"), col("b").as("v"))
+          .union(e.select(col("b").as("u"), col("a").as("v")))
+        val x = sym.toDF(s"xu$i", s"xv$i")
+        val y = sym.toDF(s"yu$i", s"yv$i")
+        val wedges = x.join(y,
+            col(s"xv$i") === col(s"yv$i") && col(s"xu$i") < col(s"yu$i"))
+          .groupBy(col(s"xu$i").as("wa"), col(s"yu$i").as("wb"))
+          .agg(count(lit(1)).as("wsup"))
+        e = e.join(wedges,
+            col("a") === col("wa") && col("b") === col("wb"), "left")
+          .select(col("a"), col("b"),
+            coalesce(col("wsup"), lit(0L)).as("sup"))
+          .filter(col("sup") >= 1)
+          .localCheckpoint(eager = false)
+      }
+      e.orderBy(col("a"), col("b"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       val nation = t(s, d, "nation")
       val und = sparseEdges(s, d)
@@ -752,11 +788,36 @@ object Graph {
       |ORDER BY n.n_name""".stripMargin
   }
 
+  /** 3-truss twin: 4 unrolled peel rounds, identical wedge counting. */
+  private val ktrussTwin: String = {
+    val rounds = (1 to 4).map { i =>
+      s""",
+      |  sym$i AS (SELECT a AS u, b AS v FROM e${i - 1}
+      |            UNION ALL SELECT b, a FROM e${i - 1}),
+      |  w$i AS (
+      |    SELECT x.u AS wa, y.u AS wb, CAST(count(*) AS BIGINT) AS wsup
+      |    FROM sym$i x JOIN sym$i y ON x.v = y.v AND x.u < y.u
+      |    GROUP BY 1, 2),
+      |  e$i AS (
+      |    SELECT e.a, e.b, coalesce(w.wsup, 0) AS sup
+      |    FROM e${i - 1} e LEFT JOIN w$i w ON w.wa = e.a AND w.wb = e.b
+      |    WHERE coalesce(w.wsup, 0) >= 1)""".stripMargin
+    }.mkString
+    s"""WITH $sparseCte,
+      |  e0 AS (
+      |    SELECT DISTINCT CAST(least(src, dst) AS BIGINT) AS a,
+      |           CAST(greatest(src, dst) AS BIGINT) AS b
+      |    FROM sparse)$rounds
+      |SELECT a, b, CAST(sup AS BIGINT) AS sup FROM e4
+      |ORDER BY a, b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTwin,
     "graph_label_prop" -> labelPropTwin,
     "graph_kcore" -> kcoreTwin,
     "graph_betweenness" -> betweennessTwin,
+    "graph_ktruss" -> ktrussTwin,
 
     // bounded recursive BFS: UNION ALL paths capped at 4 hops, min-hop
     // folded outside the recursion (path count stays ≤ 3^4 per source

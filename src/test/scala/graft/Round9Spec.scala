@@ -230,6 +230,51 @@ class Round9Spec extends AnyFunSuite {
       }
   }
 
+  test("graph_ktruss: peel replay reaches the same fixpoint") {
+    val got = SparkEntry.queries("graph_ktruss")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reconstruct the sparse undirected edge set (as in the kcore test)
+    val s = spark; val d = sf
+    val li = graft.core.Tables.t(s, d, "lineitem")
+    val o = graft.core.Tables.t(s, d, "orders")
+    val c = graft.core.Tables.t(s, d, "customer")
+    val su = graft.core.Tables.t(s, d, "supplier")
+    val trade = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      .agg(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("w"))
+    var edges = trade.filter(col("src") =!= col("dst"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= 3)
+      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)))).toSet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val nbr = es.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      es.map(e => e ->
+        (nbr(e._1) & nbr(e._2)).size.toLong).toMap
+    }
+    // peel to fixpoint (the engine runs 4 rounds; assert that suffices)
+    var rounds = 0
+    var changed = true
+    var sup = support(edges)
+    while (changed) {
+      val keep = edges.filter(e => sup(e) >= 1)
+      changed = keep != edges
+      edges = keep
+      sup = support(edges)
+      rounds += 1
+      assert(rounds <= 10)
+    }
+    assert(rounds <= 4, s"peel needed $rounds rounds; engine runs 4")
+    assert(got.keySet == edges, "3-truss edge set")
+    edges.foreach(e => assert(got(e) == sup(e), s"support of $e"))
+  }
+
   test("llm_oov_rate: exact complement of in-vocab counts") {
     val oov = SparkEntry.queries("llm_oov_rate")(spark, sf).collect()
     assert(oov.length == 500)
