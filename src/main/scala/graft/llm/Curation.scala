@@ -136,6 +136,37 @@ object Curation {
             .as("weight"),
           round(lit(1000000.0) * sqrt(col("n_tokens").cast("double")) /
             col("tot_w") / col("n_tokens").cast("double"), 6).as("epochs"))
+    }),
+
+    // leave-one-source-out data valuation: how much does the corpus
+    // quality mean move if source i is removed? The Shapley-style
+    // first-order readout a curation pipeline uses to rank sources for
+    // up/down-sampling — and it needs NO per-source re-scan: with
+    // per-doc scores quantized floor-ppm BEFORE summation, the LOO mean
+    // is exactly (S − sᵢ)/(N − nᵢ) from ONE grouped aggregate plus the
+    // 1-row corpus total (the scalar-broadcast pattern). delta > 0 ⟺
+    // removing the source RAISES corpus quality (the source drags).
+    "llm_loo_source_value" -> ((s, d) => {
+      val scored = spread(t(s, d, "documents"))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"),
+          floor(lit(1e6) * size(array_distinct(col("toks")))
+            / size(col("toks")) + lit(0.5)).cast("long").as("q_ppm"))
+      val per = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("q_ppm")).as("s_ppm"))
+      val tot = per.agg(sum(col("n_docs")).as("nn"),
+        sum(col("s_ppm")).as("ss"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          floor(col("s_ppm") / col("n_docs") + lit(0.5)).cast("long")
+            .as("mean_ppm"),
+          floor((col("ss") - col("s_ppm"))
+            / (col("nn") - col("n_docs")) + lit(0.5)).cast("long")
+            .as("loo_mean_ppm"),
+          (floor((col("ss") - col("s_ppm"))
+             / (col("nn") - col("n_docs")) + lit(0.5)).cast("long")
+           - floor(col("ss") / col("nn") + lit(0.5)).cast("long"))
+            .as("delta_ppm"))
     }))
 
   val sql: Map[String, String] = Map(
@@ -204,6 +235,28 @@ object Curation {
                  t -> list_contains(['slow', 'merge', 'stream'], t)))
                AS DOUBLE) / CAST(len(ts) AS DOUBLE) < 0.05 AS keep
       FROM toks""",
+
+    "llm_loo_source_value" -> """
+      WITH scored AS (
+        SELECT source,
+               CAST(floor(1e6 * len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS q_ppm
+        FROM documents
+      ), per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q_ppm) AS BIGINT) AS s_ppm
+        FROM scored GROUP BY source
+      ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+               CAST(sum(s_ppm) AS BIGINT) AS ss FROM per
+      )
+      SELECT source, n_docs,
+             CAST(floor(s_ppm / n_docs + 0.5) AS BIGINT) AS mean_ppm,
+             CAST(floor((ss - s_ppm) / (nn - n_docs) + 0.5) AS BIGINT)
+               AS loo_mean_ppm,
+             CAST(floor((ss - s_ppm) / (nn - n_docs) + 0.5) AS BIGINT)
+             - CAST(floor(ss / nn + 0.5) AS BIGINT) AS delta_ppm
+      FROM per, tot""",
 
     "llm_mixture_weights" -> """
       WITH per AS (

@@ -500,6 +500,38 @@ class Round9Spec extends AnyFunSuite {
     else assert(stat == 0L)
   }
 
+  test("llm_loo_source_value: LOO identity replays from per-doc scores") {
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val q = docs.map { case (src, text) =>
+      val toks = text.split(" ", -1)
+      src -> math.floor(
+        1e6 * toks.distinct.length / toks.length + 0.5).toLong
+    }
+    val per = q.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val nn = per.values.map(_._1).sum
+    val ss = per.values.map(_._2).sum
+    val got = SparkEntry.queries("llm_loo_source_value")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == per.keySet)
+    per.foreach { case (src, (n, sPpm)) =>
+      val (gn, mean, loo, delta) = got(src)
+      assert(gn == n)
+      assert(mean == math.floor(sPpm.toDouble / n + 0.5).toLong)
+      assert(loo == math.floor(
+        (ss - sPpm).toDouble / (nn - n) + 0.5).toLong)
+      assert(delta == loo - math.floor(ss.toDouble / nn + 0.5).toLong)
+    }
+    // deltas must have both signs: some source drags, some lifts
+    val deltas = got.values.map(_._4)
+    assert(deltas.exists(_ > 0) || deltas.exists(_ < 0))
+  }
+
   test("evt_holt: integer recurrence matches an in-test replay") {
     val rows = SparkEntry.queries("evt_holt")(spark, sf)
       .orderBy(col("event_type"), col("hr")).collect()
