@@ -123,6 +123,36 @@ object Multimodal {
             256).as("chunk_sha"))
     }),
 
+    // audio-frame energy: interpret each payload as little-endian int16
+    // PCM (the universal raw-audio contract), window into 1024-sample
+    // frames, and emit per-window sample counts + EXACT integer
+    // sum-of-squares energy plus a floor-ppm RMS (one sqrt on an
+    // identical integer ratio — never summed). Samples decode off the
+    // shared UPPERCASE-HEX rendering (the mm_frame_sample surface):
+    // 4 hex chars ≡ 1 sample, big-endian hex pair order swapped to
+    // little-endian before sign correction. The explode is the
+    // row-per-sample fan-out a real audio featurizer consumes; at scale
+    // it is one narrow map stage + a (file, window)-keyed aggregate.
+    "mm_audio_rms" -> ((s, _) => {
+      val a = s.read.format("binaryFile").load(fixtureDir).select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        hex(col("content")).as("hx"),
+        (length(col("content")).cast(LongType) / 2).cast(LongType)
+          .as("n_samples"))
+      a.withColumn("i", explode(expr("sequence(0L, n_samples - 1)")))
+        .withColumn("v", expr(
+          "CAST(conv(substring(hx, CAST(i * 4 + 1 AS INT), 4), 16, 10) AS BIGINT)"))
+        .withColumn("u", (col("v") % 256) * 256 + expr("v div 256"))
+        .withColumn("smp",
+          when(col("u") >= 32768L, col("u") - 65536L).otherwise(col("u")))
+        .groupBy(col("file_name"), expr("i div 1024").as("win"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("smp") * col("smp")).as("energy"))
+        .withColumn("rms_ppm",
+          floor(lit(1e6) * sqrt(col("energy") / col("n")) + lit(0.5))
+            .cast("long"))
+    }),
+
     // patch-grid plumbing: image dims come from the decode stub
     // (deterministic arithmetic on byte length — a real decoder would
     // fill meta.width/height), then each asset explodes into its 32×32
@@ -165,6 +195,37 @@ object Multimodal {
              sha256(substr(hx, CAST(frame_idx * 512 + 1 AS BIGINT), 512))
                AS chunk_sha
       FROM idx WHERE frame_idx % 4 = 0""",
+
+    "mm_audio_rms" -> """
+      WITH a AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               hex(content) AS hx,
+               CAST(octet_length(content) // 2 AS BIGINT) AS n_samples
+        FROM read_blob('/root/repo/fixtures/multimodal/*')
+      ), smp AS (
+        SELECT file_name,
+               CAST(unnest(range(0, n_samples)) AS BIGINT) AS i, hx
+        FROM a
+      ), dec AS (
+        SELECT file_name, i,
+               CAST(('0x' || substr(hx, CAST(i * 4 + 1 AS BIGINT), 4))
+                 AS BIGINT) AS v
+        FROM smp
+      ), sgn AS (
+        SELECT file_name, i,
+               CASE WHEN (v % 256) * 256 + (v // 256) >= 32768
+                    THEN (v % 256) * 256 + (v // 256) - 65536
+                    ELSE (v % 256) * 256 + (v // 256) END AS smp
+        FROM dec
+      ), agg AS (
+        SELECT file_name, CAST(i // 1024 AS BIGINT) AS win,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(smp * smp) AS BIGINT) AS energy
+        FROM sgn GROUP BY 1, 2
+      )
+      SELECT file_name, win, n, energy,
+             CAST(floor(1e6 * sqrt(energy / n) + 0.5) AS BIGINT) AS rms_ppm
+      FROM agg""",
 
     "mm_patch_grid" -> """
       WITH a AS (

@@ -489,6 +489,35 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_rms: matches a direct byte-level PCM replay") {
+    val got = SparkEntry.queries("mm_audio_rms")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val files = new java.io.File("/root/repo/fixtures/multimodal").listFiles
+    assert(files.nonEmpty)
+    var checked = 0
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val n = bytes.length / 2
+      for (w <- 0 to (n - 1) / 1024) {
+        val idx = (w * 1024) until math.min(n, (w + 1) * 1024)
+        val sq = idx.map { i =>
+          val b0 = bytes(2 * i) & 0xff
+          val b1 = bytes(2 * i + 1) & 0xff
+          val u = b1 * 256 + b0 // little-endian int16
+          val sv = if (u >= 32768) u - 65536 else u
+          sv.toLong * sv
+        }.sum
+        val rms = math.floor(
+          1e6 * math.sqrt(sq.toDouble / idx.size) + 0.5).toLong
+        assert(got((f.getName, w.toLong)) ==
+          ((idx.size.toLong, sq, rms)), s"${f.getName} window $w")
+        checked += 1
+      }
+    }
+    assert(checked == got.size)
+  }
+
   test("ml_mcnemar: discordant counts bound and floor-ppm statistic") {
     val r = SparkEntry.queries("ml_mcnemar")(spark, sf).collect()(0)
     val (n, b, c, stat) =
