@@ -932,9 +932,9 @@ object MlTrain {
         |              sum(CASE WHEN actual = pred THEN 1 ELSE 0 END) AS tp
         |       FROM pred GROUP BY actual),
         |bp AS (SELECT pred AS cls, count(*) AS n_pred FROM pred GROUP BY pred),
-        |m AS (SELECT cl.cls, coalesce(ba.tp, 0) AS tp,
-        |             coalesce(ba.n_act, 0) AS n_act,
-        |             coalesce(bp.n_pred, 0) AS n_pred
+        |m AS (SELECT cl.cls, CAST(coalesce(ba.tp, 0) AS BIGINT) AS tp,
+        |             CAST(coalesce(ba.n_act, 0) AS BIGINT) AS n_act,
+        |             CAST(coalesce(bp.n_pred, 0) AS BIGINT) AS n_pred
         |      FROM cl LEFT JOIN ba ON ba.cls = cl.cls
         |              LEFT JOIN bp ON bp.cls = cl.cls)
         |SELECT ${sel(confusionSel)} FROM m""".stripMargin,
