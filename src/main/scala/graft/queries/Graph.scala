@@ -212,6 +212,63 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // personalized PageRank from nation 0 (the recsys/who-is-close-to-X
+    // primitive): same power iteration as graph_pagerank but ALL
+    // teleport mass returns to the seed — so rank concentrates around
+    // the seed's trade neighborhood instead of spreading globally.
+    // NUMERICS: the textrank discipline — rank mass is ppb BIGINT, each
+    // edge contribution is floored BEFORE the neighbor sum (an
+    // order-independent integer aggregate), and the only FP ops are
+    // per-edge single mul/divs on identical operands. 5 rounds,
+    // unrolled-CTE twin. Same |V|-state / cached-edge-aggregate scale
+    // shape as the rest of the family.
+    "graph_ppr" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      // EXACT-INTEGER edge weights (unlike graph_pagerank's round-6
+      // double output, the ppb floor grid here cannot tolerate ulp
+      // drift in wn — so the weight is the exact cents×basis-point
+      // revenue sum, and wn a BIGINT/BIGINT division both engines
+      // compute identically; headroom: per-row ≤1e9, long-safe to ~9e9
+      // rows per edge cell)
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val cu = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(cu, o("o_custkey") === cu("c_custkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(cu("c_nationkey").cast("long").as("src"),
+          su("s_nationkey").cast("long").as("dst"))
+        .agg(sum(round(li("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(li("l_discount") * 100).cast("long")))
+          .as("wc"))
+      val outw = edges.groupBy(col("src").as("osrc"))
+        .agg(sum(col("wc")).as("outwc"))
+      val en = edges.join(outw, col("src") === col("osrc"))
+        .select(col("src"), col("dst"),
+          (col("wc").cast("double") / col("outwc").cast("double"))
+            .as("wn"))
+        .localCheckpoint(eager = false)
+      val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+      var pr = nodes.select(col("node"),
+        when(col("node") === 0L, lit(1000000000L)).otherwise(lit(0L))
+          .as("pr"))
+      for (i <- 1 to 5) {
+        val contrib = en.join(pr, en("src") === pr("node"))
+          .groupBy(en("dst"))
+          .agg(sum(floor(col("pr").cast("double") * col("wn") + lit(0.5))
+            .cast("long")).as("c"))
+        pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"),
+            (when(col("node") === 0L, lit(150000000L)).otherwise(lit(0L)) +
+              floor(lit(0.85) * coalesce(col("c"), lit(0L)).cast("double")
+                + lit(0.5)).cast("long")).as("pr"))
+        if (i % 3 == 0 && i < 5) pr = pr.localCheckpoint()
+      }
+      pr.join(broadcast(nation),
+          col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("node"), col("pr").as("ppr_ppb"))
+        .orderBy(col("n_name"))
+    }),
+
     // label-propagation communities (synchronous, deterministic): start
     // every node at its own id; each round, every node adopts the MODE
     // of its neighbors' labels (ties → smallest label), 3 rounds. The
@@ -712,6 +769,49 @@ object Graph {
       |ORDER BY na.n_name""".stripMargin
   }
 
+  /** PPR twin: 5 unrolled seed-teleport rounds, integer-ppb mass with
+    * per-edge floor quantization before the BIGINT neighbor sum (the
+    * textrank-twin numerics). */
+  private val pprTwin: String = {
+    val iters = (1 to 5).map { i =>
+      s""",
+      |  pr$i AS (
+      |    SELECT nd.node,
+      |           CASE WHEN nd.node = 0 THEN 150000000 ELSE 0 END
+      |           + CAST(floor(0.85 * coalesce(c.c, 0) + 0.5) AS BIGINT)
+      |             AS pr
+      |    FROM nodes nd LEFT JOIN (
+      |      SELECT e.dst, CAST(sum(CAST(floor(p.pr * e.wn + 0.5)
+      |             AS BIGINT)) AS BIGINT) AS c
+      |      FROM en e JOIN pr${i - 1} p ON p.node = e.src
+      |      GROUP BY e.dst) c ON c.dst = nd.node)""".stripMargin
+    }.mkString
+    s"""WITH ec AS (
+      |    SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+      |           CAST(s.s_nationkey AS BIGINT) AS dst,
+      |           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+      |                    (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+      |                AS BIGINT) AS wc
+      |    FROM lineitem l
+      |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    JOIN customer c ON o.o_custkey = c.c_custkey
+      |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |    GROUP BY 1, 2),
+      |  ow AS (SELECT src AS osrc, CAST(sum(wc) AS BIGINT) AS outwc
+      |         FROM ec GROUP BY 1),
+      |  en AS (SELECT ec.src, ec.dst,
+      |                CAST(ec.wc AS DOUBLE) / CAST(ow.outwc AS DOUBLE) AS wn
+      |         FROM ec JOIN ow ON ow.osrc = ec.src),
+      |  nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+      |  pr0 AS (SELECT node,
+      |                 CAST(CASE WHEN node = 0 THEN 1000000000 ELSE 0 END
+      |                      AS BIGINT) AS pr
+      |          FROM nodes)$iters
+      |SELECT n.n_name, p.node, p.pr AS ppr_ppb
+      |FROM pr5 p JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = p.node
+      |ORDER BY n.n_name""".stripMargin
+  }
+
   /** k-core twin: 6 unrolled h-index refinement rounds, all-BIGINT. */
   private val kcoreTwin: String = {
     val rounds = (1 to 6).map { i =>
@@ -818,6 +918,7 @@ object Graph {
     "graph_kcore" -> kcoreTwin,
     "graph_betweenness" -> betweennessTwin,
     "graph_ktruss" -> ktrussTwin,
+    "graph_ppr" -> pprTwin,
 
     // bounded recursive BFS: UNION ALL paths capped at 4 hops, min-hop
     // folded outside the recursion (path count stays ≤ 3^4 per source

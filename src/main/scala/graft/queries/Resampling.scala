@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.t
@@ -138,6 +138,45 @@ object Resampling {
         .limit(50)
     }),
 
+    // Neyman allocation for stratified sampling: split a fixed budget
+    // B = 1000 across the returnflag strata proportional to Nᵢ·σᵢ (the
+    // variance-minimizing design). The ONLY FP steps are the per-stratum
+    // variance from exact decimal(38) moment sums (the welch pattern)
+    // and one sqrt — σ is then floored to whole cents, so the weights
+    // Nᵢ·σ_c, the floor-division base allocations, AND the
+    // largest-remainder rounding that hands out the leftover seats are
+    // all exact-BIGINT arithmetic (remainder = B·wᵢ mod Σw — never a
+    // float comparison). Windows run over the ≤|strata| table (3 rows),
+    // never the data; the data-sized work is one moment aggregate.
+    "agg_neyman_alloc" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(19,0)")
+      val v = round(col("l_extendedprice") * 100).cast("bigint")
+      val per = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"), v.as("x"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum(dec(col("x"))).cast("double").as("sx"),
+          sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"))
+        .withColumn("sigma_c",
+          floor(sqrt((col("n_pop") * col("sxx") - col("sx") * col("sx"))
+            / (col("n_pop") * col("n_pop")).cast("double")) + lit(0.5))
+            .cast("long"))
+        .withColumn("wq", col("n_pop") * col("sigma_c"))
+      val wAll = Window.orderBy(col("grp"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("wsum", sum(col("wq")).over(wAll))
+        .withColumn("base", expr("(1000 * wq) div wsum"))
+        .withColumn("rem", lit(1000L) * col("wq") - col("base") * col("wsum"))
+        .withColumn("leftover",
+          lit(1000L) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("grp"))))
+        .select(col("grp"), col("n_pop"), col("sigma_c"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L)
+            .otherwise(0L)).as("alloc"))
+    }),
+
     // 16 deterministic Poisson-bootstrap replicates of total revenue
     // (cents): weight_r(row) = Poisson(1) inverse CDF at the portable
     // md5 uniform of (replicate, order, line). Exact bigints end-to-end.
@@ -249,6 +288,43 @@ object Resampling {
       FROM documents
       ORDER BY skey DESC, doc_id
       LIMIT 50""",
+
+    "agg_neyman_alloc" -> """
+      WITH per AS (
+        SELECT l_returnflag AS grp,
+               CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                    AS DOUBLE) AS sx,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round(l_extendedprice*100) AS BIGINT))
+                    AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY 1
+      ), sig AS (
+        SELECT grp, n_pop,
+               CAST(floor(sqrt((n_pop * sxx - sx * sx)
+                 / CAST(n_pop * n_pop AS DOUBLE)) + 0.5) AS BIGINT)
+                 AS sigma_c
+        FROM per
+      ), wq AS (
+        SELECT grp, n_pop, sigma_c,
+               CAST(n_pop * sigma_c AS BIGINT) AS wq,
+               CAST(sum(n_pop * sigma_c) OVER () AS BIGINT) AS wsum
+        FROM sig
+      ), base AS (
+        SELECT grp, n_pop, sigma_c, wq, wsum,
+               CAST((1000 * wq) // wsum AS BIGINT) AS base,
+               CAST(1000 * wq - ((1000 * wq) // wsum) * wsum AS BIGINT)
+                 AS rem
+        FROM wq
+      ), ranked AS (
+        SELECT *, CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover,
+               row_number() OVER (ORDER BY rem DESC, grp) AS rk
+        FROM base
+      )
+      SELECT grp, n_pop, sigma_c,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc
+      FROM ranked""",
 
     "agg_poisson_bootstrap" -> """
       WITH reps AS (

@@ -586,6 +586,38 @@ class Round9Spec extends AnyFunSuite {
     assert(trends.exists(_ > 0) && trends.exists(_ < 0))
   }
 
+  test("graph_ppr: seed holds the max rank, mass stays bounded") {
+    val rows = SparkEntry.queries("graph_ppr")(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows.size == 25)
+    rows.values.foreach(v => assert(v >= 0L))
+    // teleporting ALL restart mass to node 0 makes it the argmax, and
+    // personalization concentrates: seed rank far above the uniform share
+    val seed = rows(0L)
+    assert(seed == rows.values.max)
+    assert(seed > 1000000000L / 25)
+    // floor quantization only ever DROPS mass: total ≤ 1e9
+    assert(rows.values.sum <= 1000000000L)
+  }
+
+  test("agg_neyman_alloc: budget exact, largest-remainder replay") {
+    val got = SparkEntry.queries("agg_neyman_alloc")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.values.map(_._3).sum == 1000L, "allocations must spend B")
+    // replay the integer allocation from the emitted (n_pop, sigma_c)
+    val wq = got.map { case (g, (n, s9, _)) => g -> n * s9 }
+    val wsum = wq.values.sum
+    val base = wq.map { case (g, w) => g -> (1000L * w) / wsum }
+    val rem = wq.map { case (g, w) => g -> (1000L * w - base(g) * wsum) }
+    val leftover = 1000L - base.values.sum
+    val winners = rem.toSeq.sortBy { case (g, r) => (-r, g) }
+      .take(leftover.toInt).map(_._1).toSet
+    got.foreach { case (g, (_, _, alloc)) =>
+      assert(alloc == base(g) + (if (winners(g)) 1L else 0L), s"stratum $g")
+    }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
