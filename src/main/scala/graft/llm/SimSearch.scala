@@ -668,6 +668,52 @@ object SimSearch {
           floor(lit(1e6) * col("n_overlap") / 5 + 0.5).cast("long"))
     }),
 
+    // reciprocal-rank fusion of two retrieval rankings (the standard way
+    // a serving stack combines lexical + dense — or here, full-dim and
+    // Matryoshka-truncated dense — retrieval without score calibration):
+    // each list contributes floor-exact 1e9 div (60 + rank) for ranks
+    // ≤ 50 (the usual RRF k = 60 and a top-50 list cut), summed and
+    // re-ranked. The rankings reuse the llm_mrl_truncation machinery
+    // (one broadcast-query cosine pass, deterministic cid tiebreaks);
+    // past the rank windows EVERYTHING is integral division + BIGINT
+    // sums, so the fusion arithmetic is engine-exact by construction.
+    // Scale shape = llm_cosine_topk: queries broadcast, facts stream,
+    // only (qid, cid, sim) crosses the shuffle.
+    "llm_rrf_fusion" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      val joined = cands.join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("simf", expr("cosine_similarity(qvec, cvec)"))
+        .withColumn("simt",
+          expr("cosine_similarity(slice(qvec, 1, 16), slice(cvec, 1, 16))"))
+        .select(col("qid"), col("cid"), col("simf"), col("simt"))
+      val wf = Window.partitionBy(col("qid"))
+        .orderBy(col("simf").desc, col("cid"))
+      val wt = Window.partitionBy(col("qid"))
+        .orderBy(col("simt").desc, col("cid"))
+      val wr = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_x1e9").desc, col("cid"))
+      joined
+        .withColumn("rf", row_number().over(wf))
+        .withColumn("rt", row_number().over(wt))
+        .withColumn("rrf_x1e9",
+          when(col("rf") <= 50, expr("1000000000 div (60 + rf)"))
+            .otherwise(0L) +
+          when(col("rt") <= 50, expr("1000000000 div (60 + rt)"))
+            .otherwise(0L))
+        .withColumn("fused_rank", row_number().over(wr))
+        .filter(col("fused_rank") <= 5)
+        .select(col("qid"), col("cid"),
+          col("rf").cast("long").as("rank_full"),
+          col("rt").cast("long").as("rank_trunc"),
+          col("rrf_x1e9"),
+          col("fused_rank").cast("long").as("fused_rank"))
+    }),
+
     // per-vector L2 norm + min/max component (embedding hygiene audit: a
     // zero or exploding norm is a broken upstream encoder). One sequential
     // fold per row inside codegen — a narrow scan projection, no shuffle,
@@ -820,6 +866,48 @@ object SimSearch {
                                        THEN 1 ELSE 0 END) / 5 + 0.5)
                   AS BIGINT) AS overlap_ppm
       FROM ranked GROUP BY qid""",
+
+    // both source rankings replayed exactly as in the mrl twin; the
+    // fusion itself is pure integral arithmetic (1e9 // (60+rank))
+    "llm_rrf_fusion" -> """
+      WITH pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) AS dot,
+               sum(q.x * q.x) AS qq,
+               sum(c.x * c.x) AS cc,
+               sum(CASE WHEN q.i <= 16 THEN q.x * c.x ELSE 0 END) AS dott,
+               sum(CASE WHEN q.i <= 16 THEN q.x * q.x ELSE 0 END) AS qqt,
+               sum(CASE WHEN q.i <= 16 THEN c.x * c.x ELSE 0 END) AS cct
+        FROM pos q
+        JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY q.vec_id, c.vec_id
+      ), ranked AS (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot / sqrt(qq * cc) DESC, cid) AS rf,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dott / sqrt(qqt * cct) DESC, cid) AS rt
+        FROM dots
+      ), scored AS (
+        SELECT qid, cid, rf, rt,
+               CAST(CASE WHEN rf <= 50 THEN 1000000000 // (60 + rf)
+                         ELSE 0 END
+                  + CASE WHEN rt <= 50 THEN 1000000000 // (60 + rt)
+                         ELSE 0 END AS BIGINT) AS rrf_x1e9
+        FROM ranked
+      )
+      SELECT qid, cid, rank_full, rank_trunc, rrf_x1e9, fused_rank FROM (
+        SELECT qid, cid, CAST(rf AS BIGINT) AS rank_full,
+               CAST(rt AS BIGINT) AS rank_trunc, rrf_x1e9,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY rrf_x1e9 DESC, cid) AS BIGINT) AS fused_rank
+        FROM scored
+      ) WHERE fused_rank <= 5""",
 
     // same arithmetic, positional unnest join, all in double
     "llm_cosine_topk" -> """

@@ -269,6 +269,58 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // HITS hubs & authorities over the directed sparse trade graph
+    // (Kleinberg): auth(v) = Σ hub of in-neighbors, hub(v) = Σ auth of
+    // out-neighbors, renormalized each half-step. NUMERICS: ZERO floating
+    // point anywhere — the edges are unweighted, so each half-step is a
+    // BIGINT neighbor sum, and the renormalization is exact integral
+    // division on the ppb grid: v ← (1e9·raw) div Σraw, computed in
+    // decimal(38,0) ≡ HUGEINT (1e9 · 25e9 overflows a long). Both
+    // engines therefore produce bit-identical integers with no
+    // summation-order or libm exposure at all. 4 rounds, unrolled twin.
+    // Scale shape: the data-sized job is the cached trade-edge
+    // aggregate; every iteration state is |V| rows.
+    "graph_hits" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val sparse = sparseEdges(s, d)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(eager = false)
+      val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+      val wAll = Window.orderBy(col("node"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // renormalize a raw BIGINT mass vector back onto the ppb grid
+      def norm(raw: DataFrame, out: String): DataFrame = raw
+        .withColumn("ssum", sum(col("raw")).over(wAll))
+        .select(col("node"),
+          coalesce(
+            expr("CAST((CAST(raw AS DECIMAL(38,0)) * 1000000000) div ssum" +
+              " AS BIGINT)"), lit(0L)).as(out))
+      var hub = nodes.select(col("node"), lit(1000000000L).as("hub"))
+      var auth: DataFrame = nodes.select(col("node"), lit(0L).as("auth"))
+      for (i <- 1 to 4) {
+        val aRaw = nodes.join(
+            sparse.join(hub, sparse("src") === hub("node"))
+              .groupBy(sparse("dst")).agg(sum(col("hub")).as("v")),
+            nodes("node") === col("dst"), "left")
+          .select(nodes("node"), coalesce(col("v"), lit(0L)).as("raw"))
+        auth = norm(aRaw, "auth")
+        val hRaw = nodes.join(
+            sparse.join(auth, sparse("dst") === auth("node"))
+              .groupBy(sparse("src")).agg(sum(col("auth")).as("v")),
+            nodes("node") === col("src"), "left")
+          .select(nodes("node"), coalesce(col("v"), lit(0L)).as("raw"))
+        hub = norm(hRaw, "hub")
+        if (i == 2) { auth = auth.localCheckpoint(); hub = hub.localCheckpoint() }
+      }
+      hub.join(auth, Seq("node"))
+        .join(broadcast(nation),
+          col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("node"),
+          col("hub").as("hub_ppb"), col("auth").as("auth_ppb"))
+        .orderBy(col("n_name"))
+    }),
+
     // label-propagation communities (synchronous, deterministic): start
     // every node at its own id; each round, every node adopts the MODE
     // of its neighbors' labels (ties → smallest label), 3 rounds. The
@@ -812,6 +864,44 @@ object Graph {
       |ORDER BY n.n_name""".stripMargin
   }
 
+  /** HITS twin: 4 unrolled auth/hub half-step pairs, pure integer —
+    * BIGINT neighbor sums + HUGEINT ppb renormalization (≡ the engine's
+    * decimal(38,0) integral division). */
+  private val hitsTwin: String = {
+    val rounds = (1 to 4).map { i =>
+      s""",
+      |  a${i}r AS (
+      |    SELECT nd.node, coalesce(s.v, 0) AS raw,
+      |           sum(coalesce(s.v, 0)) OVER () AS ssum
+      |    FROM nodes nd LEFT JOIN (
+      |      SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS v
+      |      FROM sparse e JOIN h${i - 1} h ON h.node = e.src
+      |      GROUP BY 1) s ON s.node = nd.node),
+      |  a$i AS (
+      |    SELECT node, coalesce(CAST(CAST(1000000000 AS HUGEINT) * raw
+      |           // nullif(ssum, 0) AS BIGINT), 0) AS auth
+      |    FROM a${i}r),
+      |  h${i}r AS (
+      |    SELECT nd.node, coalesce(s.v, 0) AS raw,
+      |           sum(coalesce(s.v, 0)) OVER () AS ssum
+      |    FROM nodes nd LEFT JOIN (
+      |      SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS v
+      |      FROM sparse e JOIN a$i a ON a.node = e.dst
+      |      GROUP BY 1) s ON s.node = nd.node),
+      |  h$i AS (
+      |    SELECT node, coalesce(CAST(CAST(1000000000 AS HUGEINT) * raw
+      |           // nullif(ssum, 0) AS BIGINT), 0) AS hub
+      |    FROM h${i}r)""".stripMargin
+    }.mkString
+    s"""WITH $sparseCte,
+      |  nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+      |  h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hub FROM nodes)$rounds
+      |SELECT n.n_name, h.node, h.hub AS hub_ppb, a.auth AS auth_ppb
+      |FROM h4 h JOIN a4 a ON a.node = h.node
+      |JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = h.node
+      |ORDER BY n.n_name""".stripMargin
+  }
+
   /** k-core twin: 6 unrolled h-index refinement rounds, all-BIGINT. */
   private val kcoreTwin: String = {
     val rounds = (1 to 6).map { i =>
@@ -919,6 +1009,7 @@ object Graph {
     "graph_betweenness" -> betweennessTwin,
     "graph_ktruss" -> ktrussTwin,
     "graph_ppr" -> pprTwin,
+    "graph_hits" -> hitsTwin,
 
     // bounded recursive BFS: UNION ALL paths capped at 4 hops, min-hop
     // folded outside the recursion (path count stays ≤ 3^4 per source

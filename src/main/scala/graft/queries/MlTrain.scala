@@ -510,6 +510,41 @@ object MlTrain {
             .otherwise(lit(0L)).as("mcnemar_ppm"))
     }),
 
+    // Matthews correlation coefficient of the GD sigmoid classifier —
+    // the single-number confusion summary that stays honest under class
+    // imbalance (accuracy and F1 both saturate; MCC is the full 2×2
+    // correlation). All four cells are exact BIGINT counts from one
+    // aggregate over the cached gdFit frame; the numerator tp·tn − fp·fn
+    // is exact BIGINT (≤ ~4e11 at sf0.1, ~5 orders of headroom); the
+    // denominator is the ONLY FP: one product of four exact-integer-
+    // valued doubles + one sqrt, shared expression text with the twin
+    // (IEEE mul/sqrt are correctly rounded, hence engine-deterministic
+    // on identical operands), then a floor-ppm division.
+    "ml_mcc" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      raw.select(
+          when(sg >= 0.5, 1L).otherwise(0L).as("p"),
+          col("yy").cast("long").as("y"))
+        .agg(
+          sum(when(col("p") === 1L && col("y") === 1L, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("p") === 1L && col("y") === 0L, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("p") === 0L && col("y") === 1L, 1L).otherwise(0L))
+            .as("fn"),
+          sum(when(col("p") === 0L && col("y") === 0L, 1L).otherwise(0L))
+            .as("tn"))
+        .selectExpr("tp", "fp", "fn", "tn",
+          "CASE WHEN (tp+fp) > 0 AND (tp+fn) > 0 AND (tn+fp) > 0" +
+            " AND (tn+fn) > 0 THEN" +
+            " CAST(floor(1e6 * (tp*tn - fp*fn) /" +
+            " sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)" +
+            " * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE)) + 0.5)" +
+            " AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mcc_ppm")
+    }),
+
     // Precision-recall curve of the GD classifier over the calibration
     // score bins: predict-positive-at-bin-b ⇒ tp/pred are suffix sums of
     // the per-bin counts. The cumulative window runs over the BIN table
@@ -1058,6 +1093,33 @@ object MlTrain {
         |            THEN CAST(floor(1e6 * (b - c) * (b - c) / (b + c)
         |                   + 0.5) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS mcnemar_ppm
+        |FROM agg""".stripMargin,
+
+    "ml_mcc" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |cells AS (
+        |  SELECT CASE WHEN sg >= 0.5 THEN 1 ELSE 0 END AS p,
+        |         CAST(yy AS BIGINT) AS y
+        |  FROM sc),
+        |agg AS (
+        |  SELECT CAST(sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS tp,
+        |         CAST(sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS fp,
+        |         CAST(sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS fn,
+        |         CAST(sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS tn
+        |  FROM cells)
+        |SELECT tp, fp, fn, tn,
+        |       CASE WHEN (tp+fp) > 0 AND (tp+fn) > 0 AND (tn+fp) > 0
+        |            AND (tn+fn) > 0 THEN
+        |         CAST(floor(1e6 * (tp*tn - fp*fn) /
+        |           sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)
+        |           * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE)) + 0.5)
+        |           AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mcc_ppm
         |FROM agg""".stripMargin,
 
     "ml_brier" ->

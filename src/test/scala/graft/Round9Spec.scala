@@ -618,6 +618,59 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_hits: ppb normalization exact, mass conserved up to floor drops") {
+    val rows = SparkEntry.queries("graph_hits")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 25)
+    rows.foreach { case (_, h, a) =>
+      assert(h >= 0L && h <= 1000000000L)
+      assert(a >= 0L && a <= 1000000000L)
+    }
+    // Σ floor(1e9·raw/S) over n nodes lies in (1e9 − n, 1e9]: each node
+    // drops strictly less than one ppb unit to the integral division
+    val hubSum = rows.map(_._2).sum
+    val authSum = rows.map(_._3).sum
+    assert(hubSum > 1000000000L - 25 && hubSum <= 1000000000L)
+    assert(authSum > 1000000000L - 25 && authSum <= 1000000000L)
+  }
+
+  test("ml_mcc: cell counts consistent with mcnemar's n, ppm replay exact") {
+    val r = SparkEntry.queries("ml_mcc")(spark, sf).collect()(0)
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val mcc = r.getLong(4)
+    val n = SparkEntry.queries("ml_mcnemar")(spark, sf).collect()(0).getLong(0)
+    assert(tp + fp + fn + tn == n)
+    assert(mcc >= -1000000L && mcc <= 1000000L)
+    val denom = math.sqrt((tp + fp).toDouble * (tp + fn).toDouble *
+      (tn + fp).toDouble * (tn + fn).toDouble)
+    val expect =
+      if (denom == 0.0) 0L
+      else math.floor(1e6 * (tp * tn - fp * fn) / denom + 0.5).toLong
+    assert(mcc == expect)
+  }
+
+  test("llm_rrf_fusion: integral score replay, ranks dense per query") {
+    val rows = SparkEntry.queries("llm_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 20)
+    byQ.values.foreach { g =>
+      assert(g.map(_._6).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      // fused order is score-desc (cid tiebreak)
+      val sorted = g.sortBy(_._6)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 > b._5 || (a._5 == b._5 && a._2 < b._2))
+      }
+    }
+    rows.foreach { case (_, _, rf, rt, score, _) =>
+      val expect = (if (rf <= 50) 1000000000L / (60 + rf) else 0L) +
+        (if (rt <= 50) 1000000000L / (60 + rt) else 0L)
+      assert(score == expect)
+    }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
