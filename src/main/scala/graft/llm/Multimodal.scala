@@ -153,6 +153,38 @@ object Multimodal {
             .cast("long"))
     }),
 
+    // energy-gated activity segmentation (the VAD shape: which spans of
+    // the audio carry signal?) over the mm_audio_rms window table: a
+    // window is "active" iff its mean-square exceeds half the file's
+    // overall mean-square — an EXACT integer comparison via
+    // cross-multiplication (2·energy_w·N_file > E_file·n_w, computed in
+    // decimal(38,0) ≡ HUGEINT; never a ratio, never an sqrt) — and
+    // adjacent active windows merge into segments by gaps-and-islands
+    // (win − row_number over active windows). Output: one row per
+    // contiguous active segment with its exact total energy. Scale: the
+    // per-file totals and islands run over the WINDOW table (seconds of
+    // audio per row), not samples.
+    "mm_audio_vad" -> ((s, d) => {
+      val w = defs("mm_audio_rms")(s, d)
+        .select(col("file_name"), col("win"), col("n"), col("energy"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("file_name"))
+      val act = w
+        .withColumn("te", sum(col("energy")).over(wf))
+        .withColumn("tn", sum(col("n")).over(wf))
+        .filter(col("energy").cast("decimal(38,0)") * 2 * col("tn") >
+          col("te").cast("decimal(38,0)") * col("n"))
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("file_name")).orderBy(col("win"))
+      act
+        .withColumn("grp", col("win") - row_number().over(wo))
+        .groupBy(col("file_name"), col("grp"))
+        .agg(min(col("win")).as("seg_start"), max(col("win")).as("seg_end"),
+          count(lit(1)).as("n_windows"), sum(col("energy")).as("seg_energy"))
+        .select(col("file_name"), col("seg_start"), col("seg_end"),
+          col("n_windows"), col("seg_energy"))
+    }),
+
     // patch-grid plumbing: image dims come from the decode stub
     // (deterministic arithmetic on byte length — a real decoder would
     // fill meta.width/height), then each asset explodes into its 32×32
@@ -226,6 +258,52 @@ object Multimodal {
       SELECT file_name, win, n, energy,
              CAST(floor(1e6 * sqrt(energy / n) + 0.5) AS BIGINT) AS rms_ppm
       FROM agg""",
+
+    "mm_audio_vad" -> """
+      WITH a AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               hex(content) AS hx,
+               CAST(octet_length(content) // 2 AS BIGINT) AS n_samples
+        FROM read_blob('/root/repo/fixtures/multimodal/*')
+      ), smp AS (
+        SELECT file_name,
+               CAST(unnest(range(0, n_samples)) AS BIGINT) AS i, hx
+        FROM a
+      ), dec AS (
+        SELECT file_name, i,
+               CAST(('0x' || substr(hx, CAST(i * 4 + 1 AS BIGINT), 4))
+                 AS BIGINT) AS v
+        FROM smp
+      ), sgn AS (
+        SELECT file_name, i,
+               CASE WHEN (v % 256) * 256 + (v // 256) >= 32768
+                    THEN (v % 256) * 256 + (v // 256) - 65536
+                    ELSE (v % 256) * 256 + (v // 256) END AS smp
+        FROM dec
+      ), agg AS (
+        SELECT file_name, CAST(i // 1024 AS BIGINT) AS win,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(smp * smp) AS BIGINT) AS energy
+        FROM sgn GROUP BY 1, 2
+      ), act AS (
+        SELECT file_name, win, n, energy
+        FROM (SELECT *, CAST(sum(energy) OVER (PARTITION BY file_name)
+                          AS HUGEINT) AS te,
+                     CAST(sum(n) OVER (PARTITION BY file_name)
+                          AS HUGEINT) AS tn
+              FROM agg)
+        WHERE CAST(energy AS HUGEINT) * 2 * tn > te * CAST(n AS HUGEINT)
+      ), isl AS (
+        SELECT file_name, win, energy,
+               win - row_number() OVER (PARTITION BY file_name
+                                        ORDER BY win) AS grp
+        FROM act
+      )
+      SELECT file_name, CAST(min(win) AS BIGINT) AS seg_start,
+             CAST(max(win) AS BIGINT) AS seg_end,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(energy) AS BIGINT) AS seg_energy
+      FROM isl GROUP BY file_name, grp""",
 
     "mm_patch_grid" -> """
       WITH a AS (

@@ -73,6 +73,39 @@ object Analytics {
             - (col("n_cust") + lit(1.0)) / col("n_cust"), 6).as("gini"))
     }),
 
+    // Lorenz curve deciles per nation (the table the Gini integrates):
+    // customers ranked by spend ascending, decile = ((rank−1)·10) div n
+    // (pure integral arithmetic — never ntile, whose remainder placement
+    // is engine-defined), then per-decile exact-cent sums and a
+    // cumulative floor-ppm share. The rank window reuses agg_gini's
+    // per-nation sort; the cumulative windows run over the ≤10-row
+    // per-nation decile table.
+    "agg_lorenz" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val crev = c.join(o, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"))
+      val w = Window.partitionBy(col("nationkey"))
+        .orderBy(col("rev_c"), col("c_custkey"))
+      val wn = Window.partitionBy(col("nationkey"))
+      val deciled = crev
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("decile", expr("((rn - 1) * 10) div n"))
+        .groupBy(col("nationkey"), col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("dec_cents"))
+      val wc = Window.partitionBy(col("nationkey")).orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deciled
+        .withColumn("cum_cents", sum(col("dec_cents")).over(wc))
+        .withColumn("tot_cents", sum(col("dec_cents")).over(wn))
+        .select(col("nationkey"), col("decile"), col("n_cust"),
+          col("dec_cents"), col("cum_cents"),
+          floor(lit(1e6) * col("cum_cents") / col("tot_cents") + 0.5)
+            .cast("long").as("cum_share_ppm"))
+    }),
+
     // Pairwise Pearson correlation matrix of the lineitem measures — six
     // pairs in ONE scan, one partial-aggregation pass (corr is a
     // single-pass moment aggregate; no per-pair rescan).
@@ -911,6 +944,37 @@ object Analytics {
              ROUND(2.0*SUM(i*rev_c)/(COUNT(*)*SUM(rev_c))
                    - (COUNT(*)+1.0)/COUNT(*), 6) AS gini
       FROM idx GROUP BY 1""",
+
+    "agg_lorenz" -> """
+      WITH crev AS (
+        SELECT c_nationkey AS nationkey, c_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS rev_c
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      rk AS (
+        SELECT nationkey, rev_c,
+               row_number() OVER (PARTITION BY nationkey
+                                  ORDER BY rev_c, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY nationkey) AS n
+        FROM crev),
+      dec AS (
+        SELECT nationkey, CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(rev_c) AS BIGINT) AS dec_cents
+        FROM rk GROUP BY 1, 2),
+      cum AS (
+        SELECT nationkey, decile, n_cust, dec_cents,
+               CAST(sum(dec_cents) OVER (PARTITION BY nationkey
+                 ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS cum_cents,
+               CAST(sum(dec_cents) OVER (PARTITION BY nationkey)
+                 AS BIGINT) AS tot_cents
+        FROM dec)
+      SELECT nationkey, decile, n_cust, dec_cents, cum_cents,
+             CAST(floor(1e6 * cum_cents / tot_cents + 0.5) AS BIGINT)
+               AS cum_share_ppm
+      FROM cum""",
 
     "agg_corr_matrix" -> """
       SELECT ROUND(corr(l_quantity, l_extendedprice), 5) AS c_qty_price,

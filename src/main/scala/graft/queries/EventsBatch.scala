@@ -738,6 +738,38 @@ object EventsBatch {
           col("n_events"), col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
     }),
 
+    // Hampel filter — the robust cousin of evt_anomaly: each event is
+    // scored against the MEDIAN and MAD of its ±3-row neighborhood per
+    // type (time order, event_id tiebreak), so a burst of outliers
+    // cannot drag the baseline the way a trailing mean/stddev can.
+    // NUMERICS: values quantized to exact cents; the window collapses
+    // to a sorted array and both median and MAD are exact ELEMENT
+    // SELECTIONS (lower median at rank (n+1) div 2 — never the
+    // FP-averaging even-count median), so the outlier flag
+    // |x − med| > 3·MAD is a pure BIGINT comparison on both engines.
+    // Scale: the window is a constant ±3 frame over (type, time) —
+    // one sort-merge window pass, arrays of ≤7 elements.
+    "evt_hampel" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 3)
+      t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          round(col("value") * 100).cast("bigint").as("vc"))
+        .withColumn("arr", sort_array(collect_list(col("vc")).over(w)))
+        .withColumn("n", size(col("arr")).cast("bigint"))
+        .withColumn("med", expr("element_at(arr, CAST((n + 1) div 2 AS INT))"))
+        .withColumn("mad", expr(
+          "element_at(array_sort(transform(arr, x -> abs(x - med)))," +
+            " CAST((n + 1) div 2 AS INT))"))
+        .select(col("event_id"), col("event_type"),
+          col("vc").as("v_cents"), col("med").as("med_cents"),
+          col("mad").as("mad_cents"),
+          (abs(col("vc") - col("med")) > lit(3L) * col("mad"))
+            .as("is_outlier"))
+    }),
+
     // sample-ratio-mismatch check — the #1 A/B-test validity screen
     // (run BEFORE reading evt_ab_test's z-stat: a biased assignment
     // invalidates any lift readout). Same user-level hash assignment as
@@ -1636,6 +1668,33 @@ object EventsBatch {
              abs((hourly_avg - base_mean) / base_sd) > 3.0 AS is_anomaly
       FROM scored
       WHERE base_sd IS NOT NULL AND base_sd > 0""",
+
+    "evt_hampel" -> """
+      WITH e AS (
+        SELECT event_id, ts, event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+      ), arrs AS (
+        SELECT event_id, event_type, vc,
+               list_sort(list(vc) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        FROM e
+      ), med AS (
+        SELECT event_id, event_type, vc, arr,
+               arr[CAST((len(arr) + 1) // 2 AS BIGINT)] AS med
+        FROM arrs
+      ), mad AS (
+        SELECT event_id, event_type, vc, med,
+               list_sort(list_transform(arr, x -> abs(x - med)))
+                 [CAST((len(arr) + 1) // 2 AS BIGINT)] AS mad
+        FROM med
+      )
+      SELECT event_id, event_type, vc AS v_cents,
+             CAST(med AS BIGINT) AS med_cents,
+             CAST(mad AS BIGINT) AS mad_cents,
+             abs(vc - med) > 3 * mad AS is_outlier
+      FROM mad""",
 
     "evt_ab_srm" -> """
       WITH arms AS (

@@ -671,6 +671,73 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("agg_lorenz: shares monotone to exactly 1e6, deciles partition customers") {
+    val rows = SparkEntry.queries("agg_lorenz")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val byDec = g.sortBy(_._2)
+      assert(byDec.map(_._2).forall(d => d >= 0L && d <= 9L))
+      // cumulative share strictly follows the per-decile sums and ends at 1e6
+      val shares = byDec.map(_._6)
+      assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+      assert(shares.last == 1000000L)
+      // cum_cents really is the running sum of dec_cents
+      assert(byDec.map(_._4).scanLeft(0L)(_ + _).tail.sameElements(
+        byDec.map(_._5)))
+    }
+  }
+
+  test("evt_hampel: median/MAD replay exact on one event type") {
+    val rows = SparkEntry.queries("evt_hampel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val typ = rows.head._2
+    // rebuild the per-type ordered series straight from the source table
+    val src = graft.core.Tables.t(spark, sf, "events")
+      .filter(col("event_type") === typ && col("value").isNotNull)
+      .select(col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(r => (r._2.getTime, r._1))
+    val vs = src.map(_._3)
+    val got = rows.filter(_._2 == typ).map(r => r._1 -> r).toMap
+    src.zipWithIndex.foreach { case ((id, _, vc), i) =>
+      val lo = math.max(0, i - 3); val hi = math.min(vs.length - 1, i + 3)
+      val arr = vs.slice(lo, hi + 1).sorted
+      val med = arr((arr.length + 1) / 2 - 1)
+      val mad = arr.map(x => math.abs(x - med)).sorted.apply(
+        (arr.length + 1) / 2 - 1)
+      val r = got(id)
+      assert(r._3 == vc && r._4 == med && r._5 == mad)
+      assert(r._6 == (math.abs(vc - med) > 3 * mad))
+    }
+  }
+
+  test("mm_audio_vad: segments replay from the rms window table") {
+    val wins = SparkEntry.queries("mm_audio_rms")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = SparkEntry.queries("mm_audio_vad")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val expect = wins.groupBy(_._1).flatMap { case (f, g) =>
+      val te = BigInt(g.map(_._4).sum); val tn = BigInt(g.map(_._3).sum)
+      val active = g.filter(w => BigInt(w._4) * 2 * tn > te * BigInt(w._3))
+        .sortBy(_._2)
+      // gaps-and-islands replay
+      active.foldLeft(List.empty[List[(String, Long, Long, Long)]]) {
+        case (acc, w) => acc match {
+          case head :: rest if head.head._2 + 1 == w._2 =>
+            ((f, w._2, w._3, w._4) :: head) :: rest
+          case _ => List((f, w._2, w._3, w._4)) :: acc
+        }
+      }.map { seg =>
+        (f, seg.last._2, seg.head._2, seg.size.toLong, seg.map(_._4).sum)
+      }
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
