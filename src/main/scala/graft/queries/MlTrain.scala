@@ -510,6 +510,83 @@ object MlTrain {
             .otherwise(lit(0L)).as("mcnemar_ppm"))
     }),
 
+    // Somers' D of the GD score (the credit-scoring "Gini of the model",
+    // identically 2·AUC − 1 under mid-rank tie handling — pinned against
+    // ml_auc in Round9Spec): concordant/discordant/tied pair counts from
+    // ONE pass over the per-score table using the scale-safe two-level
+    // prefix sums (never a global single-task window). All pair counts
+    // are exact BIGINTs — C = Σ n1_v·prev_n0, D = Σ n0_v·prev_n1,
+    // T = Σ n1_v·n0_v — and the statistic is one floor-ppm division.
+    "ml_somers_d" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val byv = raw
+        .select(((lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2"))
+          .as("v"), col("yy"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_v"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("n1_v"))
+      Partitioning.rankedCumSumMulti(byv,
+          Seq(col("n_v") -> "cum_n", col("n1_v") -> "cum_n1"),
+          Seq(col("v")), 32)
+        .select(col("n_v"), col("n1_v"),
+          (col("n_v") - col("n1_v")).as("n0_v"),
+          (col("cum_n1") - col("n1_v")).as("pn1"),
+          ((col("cum_n") - col("n_v")) - (col("cum_n1") - col("n1_v")))
+            .as("pn0"))
+        .agg(sum(col("n1_v")).as("n1"),
+          sum(col("n_v") - col("n1_v")).as("n0"),
+          sum(col("n1_v") * col("pn0")).as("conc"),
+          sum(col("n0_v") * col("pn1")).as("disc"),
+          sum(col("n1_v") * col("n0_v")).as("ties"))
+        .selectExpr("n1", "n0", "conc", "disc", "ties",
+          "CAST(floor(1e6 * CAST(conc - disc AS DOUBLE)" +
+            " / CAST(n1 * n0 AS DOUBLE) + 0.5) AS BIGINT) AS somers_ppm")
+    }),
+
+    // Isotonic calibration of the GD sigmoid via the EXACT minimax
+    // characterization of PAVA: f(k) = max_{i≤k} min_{j≥k} avg(y over
+    // bins i..j) — no sequential pool-merge loop, so the whole fit is
+    // three bounded relational steps over the ≤200-row score-bin table:
+    // (1) prefix sums → every block average A(i,j) is one division of
+    // exact counts (≤ 200·201/2 pairs); (2) a per-i suffix-min window
+    // gives min_{j≥k} A(i,·) at each grid point (i, k); (3) one groupBy
+    // max over i ≤ k (every grid row satisfies i ≤ k by construction).
+    // Double comparisons on single-division values are IEEE-deterministic;
+    // output quantized floor-ppm. Monotonicity + equality with a
+    // reference sequential PAVA are pinned in Round9Spec.
+    "ml_isotonic" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      val bins = raw.select(sg.as("sg"), col("yy"))
+        .withColumn("bin", least(floor(col("sg") * 200), lit(199L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("pos"))
+      val wc = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cums = bins
+        .withColumn("cn", sum(col("n")).over(wc))
+        .withColumn("cp", sum(col("pos")).over(wc))
+      val lo = cums.select(col("bin").as("i"),
+        (col("cn") - col("n")).as("cni"), (col("cp") - col("pos")).as("cpi"))
+      val hi = cums.select(col("bin").as("j"),
+        col("cn").as("cnj"), col("cp").as("cpj"))
+      val pairs = lo.join(hi, col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          ((col("cpj") - col("cpi")).cast("double")
+            / (col("cnj") - col("cni")).cast("double")).as("a"))
+      val wm = Window.partitionBy(col("i")).orderBy(col("j").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pairs.withColumn("sm", min(col("a")).over(wm))
+        .groupBy(col("j").as("bin")).agg(max(col("sm")).as("fit"))
+        .join(bins, Seq("bin"))
+        .select(col("bin"), col("n"), col("pos"),
+          floor(lit(1e6) * col("pos") / col("n") + 0.5).cast("long")
+            .as("raw_ppm"),
+          floor(lit(1e6) * col("fit") + 0.5).cast("long").as("iso_ppm"))
+    }),
+
     // Matthews correlation coefficient of the GD sigmoid classifier —
     // the single-number confusion summary that stays honest under class
     // imbalance (accuracy and F1 both saturate; MCC is the full 2×2
@@ -1094,6 +1171,59 @@ object MlTrain {
         |                   + 0.5) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS mcnemar_ppm
         |FROM agg""".stripMargin,
+
+    "ml_somers_d" ->
+      s"""WITH $logregCtes,
+        |zz AS (SELECT ((w0 + w1*x1) + w2*x2) AS v, yy FROM raw, s3),
+        |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_v,
+        |               CAST(sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS n1_v
+        |        FROM zz GROUP BY v),
+        |cum AS (SELECT *, CAST(sum(n_v) OVER (ORDER BY v) AS BIGINT)
+        |                    AS cum_n,
+        |               CAST(sum(n1_v) OVER (ORDER BY v) AS BIGINT)
+        |                    AS cum_n1
+        |        FROM byv),
+        |agg AS (
+        |  SELECT CAST(sum(n1_v) AS BIGINT) AS n1,
+        |         CAST(sum(n_v - n1_v) AS BIGINT) AS n0,
+        |         CAST(sum(n1_v * ((cum_n - n_v) - (cum_n1 - n1_v)))
+        |              AS BIGINT) AS conc,
+        |         CAST(sum((n_v - n1_v) * (cum_n1 - n1_v)) AS BIGINT)
+        |              AS disc,
+        |         CAST(sum(n1_v * (n_v - n1_v)) AS BIGINT) AS ties
+        |  FROM cum)
+        |SELECT n1, n0, conc, disc, ties,
+        |       CAST(floor(1e6 * CAST(conc - disc AS DOUBLE)
+        |         / CAST(n1 * n0 AS DOUBLE) + 0.5) AS BIGINT) AS somers_ppm
+        |FROM agg""".stripMargin,
+
+    "ml_isotonic" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |bins AS (SELECT least(CAST(floor(sg*200) AS BIGINT), 199) AS bin,
+        |                CAST(count(*) AS BIGINT) AS n,
+        |                CAST(sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END)
+        |                     AS BIGINT) AS pos
+        |         FROM sc GROUP BY 1),
+        |cums AS (SELECT bin, n, pos,
+        |                CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |                CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        |         FROM bins),
+        |pairs AS (SELECT lo.bin AS i, hi.bin AS j,
+        |                 CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+        |                   / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS a
+        |          FROM cums lo JOIN cums hi ON lo.bin <= hi.bin),
+        |sm AS (SELECT i, j, min(a) OVER (PARTITION BY i ORDER BY j DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS sm
+        |       FROM pairs),
+        |fit AS (SELECT j AS bin, max(sm) AS fit FROM sm GROUP BY 1)
+        |SELECT b.bin, b.n, b.pos,
+        |       CAST(floor(1e6 * b.pos / b.n + 0.5) AS BIGINT) AS raw_ppm,
+        |       CAST(floor(1e6 * f.fit + 0.5) AS BIGINT) AS iso_ppm
+        |FROM bins b JOIN fit f ON f.bin = b.bin""".stripMargin,
 
     "ml_mcc" ->
       s"""WITH $logregCtes,

@@ -738,6 +738,50 @@ class Round9Spec extends AnyFunSuite {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("ml_somers_d: pairs partition exactly, 2·AUC − 1 identity holds") {
+    val r = SparkEntry.queries("ml_somers_d")(spark, sf).collect()(0)
+    val (n1, n0, conc, disc, ties) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val somers = r.getLong(5)
+    // every (pos, neg) pair is concordant, discordant, or tied
+    assert(conc + disc + ties == n1 * n0)
+    assert(somers == math.floor(
+      1e6 * (conc - disc).toDouble / (n1 * n0).toDouble + 0.5).toLong)
+    // mid-rank AUC identity: D = 2·AUC − 1 (ml_auc rounds to 1e-6)
+    val auc = SparkEntry.queries("ml_auc")(spark, sf).collect()(0)
+      .getDouble(2)
+    assert(math.abs((2 * auc - 1) - somers / 1e6) <= 3e-6)
+  }
+
+  test("ml_isotonic: monotone and equal to a reference sequential PAVA") {
+    val rows = SparkEntry.queries("ml_isotonic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val fits = rows.map(_._5)
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b })
+    // sequential pool-adjacent-violators on the same (n, pos) bins;
+    // pool averages compared exactly via cross-multiplication
+    var pools = List.empty[(Long, Long)] // (pos, n), head = rightmost
+    rows.foreach { case (_, n, pos, _, _) =>
+      var cur = (pos, n)
+      while (pools.nonEmpty &&
+          pools.head._1 * cur._2 >= cur._1 * pools.head._2) {
+        cur = (cur._1 + pools.head._1, cur._2 + pools.head._2)
+        pools = pools.tail
+      }
+      pools = cur :: pools
+    }
+    val ref = pools.reverse.flatMap { case (p, n) =>
+      // the surviving pool average is the block average the engine's
+      // minimax computes on identical integer operands
+      val f = math.floor(1e6 * (p.toDouble / n.toDouble) + 0.5).toLong
+      List.fill(n.toInt)(f)
+    }
+    val expanded = rows.flatMap { case (_, n, _, _, f) =>
+      Seq.fill(n.toInt)(f) }
+    assert(expanded.sameElements(ref))
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
