@@ -1017,6 +1017,35 @@ object TextOps {
 
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     // the word co-occurrence graph — adjacent-token pairs (undirected,
+    // RAKE keyword scoring (Rose et al.) — the cheap non-iterative
+    // counterpart of llm_textrank_keywords: phrases are the maximal
+    // stopword-free token runs (gaps-and-islands over the token index —
+    // phrase id = idx − row_number over kept tokens, constant-offset
+    // invariant so 0- vs 1-based indexing cannot diverge engines), each
+    // word occurrence contributes the phrase LENGTH to its degree, and
+    // score(w) = deg(w)/freq(w) on the floor-ppm grid — all counts exact
+    // BIGINTs. Scale: the per-doc island window rides the (doc, idx)
+    // sort; the corpus-sized aggregate is word-keyed; top-20 with a
+    // word tiebreak.
+    "llm_rake_keywords" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+        .filter(length(col("w")) > 0 &&
+          !col("w").isin(stopA, stopB))
+      val wp = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val phr = toks.withColumn("grp", col("i") - row_number().over(wp))
+      val plen = phr.groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("plen"))
+      phr.join(plen, Seq("doc_id", "grp"))
+        .groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("score_ppm",
+          floor(lit(1e6) * col("deg") / col("freq") + 0.5).cast("long"))
+        .orderBy(col("score_ppm").desc, col("word"))
+        .limit(20)
+    }),
+
     // corpus-count weights), out-weight-normalized transitions, damping
     // 0.85, 5 fixed supersteps, top-10 words by score. Reuses the
     // graph_pagerank execution discipline (vocabulary-sized state,
@@ -1433,6 +1462,35 @@ object TextOps {
 
   val sql: Map[String, String] = Map(
     "llm_textrank_keywords" -> textrankTwin,
+
+    // same islands construction off 1-based subscripts — the phrase id
+    // is offset by a doc-wide constant vs the engine's 0-based indices,
+    // which grouping cancels
+    "llm_rake_keywords" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ), kept AS (
+        SELECT doc_id, w, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                 AS grp
+        FROM toks
+        WHERE length(w) > 0 AND w NOT IN ('$stopA', '$stopB')
+      ), plen AS (
+        SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+        FROM kept GROUP BY 1, 2
+      ), scored AS (
+        SELECT k.w AS word, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS deg
+        FROM kept k JOIN plen p ON k.doc_id = p.doc_id AND k.grp = p.grp
+        GROUP BY 1
+      )
+      SELECT word, freq, deg,
+             CAST(floor(1e6 * deg / freq + 0.5) AS BIGINT) AS score_ppm
+      FROM scored
+      ORDER BY score_ppm DESC, word
+      LIMIT 20""",
 
     // production simhash (r9: portable 60-bit poly hash — hash-checked,
     // was rows-only under xxhash64)

@@ -543,6 +543,43 @@ object MlTrain {
             " / CAST(n1 * n0 AS DOUBLE) + 0.5) AS BIGINT) AS somers_ppm")
     }),
 
+    // Decile lift/gain table of the GD score — the campaign-targeting
+    // readout (how much better than random is the top 10%?). Rows are
+    // deciled through the DISTINCT-score table: every tied score group
+    // lands wholly in the decile of its first row (((cum − n_v)·10) div
+    // N — integral, engine-exact; ntile's remainder placement is not),
+    // using the same two-level prefix-sum scan as ml_somers_d. Per
+    // decile: exact counts, floor-ppm response rate, lift vs the base
+    // rate (pos·N / (n·P) — one IEEE-deterministic division of exact
+    // integers), and cumulative gain over the ≤10-row decile table.
+    "ml_lift_table" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val byv = raw
+        .select(((lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2"))
+          .as("v"), col("yy"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_v"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("n1_v"))
+      val cum = Partitioning.rankedCumSum(
+        byv, col("n_v"), Seq(col("v").desc), 32, "cum_n")
+      val tot = byv.agg(sum(col("n_v")).as("nn"), sum(col("n1_v")).as("pp"))
+      val dec = cum.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((cum_n - n_v) * 10) div nn"))
+        .groupBy(col("decile"))
+        .agg(sum(col("n_v")).as("n"), sum(col("n1_v")).as("pos"),
+          max(col("nn")).as("nn"), max(col("pp")).as("pp"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("cum_pos", sum(col("pos")).over(wc))
+        .selectExpr("decile", "n", "pos",
+          "CAST(floor(1e6 * pos / n + 0.5) AS BIGINT) AS rate_ppm",
+          "CAST(floor(1e6 * CAST(pos * nn AS DOUBLE)" +
+            " / CAST(n * pp AS DOUBLE) + 0.5) AS BIGINT) AS lift_ppm",
+          "CAST(floor(1e6 * cum_pos / pp + 0.5) AS BIGINT)" +
+            " AS cum_gain_ppm")
+    }),
+
     // Isotonic calibration of the GD sigmoid via the EXACT minimax
     // characterization of PAVA: f(k) = max_{i≤k} min_{j≥k} avg(y over
     // bins i..j) — no sequential pool-merge loop, so the whole fit is
@@ -1197,6 +1234,34 @@ object MlTrain {
         |       CAST(floor(1e6 * CAST(conc - disc AS DOUBLE)
         |         / CAST(n1 * n0 AS DOUBLE) + 0.5) AS BIGINT) AS somers_ppm
         |FROM agg""".stripMargin,
+
+    "ml_lift_table" ->
+      s"""WITH $logregCtes,
+        |zz AS (SELECT ((w0 + w1*x1) + w2*x2) AS v, yy FROM raw, s3),
+        |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_v,
+        |               CAST(sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS n1_v
+        |        FROM zz GROUP BY v),
+        |cum AS (SELECT *, CAST(sum(n_v) OVER (ORDER BY v DESC)
+        |                    AS BIGINT) AS cum_n
+        |        FROM byv),
+        |tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS nn,
+        |               CAST(sum(n1_v) AS BIGINT) AS pp FROM byv),
+        |dec AS (SELECT CAST(((cum_n - n_v) * 10) // nn AS BIGINT)
+        |                 AS decile,
+        |               CAST(sum(n_v) AS BIGINT) AS n,
+        |               CAST(sum(n1_v) AS BIGINT) AS pos,
+        |               CAST(max(nn) AS BIGINT) AS nn,
+        |               CAST(max(pp) AS BIGINT) AS pp
+        |        FROM cum, tot GROUP BY 1)
+        |SELECT decile, n, pos,
+        |       CAST(floor(1e6 * pos / n + 0.5) AS BIGINT) AS rate_ppm,
+        |       CAST(floor(1e6 * CAST(pos * nn AS DOUBLE)
+        |         / CAST(n * pp AS DOUBLE) + 0.5) AS BIGINT) AS lift_ppm,
+        |       CAST(floor(1e6 * sum(pos) OVER (ORDER BY decile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         / pp + 0.5) AS BIGINT) AS cum_gain_ppm
+        |FROM dec""".stripMargin,
 
     "ml_isotonic" ->
       s"""WITH $logregCtes,

@@ -1008,12 +1008,16 @@ object Relational {
         .filter(col("rn") <= 5)
     }),
 
-    // Q3 shape (shipping priority): segment-filtered customers × orders
+    // Q3 shape (shipping priority), DataFrame-API variant: Subqueries
+    // carries the spark.sql surface of Q3 (`tpch_q3_shipping`, 1999
+    // cutoff); this is the declarative-plan twin at the 1998 cutoff —
+    // distinct name, both live (they shadowed each other until r9).
+    // Segment-filtered customers × orders
     // placed before the cutoff × lines shipped after it, top-10 orders by
     // revenue. Both date predicates push to their scans; the limit plans
     // as TakeOrderedAndProject (per-partition heap, never a global sort);
     // l_orderkey is the unique tiebreak the hash compare needs.
-    "tpch_q3_shipping" -> ((s, d) => {
+    "tpch_q3_shipping_df" -> ((s, d) => {
       val cutoff = lit("1998-06-01").cast("timestamp")
       t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
@@ -1074,13 +1078,15 @@ object Relational {
           .as("volume"))
     }),
 
-    // Q17 shape (small-quantity-order revenue): the correlated per-part
+    // Q17 shape (small-quantity-order revenue), DataFrame-API variant of
+    // Subqueries' correlated-subquery surface (distinct brand cut; both
+    // live since r9 — they shadowed each other before): the per-part
     // average decorrelates into ONE grouped aggregate equi-joined back —
     // never a per-row subquery. The branded line set is materialized once
     // (lazy checkpoint) for both the aggregate and the probe. Quantities
     // are integral doubles, so avg = exact-sum/count is deterministic on
     // both engines and the 0.2·avg threshold cannot ulp-flip.
-    "tpch_q17_small_qty" -> ((s, d) => {
+    "tpch_q17_small_qty_df" -> ((s, d) => {
       val branded = t(s, d, "lineitem")
         .join(t(s, d, "part").filter(col("p_brand") === "Brand#3")
           .select(col("p_partkey")),
@@ -1177,7 +1183,7 @@ object Relational {
         FROM scored)
       WHERE rn <= 5""",
 
-    "tpch_q3_shipping" -> """
+    "tpch_q3_shipping_df" -> """
       SELECT l_orderkey,
              sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
              o_orderdate
@@ -1215,7 +1221,7 @@ object Relational {
         AND n1.n_name <> n2.n_name
       GROUP BY 1, 2, 3""",
 
-    "tpch_q17_small_qty" -> """
+    "tpch_q17_small_qty_df" -> """
       WITH branded AS (
         SELECT l_partkey, l_quantity, l_extendedprice
         FROM lineitem

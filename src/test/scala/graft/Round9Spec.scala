@@ -782,6 +782,39 @@ class Round9Spec extends AnyFunSuite {
     assert(expanded.sameElements(ref))
   }
 
+  test("ml_lift_table: decile accounting and ppm replays exact") {
+    val rows = SparkEntry.queries("ml_lift_table")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).forall(d => d >= 0 && d <= 9))
+    val nn = rows.map(_._2).sum; val pp = rows.map(_._3).sum
+    var cum = 0L
+    rows.foreach { case (_, n, pos, rate, lift, gain) =>
+      cum += pos
+      assert(rate == math.floor(1e6 * pos.toDouble / n + 0.5).toLong)
+      assert(lift == math.floor(
+        1e6 * (pos * nn).toDouble / (n * pp).toDouble + 0.5).toLong)
+      assert(gain == math.floor(1e6 * cum.toDouble / pp + 0.5).toLong)
+    }
+    assert(rows.last._6 == 1000000L)
+    // the model orders positives forward: top decile lifts above 1×
+    assert(rows.head._5 >= 1000000L)
+  }
+
+  test("llm_rake_keywords: degree dominates frequency, ordering strict") {
+    val rows = SparkEntry.queries("llm_rake_keywords")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (w, freq, deg, score) =>
+      assert(freq > 0 && deg >= freq, s"$w")
+      assert(score == math.floor(1e6 * deg.toDouble / freq + 0.5).toLong)
+      assert(score >= 1000000L) // every phrase has length ≥ 1
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 && a._1 < b._1))
+    }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
