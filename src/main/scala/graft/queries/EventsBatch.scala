@@ -738,6 +738,92 @@ object EventsBatch {
           col("n_events"), col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
     }),
 
+    // LTTB downsampling (largest-triangle-three-buckets, the standard
+    // time-series viz reducer) in its PARALLEL form: the canonical
+    // algorithm anchors each bucket's triangle on the PREVIOUS PICK
+    // (inherently sequential); anchoring on the previous/next bucket
+    // AVERAGES instead makes every bucket independent — the variant the
+    // original paper evaluates as near-identical — so the whole pass is
+    // two aggregates and one bounded argmax window. NUMERICS: the
+    // triangle area argmax is the determinant of the HOMOGENEOUS matrix
+    // [[Sx_prev,Sy_prev,n_prev],[x,y,1],[Sx_next,Sy_next,n_next]] — the
+    // area scaled by the constant n_prev·n_next, so the argmax is
+    // unchanged and EVERY quantity is an exact integer (epoch seconds ×
+    // cents, decimal(38,0) ≡ HUGEINT): no division, no FP, no ulp.
+    // First/last points are kept verbatim (the LTTB contract).
+    "evt_lttb" -> ((s, d) => {
+      val wser = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("event_id"))
+      val pts = t(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("x"),
+          round(col("value") * 100).cast("bigint").as("y"))
+        .withColumn("rn", row_number().over(wser))
+        .withColumn("bucket", expr("CAST((rn - 1) div 16 AS BIGINT)"))
+        .localCheckpoint(eager = false)
+      val sums = pts.groupBy(col("event_type").as("et"),
+          col("bucket").as("bk"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("nb"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"))
+      val prev = sums.select(col("et").as("pet"), (col("bk") + 1).as("pbk"),
+        col("nb").as("np"), col("sx").as("sxp"), col("sy").as("syp"))
+      val nxt = sums.select(col("et").as("net"), (col("bk") - 1).as("nbk"),
+        col("nb").as("nn"), col("sx").as("sxn"), col("sy").as("syn"))
+      val interior = pts
+        .join(prev,
+          col("event_type") === col("pet") && col("bucket") === col("pbk"))
+        .join(nxt,
+          col("event_type") === col("net") && col("bucket") === col("nbk"))
+        .withColumn("adet", abs(
+          expr("sxp * (CAST(y AS DECIMAL(38,0)) * nn - syn)" +
+            " - syp * (CAST(x AS DECIMAL(38,0)) * nn - sxn)" +
+            " + np * (CAST(x AS DECIMAL(38,0)) * syn" +
+            " - CAST(y AS DECIMAL(38,0)) * sxn)")))
+      val wpick = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("adet").desc, col("event_id"))
+      val picks = interior.withColumn("pk", row_number().over(wpick))
+        .filter(col("pk") === 1)
+        .select(col("event_type"), col("bucket"), col("event_id"),
+          col("x"), col("y"))
+      val wlast = Window.partitionBy(col("event_type")).orderBy(col("rn").desc)
+      val ends = pts.withColumn("lr", row_number().over(wlast))
+        .filter(col("rn") === 1 || col("lr") === 1)
+        .select(col("event_type"), col("bucket"), col("event_id"),
+          col("x"), col("y"))
+      picks.union(ends).distinct()
+        .select(col("event_type"), col("bucket"), col("event_id"),
+          col("x").as("x_sec"), col("y").as("v_cents"))
+    }),
+
+    // per-state entropy of the event-type Markov chain (how predictable
+    // is the next step from each state?): H(next | prev = s) =
+    // Σ (n_j/n_s)·ln(n_s/n_j) over the |types|²-bounded transition
+    // counts. Each term is quantized floor-ppm BEFORE the sum (the
+    // ml_confusion discipline — the BIGINT sum is order-independent and
+    // each ln runs on identical integer-valued operands in both engines).
+    "evt_markov_entropy" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ws = Window.partitionBy(col("prev_type"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ns", sum(col("n")).over(ws))
+        .withColumn("term_ppm",
+          expr("CAST(floor(1e6 * (CAST(n AS DOUBLE) / CAST(ns AS DOUBLE))" +
+            " * ln(CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)) + 0.5)" +
+            " AS BIGINT)"))
+        .groupBy(col("prev_type"))
+        .agg(max(col("ns")).as("n_total"), count(lit(1)).as("n_next"),
+          sum(col("term_ppm")).as("entropy_ppm"))
+    }),
+
     // Hampel filter — the robust cousin of evt_anomaly: each event is
     // scored against the MEDIAN and MAD of its ±3-row neighborhood per
     // type (time order, event_id tiebreak), so a burst of outliers
@@ -1668,6 +1754,69 @@ object EventsBatch {
              abs((hourly_avg - base_mean) / base_sd) > 3.0 AS is_anomaly
       FROM scored
       WHERE base_sd IS NOT NULL AND base_sd > 0""",
+
+    "evt_lttb" -> """
+      WITH pts AS (
+        SELECT event_type, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL
+      ), pb AS (
+        SELECT *, CAST((rn - 1) // 16 AS BIGINT) AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY x, event_id) AS rn FROM pts)
+      ), sums AS (
+        SELECT event_type AS et, bucket AS bk,
+               CAST(count(*) AS HUGEINT) AS nb,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy
+        FROM pb GROUP BY 1, 2
+      ), interior AS (
+        SELECT p.event_type, p.bucket, p.event_id, p.x, p.y,
+               abs(pr.sx * (CAST(p.y AS HUGEINT) * nx.nb - nx.sy)
+                 - pr.sy * (CAST(p.x AS HUGEINT) * nx.nb - nx.sx)
+                 + pr.nb * (CAST(p.x AS HUGEINT) * nx.sy
+                 - CAST(p.y AS HUGEINT) * nx.sx)) AS adet
+        FROM pb p
+        JOIN sums pr ON pr.et = p.event_type AND pr.bk = p.bucket - 1
+        JOIN sums nx ON nx.et = p.event_type AND nx.bk = p.bucket + 1
+      ), picks AS (
+        SELECT event_type, bucket, event_id, x, y
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                ORDER BY adet DESC, event_id) AS pk FROM interior)
+        WHERE pk = 1
+      ), ends AS (
+        SELECT event_type, bucket, event_id, x, y
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY rn DESC) AS lr FROM pb)
+        WHERE rn = 1 OR lr = 1
+      )
+      SELECT DISTINCT event_type, bucket, event_id,
+             x AS x_sec, y AS v_cents
+      FROM (SELECT * FROM picks UNION ALL SELECT * FROM ends)""",
+
+    "evt_markov_entropy" -> """
+      WITH tr AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+              FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+      ), terms AS (
+        SELECT prev_type, n,
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS ns
+        FROM tr
+      )
+      SELECT prev_type, CAST(max(ns) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_next,
+             CAST(sum(CAST(floor(1e6 * (CAST(n AS DOUBLE)
+               / CAST(ns AS DOUBLE)) * ln(CAST(ns AS DOUBLE)
+               / CAST(n AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT)
+               AS entropy_ppm
+      FROM terms GROUP BY prev_type""",
 
     "evt_hampel" -> """
       WITH e AS (

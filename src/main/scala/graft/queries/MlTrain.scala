@@ -689,6 +689,36 @@ object MlTrain {
             "ELSE 0 END AS rec_ppm")
     }),
 
+    // best-F1 threshold sweep — the deployment readout on top of
+    // ml_pr_curve: F1 at predict-positive-above-bin-b collapses to
+    // 2·tp/(pp + P) (since 2tp + fp + fn = pp + P), so the sweep is the
+    // same ≤200-row suffix-sum table plus ONE argmax with a bin
+    // tiebreak. Exact counts; one floor-ppm division per bin.
+    "ml_best_f1" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      val bins = raw.select(sg.as("sg"), col("yy"))
+        .withColumn("bin", least(floor(col("sg") * 200), lit(199L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("np"))
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = bins.agg(sum(col("np")).as("p_total"))
+      val wbest = Window.orderBy(col("f1_ppm").desc, col("bin"))
+      bins
+        .withColumn("tp", sum(col("np")).over(w))
+        .withColumn("pp", sum(col("n")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("f1_ppm",
+          expr("CAST(floor(2e6 * tp / (pp + p_total) + 0.5) AS BIGINT)"))
+        .withColumn("rk", row_number().over(wbest))
+        .filter(col("rk") === 1)
+        .select(col("bin").as("best_bin"), col("tp"), col("pp"),
+          col("p_total"), col("f1_ppm"))
+    }),
+
     // 1-split decision tree (decision stump) on quantity → returnflag=R:
     // candidate thresholds are the ≤50 DISTINCT integral quantities, so
     // after one grouped count the whole search is a 50-row cumulative +
@@ -1378,6 +1408,33 @@ object MlTrain {
         |         CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT)
         |         ELSE 0 END AS rec_ppm
         |FROM cum, tot""".stripMargin,
+
+    "ml_best_f1" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |bins AS (
+        |  SELECT least(CAST(floor(sg*200) AS BIGINT), 199) AS bin,
+        |         count(*) AS n,
+        |         sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END) AS np
+        |  FROM sc GROUP BY 1),
+        |cum AS (
+        |  SELECT bin,
+        |         CAST(sum(np) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |         CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |  FROM bins),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS p_total FROM bins),
+        |scored AS (
+        |  SELECT bin, tp, pp, p_total,
+        |         CAST(floor(2e6 * tp / (pp + p_total) + 0.5) AS BIGINT)
+        |           AS f1_ppm
+        |  FROM cum, tot)
+        |SELECT bin AS best_bin, tp, pp, p_total, f1_ppm
+        |FROM (SELECT *, row_number() OVER (ORDER BY f1_ppm DESC, bin)
+        |        AS rk FROM scored)
+        |WHERE rk = 1""".stripMargin,
 
     "ml_ks_model" ->
       s"""WITH $logregCtes,

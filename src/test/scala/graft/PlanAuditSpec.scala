@@ -401,6 +401,14 @@ class PlanAuditSpec extends AnyFunSuite
       // BOTH the full-dim and sliced-dim cosine kernels — facts stream,
       // identical scale shape to llm_cosine_topk
       "llm_mrl_truncation",
+      // RRF fusion (r9): the same ≤20-query-vector broadcast as
+      // llm_mrl_truncation — both source rankings come from one pass
+      "llm_rrf_fusion",
+      // isotonic minimax (r9): the triangular i ≤ j self-join runs over
+      // the ≤200-row SCORE-BIN table on both sides — bounded by the bin
+      // domain at any data size, the deliberate O(B²) of the exact PAVA
+      // characterization
+      "ml_isotonic",
       // NDCG@5 (r9): same ≤20-query-vector broadcast + rank window as
       // ml_precision_at_k, plus a same-partition relevant-count window
       "ml_ndcg",

@@ -815,6 +815,81 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("evt_lttb: BigInt determinant replay picks the same points") {
+    val got = SparkEntry.queries("evt_lttb")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // rebuild the series and replay bucket sums + homogeneous dets in BigInt
+    val src = graft.core.Tables.t(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("x"),
+        round(col("value") * 100).cast("long").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = src.groupBy(_._1).flatMap { case (et, g) =>
+      val ser = g.sortBy(r => (r._3, r._2))
+      val buckets = ser.zipWithIndex
+        .map { case ((_, id, x, y), i) => (i / 16, id, x, y) }
+        .groupBy(_._1)
+      val kmax = buckets.keys.max
+      val sums = buckets.map { case (k, pts) =>
+        k -> (BigInt(pts.length), pts.map(p => BigInt(p._3)).sum,
+          pts.map(p => BigInt(p._4)).sum)
+      }
+      val picks = (1 until kmax).map { k =>
+        val (np, sxp, syp) = sums(k - 1); val (nn, sxn, syn) = sums(k + 1)
+        val best = buckets(k).map { case (_, id, x, y) =>
+          val det = sxp * (BigInt(y) * nn - syn) -
+            syp * (BigInt(x) * nn - sxn) +
+            np * (BigInt(x) * syn - BigInt(y) * sxn)
+          (det.abs, id, x, y)
+        }.sortBy(t => (-t._1, t._2)).head
+        (et, k.toLong, best._2, best._3, best._4)
+      }
+      val (fId, fx, fy) = (ser.head._2, ser.head._3, ser.head._4)
+      val (lId, lx, ly) = (ser.last._2, ser.last._3, ser.last._4)
+      (picks :+ (et, 0L, fId, fx, fy) :+
+        (et, ((ser.length - 1) / 16).toLong, lId, lx, ly)).distinct
+    }.toSet
+    assert(got.toSet == expect && got.nonEmpty)
+  }
+
+  test("evt_markov_entropy: per-term floor-ppm replay from transition counts") {
+    val tr = SparkEntry.queries("evt_markov_transitions")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = SparkEntry.queries("evt_markov_entropy")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    tr.groupBy(_._1).foreach { case (prev, g) =>
+      val ns = g.map(_._3).sum
+      val h = g.map { case (_, _, n) =>
+        math.floor(1e6 * (n.toDouble / ns) * math.log(ns.toDouble / n)
+          + 0.5).toLong
+      }.sum
+      val (gn, gk, gh) = got(prev)
+      assert(gn == ns && gk == g.length && gh == h, prev)
+    }
+    got.values.foreach { case (_, k, h) =>
+      assert(h >= 0 && (k > 1 || h == 0))
+    }
+  }
+
+  test("ml_best_f1: argmax replay over the pr-curve suffix sums") {
+    val pr = SparkEntry.queries("ml_pr_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pTotal = pr.maxBy(_._2)._2 // tp at the lowest bin = all positives
+    val scored = pr.map { case (bin, tp, pp) =>
+      (bin, tp, pp,
+        math.floor(2e6 * tp.toDouble / (pp + pTotal) + 0.5).toLong)
+    }
+    val best = scored.sortBy(t => (-t._4, t._1)).head
+    val r = SparkEntry.queries("ml_best_f1")(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)) ==
+      (best._1, best._2, best._3, best._4))
+    assert(r.getLong(3) == pTotal)
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
