@@ -73,6 +73,33 @@ object Analytics {
             - (col("n_cust") + lit(1.0)) / col("n_cust"), 6).as("gini"))
     }),
 
+    // Herfindahl–Hirschman concentration index of supplier revenue per
+    // nation (the antitrust/market-power readout; the Gini's
+    // concentration cousin): HHI = Σ shareᵢ² = Σ revᵢ² / (Σ rev)² —
+    // ONE division of exact integers on the floor-ppm grid. revᵢ is the
+    // exact cents×bp revenue sum; the squares live in decimal(38,0)
+    // ≡ HUGEINT (revᵢ ~ 1e9 units at sf0.1 → revᵢ² ~ 1e18, past BIGINT
+    // at larger sf). One grouped aggregate + one |nations|-row rollup.
+    "agg_hhi" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      li.join(su, li("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"),
+          col("s_suppkey").as("suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("bigint") *
+          (lit(100L) - round(col("l_discount") * 100).cast("bigint")))
+          .as("rev"))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("rev").cast("decimal(38,0)")
+            * col("rev").cast("decimal(38,0)")).as("sq"),
+          sum(col("rev").cast("decimal(38,0)")).as("tot"))
+        .select(col("nationkey"), col("n_supp"),
+          expr("CAST(floor(1e6 * CAST(sq AS DOUBLE)" +
+            " / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) + 0.5)" +
+            " AS BIGINT) AS hhi_ppm"))
+    }),
+
     // Lorenz curve deciles per nation (the table the Gini integrates):
     // customers ranked by spend ascending, decile = ((rank−1)·10) div n
     // (pure integral arithmetic — never ntile, whose remainder placement
@@ -944,6 +971,26 @@ object Analytics {
              ROUND(2.0*SUM(i*rev_c)/(COUNT(*)*SUM(rev_c))
                    - (COUNT(*)+1.0)/COUNT(*), 6) AS gini
       FROM idx GROUP BY 1""",
+
+    "agg_hhi" -> """
+      WITH rev AS (
+        SELECT s.s_nationkey AS nationkey, s.s_suppkey AS suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT nationkey, CAST(count(*) AS BIGINT) AS n_supp,
+               CAST(sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT))
+                    AS HUGEINT) AS sq,
+               CAST(sum(CAST(rev AS HUGEINT)) AS HUGEINT) AS tot
+        FROM rev GROUP BY 1)
+      SELECT nationkey, n_supp,
+             CAST(floor(1e6 * CAST(sq AS DOUBLE)
+               / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) + 0.5)
+               AS BIGINT) AS hhi_ppm
+      FROM agg""",
 
     "agg_lorenz" -> """
       WITH crev AS (

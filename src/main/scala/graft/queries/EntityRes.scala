@@ -141,6 +141,47 @@ object EntityRes {
         graft.streaming.DedupGate.fuzzyIndex(canon), 0.9)
     }),
 
+    // Blocking-quality audit — the two numbers every ER pipeline tunes
+    // on: REDUCTION RATIO (how many of the N(N−1)/2 all-pairs the
+    // block key never generates) and PAIR COMPLETENESS (how many planted
+    // true matches stay co-blocked). Candidates are counted from block
+    // SIZES (Σ nb(nb−1)/2 — never materializing the pairs), the truth
+    // set is the construction's (clean, drop3, swap23) triple per name,
+    // and every count is exact BIGINT with two floor-ppm divisions at
+    // the end. BIGINT pair counts hold to ~4e9 records; past that the
+    // sums want decimal(38).
+    "er_blocking_eval" -> ((s, d) => {
+      val off = ridOffset(s, d)
+      val recs = records(s, d).localCheckpoint(eager = false)
+      val blocks = recs.groupBy(substring(col("name"), 1, 1).as("blk"))
+        .agg(count(lit(1)).as("nb"))
+      val cand = blocks.agg(count(lit(1)).as("n_blocks"),
+        sum(expr("nb * (nb - 1) div 2")).as("cand_pairs"))
+      val totals = recs.agg(count(lit(1)).as("n_records"))
+      val base = recs.filter(col("rid") < off)
+        .select(col("rid"), substring(col("name"), 1, 1).as("k0"))
+      val v1 = recs.filter(col("rid") >= off && col("rid") < 2L * off)
+        .select((col("rid") - off).as("rid"),
+          substring(col("name"), 1, 1).as("k1"))
+      val v2 = recs.filter(col("rid") >= 2L * off)
+        .select((col("rid") - 2L * off).as("rid"),
+          substring(col("name"), 1, 1).as("k2"))
+      val truth = base.join(v1, Seq("rid")).join(v2, Seq("rid"))
+        .agg((count(lit(1)) * 3).as("n_true"),
+          sum(when(col("k0") === col("k1"), 1L).otherwise(0L)
+            + when(col("k0") === col("k2"), 1L).otherwise(0L)
+            + when(col("k1") === col("k2"), 1L).otherwise(0L))
+            .as("n_true_coblocked"))
+      cand.crossJoin(broadcast(totals)).crossJoin(broadcast(truth))
+        .select(col("n_records"), col("n_blocks"), col("cand_pairs"),
+          expr("n_records * (n_records - 1) div 2").as("total_pairs"),
+          col("n_true"), col("n_true_coblocked"))
+        .withColumn("rr_ppm", expr("CAST(floor(1e6 * (total_pairs" +
+          " - cand_pairs) / total_pairs + 0.5) AS BIGINT)"))
+        .withColumn("pc_ppm", expr(
+          "CAST(floor(1e6 * n_true_coblocked / n_true + 0.5) AS BIGINT)"))
+    }),
+
     // Survivorship: fold each cluster into its golden record — canonical
     // name = the name of the label record (the CC label IS a member rid,
     // so canonicalization is one equi-join, no argmin over the cluster),
@@ -223,6 +264,46 @@ object EntityRes {
         |JOIN (SELECT * FROM records WHERE rid < (SELECT off FROM roff)) c
         |  ON substr(i.name, 1, 1) = substr(c.name, 1, 1)
         |WHERE round(jaro_winkler_similarity(i.name, c.name), 6) >= 0.9""".stripMargin,
+
+    "er_blocking_eval" ->
+      s"""WITH $recordsSql,
+        |  blocks AS (SELECT substr(name, 1, 1) AS blk,
+        |                    CAST(count(*) AS BIGINT) AS nb
+        |             FROM records GROUP BY 1),
+        |  cand AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |                  CAST(sum(nb * (nb - 1) // 2) AS BIGINT)
+        |                    AS cand_pairs
+        |           FROM blocks),
+        |  tot AS (SELECT CAST(count(*) AS BIGINT) AS n_records
+        |          FROM records),
+        |  tri AS (
+        |    SELECT b.rid, substr(b.name, 1, 1) AS k0,
+        |           substr(v1.name, 1, 1) AS k1, substr(v2.name, 1, 1) AS k2
+        |    FROM (SELECT * FROM records
+        |          WHERE rid < (SELECT off FROM roff)) b
+        |    JOIN (SELECT rid - (SELECT off FROM roff) AS rid, name
+        |          FROM records WHERE rid >= (SELECT off FROM roff)
+        |            AND rid < 2 * (SELECT off FROM roff)) v1 USING (rid)
+        |    JOIN (SELECT rid - 2 * (SELECT off FROM roff) AS rid, name
+        |          FROM records
+        |          WHERE rid >= 2 * (SELECT off FROM roff)) v2 USING (rid)),
+        |  truth AS (
+        |    SELECT CAST(count(*) * 3 AS BIGINT) AS n_true,
+        |           CAST(sum((CASE WHEN k0 = k1 THEN 1 ELSE 0 END)
+        |             + (CASE WHEN k0 = k2 THEN 1 ELSE 0 END)
+        |             + (CASE WHEN k1 = k2 THEN 1 ELSE 0 END)) AS BIGINT)
+        |             AS n_true_coblocked
+        |    FROM tri)
+        |SELECT n_records, n_blocks, cand_pairs,
+        |       CAST(n_records * (n_records - 1) // 2 AS BIGINT)
+        |         AS total_pairs,
+        |       n_true, n_true_coblocked,
+        |       CAST(floor(1e6 * (n_records * (n_records - 1) // 2
+        |         - cand_pairs) / (n_records * (n_records - 1) // 2)
+        |         + 0.5) AS BIGINT) AS rr_ppm,
+        |       CAST(floor(1e6 * n_true_coblocked / n_true + 0.5)
+        |         AS BIGINT) AS pc_ppm
+        |FROM cand, tot, truth""".stripMargin,
 
     "er_survivorship" ->
       s"""WITH RECURSIVE $pairsSql,

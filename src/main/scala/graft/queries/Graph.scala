@@ -364,6 +364,51 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // Newman modularity of the label-propagation communities — the
+    // quality score that tells you whether the partition means anything:
+    // Q = Σ_c [L_c/m − (D_c/2m)²]. EXACT RATIONAL: the per-community
+    // numerator 4·m·L_c − D_c² is pure BIGINT (intra-edge and degree
+    // counts), the common denominator 4m² divides once at the end on
+    // the floor-ppm grid — no per-community rounding, no FP drift.
+    // Communities come from the SAME 3-round synchronous propagation
+    // (the twin re-runs the shared unrolled CTEs); all tables are
+    // |V|/|E|-bounded after the cached trade-edge aggregate.
+    "graph_modularity" -> ((s, d) => {
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+                greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val labels = defs("graph_label_prop")(s, d)
+        .select(col("node"), col("community"))
+      val bi = und.select(col("a").as("u"))
+        .union(und.select(col("b").as("u")))
+      val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val m = und.agg(count(lit(1)).as("m"))
+      val la = labels.select(col("node").as("a"), col("community").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("community").as("cb"))
+      val intra = und.join(la, Seq("a")).join(lb, Seq("b"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_intra"))
+      val comm = labels.join(deg, Seq("node"), "left")
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+      val wAll = Window.orderBy(col("community"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      comm.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("l_intra"), lit(0L)).as("l_intra"), col("d_sum"),
+          (lit(4L) * col("m") * coalesce(col("l_intra"), lit(0L))
+            - col("d_sum") * col("d_sum")).as("num"), col("m"))
+        .withColumn("q_ppm",
+          floor(lit(1e6) * sum(col("num")).over(wAll)
+            / (lit(4L) * col("m") * col("m")).cast("double") + 0.5)
+            .cast("long"))
+        .drop("m")
+    }),
+
     // k-core decomposition (coreness) via the h-index iteration of Lü et
     // al. 2016: start every node at its degree; each round, replace a
     // node's value with the h-index of its neighbors' values (the largest
@@ -790,7 +835,10 @@ object Graph {
   /** Label-propagation twin: 3 unrolled mode-update rounds (the
     * pagerank-twin pattern), same symmetric sparse graph, same
     * (count DESC, label ASC) tiebreak. */
-  private val labelPropTwin: String = {
+  /** The label-propagation CTE chain through `l3` — shared by the
+    * graph_label_prop twin and the graph_modularity twin (which scores
+    * the SAME communities). */
+  private val labelPropCtes: String = {
     val rounds = (1 to 3).map { i =>
       s""",
       |  c$i AS (
@@ -806,7 +854,7 @@ object Graph {
       |    SELECT p.node, coalesce(u.lbl, p.lbl) AS lbl
       |    FROM l${i - 1} p LEFT JOIN u$i u ON u.node = p.node)""".stripMargin
     }.mkString
-    s"""WITH $sparseCte,
+    s"""$sparseCte,
       |  und AS (
       |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       |    FROM sparse),
@@ -815,11 +863,49 @@ object Graph {
       |         UNION ALL
       |         SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
       |  l0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
-      |                CAST(n_nationkey AS BIGINT) AS lbl FROM nation)$rounds
+      |                CAST(n_nationkey AS BIGINT) AS lbl FROM nation)$rounds"""
+      .stripMargin
+  }
+
+  private val labelPropTwin: String =
+    s"""WITH $labelPropCtes
       |SELECT na.n_name, l.node, l.lbl AS community
       |FROM l3 l JOIN nation na ON na.n_nationkey = l.node
       |ORDER BY na.n_name""".stripMargin
-  }
+
+  /** Modularity twin: Q of the l3 communities as an exact rational —
+    * numerator Σ_c (4·m·L_c − D_c²) over denominator 4m², one floor-ppm
+    * division at the end. */
+  private val modularityTwin: String =
+    s"""WITH $labelPropCtes,
+      |  m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      |  deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+      |          FROM bi GROUP BY 1),
+      |  intra AS (
+      |    SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS l_intra
+      |    FROM und e
+      |    JOIN l3 la ON la.node = CAST(e.a AS BIGINT)
+      |    JOIN l3 lb ON lb.node = CAST(e.b AS BIGINT)
+      |    WHERE la.lbl = lb.lbl
+      |    GROUP BY 1),
+      |  comm AS (
+      |    SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+      |           CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS d_sum
+      |    FROM l3 l LEFT JOIN deg d ON d.node = l.node
+      |    GROUP BY 1),
+      |  scored AS (
+      |    SELECT c.community, c.n_nodes, coalesce(i.l_intra, 0) AS l_intra,
+      |           c.d_sum,
+      |           4 * m.m * coalesce(i.l_intra, 0) - c.d_sum * c.d_sum
+      |             AS num,
+      |           m.m AS m
+      |    FROM comm c LEFT JOIN intra i ON i.community = c.community
+      |    CROSS JOIN m)
+      |SELECT community, n_nodes, CAST(l_intra AS BIGINT) AS l_intra,
+      |       d_sum, CAST(num AS BIGINT) AS num,
+      |       CAST(floor(1e6 * sum(num) OVER ()
+      |         / CAST(4 * m * m AS DOUBLE) + 0.5) AS BIGINT) AS q_ppm
+      |FROM scored""".stripMargin
 
   /** PPR twin: 5 unrolled seed-teleport rounds, integer-ppb mass with
     * per-edge floor quantization before the BIGINT neighbor sum (the
@@ -1005,6 +1091,7 @@ object Graph {
   val sql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTwin,
     "graph_label_prop" -> labelPropTwin,
+    "graph_modularity" -> modularityTwin,
     "graph_kcore" -> kcoreTwin,
     "graph_betweenness" -> betweennessTwin,
     "graph_ktruss" -> ktrussTwin,

@@ -890,6 +890,49 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getLong(3) == pTotal)
   }
 
+  test("graph_modularity: exact-rational identity, nodes partitioned") {
+    val rows = SparkEntry.queries("graph_modularity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._2).sum == 25) // every nation in exactly one community
+    val m = rows.map(_._4).sum / 2   // Σ degrees = 2m
+    assert(rows.map(_._3).sum <= m)  // intra edges can't exceed all edges
+    rows.foreach { case (_, _, li, ds, num, _) =>
+      assert(num == 4 * m * li - ds * ds)
+    }
+    val q = math.floor(
+      1e6 * rows.map(_._5).sum.toDouble / (4.0 * m * m) + 0.5).toLong
+    rows.foreach { case (_, _, _, _, _, qp) => assert(qp == q) }
+    // Q ∈ [−½, 1) in theory; the dense little trade graph legitimately
+    // scores near (or below) zero — the VALUE is the contract, not a
+    // structure guarantee
+    assert(q >= -500000L && q < 1000000L)
+  }
+
+  test("er_blocking_eval: ppm replays, first-char blocking is lossless") {
+    val r = SparkEntry.queries("er_blocking_eval")(spark, sf).collect()(0)
+    val (n, nb, cand, tot, nt, ntc) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(tot == n * (n - 1) / 2 && cand <= tot && nb > 0)
+    // the corruption variants preserve the first character BY
+    // CONSTRUCTION, so completeness is exactly 1
+    assert(ntc == nt && r.getLong(7) == 1000000L)
+    assert(r.getLong(6) ==
+      math.floor(1e6 * (tot - cand).toDouble / tot + 0.5).toLong)
+    assert(r.getLong(6) > 900000L) // blocking must actually reduce
+  }
+
+  test("agg_hhi: bounded by the equal-share floor and full concentration") {
+    val rows = SparkEntry.queries("agg_hhi")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, hhi) =>
+      assert(hhi <= 1000000L)
+      // HHI is minimized at equal shares: Σ(1/n)² = 1/n
+      assert(hhi >= math.floor(1e6 / n).toLong)
+    }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
