@@ -1017,6 +1017,44 @@ object TextOps {
 
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     // the word co-occurrence graph — adjacent-token pairs (undirected,
+    // Fleiss' kappa across three deterministic document "raters" (the
+    // rater-agreement readout an LLM-judge eval pipeline runs — here
+    // the raters are transparent quality rules: length ≥ 40 tokens,
+    // type/token diversity ≥ ½, ≥ 200 chars — all INTEGER predicates,
+    // so a rating can never ulp-flip). With n = 3 raters and 2
+    // categories every per-doc agreement term is yes² + (3−yes)² —
+    // exact BIGINT — and P̄ = (Σterms − 3N)/6N, Pe = (T² + (3N−T)²)/9N²
+    // are single deterministic divisions of exact integers; κ lands on
+    // the floor-ppm grid. One narrow projection + one scalar aggregate.
+    "llm_fleiss_kappa" -> ((s, d) => {
+      spread(t(s, d, "documents"))
+        .selectExpr("size(split(text, ' ')) AS n_toks",
+          "size(array_distinct(split(text, ' '))) AS n_types", "n_chars")
+        .selectExpr("(CASE WHEN n_toks >= 40 THEN 1 ELSE 0 END" +
+          " + CASE WHEN 2 * n_types >= n_toks THEN 1 ELSE 0 END" +
+          " + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS yes")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("yes")).as("t_yes"),
+          sum(expr("yes * yes + (3 - yes) * (3 - yes)")).as("ssq"))
+        .selectExpr("n_docs", "t_yes",
+          "CAST(floor(1e6 * (ssq - 3 * n_docs) / (6.0 * n_docs) + 0.5)" +
+            " AS BIGINT) AS pbar_ppm",
+          "CAST(floor(1e6 * (CAST(t_yes AS DOUBLE) * t_yes" +
+            " + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))" +
+            " / (9.0 * n_docs * n_docs) + 0.5) AS BIGINT) AS pe_ppm",
+          "CASE WHEN (CAST(t_yes AS DOUBLE) * t_yes" +
+            " + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))" +
+            " / (9.0 * n_docs * n_docs) < 1.0 THEN" +
+            " CAST(floor(1e6 * (((ssq - 3 * n_docs) / (6.0 * n_docs))" +
+            " - ((CAST(t_yes AS DOUBLE) * t_yes" +
+            " + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))" +
+            " / (9.0 * n_docs * n_docs)))" +
+            " / (1.0 - ((CAST(t_yes AS DOUBLE) * t_yes" +
+            " + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))" +
+            " / (9.0 * n_docs * n_docs))) + 0.5) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END AS kappa_ppm")
+    }),
+
     // RAKE keyword scoring (Rose et al.) — the cheap non-iterative
     // counterpart of llm_textrank_keywords: phrases are the maximal
     // stopword-free token runs (gaps-and-islands over the token index —
@@ -1462,6 +1500,40 @@ object TextOps {
 
   val sql: Map[String, String] = Map(
     "llm_textrank_keywords" -> textrankTwin,
+
+    // identical integer raters and the same single-division formula text
+    "llm_fleiss_kappa" -> """
+      WITH r AS (
+        SELECT (CASE WHEN len(string_split(text, ' ')) >= 40
+                     THEN 1 ELSE 0 END
+              + CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                     >= len(string_split(text, ' ')) THEN 1 ELSE 0 END
+              + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS yes
+        FROM documents),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(yes) AS BIGINT) AS t_yes,
+               CAST(sum(yes * yes + (3 - yes) * (3 - yes)) AS BIGINT)
+                 AS ssq
+        FROM r)
+      SELECT n_docs, t_yes,
+             CAST(floor(1e6 * (ssq - 3 * n_docs) / (6.0 * n_docs) + 0.5)
+               AS BIGINT) AS pbar_ppm,
+             CAST(floor(1e6 * (CAST(t_yes AS DOUBLE) * t_yes
+               + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))
+               / (9.0 * n_docs * n_docs) + 0.5) AS BIGINT) AS pe_ppm,
+             CASE WHEN (CAST(t_yes AS DOUBLE) * t_yes
+               + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))
+               / (9.0 * n_docs * n_docs) < 1.0 THEN
+               CAST(floor(1e6 * (((ssq - 3 * n_docs) / (6.0 * n_docs))
+               - ((CAST(t_yes AS DOUBLE) * t_yes
+               + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))
+               / (9.0 * n_docs * n_docs)))
+               / (1.0 - ((CAST(t_yes AS DOUBLE) * t_yes
+               + (3.0 * n_docs - t_yes) * (3.0 * n_docs - t_yes))
+               / (9.0 * n_docs * n_docs))) + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS kappa_ppm
+      FROM agg""",
 
     // same islands construction off 1-based subscripts — the phrase id
     // is offset by a doc-wide constant vs the engine's 0-based indices,

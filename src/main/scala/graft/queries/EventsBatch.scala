@@ -288,6 +288,25 @@ object EventsBatch {
             .otherwise(col("next_ts")).as("nearest_click_ts"))
     }),
 
+    // as-of with a TOLERANCE bound (the pandas merge_asof `tolerance=`
+    // contract): the latest strictly-prior click counts only if it is
+    // within 30 minutes of the purchase — otherwise NULL, not the stale
+    // match. Same single sorted-window pass as join_asof; the gate is
+    // one exact microsecond comparison, so no second join and no FP.
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      ev.withColumn("prev_ts", last(clickTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("us") - unix_micros(col("prev_ts")) <= 1800000000L,
+            col("prev_ts")).as("click_within_30m"))
+    }),
+
     // the NATIVE as-of operator (graft.plans.AsOfJoin — logical node +
     // strategy + sort-merge exec via SparkSessionExtensions), same
     // semantics and same DuckDB ASOF oracle as the composed join_asof
@@ -1590,6 +1609,15 @@ object EventsBatch {
 
     "join_asof" -> """
       SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts < p.ts""",
+
+    "join_asof_tolerance" -> """
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN c.ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+                  THEN c.ts END AS click_within_30m
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts < p.ts""",

@@ -510,6 +510,39 @@ object MlTrain {
             .otherwise(lit(0L)).as("mcnemar_ppm"))
     }),
 
+    // Variance inflation factor between the GD model's two predictors
+    // (collinearity screen — VIF = 1/(1−r²); run BEFORE trusting the
+    // ridge/OLS coefficients). r² comes from ONE moment aggregate over
+    // the integer-recovered predictors (round(qty), round(100·disc) —
+    // correlation is affine-invariant, so this matches the scaled gdFit
+    // features exactly): all moment sums exact decimal(38,0) ≡ HUGEINT,
+    // the n·Sxy − SxSy combinations ≤ ~9e14 (exactly representable in
+    // a double), and the two outputs are floor-ppm divisions of
+    // IEEE-deterministic products.
+    "ml_vif" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      t(s, d, "lineitem").select(
+          round(col("l_quantity")).cast("bigint").as("a"),
+          round(col("l_discount") * 100).cast("bigint").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("a"))).as("sa"), sum(dec(col("b"))).as("sb"),
+          sum(dec(col("a")) * dec(col("a"))).as("saa"),
+          sum(dec(col("b")) * dec(col("b"))).as("sbb"),
+          sum(dec(col("a")) * dec(col("b"))).as("sab"))
+        .selectExpr("n",
+          "CAST(n AS DECIMAL(38,0)) * sab - sa * sb AS cov_n",
+          "CAST(n AS DECIMAL(38,0)) * saa - sa * sa AS va_n",
+          "CAST(n AS DECIMAL(38,0)) * sbb - sb * sb AS vb_n")
+        .selectExpr("n",
+          "CAST(floor(1e6 * (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))" +
+            " / (CAST(va_n AS DOUBLE) * CAST(vb_n AS DOUBLE)) + 0.5)" +
+            " AS BIGINT) AS r2_ppm",
+          "CAST(floor(1e6 * (CAST(va_n AS DOUBLE) * CAST(vb_n AS DOUBLE))" +
+            " / (CAST(va_n AS DOUBLE) * CAST(vb_n AS DOUBLE)" +
+            " - CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)) + 0.5)" +
+            " AS BIGINT) AS vif_ppm")
+    }),
+
     // Somers' D of the GD score (the credit-scoring "Gini of the model",
     // identically 2·AUC − 1 under mid-rank tie handling — pinned against
     // ml_auc in Round9Spec): concordant/discordant/tied pair counts from
@@ -1238,6 +1271,37 @@ object MlTrain {
         |                   + 0.5) AS BIGINT)
         |            ELSE CAST(0 AS BIGINT) END AS mcnemar_ppm
         |FROM agg""".stripMargin,
+
+    "ml_vif" -> """
+      WITH m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT)
+                 AS sa,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                 AS HUGEINT) AS sb,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS saa,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)
+                 AS sbb,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT)
+                 AS sab
+        FROM lineitem),
+      c AS (
+        SELECT n, n * sab - sa * sb AS cov_n,
+               n * saa - sa * sa AS va_n,
+               n * sbb - sb * sb AS vb_n
+        FROM m)
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(floor(1e6 * (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))
+               / (CAST(va_n AS DOUBLE) * CAST(vb_n AS DOUBLE)) + 0.5)
+               AS BIGINT) AS r2_ppm,
+             CAST(floor(1e6 * (CAST(va_n AS DOUBLE) * CAST(vb_n AS DOUBLE))
+               / (CAST(va_n AS DOUBLE) * CAST(vb_n AS DOUBLE)
+               - CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)) + 0.5)
+               AS BIGINT) AS vif_ppm
+      FROM c""",
 
     "ml_somers_d" ->
       s"""WITH $logregCtes,

@@ -933,6 +933,67 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_tolerance: gates join_asof's match at exactly 30 minutes") {
+    val base = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getTimestamp(2), Option(r.getTimestamp(3))))
+      .toMap
+    val got = SparkEntry.queries("join_asof_tolerance")(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    assert(got.keySet == base.keySet && got.nonEmpty)
+    got.foreach { case (id, tol) =>
+      val (pts, prev) = base(id)
+      val expect = prev.filter(c => pts.getTime - c.getTime <= 1800000L)
+      assert(tol == expect, s"purchase $id")
+    }
+    // the tolerance must actually bite somewhere
+    assert(got.values.exists(_.isEmpty) && got.values.exists(_.nonEmpty))
+  }
+
+  test("ml_vif: BigInt moment replay and the 1/(1−r²) identity") {
+    val r = SparkEntry.queries("ml_vif")(spark, sf).collect()(0)
+    val (n, r2, vif) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val src = graft.core.Tables.t(spark, sf, "lineitem")
+      .selectExpr("CAST(round(l_quantity) AS BIGINT) AS a",
+        "CAST(round(l_discount * 100) AS BIGINT) AS b")
+      .collect().map(x => (BigInt(x.getLong(0)), BigInt(x.getLong(1))))
+    val nn = BigInt(src.length)
+    val cov = nn * src.map(p => p._1 * p._2).sum -
+      src.map(_._1).sum * src.map(_._2).sum
+    val va = nn * src.map(p => p._1 * p._1).sum -
+      src.map(_._1).sum.pow(2)
+    val vb = nn * src.map(p => p._2 * p._2).sum -
+      src.map(_._2).sum.pow(2)
+    assert(n == src.length)
+    val (cd, vad, vbd) = (cov.toDouble, va.toDouble, vb.toDouble)
+    assert(r2 == math.floor(1e6 * (cd * cd) / (vad * vbd) + 0.5).toLong)
+    assert(vif == math.floor(
+      1e6 * (vad * vbd) / (vad * vbd - cd * cd) + 0.5).toLong)
+    assert(vif >= 1000000L) // VIF ≥ 1 always
+  }
+
+  test("llm_fleiss_kappa: rater replay and the kappa identity") {
+    val r = SparkEntry.queries("llm_fleiss_kappa")(spark, sf).collect()(0)
+    val (n, t, pbar, pe, kappa) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val docs = graft.core.Tables.t(spark, sf, "documents")
+      .selectExpr("size(split(text, ' ')) AS nt",
+        "size(array_distinct(split(text, ' '))) AS ty", "n_chars")
+      .collect().map(x => (x.getInt(0), x.getInt(1), x.getLong(2)))
+    val yes = docs.map { case (nt, ty, nc) =>
+      (if (nt >= 40) 1 else 0) + (if (2 * ty >= nt) 1 else 0) +
+        (if (nc >= 200) 1 else 0)
+    }
+    assert(n == docs.length && t == yes.map(_.toLong).sum)
+    val ssq = yes.map(y => (y * y + (3 - y) * (3 - y)).toLong).sum
+    val pbarD = (ssq - 3.0 * n) / (6.0 * n)
+    val peD = (t.toDouble * t + (3.0 * n - t) * (3.0 * n - t)) /
+      (9.0 * n * n)
+    assert(pbar == math.floor(1e6 * pbarD + 0.5).toLong)
+    assert(pe == math.floor(1e6 * peD + 0.5).toLong)
+    assert(kappa == math.floor(1e6 * (pbarD - peD) / (1.0 - peD) + 0.5)
+      .toLong)
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
