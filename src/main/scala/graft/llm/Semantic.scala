@@ -234,6 +234,58 @@ object Semantic {
     // (shuffle key is the gram, payload two ints), pair totals
     // broadcast back over the 45-row grid. The eval-metric sibling of
     // the Jaccard/containment dedup measures.
+    // self-BLEU-2 over the same bounded candidate pool as
+    // llm_rouge_pairs — the standard DIVERSITY readout for generated
+    // corpora (high self-BLEU = the docs parrot each other). ORDERED
+    // pairs (BLEU is asymmetric: clipped precision is measured on the
+    // candidate): p_n = Σ min(c_cand, c_ref)/Σ c_cand from exact
+    // integer n-gram counts, brevity penalty exp(1 − len_r/len_c) only
+    // when the candidate is shorter, bleu2 = BP·√(p1·p2) — one exp and
+    // one sqrt per pair on exact-rational operands, floor-ppm output.
+    "llm_self_bleu2" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val uni = docs.select(col("doc_id"), explode(col("toks")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val bi = docs.select(col("doc_id"),
+          explode(expr("transform(slice(toks, 1, size(toks) - 1)," +
+            " (x, i) -> concat(x, ' ', toks[i + 1]))")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      def clipped(grams: DataFrame, out: String): DataFrame =
+        grams.select(col("doc_id").as("id_cand"), col("g"),
+            col("c").as("cc"))
+          .join(grams.select(col("doc_id").as("id_ref"), col("g"),
+            col("c").as("cr")), Seq("g"))
+          .filter(col("id_cand") =!= col("id_ref"))
+          .groupBy(col("id_cand"), col("id_ref"))
+          .agg(sum(least(col("cc"), col("cr"))).as(out))
+      def totals(grams: DataFrame, out: String): DataFrame =
+        grams.groupBy(col("doc_id")).agg(sum(col("c")).as(out))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("id_cand"))
+        .crossJoin(ids.select(col("doc_id").as("id_ref")))
+        .filter(col("id_cand") =!= col("id_ref"))
+      pairs
+        .join(clipped(uni, "o1"), Seq("id_cand", "id_ref"), "left")
+        .join(clipped(bi, "o2"), Seq("id_cand", "id_ref"), "left")
+        .join(totals(uni, "n1c").withColumnRenamed("doc_id", "id_cand"),
+          Seq("id_cand"))
+        .join(totals(uni, "n1r").withColumnRenamed("doc_id", "id_ref"),
+          Seq("id_ref"))
+        .join(totals(bi, "n2c").withColumnRenamed("doc_id", "id_cand"),
+          Seq("id_cand"))
+        .selectExpr("id_cand", "id_ref",
+          "CAST(coalesce(o1, 0) AS BIGINT) AS o1",
+          "CAST(coalesce(o2, 0) AS BIGINT) AS o2",
+          "CASE WHEN coalesce(o1, 0) > 0 AND coalesce(o2, 0) > 0 THEN" +
+            " CAST(floor(1e6 * (CASE WHEN n1c < n1r THEN" +
+            " exp(1.0 - CAST(n1r AS DOUBLE) / CAST(n1c AS DOUBLE))" +
+            " ELSE 1.0 END)" +
+            " * sqrt((coalesce(o1, 0) / CAST(n1c AS DOUBLE))" +
+            " * (coalesce(o2, 0) / CAST(n2c AS DOUBLE))) + 0.5)" +
+            " AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bleu2_ppm")
+    }),
+
     "llm_rouge_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") < 10)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -503,6 +555,52 @@ object Semantic {
              CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                      ELSE 'tail' END AS ppl_bucket
       FROM b""",
+
+    "llm_self_bleu2" -> """
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 10
+      ), unic AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS g FROM docs) GROUP BY doc_id, g
+      ), bic AS (
+        SELECT doc_id, g, count(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS g
+          FROM docs) GROUP BY doc_id, g
+      ), o1 AS (
+        SELECT a.doc_id AS id_cand, b.doc_id AS id_ref,
+               sum(least(a.c, b.c)) AS o
+        FROM unic a JOIN unic b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+      ), o2 AS (
+        SELECT a.doc_id AS id_cand, b.doc_id AS id_ref,
+               sum(least(a.c, b.c)) AS o
+        FROM bic a JOIN bic b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+      ), t1 AS (SELECT doc_id, sum(c) AS n FROM unic GROUP BY doc_id),
+      t2 AS (SELECT doc_id, sum(c) AS n FROM bic GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_cand, b.doc_id AS id_ref
+        FROM docs a JOIN docs b ON a.doc_id <> b.doc_id
+      )
+      SELECT p.id_cand, p.id_ref,
+             CAST(coalesce(o1.o, 0) AS BIGINT) AS o1,
+             CAST(coalesce(o2.o, 0) AS BIGINT) AS o2,
+             CASE WHEN coalesce(o1.o, 0) > 0 AND coalesce(o2.o, 0) > 0
+               THEN CAST(floor(1e6 * (CASE WHEN t1c.n < t1r.n THEN
+                 exp(1.0 - CAST(t1r.n AS DOUBLE) / CAST(t1c.n AS DOUBLE))
+                 ELSE 1.0 END)
+                 * sqrt((coalesce(o1.o, 0) / CAST(t1c.n AS DOUBLE))
+                 * (coalesce(o2.o, 0) / CAST(t2c.n AS DOUBLE))) + 0.5)
+                 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bleu2_ppm
+      FROM pairs p
+      LEFT JOIN o1 ON o1.id_cand = p.id_cand AND o1.id_ref = p.id_ref
+      LEFT JOIN o2 ON o2.id_cand = p.id_cand AND o2.id_ref = p.id_ref
+      JOIN t1 t1c ON t1c.doc_id = p.id_cand
+      JOIN t1 t1r ON t1r.doc_id = p.id_ref
+      JOIN t2 t2c ON t2c.doc_id = p.id_cand""",
 
     "llm_rouge_pairs" -> """
       WITH docs AS (

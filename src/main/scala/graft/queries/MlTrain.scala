@@ -722,6 +722,31 @@ object MlTrain {
             "ELSE 0 END AS rec_ppm")
     }),
 
+    // Expected calibration error — the single-number summary of
+    // ml_calibration's reliability diagram. EXACT-INTEGER construction:
+    // each row's confidence is quantized floor(1e6·sg + 0.5) BEFORE the
+    // per-bin sum (never an avg of raw doubles), so the per-bin gap
+    // |1e6·pos_b − Σ sg_ppm| is pure BIGINT and ECE is ONE terminal
+    // floor division by N. Same ≤200-bin table as the pr-curve family.
+    "ml_ece" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      raw.select(sg.as("sg"), col("yy"))
+        .withColumn("bin", least(floor(col("sg") * 200), lit(199L)))
+        .withColumn("sgq", floor(lit(1e6) * col("sg") + 0.5).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("pos"),
+          sum(col("sgq")).as("conf_sum_ppm"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_rows"),
+          sum(abs(lit(1000000L) * col("pos") - col("conf_sum_ppm")))
+            .as("gap_sum"))
+        .selectExpr("n_bins", "n_rows",
+          "CAST(floor(CAST(gap_sum AS DOUBLE) / n_rows + 0.5) AS BIGINT)" +
+            " AS ece_ppm")
+    }),
+
     // best-F1 threshold sweep — the deployment readout on top of
     // ml_pr_curve: F1 at predict-positive-above-bin-b collapses to
     // 2·tp/(pp + P) (since 2tp + fp + fn = pp + P), so the sweep is the
@@ -1472,6 +1497,29 @@ object MlTrain {
         |         CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT)
         |         ELSE 0 END AS rec_ppm
         |FROM cum, tot""".stripMargin,
+
+    "ml_ece" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |bins AS (
+        |  SELECT least(CAST(floor(sg*200) AS BIGINT), 199) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS pos,
+        |         CAST(sum(CAST(floor(1e6 * sg + 0.5) AS BIGINT))
+        |              AS BIGINT) AS conf_sum_ppm
+        |  FROM sc GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |         CAST(sum(n) AS BIGINT) AS n_rows,
+        |         CAST(sum(abs(1000000 * pos - conf_sum_ppm)) AS BIGINT)
+        |           AS gap_sum
+        |  FROM bins)
+        |SELECT n_bins, n_rows,
+        |       CAST(floor(CAST(gap_sum AS DOUBLE) / n_rows + 0.5)
+        |         AS BIGINT) AS ece_ppm
+        |FROM agg""".stripMargin,
 
     "ml_best_f1" ->
       s"""WITH $logregCtes,

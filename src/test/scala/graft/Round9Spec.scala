@@ -994,6 +994,34 @@ class Round9Spec extends AnyFunSuite {
       .toLong)
   }
 
+  test("ml_ece: integer gap replay from quantized per-row confidences") {
+    val r = SparkEntry.queries("ml_ece")(spark, sf).collect()(0)
+    val (nBins, nRows, ece) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val cal = SparkEntry.queries("ml_calibration")(spark, sf).collect()
+    assert(nBins == cal.length)
+    assert(nRows == cal.map(_.getLong(1)).sum)
+    assert(ece >= 0L && ece <= 1000000L)
+  }
+
+  test("llm_self_bleu2: identity pairs excluded, ppm replay, asymmetry real") {
+    val rows = SparkEntry.queries("llm_self_bleu2")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val m = rows.toMap
+    assert(rows.length == m.size && m.keys.forall(k => k._1 != k._2))
+    // overlap counts are symmetric (min is), the SCORE is not: at least
+    // one pair must disagree with its mirror (different candidate length)
+    m.foreach { case ((a, b), (o1, o2, _)) =>
+      val (mo1, mo2, _) = m((b, a))
+      assert(o1 == mo1 && o2 == mo2)
+    }
+    assert(m.exists { case ((a, b), (_, _, s)) => m((b, a))._3 != s })
+    m.values.foreach { case (o1, o2, s) =>
+      assert(s >= 0 && s <= 1000000L)
+      if (o1 == 0 || o2 == 0) assert(s == 0L)
+    }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
