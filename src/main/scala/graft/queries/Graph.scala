@@ -364,6 +364,48 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // strongly connected components of the DIRECTED sparse trade graph
+    // (the cycle structure the undirected components can't see: A
+    // exports to B exports to A). The |V| = 25-node graph is bounded by
+    // the nation domain, so after the one data-sized job (the cached
+    // trade-edge aggregate) the transitive closure runs on the driver
+    // as bitset iteration (the graph_components/harmonic pattern);
+    // scc(u) = min{v : u⇝v ∧ v⇝u} — pure set algebra, no FP anywhere.
+    // Twin: an unbounded recursive-closure CTE (UNION-dedup'd, so it
+    // terminates) + the same mutual-reachability min.
+    "graph_scc" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val edges = sparseEdges(s, d)
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = nation.select(col("n_nationkey").cast("long"))
+        .collect().map(_.getLong(0)).sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.length
+      val reach = Array.fill(n)(new scala.collection.mutable.BitSet(n))
+      nodes.indices.foreach(i => reach(i) += i)
+      edges.foreach { case (u, v) => reach(idx(u)) += idx(v) }
+      var changed = true
+      while (changed) {
+        changed = false
+        for (i <- 0 until n) {
+          val r = reach(i); val before = r.size
+          r.toArray.foreach(j => r |= reach(j))
+          if (r.size > before) changed = true
+        }
+      }
+      val scc = nodes.indices.map { i =>
+        val mutual = reach(i).filter(j => reach(j)(i))
+        (nodes(i), nodes(mutual.min))
+      }
+      import s.implicits._
+      s.createDataset(scc).toDF("node", "scc")
+        .join(broadcast(nation),
+          col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("node"), col("scc"))
+        .orderBy(col("n_name"))
+    }),
+
     // Newman modularity of the label-propagation communities — the
     // quality score that tells you whether the partition means anything:
     // Q = Σ_c [L_c/m − (D_c/2m)²]. EXACT RATIONAL: the per-community
@@ -1092,6 +1134,24 @@ object Graph {
     "graph_pagerank" -> pagerankTwin,
     "graph_label_prop" -> labelPropTwin,
     "graph_modularity" -> modularityTwin,
+
+    "graph_scc" ->
+      s"""WITH RECURSIVE $sparseCte,
+        |  e AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+        |        FROM sparse),
+        |  nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node
+        |            FROM nation),
+        |  reach(s, d) AS (
+        |    SELECT node, node FROM nodes
+        |    UNION
+        |    SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d),
+        |  scc AS (
+        |    SELECT a.s AS node, CAST(min(a.d) AS BIGINT) AS scc
+        |    FROM reach a JOIN reach b ON b.s = a.d AND b.d = a.s
+        |    GROUP BY 1)
+        |SELECT n.n_name, c.node, c.scc
+        |FROM scc c JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = c.node
+        |ORDER BY n.n_name""".stripMargin,
     "graph_kcore" -> kcoreTwin,
     "graph_betweenness" -> betweennessTwin,
     "graph_ktruss" -> ktrussTwin,

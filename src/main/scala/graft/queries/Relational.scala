@@ -277,6 +277,34 @@ object Relational {
             .as("p50_cont"))
     }),
 
+    // Bowley (quartile) skewness — the robust skew a monitoring pipeline
+    // prefers over the moment skew (no third powers, no outlier blowup):
+    // (q3 + q1 − 2·q2)/(q3 − q1) on EXACT-CENT quartile MEMBERS
+    // (percentile_disc returns an element, never an interpolation), so
+    // the whole statistic is one floor-ppm division of BIGINTs.
+    "agg_bowley_skew" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("v"))
+        .groupBy(col("grp"))
+        .agg(
+          // Spark's percentile_disc returns DOUBLE even for integral
+          // input — the selected value is an exact group member, so the
+          // BIGINT cast is lossless and REQUIRED (a float64 column would
+          // hash-mismatch the twin's BIGINT in the driver's pandas
+          // bridge — the ml_confusion dtype trap)
+          expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v)" +
+            " AS BIGINT)").as("q1"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)" +
+            " AS BIGINT)").as("q2"),
+          expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v)" +
+            " AS BIGINT)").as("q3"))
+        .selectExpr("grp", "q1", "q2", "q3",
+          "CASE WHEN q3 > q1 THEN CAST(floor(1e6 * (q3 + q1 - 2 * q2)" +
+            " / (q3 - q1) + 0.5) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END AS bowley_ppm")
+    }),
+
     // collect_set canonicalized to a sorted csv string (array hashing is
     // engine-specific; string form is oracle-stable)
     "agg_collect" -> ((s, d) => {
@@ -1721,6 +1749,23 @@ object Relational {
              quantile_cont(l_extendedprice, 0.25) AS p25_price,
              quantile_cont(l_extendedprice, 0.75) AS p75_price
       FROM lineitem GROUP BY l_linestatus""",
+
+    "agg_bowley_skew" -> """
+      WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem),
+      q AS (
+        SELECT grp,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
+               CAST(quantile_disc(v, 0.5) AS BIGINT) AS q2,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS q3
+        FROM v GROUP BY grp)
+      SELECT grp, q1, q2, q3,
+             CASE WHEN q3 > q1 THEN CAST(floor(1e6 * (q3 + q1 - 2 * q2)
+               / (q3 - q1) + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS bowley_ppm
+      FROM q""",
 
     "agg_percentile_disc" -> """
       SELECT l_returnflag,

@@ -433,6 +433,9 @@ class PlanAuditSpec extends AnyFunSuite
       // reference-summary set (same shape as the ≤50-query-vector
       // cosine_topk broadcast)
       "llm_rouge_pairs",
+      // self-BLEU (r9): the same ≤10-doc candidate pool as rouge_pairs,
+      // ordered pairs — the product is 90 rows by construction
+      "llm_self_bleu2",
       // kernel-coverage query: deliberate all-pairs over the DISTINCT
       // part-name catalog (bounded by the name domain, not row count)
       // to exercise every Jaro-Winkler branch against the oracle;
