@@ -190,19 +190,24 @@ object TextOps {
     * projection — the whole encode is a scan-side map, no shuffle until
     * the per-doc aggregate). Emits per-doc token accounting — the cost
     * model every training-data pipeline runs before a tokenizer change. */
-  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** The word-level encode surface: (doc_id, w, syms) after folding the
+    * merge table — shared by [[bpeEncode]] and the roundtrip audit. */
+  def bpeEncodeWords(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("syms", split(col("w"), ""))
-    val folded = merges.foldLeft(words) { case (df, (l, r)) =>
+    merges.foldLeft(words) { case (df, (l, r)) =>
       df.withColumn("syms", applyMerge(col("syms"), l, r))
     }
-    folded.groupBy(col("doc_id")).agg(
+  }
+
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeWords(docs, merges).groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_words"),
       sum(size(col("syms"))).as("n_bpe_tokens"),
       sum(length(col("w"))).as("n_chars"))
-  }
 
   // one trained merge table per corpus per JVM (the ivfCache amortization
   // pattern: Verify/Bench time ENCODE, not repeated training)
@@ -274,6 +279,19 @@ object TextOps {
     // the same iterative-training reason as llm_bpe_train.
     "llm_bpe_encode" -> ((s, d) =>
       bpeEncode(spread(t(s, d, "documents")), bpeMergesFor(s, d))),
+
+    // tokenizer ROUNDTRIP audit — the invariant gate a tokenizer change
+    // ships behind: decode(encode(w)) must reproduce every word
+    // byte-for-byte (merges only ever concatenate adjacent symbols, so
+    // any miss means a broken merge table). One corpus-level row of
+    // exact counts; rides the cached merge table + the shared word-level
+    // encode; the equality is a pure string compare (no numerics at all).
+    "llm_bpe_roundtrip" -> ((s, d) =>
+      bpeEncodeWords(spread(t(s, d, "documents")), bpeMergesFor(s, d))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(expr("array_join(syms, '') = w"), 1L).otherwise(0L))
+            .as("n_ok"),
+          sum(size(col("syms"))).as("n_tokens"))),
 
     // tokenizer fertility (tokens per word) per language under the
     // trained BPE merges — the cost metric a tokenizer change is judged
@@ -1585,6 +1603,15 @@ object TextOps {
                AS n_bpe_tokens,
              CAST(sum(length(w)) AS BIGINT) AS n_chars
       FROM d10 GROUP BY doc_id""",
+
+    "llm_bpe_roundtrip" -> s"""
+      WITH ${bpeTrainCtes(10)} ${bpeEncodeCtes(10)}
+      SELECT CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN replace(syms, chr(31), '') = w
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             CAST(sum(len(string_split(syms, chr(31)))) AS BIGINT)
+               AS n_tokens
+      FROM d10""",
 
     "llm_bpe_fertility" -> s"""
       WITH ${bpeTrainCtes(10)} ${bpeEncodeCtes(10)}

@@ -73,6 +73,34 @@ object Analytics {
             - (col("n_cust") + lit(1.0)) / col("n_cust"), 6).as("gini"))
     }),
 
+    // Theil T inequality index of customer revenue per nation — the
+    // third leg of the inequality family (gini = rank-based, lorenz =
+    // the curve, theil = entropy-based and DECOMPOSABLE across
+    // subgroups, which is why national-accounts pipelines carry it):
+    // T = (1/n)Σ r·ln r with r = xᵢ·n/S. Each term's operands are exact
+    // integers, each term is floor-ppm quantized BEFORE the BIGINT sum
+    // (the ml_confusion discipline), and the rank-free construction
+    // needs no sort at all — one grouped aggregate + per-nation windows.
+    "agg_theil" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val crev = c.join(o, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"))
+      val w = Window.partitionBy(col("nationkey"))
+      crev
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("stot", sum(col("rev_c")).over(w))
+        .withColumn("term_ppm", expr(
+          "CAST(floor(1e6 * (CAST(rev_c AS DOUBLE) * n / stot)" +
+            " * ln(CAST(rev_c AS DOUBLE) * n / stot) + 0.5) AS BIGINT)"))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("term_ppm")).as("tsum"))
+        .selectExpr("nationkey", "n_cust",
+          "CAST(floor(CAST(tsum AS DOUBLE) / n_cust + 0.5) AS BIGINT)" +
+            " AS theil_ppm")
+    }),
+
     // Herfindahl–Hirschman concentration index of supplier revenue per
     // nation (the antitrust/market-power readout; the Gini's
     // concentration cousin): HHI = Σ shareᵢ² = Σ revᵢ² / (Σ rev)² —
@@ -971,6 +999,26 @@ object Analytics {
              ROUND(2.0*SUM(i*rev_c)/(COUNT(*)*SUM(rev_c))
                    - (COUNT(*)+1.0)/COUNT(*), 6) AS gini
       FROM idx GROUP BY 1""",
+
+    "agg_theil" -> """
+      WITH crev AS (
+        SELECT c_nationkey AS nationkey, c_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS rev_c
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      terms AS (
+        SELECT nationkey, rev_c,
+               CAST(count(*) OVER (PARTITION BY nationkey) AS BIGINT) AS n,
+               CAST(sum(rev_c) OVER (PARTITION BY nationkey) AS BIGINT)
+                 AS stot
+        FROM crev)
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(floor(CAST(sum(CAST(floor(1e6
+               * (CAST(rev_c AS DOUBLE) * n / stot)
+               * ln(CAST(rev_c AS DOUBLE) * n / stot) + 0.5) AS BIGINT))
+               AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS theil_ppm
+      FROM terms GROUP BY nationkey""",
 
     "agg_hhi" -> """
       WITH rev AS (

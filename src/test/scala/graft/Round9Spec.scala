@@ -1057,6 +1057,39 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("llm_bpe_roundtrip: decode(encode(w)) reproduces every word") {
+    val r = SparkEntry.queries("llm_bpe_roundtrip")(spark, sf).collect()(0)
+    val (nWords, nOk, nTokens) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nWords == nOk && nWords > 0)        // the invariant itself
+    assert(nTokens <= nWords * 64)             // sanity: bounded word len
+    // consistency with the per-doc encode accounting
+    val enc = SparkEntry.queries("llm_bpe_encode")(spark, sf).collect()
+    assert(nWords == enc.map(_.getLong(1)).sum)
+    assert(nTokens == enc.map(_.getLong(2)).sum)
+  }
+
+  test("agg_theil: per-term ppm replay, nonnegative by Jensen") {
+    val gotM = SparkEntry.queries("agg_theil")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src = graft.core.Tables.t(spark, sf, "customer")
+      .join(graft.core.Tables.t(spark, sf, "orders"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    src.groupBy(_._1).foreach { case (nk, g) =>
+      val n = g.length; val s = g.map(_._2).sum
+      val tsum = g.map { case (_, x) =>
+        val rr = x.toDouble * n / s
+        math.floor(1e6 * rr * math.log(rr) + 0.5).toLong
+      }.sum
+      val expect = math.floor(tsum.toDouble / n + 0.5).toLong
+      assert(gotM(nk) == ((n.toLong, expect)), s"nation $nk")
+      // Theil ≥ 0 up to per-term floor rounding (±½ ppm per customer)
+      assert(expect >= -1L)
+    }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
