@@ -1035,6 +1035,32 @@ object TextOps {
 
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
     // the word co-occurrence graph — adjacent-token pairs (undirected,
+    // MLM masking plan (BERT-style 15% / 80-10-10) — deterministic and
+    // engine-portable: the mask decision per (doc, token-index) comes
+    // from the portable md5 uniform (integer modulo, never a float
+    // threshold), so the plan is reproducible across reruns/engines —
+    // the property a training pipeline needs to regenerate the exact
+    // epoch. ONE narrow index-aware transform per doc: no explode, no
+    // shuffle — masking is a scan-side map at any corpus size.
+    "llm_mlm_mask" -> ((s, d) => {
+      val h = "CAST(conv(substring(md5(concat('mlm:', doc_id, ':', i))," +
+        " 1, 8), 16, 10) AS BIGINT)"
+      spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "CAST(size(toks) AS BIGINT) AS n_tokens",
+          s"""transform(toks, (x, i) ->
+            CASE WHEN $h % 100 < 15 THEN
+              CASE WHEN ($h div 100) % 10 < 8 THEN '<mask>'
+                   WHEN ($h div 100) % 10 = 8 THEN '<rnd>'
+                   ELSE x END
+            ELSE x END) AS out""")
+        .selectExpr("doc_id", "n_tokens",
+          "CAST(size(filter(out, x -> x = '<mask>')) AS BIGINT) AS n_mask",
+          "CAST(size(filter(out, x -> x = '<rnd>')) AS BIGINT) AS n_rnd",
+          "array_join(out, ' ') AS masked_text")
+    }),
+
     // Fleiss' kappa across three deterministic document "raters" (the
     // rater-agreement readout an LLM-judge eval pipeline runs — here
     // the raters are transparent quality rules: length ≥ 40 tokens,
@@ -1518,6 +1544,34 @@ object TextOps {
 
   val sql: Map[String, String] = Map(
     "llm_textrank_keywords" -> textrankTwin,
+
+    // same integer-modulo decisions off the shared md5 uniform;
+    // DuckDB's 1-based subscripts shift to the engine's 0-based i
+    "llm_mlm_mask" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS x,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents),
+      h AS (
+        SELECT doc_id, i, x,
+               CAST(('0x' || substr(md5('mlm:' || doc_id || ':'
+                 || (i - 1)), 1, 8)) AS BIGINT) AS hv
+        FROM toks),
+      o AS (
+        SELECT doc_id, i,
+               CASE WHEN hv % 100 < 15 THEN
+                 CASE WHEN (hv // 100) % 10 < 8 THEN '<mask>'
+                      WHEN (hv // 100) % 10 = 8 THEN '<rnd>'
+                      ELSE x END
+               ELSE x END AS y
+        FROM h)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN y = '<mask>' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_mask,
+             CAST(sum(CASE WHEN y = '<rnd>' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rnd,
+             string_agg(y, ' ' ORDER BY i) AS masked_text
+      FROM o GROUP BY doc_id""",
 
     // identical integer raters and the same single-division formula text
     "llm_fleiss_kappa" -> """

@@ -1090,6 +1090,54 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("join_pit_features: agrees with join_asof on the click feature") {
+    val base = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    val rows = SparkEntry.queries("join_pit_features")(spark, sf).collect()
+    assert(rows.length == base.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(Option(r.getTimestamp(3)) == base(id), s"purchase $id")
+      // no-leakage: every feature timestamp strictly precedes the label
+      Seq(3, 4).foreach { i =>
+        Option(r.getTimestamp(i)).foreach(f =>
+          assert(f.getTime < r.getTimestamp(2).getTime))
+      }
+      // prior-event count dominates the feature presence indicators
+      val present = Seq(3, 4).count(i => r.getTimestamp(i) != null)
+      assert(r.getLong(5) >= present)
+    }
+  }
+
+  test("llm_mlm_mask: md5 replay of the mask plan on one document") {
+    val rows = SparkEntry.queries("llm_mlm_mask")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val total = rows.map(_._2).sum
+    val masked = rows.map(_._3).sum + rows.map(_._4).sum
+    // ~15% masked, of which ~1/10 '<rnd>'; wide tolerance, exact replay below
+    assert(masked > total * 8 / 100 && masked < total * 22 / 100)
+    rows.foreach { case (_, n, nm, nr, txt) =>
+      assert(txt.split(" ", -1).length == n && nm + nr <= n)
+    }
+    // byte-exact replay of the first doc's plan
+    val (docId, _, _, _, maskedText) = rows.minBy(_._1)
+    val orig = graft.core.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") === docId).select(col("text"))
+      .collect()(0).getString(0).split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = orig.zipWithIndex.map { case (x, i) =>
+      val hex = md.digest(s"mlm:$docId:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val hv = java.lang.Long.parseLong(hex, 16)
+      if (hv % 100 < 15) {
+        if ((hv / 100) % 10 < 8) "<mask>"
+        else if ((hv / 100) % 10 == 8) "<rnd>" else x
+      } else x
+    }.mkString(" ")
+    assert(maskedText == expect)
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
