@@ -1061,6 +1061,35 @@ object TextOps {
           "array_join(out, ' ') AS masked_text")
     }),
 
+    // T5-style span corruption plan: 5% of token positions open a
+    // 3-token span; overlapping spans merge; each maximal masked run
+    // collapses to ONE sentinel. The key design point: masked(i) is a
+    // PURE FUNCTION of (doc_id, i) — start(i) ∨ start(i−1) ∨ start(i−2)
+    // off the portable md5 uniform — so there is no sequential scan, no
+    // window, no state: the whole plan is one index-aware transform
+    // (recomputing ≤3 hashes per token beats any cross-row dependency
+    // at 100 TB), reproducible byte-for-byte across engines and epochs.
+    "llm_span_corruption" -> ((s, d) => {
+      def st(j: String) =
+        s"($j >= 0 AND CAST(conv(substring(md5(concat('spc:', doc_id," +
+          s" ':', $j)), 1, 8), 16, 10) AS BIGINT) % 1000 < 50)"
+      def masked(j: String) =
+        s"(${st(j)} OR ${st(s"$j - 1")} OR ${st(s"$j - 2")})"
+      spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS n_tokens",
+          s"""filter(transform(toks, (x, i) ->
+              CASE WHEN NOT ${masked("i")} THEN x
+                   WHEN i = 0 OR NOT ${masked("i - 1")} THEN '<X>'
+                   ELSE CAST(NULL AS STRING) END),
+            y -> y IS NOT NULL) AS out""",
+          s"CAST(size(filter(sequence(0, size(toks) - 1)," +
+            s" i -> ${masked("i")})) AS BIGINT) AS n_masked")
+        .selectExpr("doc_id", "n_tokens", "n_masked",
+          "CAST(size(filter(out, y -> y = '<X>')) AS BIGINT) AS n_spans",
+          "array_join(out, ' ') AS corrupted_text")
+    }),
+
     // Fleiss' kappa across three deterministic document "raters" (the
     // rater-agreement readout an LLM-judge eval pipeline runs — here
     // the raters are transparent quality rules: length ≥ 40 tokens,
@@ -1544,6 +1573,48 @@ object TextOps {
 
   val sql: Map[String, String] = Map(
     "llm_textrank_keywords" -> textrankTwin,
+
+    // masked(j) recomputed per row from (doc_id, j) alone — no window;
+    // string_agg drops the NULLs interior span positions produce
+    "llm_span_corruption" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS x,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS j,
+               len(string_split(text, ' ')) AS nt
+        FROM documents),
+      fl AS (
+        SELECT doc_id, j, x, nt,
+               ((j >= 0 AND CAST(('0x' || substr(md5('spc:' || doc_id
+                  || ':' || j), 1, 8)) AS BIGINT) % 1000 < 50)
+                OR (j - 1 >= 0 AND CAST(('0x' || substr(md5('spc:'
+                  || doc_id || ':' || (j - 1)), 1, 8)) AS BIGINT)
+                  % 1000 < 50)
+                OR (j - 2 >= 0 AND CAST(('0x' || substr(md5('spc:'
+                  || doc_id || ':' || (j - 2)), 1, 8)) AS BIGINT)
+                  % 1000 < 50)) AS mk,
+               ((j - 1 >= 0 AND CAST(('0x' || substr(md5('spc:'
+                  || doc_id || ':' || (j - 1)), 1, 8)) AS BIGINT)
+                  % 1000 < 50)
+                OR (j - 2 >= 0 AND CAST(('0x' || substr(md5('spc:'
+                  || doc_id || ':' || (j - 2)), 1, 8)) AS BIGINT)
+                  % 1000 < 50)
+                OR (j - 3 >= 0 AND CAST(('0x' || substr(md5('spc:'
+                  || doc_id || ':' || (j - 3)), 1, 8)) AS BIGINT)
+                  % 1000 < 50)) AS mk_prev
+        FROM toks),
+      o AS (
+        SELECT doc_id, j, nt, mk,
+               CASE WHEN NOT mk THEN x
+                    WHEN j = 0 OR NOT mk_prev THEN '<X>'
+                    ELSE NULL END AS y
+        FROM fl)
+      SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+             CAST(sum(CASE WHEN y = '<X>' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans,
+             string_agg(y, ' ' ORDER BY j) AS corrupted_text
+      FROM o GROUP BY doc_id""",
 
     // same integer-modulo decisions off the shared md5 uniform;
     // DuckDB's 1-based subscripts shift to the engine's 0-based i

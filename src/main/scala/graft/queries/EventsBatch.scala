@@ -288,6 +288,29 @@ object EventsBatch {
             .otherwise(col("next_ts")).as("nearest_click_ts"))
     }),
 
+    // inter-arrival profile per event type — the ops-side load model
+    // (rate provisioning, anomaly thresholds, exponential-fit λ = 1/mean
+    // all read off this table): exact-µs gaps from one lag window, then
+    // mean via integral division and median/p95 as exact gap MEMBERS
+    // (percentile_disc cast BIGINT — the dtype discipline). No FP in
+    // the output at all.
+    "evt_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("sum(gap) div count(1)").as("mean_gap_us"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)" +
+            " AS BIGINT)").as("p50_gap_us"),
+          expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY gap)" +
+            " AS BIGINT)").as("p95_gap_us"))
+    }),
+
     // point-in-time feature assembly — the FEATURE-STORE join: for each
     // purchase (the label event), the strictly-prior state of several
     // feature streams (last click, last view, prior-event count) with
@@ -1638,6 +1661,20 @@ object EventsBatch {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts < p.ts""",
+
+    "evt_interarrival" -> """
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us,
+             CAST(quantile_disc(gap, 0.5) AS BIGINT) AS p50_gap_us,
+             CAST(quantile_disc(gap, 0.95) AS BIGINT) AS p95_gap_us
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type""",
 
     "join_pit_features" -> """
       WITH ev AS (

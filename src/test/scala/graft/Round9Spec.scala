@@ -1138,6 +1138,53 @@ class Round9Spec extends AnyFunSuite {
     assert(maskedText == expect)
   }
 
+  test("llm_span_corruption: md5 replay with span merge and collapse") {
+    val rows = SparkEntry.queries("llm_span_corruption")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    rows.foreach { case (_, n, nm, ns, _) =>
+      // a merged run collapses MANY starts into ONE sentinel, so the
+      // only universal bounds are containment ones
+      assert(nm <= n && ns <= nm)
+    }
+    // byte-exact replay of the first doc
+    val (docId, _, nm, ns, text) = rows.minBy(_._1)
+    val orig = graft.core.Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") === docId).select(col("text"))
+      .collect()(0).getString(0).split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def start(j: Int): Boolean = j >= 0 && {
+      val hex = md.digest(s"spc:$docId:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000 < 50
+    }
+    def masked(j: Int) = start(j) || start(j - 1) || start(j - 2)
+    val out = orig.indices.flatMap { i =>
+      if (!masked(i)) Some(orig(i))
+      else if (i == 0 || !masked(i - 1)) Some("<X>")
+      else None
+    }
+    assert(text == out.mkString(" "))
+    assert(nm == orig.indices.count(masked))
+    assert(ns == out.count(_ == "<X>"))
+  }
+
+  test("evt_interarrival: gap stats replay from the raw series") {
+    val got = SparkEntry.queries("evt_interarrival")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val src = graft.core.Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    src.groupBy(_._1).foreach { case (et, g) =>
+      val us = g.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = us.zip(us.tail).map { case (a, b) => b - a }.sorted
+      def q(p: Double) = gaps(math.ceil(p * gaps.length).toInt - 1)
+      assert(got(et) == ((gaps.length.toLong, gaps.sum / gaps.length,
+        q(0.5), q(0.95))), s"type $et")
+    }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
