@@ -288,6 +288,54 @@ object EventsBatch {
             .otherwise(col("next_ts")).as("nearest_click_ts"))
     }),
 
+    // peak concurrency via the classic sweep line: sessions are
+    // signup + 90 minutes (the interval-join fixture's windows); each
+    // interval contributes a +1 at start and a −1 at end, the running
+    // sum over the time-ordered deltas IS the live-session count, and
+    // its max is the capacity answer. Ties break (time, delta asc) so
+    // an end at time T releases BEFORE a start at T claims — the
+    // half-open [start, end) convention, pinned identically in both
+    // engines. Exact integers throughout; the running sum uses the
+    // time-ordered window over the DELTA stream (2 rows per session,
+    // not per event).
+    "evt_peak_concurrency" -> ((s, d) => {
+      val iv = t(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) + 5400000000L).as("en"))
+      val deltas = iv.select(col("st").as("pt"), lit(1L).as("dl"))
+        .union(iv.select(col("en").as("pt"), lit(-1L).as("dl")))
+      // the running sum goes through the two-level prefix-sum scan —
+      // a global Window.orderBy here would funnel 2·|sessions| rows
+      // through one task (the classic sweep-line scale cliff)
+      graft.ops.Partitioning
+        .rankedCumSum(deltas, col("dl"), Seq(col("pt"), col("dl")), 32,
+          "live")
+        .agg(max(col("live")).as("peak_concurrent"),
+          count(lit(1)).as("n_points"))
+    }),
+
+    // downtime report per event type: an outage is an inter-arrival gap
+    // > 1 hour; exact-µs counts, totals, and the longest gap — the
+    // islands complement of evt_interarrival's distribution view.
+    "evt_gap_report" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("gap") > 3600000000L, 1L).otherwise(0L))
+            .as("n_outages"),
+          sum(when(col("gap") > 3600000000L, col("gap")).otherwise(0L))
+            .as("downtime_us"),
+          max(col("gap")).as("longest_gap_us"))
+    }),
+
     // inter-arrival profile per event type — the ops-side load model
     // (rate provisioning, anomaly thresholds, exponential-fit λ = 1/mean
     // all read off this table): exact-µs gaps from one lag window, then
@@ -1661,6 +1709,39 @@ object EventsBatch {
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts < p.ts""",
+
+    "evt_peak_concurrency" -> """
+      WITH iv AS (
+        SELECT epoch_us(ts) AS st, epoch_us(ts) + 5400000000 AS en
+        FROM events WHERE event_type = 'signup'),
+      deltas AS (
+        SELECT st AS pt, CAST(1 AS BIGINT) AS dl FROM iv
+        UNION ALL
+        SELECT en AS pt, CAST(-1 AS BIGINT) AS dl FROM iv),
+      run AS (
+        SELECT CAST(sum(dl) OVER (ORDER BY pt, dl
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS live
+        FROM deltas)
+      SELECT CAST(max(live) AS BIGINT) AS peak_concurrent,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM run""",
+
+    "evt_gap_report" -> """
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events)
+      SELECT event_type,
+             CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outages,
+             CAST(sum(CASE WHEN gap > 3600000000 THEN gap ELSE 0 END)
+               AS BIGINT) AS downtime_us,
+             CAST(max(gap) AS BIGINT) AS longest_gap_us
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY event_type""",
 
     "evt_interarrival" -> """
       WITH g AS (

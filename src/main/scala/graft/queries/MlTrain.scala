@@ -747,6 +747,39 @@ object MlTrain {
             " AS ece_ppm")
     }),
 
+    // Youden's J threshold sweep (max TPR − FPR — the diagnostic-test
+    // optimum, vs best-F1's precision/recall optimum): over the same
+    // suffix-sum bin table, J ∝ tp·N₀ − fp·N₁ on the common denominator
+    // N₁·N₀ — so the ARGMAX runs on pure BIGINT numerators (no FP in
+    // the decision at all) and only the reported j_ppm divides once.
+    "ml_youden_j" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      val z = (lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2")
+      val sg = lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      val bins = raw.select(sg.as("sg"), col("yy"))
+        .withColumn("bin", least(floor(col("sg") * 200), lit(199L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("np"))
+      val w = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = bins.agg(sum(col("np")).as("n1"),
+        sum(col("n") - col("np")).as("n0"))
+      val wbest = Window.orderBy(col("jnum").desc, col("bin"))
+      bins
+        .withColumn("tp", sum(col("np")).over(w))
+        .withColumn("pp", sum(col("n")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("jnum",
+          col("tp") * col("n0") - (col("pp") - col("tp")) * col("n1"))
+        .withColumn("rk", row_number().over(wbest))
+        .filter(col("rk") === 1)
+        .selectExpr("bin AS best_bin", "tp", "pp", "n1", "n0",
+          "CAST(floor(1e6 * CAST(jnum AS DOUBLE)" +
+            " / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) + 0.5)" +
+            " AS BIGINT) AS j_ppm")
+    }),
+
     // best-F1 threshold sweep — the deployment readout on top of
     // ml_pr_curve: F1 at predict-positive-above-bin-b collapses to
     // 2·tp/(pp + P) (since 2tp + fp + fn = pp + P), so the sweep is the
@@ -1497,6 +1530,36 @@ object MlTrain {
         |         CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT)
         |         ELSE 0 END AS rec_ppm
         |FROM cum, tot""".stripMargin,
+
+    "ml_youden_j" ->
+      s"""WITH $logregCtes,
+        |sc AS (SELECT 0.5*(1.0 + ((w0 + w1*x1) + w2*x2)/(1.0 + abs((w0 + w1*x1) + w2*x2))) AS sg, yy
+        |       FROM raw, s3),
+        |bins AS (
+        |  SELECT least(CAST(floor(sg*200) AS BIGINT), 199) AS bin,
+        |         count(*) AS n,
+        |         sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END) AS np
+        |  FROM sc GROUP BY 1),
+        |cum AS (
+        |  SELECT bin,
+        |         CAST(sum(np) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |         CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN
+        |           UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pp
+        |  FROM bins),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS n1,
+        |               CAST(sum(n - np) AS BIGINT) AS n0 FROM bins),
+        |scored AS (
+        |  SELECT bin, tp, pp, n1, n0,
+        |         tp * n0 - (pp - tp) * n1 AS jnum
+        |  FROM cum, tot)
+        |SELECT bin AS best_bin, tp, pp, n1, n0,
+        |       CAST(floor(1e6 * CAST(jnum AS DOUBLE)
+        |         / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) + 0.5)
+        |         AS BIGINT) AS j_ppm
+        |FROM (SELECT *, row_number() OVER (ORDER BY jnum DESC, bin)
+        |        AS rk FROM scored)
+        |WHERE rk = 1""".stripMargin,
 
     "ml_ece" ->
       s"""WITH $logregCtes,

@@ -1185,6 +1185,51 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("evt_peak_concurrency: sweep-line replay, half-open convention") {
+    val r = SparkEntry.queries("evt_peak_concurrency")(spark, sf)
+      .collect()(0)
+    val (peak, nPoints) = (r.getLong(0), r.getLong(1))
+    val starts = graft.core.Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "signup")
+      .selectExpr("unix_micros(ts) AS st").collect().map(_.getLong(0))
+    assert(nPoints == 2L * starts.length)
+    val deltas = (starts.map(s => (s, 1L)) ++
+      starts.map(s => (s + 5400000000L, -1L))).sortBy(d => (d._1, d._2))
+    val expect = deltas.scanLeft(0L)(_ + _._2).tail.max
+    assert(peak == expect && peak >= 1L)
+  }
+
+  test("evt_gap_report: consistent with the interarrival profile") {
+    val gaps = SparkEntry.queries("evt_gap_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val ia = SparkEntry.queries("evt_interarrival")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    gaps.foreach { case (et, (nOut, down, longest)) =>
+      val (nGaps, mean) = ia(et)
+      assert(nOut <= nGaps && longest >= mean)
+      if (nOut > 0) assert(down > nOut * 3600000000L)
+      assert(nOut == 0 || longest > 3600000000L)
+    }
+  }
+
+  test("ml_youden_j: integer-argmax replay over the pr-curve bins") {
+    val pr = SparkEntry.queries("ml_pr_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n1 = pr.maxBy(_._2)._2
+    val nAll = pr.maxBy(_._3)._3
+    val n0 = nAll - n1
+    val best = pr.map { case (bin, tp, pp) =>
+      (bin, tp, pp, tp * n0 - (pp - tp) * n1)
+    }.sortBy(t => (-t._4, t._1)).head
+    val r = SparkEntry.queries("ml_youden_j")(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (best._1, best._2, best._3))
+    assert(r.getLong(3) == n1 && r.getLong(4) == n0)
+    assert(r.getLong(5) == math.floor(
+      1e6 * best._4.toDouble / (n1.toDouble * n0.toDouble) + 0.5).toLong)
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
