@@ -364,6 +364,59 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // deterministic random-walk sampling (the node2vec/DeepWalk
+    // data-prep stage): one 4-step walk per start node over the directed
+    // sparse graph, where step k from node c picks out-neighbor rank
+    // 1 + (md5('walk:'v0':'k':'c) mod outdeg(c)) — the PORTABLE-hash
+    // "randomness" every walk-based embedding pipeline needs to make
+    // epochs reproducible. Each step is one broadcast-joined pick
+    // against the ranked neighbor table (|V|-sized walk state; the
+    // data-sized job is the cached edge aggregate); dead ends stay put.
+    // Pure integer/hash decisions — no FP at all. Twin: 4 unrolled
+    // CTE steps over the same ranked neighbors.
+    "graph_walk_sample" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val wNb = Window.partitionBy(col("src")).orderBy(col("dst"))
+      val nb = sparseEdges(s, d)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .withColumn("rn", row_number().over(wNb).cast("long"))
+        .localCheckpoint(eager = false)
+      val outd = nb.groupBy(col("src").as("osrc"))
+        .agg(max(col("rn")).as("deg"))
+      var walk = nation
+        .select(col("n_nationkey").cast("long").as("v0"))
+        .withColumn("cur", col("v0"))
+        .withColumn("path", col("v0").cast("string"))
+      for (k <- 1 to 4) {
+        // fresh column names per step — re-joining the same nb frame
+        // each round is a self-join Spark can't disambiguate otherwise
+        val nbk = nb.select(col("src").as(s"src$k"),
+          col("dst").as(s"dst$k"), col("rn").as(s"rn$k"))
+        val odk = outd.select(col("osrc").as(s"osrc$k"),
+          col("deg").as(s"deg$k"))
+        val picked = walk
+          .join(broadcast(odk), col("cur") === col(s"osrc$k"), "left")
+          .withColumn("pick",
+            when(col(s"deg$k").isNotNull,
+              lit(1L) + expr(s"CAST(conv(substring(md5(concat('walk:'," +
+                s" v0, ':', $k, ':', cur)), 1, 8), 16, 10) AS BIGINT)" +
+                s" % deg$k")))
+          .join(nbk,
+            col("cur") === col(s"src$k") && col("pick") === col(s"rn$k"),
+            "left")
+        walk = picked.select(col("v0"),
+          coalesce(col(s"dst$k"), col("cur")).as("cur"),
+          concat(col("path"), lit("->"),
+            coalesce(col(s"dst$k"), col("cur")).cast("string")).as("path"))
+      }
+      walk.join(broadcast(nation),
+          col("v0") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("v0"), col("cur").as("end_node"),
+          col("path"))
+        .orderBy(col("n_name"))
+    }),
+
     // strongly connected components of the DIRECTED sparse trade graph
     // (the cycle structure the undirected components can't see: A
     // exports to B exports to A). The |V| = 25-node graph is bounded by
@@ -1134,6 +1187,37 @@ object Graph {
     "graph_pagerank" -> pagerankTwin,
     "graph_label_prop" -> labelPropTwin,
     "graph_modularity" -> modularityTwin,
+
+    "graph_walk_sample" -> {
+      val steps = (1 to 4).map { k =>
+        s""",
+        |  w$k AS (
+        |    SELECT w.v0,
+        |           coalesce(nb.dst, w.cur) AS cur,
+        |           w.path || '->' || CAST(coalesce(nb.dst, w.cur)
+        |             AS VARCHAR) AS path
+        |    FROM w${k - 1} w
+        |    LEFT JOIN outd o ON o.osrc = w.cur
+        |    LEFT JOIN nb ON nb.src = w.cur AND nb.rn = 1 +
+        |      CAST(('0x' || substr(md5('walk:' || w.v0 || ':' || $k ||
+        |        ':' || w.cur), 1, 8)) AS BIGINT) % o.deg)""".stripMargin
+      }.mkString
+      s"""WITH $sparseCte,
+        |  nb AS (
+        |    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+        |           CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+        |             AS BIGINT) AS rn
+        |    FROM sparse),
+        |  outd AS (SELECT src AS osrc, CAST(max(rn) AS BIGINT) AS deg
+        |           FROM nb GROUP BY 1),
+        |  w0 AS (SELECT CAST(n_nationkey AS BIGINT) AS v0,
+        |                CAST(n_nationkey AS BIGINT) AS cur,
+        |                CAST(n_nationkey AS VARCHAR) AS path
+        |         FROM nation)$steps
+        |SELECT n.n_name, w.v0, w.cur AS end_node, w.path
+        |FROM w4 w JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = w.v0
+        |ORDER BY n.n_name""".stripMargin
+    },
 
     "graph_scc" ->
       s"""WITH RECURSIVE $sparseCte,

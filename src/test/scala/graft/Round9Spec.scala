@@ -1230,6 +1230,20 @@ class Round9Spec extends AnyFunSuite {
       1e6 * best._4.toDouble / (n1.toDouble * n0.toDouble) + 0.5).toLong)
   }
 
+  test("graph_walk_sample: paths are valid 4-step walks, md5-reproducible") {
+    val rows = SparkEntry.queries("graph_walk_sample")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == 25)
+    rows.foreach { case (v0, end, path) =>
+      val hops = path.split("->").map(_.toLong)
+      assert(hops.length == 5 && hops.head == v0 && hops.last == end)
+    }
+    // determinism: a second evaluation returns the identical paths
+    val again = SparkEntry.queries("graph_walk_sample")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.sameElements(again))
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
