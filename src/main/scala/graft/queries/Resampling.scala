@@ -177,6 +177,55 @@ object Resampling {
             .otherwise(0L)).as("alloc"))
     }),
 
+    // permutation test for the revenue gap between returned and kept
+    // lines — the nonparametric significance readout with an EXACT
+    // integer decision path: 16 deterministic label permutations (the
+    // portable md5 coin per (replicate, row) — the poisson_bootstrap
+    // machinery), and each replicate's "at least as extreme" comparison
+    // |s₁/n₁ − s₀/n₀| ≥ |S₁/N₁ − S₀/N₀| is cross-multiplied into
+    // decimal(38,0) ≡ HUGEINT products — the p-value can never
+    // ulp-flip. One fan-out aggregate (16× the scan, the bootstrap
+    // shape); everything after is a 16-row table.
+    "ml_perm_test" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("bigint").as("v"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .localCheckpoint(eager = false)
+      val obs = li.agg(
+        sum(when(col("y") === 1L, col("v"))).as("os1"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("on1"),
+        sum(when(col("y") === 0L, col("v"))).as("os0"),
+        sum(when(col("y") === 0L, 1L).otherwise(0L)).as("on0"))
+      val perms = li
+        .withColumn("r", explode(expr("sequence(0, 15)")))
+        .withColumn("py", expr("CAST(conv(substring(md5(concat('perm:'," +
+          " r, ':', ok, ':', ln)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .groupBy(col("r"))
+        .agg(sum(when(col("py") === 1L, col("v"))).as("s1"),
+          sum(when(col("py") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("py") === 0L, col("v"))).as("s0"),
+          sum(when(col("py") === 0L, 1L).otherwise(0L)).as("n0"))
+      perms.crossJoin(broadcast(obs))
+        .selectExpr("r",
+          // |s1·n0 − s0·n1|·N1·N0 ≥ |S1·N0 − S0·N1|·n1·n0, all exact
+          "CASE WHEN abs(CAST(s1 AS DECIMAL(38,0)) * n0" +
+            " - CAST(s0 AS DECIMAL(38,0)) * n1)" +
+            " * CAST(on1 AS DECIMAL(38,0)) * on0 >=" +
+            " abs(CAST(os1 AS DECIMAL(38,0)) * on0" +
+            " - CAST(os0 AS DECIMAL(38,0)) * on1)" +
+            " * CAST(n1 AS DECIMAL(38,0)) * n0" +
+            " THEN 1 ELSE 0 END AS extreme",
+          "CAST(floor(1e6 * abs(CAST(os1 AS DOUBLE) / on1" +
+            " - CAST(os0 AS DOUBLE) / on0) + 0.5) AS BIGINT)" +
+            " AS obs_gap_ppm_cents")
+        .groupBy(col("obs_gap_ppm_cents"))
+        .agg(count(lit(1)).as("n_perms"), sum(col("extreme")).as("n_extreme"))
+        .selectExpr("n_perms", "n_extreme", "obs_gap_ppm_cents",
+          "CAST(floor(1e6 * n_extreme / n_perms + 0.5) AS BIGINT)" +
+            " AS p_ppm")
+    }),
+
     // 16 deterministic Poisson-bootstrap replicates of total revenue
     // (cents): weight_r(row) = Poisson(1) inverse CDF at the portable
     // md5 uniform of (replicate, order, line). Exact bigints end-to-end.
@@ -325,6 +374,52 @@ object Resampling {
              CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                   AS BIGINT) AS alloc
       FROM ranked""",
+
+    "ml_perm_test" -> """
+      WITH li AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               l_orderkey AS ok, l_linenumber AS ln
+        FROM lineitem),
+      obs AS (
+        SELECT CAST(sum(CASE WHEN y = 1 THEN v END) AS BIGINT) AS os1,
+               CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS on1,
+               CAST(sum(CASE WHEN y = 0 THEN v END) AS BIGINT) AS os0,
+               CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS on0
+        FROM li),
+      fan AS (
+        SELECT li.*, r.r,
+               CAST(('0x' || substr(md5('perm:' || r.r || ':' || ok
+                 || ':' || ln), 1, 8)) AS BIGINT) % 2 AS py
+        FROM li CROSS JOIN (SELECT unnest(range(0, 16)) AS r) r),
+      perms AS (
+        SELECT r, CAST(sum(CASE WHEN py = 1 THEN v END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN py = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+               CAST(sum(CASE WHEN py = 0 THEN v END) AS BIGINT) AS s0,
+               CAST(sum(CASE WHEN py = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n0
+        FROM fan GROUP BY r),
+      scored AS (
+        SELECT CASE WHEN abs(CAST(s1 AS HUGEINT) * n0
+                 - CAST(s0 AS HUGEINT) * n1)
+                 * CAST(on1 AS HUGEINT) * on0 >=
+                 abs(CAST(os1 AS HUGEINT) * on0
+                 - CAST(os0 AS HUGEINT) * on1)
+                 * CAST(n1 AS HUGEINT) * n0
+               THEN 1 ELSE 0 END AS extreme,
+               CAST(floor(1e6 * abs(CAST(os1 AS DOUBLE) / on1
+                 - CAST(os0 AS DOUBLE) / on0) + 0.5) AS BIGINT)
+                 AS obs_gap_ppm_cents
+        FROM perms, obs)
+      SELECT CAST(count(*) AS BIGINT) AS n_perms,
+             CAST(sum(extreme) AS BIGINT) AS n_extreme,
+             obs_gap_ppm_cents,
+             CAST(floor(1e6 * sum(extreme) / count(*) + 0.5) AS BIGINT)
+               AS p_ppm
+      FROM scored GROUP BY obs_gap_ppm_cents""",
 
     "agg_poisson_bootstrap" -> """
       WITH reps AS (

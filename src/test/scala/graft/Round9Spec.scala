@@ -1244,6 +1244,37 @@ class Round9Spec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("ml_perm_test: full BigInt replay of the 16-permutation decision") {
+    val r = SparkEntry.queries("ml_perm_test")(spark, sf).collect()(0)
+    val (nPerms, nExtreme, p) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    assert(nPerms == 16L)
+    assert(p == math.floor(1e6 * nExtreme.toDouble / 16 + 0.5).toLong)
+    val src = graft.core.Tables.t(spark, sf, "lineitem")
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS v",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+        "l_orderkey", "l_linenumber")
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getInt(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(rep: Int, ok: Long, ln: Int): Int = {
+      val hex = md.digest(s"perm:$rep:$ok:$ln".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+    }
+    def sums(lab: ((Long, Int, Long, Int)) => Int) = {
+      val g1 = src.filter(lab(_) == 1); val g0 = src.filter(lab(_) == 0)
+      (BigInt(g1.map(_._1).sum), BigInt(g1.length),
+        BigInt(g0.map(_._1).sum), BigInt(g0.length))
+    }
+    val (os1, on1, os0, on0) = sums(_._2)
+    val expectExtreme = (0 until 16).count { rep =>
+      val (s1, n1, s0, n0) = sums(t => coin(rep, t._3, t._4))
+      (s1 * n0 - s0 * n1).abs * on1 * on0 >=
+        (os1 * on0 - os0 * on1).abs * n1 * n0
+    }
+    assert(nExtreme == expectExtreme)
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
