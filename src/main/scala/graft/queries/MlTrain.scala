@@ -747,6 +747,53 @@ object MlTrain {
             " AS ece_ppm")
     }),
 
+    // Friedman test across THREE transparent classifiers on the same
+    // blocks (the multi-classifier completion of ml_mcnemar's pairwise
+    // test — the standard "is any of k models better, controlling for
+    // dataset blocks?" readout): blocks = the 5 order priorities,
+    // per-block classifier ranking by exact integer correct-counts
+    // (same n within a block, so rank by rights), ties as DOUBLED
+    // average ranks (stay integral), and the χ²_F statistic
+    // 12/(bk(k+1))·ΣR_j² − 3b(k+1) as one floor-ppm expression of
+    // exact integers. Everything data-sized is ONE co-keyed aggregate;
+    // the ranking runs on the 5×3 block table.
+    "ml_friedman_test" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val y = when(col("l_returnflag") === "R", 1L).otherwise(0L)
+      val rows = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderpriority").as("blk"), y.as("y"),
+          when(round(col("l_quantity")) <= 25, 1L).otherwise(0L).as("c1"),
+          when(round(col("l_discount") * 100) >= 5, 1L).otherwise(0L)
+            .as("c2"),
+          when(col("l_extendedprice") >= 30000.0, 1L).otherwise(0L)
+            .as("c3"))
+      val perBlk = rows.groupBy(col("blk")).agg(
+        sum(when(col("c1") === col("y"), 1L).otherwise(0L)).as("r1"),
+        sum(when(col("c2") === col("y"), 1L).otherwise(0L)).as("r2"),
+        sum(when(col("c3") === col("y"), 1L).otherwise(0L)).as("r3"))
+      val long = perBlk.selectExpr("blk", "stack(3, 1L, r1, 2L, r2," +
+        " 3L, r3) AS (clf, rights)")
+      // doubled mid-ranks: 2·rank = 2·(#worse) + (#tied) + 1 — integral
+      // even under ties, engine-exact
+      val rk = long.as("a").join(long.as("b"), col("a.blk") === col("b.blk"))
+        .groupBy(col("a.blk").as("blk"), col("a.clf").as("clf"))
+        .agg((lit(2L) * sum(when(col("b.rights") < col("a.rights"), 1L)
+            .otherwise(0L))
+          + sum(when(col("b.rights") === col("a.rights"), 1L)
+            .otherwise(0L)) - 1L + lit(2L)).as("rank2"))
+      rk.groupBy(col("clf")).agg(sum(col("rank2")).as("rsum2"))
+        .agg(count(lit(1)).as("k"), sum(col("rsum2")).as("tot2"),
+          sum(col("rsum2") * col("rsum2")).as("sq2"))
+        // b blocks recovered from Σ2R = b·k(k+1): b = tot2 / (k(k+1))
+        .selectExpr("k", "CAST(tot2 div (k * (k + 1)) AS BIGINT) AS b",
+          "sq2")
+        .selectExpr("b", "k",
+          // χ²_F = 12/(b·k(k+1))·Σ(R_j²) − 3b(k+1), with R_j = rsum2/2
+          "CAST(floor(1e6 * (3.0 * sq2 / (b * k * (k + 1)) " +
+            "- 3.0 * b * (k + 1)) + 0.5) AS BIGINT) AS chi2_f_ppm")
+    }),
+
     // Youden's J threshold sweep (max TPR − FPR — the diagnostic-test
     // optimum, vs best-F1's precision/recall optimum): over the same
     // suffix-sum bin table, J ∝ tp·N₀ − fp·N₁ on the common denominator
@@ -1530,6 +1577,49 @@ object MlTrain {
         |         CAST(floor(1e6*tp/npos_total + 0.5) AS BIGINT)
         |         ELSE 0 END AS rec_ppm
         |FROM cum, tot""".stripMargin,
+
+    "ml_friedman_test" -> """
+      WITH rows_ AS (
+        SELECT o.o_orderpriority AS blk,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               CASE WHEN round(l_quantity) <= 25 THEN 1 ELSE 0 END AS c1,
+               CASE WHEN round(l_discount * 100) >= 5 THEN 1 ELSE 0 END
+                 AS c2,
+               CASE WHEN l_extendedprice >= 30000.0 THEN 1 ELSE 0 END
+                 AS c3
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      perblk AS (
+        SELECT blk,
+               CAST(sum(CASE WHEN c1 = y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS r1,
+               CAST(sum(CASE WHEN c2 = y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS r2,
+               CAST(sum(CASE WHEN c3 = y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS r3
+        FROM rows_ GROUP BY blk),
+      longf AS (
+        SELECT blk, CAST(1 AS BIGINT) AS clf, r1 AS rights FROM perblk
+        UNION ALL SELECT blk, 2, r2 FROM perblk
+        UNION ALL SELECT blk, 3, r3 FROM perblk),
+      rk AS (
+        SELECT a.blk, a.clf,
+               CAST(2 * sum(CASE WHEN b.rights < a.rights
+                            THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN b.rights = a.rights THEN 1 ELSE 0 END)
+                 + 1 AS BIGINT) AS rank2
+        FROM longf a JOIN longf b ON a.blk = b.blk
+        GROUP BY a.blk, a.clf),
+      rs AS (SELECT clf, CAST(sum(rank2) AS BIGINT) AS rsum2
+             FROM rk GROUP BY clf),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(rsum2) AS BIGINT) AS tot2,
+                     CAST(sum(rsum2 * rsum2) AS BIGINT) AS sq2 FROM rs),
+      bb AS (SELECT k, sq2, CAST(tot2 // (k * (k + 1)) AS BIGINT) AS b
+             FROM agg)
+      SELECT b, k,
+             CAST(floor(1e6 * (3.0 * sq2 / (b * k * (k + 1))
+               - 3.0 * b * (k + 1)) + 0.5) AS BIGINT) AS chi2_f_ppm
+      FROM bb""",
 
     "ml_youden_j" ->
       s"""WITH $logregCtes,

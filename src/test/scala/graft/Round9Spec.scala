@@ -1275,6 +1275,35 @@ class Round9Spec extends AnyFunSuite {
     assert(nExtreme == expectExtreme)
   }
 
+  test("ml_friedman_test: rank replay from per-block correct counts") {
+    val r = SparkEntry.queries("ml_friedman_test")(spark, sf).collect()(0)
+    val (b, k, chi2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(k == 3L && b == 5L)
+    val perBlk = graft.core.Tables.t(spark, sf, "lineitem")
+      .join(graft.core.Tables.t(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .selectExpr("o_orderpriority AS blk",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+        "CASE WHEN round(l_quantity) <= 25 THEN 1 ELSE 0 END AS c1",
+        "CASE WHEN round(l_discount * 100) >= 5 THEN 1 ELSE 0 END AS c2",
+        "CASE WHEN l_extendedprice >= 30000.0 THEN 1 ELSE 0 END AS c3")
+      .groupBy(col("blk"))
+      .agg(sum(when(col("c1") === col("y"), 1L).otherwise(0L)).as("r1"),
+        sum(when(col("c2") === col("y"), 1L).otherwise(0L)).as("r2"),
+        sum(when(col("c3") === col("y"), 1L).otherwise(0L)).as("r3"))
+      .collect().map(x => Seq(x.getLong(1), x.getLong(2), x.getLong(3)))
+    val rsum2 = Array(0L, 0L, 0L)
+    perBlk.foreach { rights =>
+      rights.zipWithIndex.foreach { case (v, j) =>
+        rsum2(j) += 2 * rights.count(_ < v) + rights.count(_ == v) + 1
+      }
+    }
+    val sq2 = rsum2.map(x => x * x).sum
+    val expect = math.floor(1e6 *
+      (3.0 * sq2 / (5L * 3 * 4) - 3.0 * 5 * 4) + 0.5).toLong
+    assert(chi2 == expect && chi2 >= -1L)
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
