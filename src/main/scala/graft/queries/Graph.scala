@@ -282,42 +282,38 @@ object Graph {
     // aggregate; every iteration state is |V| rows.
     "graph_hits" -> ((s, d) => {
       val nation = t(s, d, "nation")
-      val sparse = sparseEdges(s, d)
-        .select(col("src").cast("long").as("src"),
-          col("dst").cast("long").as("dst"))
-        .localCheckpoint(eager = false)
-      val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
-      val wAll = Window.orderBy(col("node"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      // renormalize a raw BIGINT mass vector back onto the ppb grid
-      def norm(raw: DataFrame, out: String): DataFrame = raw
-        .withColumn("ssum", sum(col("raw")).over(wAll))
-        .select(col("node"),
-          coalesce(
-            expr("CAST((CAST(raw AS DECIMAL(38,0)) * 1000000000) div ssum" +
-              " AS BIGINT)"), lit(0L)).as(out))
-      var hub = nodes.select(col("node"), lit(1000000000L).as("hub"))
-      var auth: DataFrame = nodes.select(col("node"), lit(0L).as("auth"))
-      for (i <- 1 to 4) {
-        val aRaw = nodes.join(
-            sparse.join(hub, sparse("src") === hub("node"))
-              .groupBy(sparse("dst")).agg(sum(col("hub")).as("v")),
-            nodes("node") === col("dst"), "left")
-          .select(nodes("node"), coalesce(col("v"), lit(0L)).as("raw"))
-        auth = norm(aRaw, "auth")
-        val hRaw = nodes.join(
-            sparse.join(auth, sparse("dst") === auth("node"))
-              .groupBy(sparse("src")).agg(sum(col("auth")).as("v")),
-            nodes("node") === col("src"), "left")
-          .select(nodes("node"), coalesce(col("v"), lit(0L)).as("raw"))
-        hub = norm(hRaw, "hub")
-        if (i == 2) { auth = auth.localCheckpoint(); hub = hub.localCheckpoint() }
+      // nation-domain-bounded: collect the ≤75-edge sparse graph and
+      // iterate on the driver (the graph_components/markov_steady
+      // pattern — 8 relational half-steps cost ~2.6 s of pure job
+      // scheduling for 25 rows of state; the data-sized work is the
+      // cached trade-edge aggregate feeding sparseEdges). BigInt
+      // renormalization ≡ the twin's HUGEINT arithmetic exactly.
+      val edges = sparseEdges(s, d)
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = nation.select(col("n_nationkey").cast("long"))
+        .collect().map(_.getLong(0)).sorted
+      def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+        val ssum = raw.values.sum
+        if (ssum == 0L) raw
+        else raw.map { case (n, v) =>
+          n -> (BigInt(v) * 1000000000L / ssum).toLong }
       }
-      hub.join(auth, Seq("node"))
+      var hub = nodes.map(_ -> 1000000000L).toMap
+      var auth = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to 4) {
+        auth = norm(nodes.map(n =>
+          n -> edges.collect { case (u, v) if v == n => hub(u) }.sum).toMap)
+        hub = norm(nodes.map(n =>
+          n -> edges.collect { case (u, v) if u == n => auth(v) }.sum).toMap)
+      }
+      import s.implicits._
+      s.createDataset(nodes.toSeq.map(n => (n, hub(n), auth(n))))
+        .toDF("node", "hub_ppb", "auth_ppb")
         .join(broadcast(nation),
           col("node") === col("n_nationkey").cast("long"))
-        .select(col("n_name"), col("node"),
-          col("hub").as("hub_ppb"), col("auth").as("auth_ppb"))
+        .select(col("n_name"), col("node"), col("hub_ppb"),
+          col("auth_ppb"))
         .orderBy(col("n_name"))
     }),
 
