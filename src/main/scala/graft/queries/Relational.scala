@@ -305,6 +305,25 @@ object Relational {
             " ELSE CAST(0 AS BIGINT) END AS bowley_ppm")
     }),
 
+    // quartile coefficient of dispersion — bowley's SCALE companion
+    // ((q3−q1)/(q3+q1), the robust relative-spread monitor): same
+    // exact-cent quartile members, one floor-ppm division.
+    "agg_qcd" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("v"))
+        .groupBy(col("grp"))
+        .agg(
+          expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v)" +
+            " AS BIGINT)").as("q1"),
+          expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v)" +
+            " AS BIGINT)").as("q3"))
+        .selectExpr("grp", "q1", "q3",
+          "CASE WHEN q3 + q1 > 0 THEN CAST(floor(1e6 * (q3 - q1)" +
+            " / (q3 + q1) + 0.5) AS BIGINT)" +
+            " ELSE CAST(0 AS BIGINT) END AS qcd_ppm")
+    }),
+
     // collect_set canonicalized to a sorted csv string (array hashing is
     // engine-specific; string form is oracle-stable)
     "agg_collect" -> ((s, d) => {
@@ -1765,6 +1784,22 @@ object Relational {
              CASE WHEN q3 > q1 THEN CAST(floor(1e6 * (q3 + q1 - 2 * q2)
                / (q3 - q1) + 0.5) AS BIGINT)
                ELSE CAST(0 AS BIGINT) END AS bowley_ppm
+      FROM q""",
+
+    "agg_qcd" -> """
+      WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem),
+      q AS (
+        SELECT grp,
+               CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
+               CAST(quantile_disc(v, 0.75) AS BIGINT) AS q3
+        FROM v GROUP BY grp)
+      SELECT grp, q1, q3,
+             CASE WHEN q3 + q1 > 0 THEN CAST(floor(1e6 * (q3 - q1)
+               / (q3 + q1) + 0.5) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS qcd_ppm
       FROM q""",
 
     "agg_percentile_disc" -> """

@@ -361,6 +361,28 @@ object Scalars {
           col("lon") >= -75.0 && col("lon") <= -73.0).as("in_nyc_bbox"))
     }),
 
+    // Luhn checksum validation (the PII/card-number detector a cleaning
+    // pipeline runs over free text and id columns): digits of the key
+    // string reversed, every second one doubled-and-folded, sum mod 10.
+    // Pure integer fold inside codegen; the output is the full
+    // remainder histogram (a ~uniform distribution over 0..9 with
+    // ~10% landing valid), so the oracle checks every branch of the
+    // fold, not just the boolean.
+    "fn_luhn" -> ((s, d) => {
+      t(s, d, "orders")
+        .selectExpr("CAST(o_orderkey AS STRING) AS sk")
+        .selectExpr(
+          "aggregate(filter(transform(split(reverse(sk), '')," +
+            " (c, i) -> CASE WHEN length(c) = 0 THEN -1" +
+            " WHEN i % 2 = 0 THEN int(c)" +
+            " WHEN int(c) * 2 > 9 THEN int(c) * 2 - 9" +
+            " ELSE int(c) * 2 END), x -> x >= 0)," +
+            " 0, (a, x) -> a + x) % 10 AS rem")
+        .groupBy(col("rem").cast("long").as("rem"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("is_luhn_valid", col("rem") === 0L)
+    }),
+
     // bitwise family (hash bucketing / bitmap building blocks)
     "fn_bitwise" -> ((s, d) => {
       t(s, d, "orders").filter(col("o_orderkey") <= 2000).select(
@@ -656,6 +678,20 @@ object Scalars {
   )
 
   val sql: Map[String, String] = Map(
+    "fn_luhn" -> """
+      WITH r AS (
+        SELECT list_sum(list_transform(
+                 string_split(reverse(CAST(o_orderkey AS VARCHAR)), ''),
+                 (c, i) -> CASE WHEN length(c) = 0 THEN 0
+                   WHEN (i - 1) % 2 = 0 THEN CAST(c AS INTEGER)
+                   WHEN CAST(c AS INTEGER) * 2 > 9
+                     THEN CAST(c AS INTEGER) * 2 - 9
+                   ELSE CAST(c AS INTEGER) * 2 END)) % 10 AS rem
+        FROM orders)
+      SELECT CAST(rem AS BIGINT) AS rem, CAST(count(*) AS BIGINT) AS n,
+             rem = 0 AS is_luhn_valid
+      FROM r GROUP BY rem""",
+
     "fn_tz" -> """
       SELECT event_id,
              (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny,

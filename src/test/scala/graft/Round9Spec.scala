@@ -1304,6 +1304,36 @@ class Round9Spec extends AnyFunSuite {
     assert(chi2 == expect && chi2 >= -1L)
   }
 
+  test("agg_qcd: replay from bowley's quartiles, bounded in [0, 1e6]") {
+    val bw = SparkEntry.queries("agg_bowley_skew")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    SparkEntry.queries("agg_qcd")(spark, sf).collect().foreach { r =>
+      val (q1, q3) = bw(r.getString(0))
+      assert(r.getLong(1) == q1 && r.getLong(2) == q3)
+      val expect = if (q3 + q1 > 0)
+        math.floor(1e6 * (q3 - q1).toDouble / (q3 + q1) + 0.5).toLong
+      else 0L
+      assert(r.getLong(3) == expect)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("fn_luhn: reference checksum replay over every order key") {
+    val got = SparkEntry.queries("fn_luhn")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def luhn(s: String): Long = s.reverse.zipWithIndex.map {
+      case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 0) d else { val x = 2 * d; if (x > 9) x - 9 else x }
+    }.sum % 10
+    val keys = graft.core.Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expect = keys.groupBy(k => luhn(k.toString))
+      .map { case (rem, g) => rem -> g.length.toLong }
+    assert(got.view.mapValues(_._1).toMap == expect)
+    got.foreach { case (rem, (_, valid)) => assert(valid == (rem == 0L)) }
+  }
+
   test("graph_label_prop: labels are node ids, edge-connected agreement") {
     val lp = SparkEntry.queries("graph_label_prop")(spark, sf).collect()
     assert(lp.length == 25) // one row per nation
