@@ -21,10 +21,16 @@ import org.apache.spark.sql.types._
   * rationale as [[CosineSimilarity]]. At the 100 TB design point this runs
   * once per corpus row, so per-row constant factors are the whole cost.
   *
-  * Plane components are Murmur3-derived pseudo-uniforms in [-0.5, 0.5) —
-  * deterministic plan constants, no RNG state to ship, reproducible across
-  * retries/repartitions at any parallelism (bit-identical to the previous
-  * formulation; pinned by ExpressionSpec).
+  * Plane components are PORTABLE integer pseudo-uniforms in [-500, 499]
+  * (a Weyl-style multiply-mod of the (plane, dim) key — the llm_minhash_poly
+  * precedent): deterministic plan constants, no RNG state to ship,
+  * reproducible across retries/repartitions at any parallelism, and
+  * computable verbatim in DuckDB SQL so the LSH queries have real value
+  * twins. Integer-valued floats also make each product x·c EXACT in double
+  * (24-bit float mantissa × ≤10-bit integer < 53 bits), so the only
+  * cross-engine float sensitivity left is the dot's summation order — and
+  * both engines fold dimensions in index order (the while loop here, an
+  * in-order list fold in the twin).
   */
 case class HyperplaneSigs(child: Expression, nTables: Int, bits: Int, dim: Int)
     extends UnaryExpression with Serializable {
@@ -98,13 +104,22 @@ case class HyperplaneSigs(child: Expression, nTables: Int, bits: Int, dim: Int)
 }
 
 object HyperplaneSigs {
-  /** Deterministic hyperplane component for (plane p, dim i): Murmur3-derived
-    * pseudo-uniform in [-0.5, 0.5). The single source of truth for the plane
-    * matrix — `SimSearch` delegates here. */
-  def planeVector(plane: Int, dim: Int): Array[Float] =
+  /** Deterministic hyperplane component for (plane p, dim i): portable
+    * integer pseudo-uniform in [-500, 499] — the first 16 bits of
+    * md5("plane:p:i") mod 1000, minus 500 (the salted-md5 `h16`
+    * construction FeatureEng/Semantic already twin, giving fully
+    * independent planes — an affine multiply-mod sequence was tried first
+    * and its cross-plane correlation cost ~0.15 recall). The single source
+    * of truth for the plane matrix — `SimSearch` delegates here, and the
+    * DuckDB twins replay the identical formula in SQL:
+    * `CAST(('0x' || substr(md5('plane:' || p || ':' || i), 1, 4)) AS
+    * BIGINT) % 1000 - 500`. */
+  def planeVector(plane: Int, dim: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashInt(plane * 1024 + i, 42)
-      (((h % 1000) + 1000) % 1000) / 1000.0f - 0.5f
+      val h = md.digest(s"plane:$plane:$i".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      (v % 1000 - 500).toFloat
     }
+  }
 }

@@ -640,6 +640,25 @@ object Dedup {
   // pipeline runs on the portable polynomial hash and is hash-checked
   // end-to-end (llm_minhash_pairs / llm_dedup_apply below).
   val sql: Map[String, String] = Map(
+    // full value replay of the hyperplane-LSH near-dup index (r10, the
+    // llm_minhash_poly precedent extended to embeddings): portable md5
+    // plane table → 16×4-bit signatures → bucket self-join → exact cosine
+    // ≥ 0.45 — every step the production [[embeddingNearDup]] runs, so
+    // bucket membership AND the verified pairs are a hash compare now
+    "llm_embedding_neardup" -> s"""
+      WITH ${SimSearch.hyperplaneSigCtes(nTables = 16, bits = 4)}, cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      ), cd AS (
+        SELECT cand.id1, cand.id2,
+               sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)) AS cos
+        FROM cand
+        JOIN pos q ON q.vec_id = cand.id1
+        JOIN pos c ON c.vec_id = cand.id2 AND c.i = q.i
+        GROUP BY cand.id1, cand.id2
+      )
+      SELECT id1, id2, cos FROM cd WHERE cos >= 0.45""",
+
     // identical-signature clusters over the portable 60-bit simhash
     // (r9: hash-checked, was rows-only under xxhash64)
     "llm_simhash_clusters" -> s"""

@@ -139,7 +139,11 @@ object Multimodal {
         hex(col("content")).as("hx"),
         (length(col("content")).cast(LongType) / 2).cast(LongType)
           .as("n_samples"))
-      a.withColumn("i", explode(expr("sequence(0L, n_samples - 1)")))
+      // n_samples = 0 guard (ADVICE r9): Spark's sequence(0, -1) DESCENDS
+      // and would emit a bogus window for an empty payload while DuckDB's
+      // range(0, 0) is empty — pin "no samples → no rows" on both engines
+      a.filter(col("n_samples") > 0)
+        .withColumn("i", explode(expr("sequence(0L, n_samples - 1)")))
         .withColumn("v", expr(
           "CAST(conv(substring(hx, CAST(i * 4 + 1 AS INT), 4), 16, 10) AS BIGINT)"))
         .withColumn("u", (col("v") % 256) * 256 + expr("v div 256"))
@@ -237,7 +241,7 @@ object Multimodal {
       ), smp AS (
         SELECT file_name,
                CAST(unnest(range(0, n_samples)) AS BIGINT) AS i, hx
-        FROM a
+        FROM a WHERE n_samples > 0
       ), dec AS (
         SELECT file_name, i,
                CAST(('0x' || substr(hx, CAST(i * 4 + 1 AS BIGINT), 4))
@@ -268,7 +272,7 @@ object Multimodal {
       ), smp AS (
         SELECT file_name,
                CAST(unnest(range(0, n_samples)) AS BIGINT) AS i, hx
-        FROM a
+        FROM a WHERE n_samples > 0
       ), dec AS (
         SELECT file_name, i,
                CAST(('0x' || substr(hx, CAST(i * 4 + 1 AS BIGINT), 4))

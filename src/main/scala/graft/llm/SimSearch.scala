@@ -310,7 +310,8 @@ object SimSearch {
     * IVF coarse cells bound WHERE a query looks (its nProbe closest of k
     * cells), PQ-ADC orders candidates INSIDE the probed cells from the
     * 8-byte code rows, and the exact cosine re-rank touches a CONSTANT
-    * pool of ADC survivors (default 8·topK — independent of corpus size).
+    * pool of ADC survivors (default 32·topK — independent of corpus size;
+    * sized from the measured ADC ordering loss, see the inline note).
     * Contrast with flat [[pqSearch]], whose honest auto pool re-ranked
     * max(8·k, 6% of the corpus) per query to hold recall on unclustered
     * data — an O(N) per-query cost that made llm_ann_pq the r8 board's
@@ -571,9 +572,14 @@ object SimSearch {
       ivfSearch(ivfIndexFor(s, d, k = 16),
         queryPred = col("vec_id") < 20, nProbe = 8)),
 
-    // ANN via deterministic multi-table hyperplane LSH (rows-only oracle;
-    // recall vs brute force is checked in ScalaTest). Candidates = union
+    // ANN via deterministic multi-table hyperplane LSH. Candidates = union
     // over tables of same-bucket vectors; exact cosine re-rank within.
+    // FULLY ORACLE-CHECKED as of r10: the plane matrix is the portable
+    // md5-derived integer table ([[graft.functions.HyperplaneSigs]]), so
+    // the DuckDB twin replays signatures → bucket join → exact cosine
+    // verbatim (the llm_minhash_poly precedent) and the whole index is a
+    // hash compare, not a rows-only count. Recall vs brute force is
+    // additionally pinned by llm_ann_lsh_recall + ScalaTest.
     "llm_ann_lsh" -> ((s, d) => {
       GraftFunctions.register(s)
       val emb = signatures(spread(t(s, d, "embeddings")))
@@ -782,7 +788,63 @@ object SimSearch {
     })
   )
 
+  /** DuckDB replay of the portable hyperplane signature pipeline
+    * ([[graft.functions.HyperplaneSigs]]): plane components from the same
+    * md5("plane:p:i") % 1000 − 500 formula (integer-valued, so each
+    * product x·comp is exact in double on both engines), per-(vector,
+    * plane) dots, and per-(vector, table) packed signature keys
+    * sig = t·2^bits + Σ 1<<j over non-negative dots. Ends with
+    * `sigs(vec_id, sig)`; prepend to a candidate join + exact cosine.
+    * Shared by llm_ann_lsh here and llm_embedding_neardup (Dedup). */
+  private[llm] def hyperplaneSigCtes(nTables: Int, bits: Int): String = {
+    val nPlanes = nTables * bits
+    s"""planes AS (
+        SELECT p.p, d.i,
+               CAST(CAST(('0x' || substr(md5('plane:' || p.p || ':' || d.i),
+                 1, 4)) AS BIGINT) % 1000 - 500 AS DOUBLE) AS comp
+        FROM range(0, $nPlanes) p(p), range(0, 64) d(i)
+      ), pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings
+      ), pdots AS (
+        SELECT s.vec_id, pl.p, sum(s.x * pl.comp) AS dot
+        FROM pos s JOIN planes pl ON pl.i = s.i
+        GROUP BY s.vec_id, pl.p
+      ), sigs AS (
+        SELECT vec_id,
+               (p // $bits) * ${1 << bits}
+                 + sum(CASE WHEN dot >= 0 THEN 1 << (p % $bits) ELSE 0 END)
+                 AS sig
+        FROM pdots GROUP BY vec_id, p // $bits
+      )"""
+  }
+
   val sql: Map[String, String] = Map(
+    // full value replay of the hyperplane-LSH index (r10): signatures from
+    // the portable plane table, bucket equi-join, exact cosine re-rank —
+    // the sign of each plane dot is the only float decision, and its
+    // products are exact integers×floats summed in-order on both engines
+    "llm_ann_lsh" -> s"""
+      WITH ${hyperplaneSigCtes(nTables = 24, bits = 4)}, cand AS (
+        SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+        FROM sigs q JOIN sigs c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+      ), cd AS (
+        SELECT cand.qid, cand.cid,
+               sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)) AS sim
+        FROM cand
+        JOIN pos q ON q.vec_id = cand.qid
+        JOIN pos c ON c.vec_id = cand.cid AND c.i = q.i
+        GROUP BY cand.qid, cand.cid
+      )
+      SELECT qid, cid, sim, rn FROM (
+        SELECT qid, cid, sim,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rn
+        FROM cd
+      ) WHERE rn <= 5""",
+
     "llm_embed_quantize" -> """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

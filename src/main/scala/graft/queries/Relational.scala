@@ -668,7 +668,7 @@ object Relational {
     }),
 
     // DBSCAN (Ester et al. 1996) over the same md5-derived supplier
-    // coordinates: eps = 600, minPts = 5 (core ⟺ ≥ 4 neighbors within
+    // coordinates: eps = 600, minPts = 4 (core ⟺ ≥ 3 neighbors within
     // eps). Fully composed from existing scale-safe machinery — the
     // neighbor pairs come from the grid-blocked radius join (never a
     // quadratic theta join), clusters are min-label connected components

@@ -208,7 +208,14 @@ object Resampling {
           sum(when(col("py") === 0L, 1L).otherwise(0L)).as("n0"))
       perms.crossJoin(broadcast(obs))
         .selectExpr("r",
-          // |s1·n0 − s0·n1|·N1·N0 ≥ |S1·N0 − S0·N1|·n1·n0, all exact
+          // |s1·n0 − s0·n1|·N1·N0 ≥ |S1·N0 − S0·N1|·n1·n0, all exact.
+          // HEADROOM BOUND (ADVICE r9, the er_blocking_eval discipline):
+          // the product is ≤ Σcents·N·N² ≈ 1e12·SF · (6e6·SF)³ worth of
+          // digits — decimal(38,0) holds it through SF ≈ 10 (~1e37); at
+          // SF 100 (~1e40) Spark's decimal silently NULLs while DuckDB's
+          // HUGEINT errors. Past SF 10, divide out the common n1·n0 ≈
+          // N²/4 factor (compare gaps in cents·ppm) before the abs().
+          
           "CASE WHEN abs(CAST(s1 AS DECIMAL(38,0)) * n0" +
             " - CAST(s0 AS DECIMAL(38,0)) * n1)" +
             " * CAST(on1 AS DECIMAL(38,0)) * on0 >=" +
