@@ -94,8 +94,15 @@ object Semantic {
     * approximation of the spherical-k-means M-step (cosine is
     * scale-invariant, so not normalizing the mean changes nothing in
     * the next assign). */
-  private[llm] def kmeansRounds(emb: DataFrame, rounds: Int): DataFrame = {
-    var cents = emb.filter(col("vec_id") < K)
+  private[llm] def kmeansRounds(emb: DataFrame, rounds: Int): DataFrame =
+    kmeansFit(emb, K, rounds)._1
+
+  /** The full Lloyd fit: ([[kmeansRounds]]' assignment, the final centroid
+    * table (cell, cvec)) — the centroid half is what the portable IVF
+    * index build (SimSearch.ivfFitPortable, r10) consumes. */
+  private[llm] def kmeansFit(emb: DataFrame, k: Int,
+                             rounds: Int): (DataFrame, DataFrame) = {
+    var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"))
     var assigned = assignTo(emb, cents)
     for (_ <- 2 to rounds) {
@@ -120,7 +127,7 @@ object Semantic {
       cents = means.localCheckpoint()
       assigned = assignTo(emb, cents)
     }
-    assigned
+    (assigned, cents)
   }
 
   val defs: Map[String, Q] = Map(
@@ -473,6 +480,22 @@ object Semantic {
         GROUP BY a.cell, v.i
       )"""
 
+  /** The full 3-round Lloyd replay (the llm_kmeans_iterate twin body,
+    * shared with the portable-IVF ANN twins, r10): unnested embeddings
+    * `v(vec_id, x, i)`, seed centroids c1 = vec_id < K, then unrolled
+    * assign/mean stages ending at centroid CTE `c3` and assignment `a3`. */
+  private[llm] def lloydCtes: String = s"""v AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), c1 AS (
+        SELECT vec_id AS cell, x AS cx, i FROM v WHERE vec_id < $K
+      ), ${assignStage("c1", "a1")},
+      ${meanStage("a1", "c2")},
+      ${assignStage("c2", "a2")},
+      ${meanStage("a2", "c3")},
+      ${assignStage("c3", "a3")}"""
+
   /** Shared oracle CTE: per-component unnest of embeddings + the
     * nearest-centroid pick, mirroring [[assignCells]] term for term
     * (dot / sqrt(|x|²·|y|²), 6-decimal rounding before the argmax). */
@@ -511,17 +534,7 @@ object Semantic {
     // centroids = vec_id < K, then assign → integer-exact mean → assign
     // → mean → assign. Every stage mirrors the Spark loop term for term.
     "llm_kmeans_iterate" -> s"""
-      WITH v AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
-      ), c1 AS (
-        SELECT vec_id AS cell, x AS cx, i FROM v WHERE vec_id < $K
-      ), ${assignStage("c1", "a1")},
-      ${meanStage("a1", "c2")},
-      ${assignStage("c2", "a2")},
-      ${meanStage("a2", "c3")},
-      ${assignStage("c3", "a3")}
+      WITH $lloydCtes
       SELECT vec_id, cell FROM a3""",
 
     "llm_semdedup" -> s"""$assignSql, pv AS (

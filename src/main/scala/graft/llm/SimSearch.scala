@@ -77,13 +77,36 @@ object SimSearch {
     IvfIndex(assigned, s.createDataFrame(centroids).toDF("cell", "centroid"), k)
   }
 
+  /** PORTABLE integer-exact IVF fit (r10): the llm_kmeans_iterate Lloyd
+    * machinery ([[Semantic.kmeansFit]] — first-k seed, 6-decimal-rounded
+    * cosine argmax assign, floor-1e-6-grid integer M-step) applied as the
+    * ANN coarse quantizer. Same plan shape as [[ivfFit]] (broadcast
+    * ≤k-row centroid state, one assign + one (cell, dim) aggregate per
+    * round), but every step is replayable verbatim in DuckDB — which is
+    * what gives llm_ann_ivf / llm_ann_pq real value twins instead of
+    * rows-only checks. The spark.ml [[ivfFit]] stays as the generic API
+    * (arbitrary k / maxIter, SimSearchSpec coverage). */
+  def ivfFitPortable(s: SparkSession, emb: DataFrame, k: Int = 16,
+                     rounds: Int = 3): IvfIndex = {
+    val (assigned, cents) = Semantic.kmeansFit(emb, k, rounds)
+    // cell ids are seed vec_ids (< k) — cast to INT to keep the public
+    // IvfIndex schema identical to the spark.ml fit's prediction column
+    IvfIndex(
+      emb.join(assigned.select(col("vec_id"), col("cell").cast("int").as("cell")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint(eager = false),
+      cents.select(col("cell").cast("int").as("cell"),
+        col("cvec").as("centroid")), k)
+  }
+
   // one fit per (corpus, k) per JVM: Verify/Bench/tests reuse the index so
   // repeated queries time SEARCH, not repeated k-means training
   private val ivfCache = new graft.core.SessionCache[IvfIndex]
 
   def ivfIndexFor(s: SparkSession, d: String, k: Int): IvfIndex =
     ivfCache.getOrElseUpdate(s, s"$d#$k",
-      ivfFit(s, t(s, d, "embeddings"), k))
+      ivfFitPortable(s, t(s, d, "embeddings"), k))
 
   /** IVF search: query → its nProbe closest cells (vs the broadcast
     * centroid table), exact cosine re-rank over just those cells' vectors.
@@ -98,8 +121,12 @@ object SimSearch {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val qCells = queries.crossJoin(broadcast(index.centroids))
       .withColumn("csim", expr("cosine_similarity(qvec, centroid)"))
+      // probe ranking on round(csim, 6) — the assignTo discipline: a 1-ulp
+      // cross-engine summation difference cannot flip the probe set except
+      // exactly at a rounding boundary, so the DuckDB twin replays it
       .withColumn("crn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+        Window.partitionBy(col("qid"))
+          .orderBy(round(col("csim"), 6).desc, col("cell"))))
       .filter(col("crn") <= nProbe)
       .select(col("qid"), col("qvec"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
@@ -191,29 +218,44 @@ object SimSearch {
 
   /** Nearest-centroid cell assignment as a PURE SCALAR column: the k
     * centroids are folded into the plan as a literal (bounded, like the
-    * LSH plane constants), squared-L2 to each is a zip_with/aggregate
-    * chain, and the (d2, cell) struct-min makes ties deterministic
-    * (lowest cell). Because no aggregate or model object is involved,
-    * the SAME expression assigns cells in batch and under `readStream`
-    * with zero state — the streaming ingest path of the vector index:
+    * LSH plane constants), the 6-decimal-rounded cosine to each is a
+    * zip_with/aggregate chain, and the ascending-cell fold with a
+    * strict-improvement compare makes ties deterministic (lowest cell) —
+    * the SAME argmax [[Semantic.kmeansFit]]'s assignTo computes, so the
+    * expression agrees with the portable fit's own assignments exactly
+    * (r10: was squared-L2 argmin matching the spark.ml fit). Because no
+    * aggregate or model object is involved, the same expression assigns
+    * cells in batch and under `readStream` with zero state — the
+    * streaming ingest path of the vector index:
     * `stream.withColumn("cell", ivfAssignCol(index))
     *        .writeStream.partitionBy("cell")` appends new vectors into
     * exactly the cell-partitioned layout [[ivfSave]] produces. */
   def ivfAssignCol(index: IvfIndex): Column = {
-    val cents: Seq[Seq[Double]] = index.centroids
-      .orderBy(col("cell")).collect()  // k rows — bounded by construction
-      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val rows = index.centroids.orderBy(col("cell"))
+      .collect()  // k rows — bounded by construction
+    val cells: Seq[Int] = rows.map(r => r.get(0) match {
+      case i: Int => i; case l: Long => l.toInt }).toSeq
+    val cents: Seq[Seq[Double]] =
+      rows.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
     val c = typedlit(cents)
+    val cid = typedlit(cells)
+    val en = aggregate(col("embedding"), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
     aggregate(
-      transform(sequence(lit(0), lit(index.k - 1)), i =>
+      transform(sequence(lit(0), lit(cents.size - 1)), i =>
         struct(
-          aggregate(
-            zip_with(col("embedding"), element_at(c, i + 1),
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, v) => a + v).as("d2"),
-          i.as("cell"))),
-      struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cell")),
-      (best, cand) => when(cand("d2") < best("d2"), cand).otherwise(best))
+          round(
+            aggregate(
+              zip_with(col("embedding"), element_at(c, i + 1),
+                (x, y) => x.cast("double") * y),
+              lit(0.0), (a, v) => a + v) /
+            sqrt(en * aggregate(element_at(c, i + 1), lit(0.0),
+              (a, y) => a + y * y)), 6).as("s6"),
+          element_at(cid, i + 1).as("cell"))),
+      struct(lit(Double.MinValue).as("s6"), lit(-1).as("cell")),
+      // strict > over an ascending-cell scan keeps the LOWEST cell on a
+      // rounded tie — the (s6, -cell) struct-max assignTo computes
+      (best, cand) => when(cand("s6") > best("s6"), cand).otherwise(best))
       .getField("cell")
   }
 
@@ -240,11 +282,66 @@ object SimSearch {
       meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getLong(3))
   }
 
+  /** PORTABLE integer-exact PQ fit (r10, completing the [[ivfFitPortable]]
+    * story): per sub-space Lloyd in squared-L2 — seed codebook = the
+    * sub-vectors of vec_id < ksub, assignment = argmin of
+    * round(d2, 6) (ties → lowest code; d2 accumulated in double from
+    * exact float promotions), M-step = the floor-1e-6-grid integer mean
+    * cast back to float. All m sub-spaces fit in ONE relational program
+    * (the (sub) key rides every join/aggregate), so the plan is two
+    * aggregates per round regardless of m, and every step is replayable
+    * verbatim in DuckDB — the llm_ann_pq twin. The spark.ml [[pqFit]]
+    * stays as the generic API (PqSpec, pqSave/pqLoad coverage). */
+  def pqFitPortable(s: SparkSession, emb: DataFrame, m: Int = 8,
+                    ksub: Int = 16, dim: Int = 64, rounds: Int = 3): PqIndex = {
+    val dsub = dim / m
+    GraftFunctions.register(s)
+    val sv = emb.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1})," +
+          s" j -> slice(embedding, j * $dsub + 1, $dsub))"))
+      .as(Seq("sub", "subvec")))
+      .localCheckpoint(eager = false) // every assign + M-step reads this
+    var books = sv.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("subvec").as("centroid"))
+    def assign(cb: DataFrame): DataFrame = sv.join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(subvec, centroid, (x, c) ->" +
+          " (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))" +
+          " * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE)))," +
+          " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(round(col("d2"), 6).as("d6"), col("code").as("code")))
+        .getField("code").as("code"))
+    var assigned = assign(books)
+    for (_ <- 2 to rounds) {
+      val means = assigned.join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("subvec")).as(Seq("si", "x")))
+        .groupBy(col("sub"), col("code"), col("si"))
+        .agg(sum(floor(col("x") * 1e6 + 0.5).cast("decimal(38,0)")).as("sx"),
+          count(lit(1)).as("cn"))
+        .select(col("sub"), col("code"), col("si"),
+          (col("sx").cast("double") / (col("cn").cast("double") * 1e6))
+            .as("mx"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("si"), col("mx")))),
+          c => c.getField("mx").cast("float")).as("centroid"))
+      books = means.localCheckpoint()
+      assigned = assign(books)
+    }
+    val codes = assigned.groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
+        " p -> p.code)").as("codes"))
+    PqIndex(codes.localCheckpoint(eager = false), books, m, dsub, ksub,
+      emb.count())
+  }
+
   // one fit per corpus per JVM (same amortization story as ivfCache)
   private val pqCache = new graft.core.SessionCache[PqIndex]
 
   def pqIndexFor(s: SparkSession, d: String): PqIndex =
-    pqCache.getOrElseUpdate(s, d, pqFit(s, t(s, d, "embeddings")))
+    pqCache.getOrElseUpdate(s, d, pqFitPortable(s, t(s, d, "embeddings")))
 
   /** PQ-ADC search: each query builds an (m × ksub) lookup table of
     * sub-dot-products against the broadcast codebooks; a candidate's
@@ -337,8 +434,12 @@ object SimSearch {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val qCells = queries.crossJoin(broadcast(ivf.centroids))
       .withColumn("csim", expr("cosine_similarity(qvec, centroid)"))
+      // probe ranking on round(csim, 6) — the assignTo discipline: a 1-ulp
+      // cross-engine summation difference cannot flip the probe set except
+      // exactly at a rounding boundary, so the DuckDB twin replays it
       .withColumn("crn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))))
+        Window.partitionBy(col("qid"))
+          .orderBy(round(col("csim"), 6).desc, col("cell"))))
       .filter(col("crn") <= nProbe)
       .select(col("qid"), col("cell"))
     val lut = queries.select(col("qid"), posexplode(expr(
@@ -355,8 +456,11 @@ object SimSearch {
       .join(broadcast(qCells), Seq("cell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"))
+    // ADC ranking on round(adc_dot, 6) — the probe-ranking discipline:
+    // the m-term LUT sum is the only re-associable float here, and the
+    // rounding makes the pool cut engine-exact for the DuckDB twin
     val wAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dot").desc, col("cid"))
+      .orderBy(round(col("adc_dot"), 6).desc, col("cid"))
     val survivors = cand
       .join(pq.codes.select(col("vec_id").as("cid"), col("codes")),
         Seq("cid"))
@@ -568,6 +672,9 @@ object SimSearch {
     // SEARCH: the one-time k-means fit is an index build, amortized over
     // every query against the corpus, exactly as a real vector store
     // amortizes index construction (Bench notes the split).
+    // FULLY ORACLE-CHECKED as of r10: the fit is the portable
+    // integer-exact Lloyd loop ([[ivfFitPortable]]), so the DuckDB twin
+    // replays fit → probe → re-rank end to end.
     "llm_ann_ivf" -> ((s, d) =>
       ivfSearch(ivfIndexFor(s, d, k = 16),
         queryPred = col("vec_id") < 20, nProbe = 8)),
@@ -621,6 +728,11 @@ object SimSearch {
     // IVF-PQ (compressed-domain scan inside probed cells). The flat
     // [[pqSearch]] stays as the single-index API (PqSpec coverage) but
     // the board entry is the composed, scale-safe shape (VERDICT r8).
+    // FULLY ORACLE-CHECKED as of r10: both the IVF coarse fit and the
+    // per-sub-space PQ codebooks come from the portable integer-exact
+    // Lloyd loops ([[ivfFitPortable]]/[[pqFitPortable]]), and the probe +
+    // ADC rankings round to 6 decimals — so the DuckDB twin replays
+    // fit -> probe -> ADC -> re-rank end to end.
     "llm_ann_pq" -> ((s, d) =>
       ivfPqSearch(ivfIndexFor(s, d, k = 16), pqIndexFor(s, d),
         queryPred = col("vec_id") < 20, nProbe = 8)),
@@ -820,7 +932,107 @@ object SimSearch {
       )"""
   }
 
+  /** IVF probe replay shared by the llm_ann_ivf / llm_ann_pq twins:
+    * cosine of each query (vec_id < 20) to the fitted c3 centroids, probe
+    * set = top-8 cells by round(csim, 6) — [[ivfSearch]]'s window verbatim.
+    * Requires [[Semantic.lloydCtes]] (v, c3) upstream; ends with
+    * `qcells(qid, cell)`. */
+  private def ivfProbeCtes: String = """qsims AS (
+        SELECT v.vec_id AS qid, c.cell,
+               sum(v.x * c.cx) / sqrt(sum(v.x * v.x) * sum(c.cx * c.cx))
+                 AS csim
+        FROM v JOIN c3 c ON v.i = c.i
+        WHERE v.vec_id < 20
+        GROUP BY v.vec_id, c.cell
+      ), qcells AS (
+        SELECT qid, cell FROM (
+          SELECT qid, cell,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(csim, 6) DESC, cell ASC) AS crn
+          FROM qsims) WHERE crn <= 8
+      )"""
+
+  /** One PQ assign stage of the llm_ann_pq twin: codebook CTE `cb` →
+    * assignment CTE `an`, mirroring [[pqFitPortable]]'s argmin of
+    * round(d2, 6) with lowest-code ties, term for term. */
+  private def pqAssignStage(cb: String, an: String): String = s"""
+      pd_$an AS (
+        SELECT s.vec_id, s.sub, cb.code,
+               sum((s.x - cb.cx) * (s.x - cb.cx)) AS d2
+        FROM sv s JOIN $cb cb ON cb.sub = s.sub AND cb.si = s.si
+        GROUP BY s.vec_id, s.sub, cb.code
+      ), $an AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY round(d2, 6) ASC, code ASC) AS rn
+          FROM pd_$an) WHERE rn = 1
+      )"""
+
+  /** One integer-exact PQ M-step of the llm_ann_pq twin: assignment CTE
+    * `an` → codebook CTE `cb` (the Semantic.meanStage arithmetic on the
+    * (sub, code, si) key). */
+  private def pqMeanStage(an: String, cb: String): String = s"""
+      $cb AS (
+        SELECT a.sub, a.code, s.si,
+               CAST(CAST(
+                 CAST(sum(CAST(floor(s.x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1e6) AS REAL) AS DOUBLE) AS cx
+        FROM $an a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+        GROUP BY a.sub, a.code, s.si
+      )"""
+
   val sql: Map[String, String] = Map(
+    // full value replay of the IVF-PQ index (r10): IVF fit + probe as in
+    // the llm_ann_ivf twin, the per-sub-space PQ Lloyd fit unrolled with
+    // integer-exact M-steps, ADC = one LUT join + sum per candidate with
+    // the pool cut on round(adc_dot, 6), and the constant 160-row exact
+    // re-rank — every stage mirrors ivfPqSearch term for term
+    "llm_ann_pq" -> s"""
+      WITH ${Semantic.lloydCtes}, $ivfProbeCtes, sv AS (
+        SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub,
+               (i - 1) % 8 AS si, x
+        FROM v
+      ), pb1 AS (
+        SELECT sub, CAST(vec_id AS INT) AS code, si, x AS cx
+        FROM sv WHERE vec_id < 16
+      ), ${pqAssignStage("pb1", "pa1")},
+      ${pqMeanStage("pa1", "pb2")},
+      ${pqAssignStage("pb2", "pa2")},
+      ${pqMeanStage("pa2", "pb3")},
+      ${pqAssignStage("pb3", "pa3")},
+      lut AS (
+        SELECT s.vec_id AS qid, cb.sub, cb.code, sum(s.x * cb.cx) AS contrib
+        FROM sv s JOIN pb3 cb ON cb.sub = s.sub AND cb.si = s.si
+        WHERE s.vec_id < 20
+        GROUP BY s.vec_id, cb.sub, cb.code
+      ), adc AS (
+        SELECT qc.qid, a.vec_id AS cid, sum(l.contrib) AS adc_dot
+        FROM qcells qc
+        JOIN a3 a ON a.cell = qc.cell AND a.vec_id <> qc.qid
+        JOIN pa3 pc ON pc.vec_id = a.vec_id
+        JOIN lut l ON l.qid = qc.qid AND l.sub = pc.sub AND l.code = pc.code
+        GROUP BY qc.qid, a.vec_id
+      ), pool AS (
+        SELECT qid, cid FROM (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(adc_dot, 6) DESC, cid ASC) AS arn
+          FROM adc) WHERE arn <= 160
+      ), pqcd AS (
+        SELECT pool.qid, pool.cid,
+               sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)) AS sim
+        FROM pool
+        JOIN v q ON q.vec_id = pool.qid
+        JOIN v c ON c.vec_id = pool.cid AND c.i = q.i
+        GROUP BY pool.qid, pool.cid
+      )
+      SELECT qid, cid, sim, rn FROM (
+        SELECT qid, cid, sim,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rn
+        FROM pqcd
+      ) WHERE rn <= 5""",
     // full value replay of the hyperplane-LSH index (r10): signatures from
     // the portable plane table, bucket equi-join, exact cosine re-rank —
     // the sign of each plane dot is the only float decision, and its
@@ -843,6 +1055,30 @@ object SimSearch {
                row_number() OVER (PARTITION BY qid
                  ORDER BY sim DESC, cid) AS rn
         FROM cd
+      ) WHERE rn <= 5""",
+
+    // full value replay of the IVF index (r10): the 3-round Lloyd fit is
+    // the llm_kmeans_iterate twin body (integer-exact M-steps, 6-decimal
+    // rounded argmax assigns), probe ranking replays ivfSearch's
+    // round(csim, 6) window, and the survivor re-rank is the
+    // llm_cosine_topk arithmetic over probed-cell candidates only
+    "llm_ann_ivf" -> s"""
+      WITH ${Semantic.lloydCtes}, $ivfProbeCtes, ivfcand AS (
+        SELECT q.qid, a.vec_id AS cid
+        FROM qcells q JOIN a3 a ON a.cell = q.cell AND a.vec_id <> q.qid
+      ), ivfcd AS (
+        SELECT ivfcand.qid, ivfcand.cid,
+               sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)) AS sim
+        FROM ivfcand
+        JOIN v q ON q.vec_id = ivfcand.qid
+        JOIN v c ON c.vec_id = ivfcand.cid AND c.i = q.i
+        GROUP BY ivfcand.qid, ivfcand.cid
+      )
+      SELECT qid, cid, sim, rn FROM (
+        SELECT qid, cid, sim,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, cid) AS rn
+        FROM ivfcd
       ) WHERE rn <= 5""",
 
     "llm_embed_quantize" -> """
