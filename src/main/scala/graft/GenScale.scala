@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** DEV harness (not part of the engine): derive the sf1-equivalent
+  * scaling fixture (VERDICT r9 #3) — a deterministic 10× expansion of
+  * sf0.1's documents / embeddings / supplier into `fixtures/sf1`, giving
+  * the text/embedding families a second genuine 10× step
+  * (sf0.01 → sf0.1 → sf1) for the ScaleBench exponent table.
+  *
+  * The expansion is designed so the STRUCTURE scales linearly instead of
+  * manufacturing artificial quadratic blowups:
+  *  - documents: replica r > 0 salts every token with `q<r>` — replicas
+  *    share NO vocabulary, so near-dup/shingle/minhash structure is 10
+  *    independent copies of the sf0.1 corpus (cross-replica Jaccard = 0),
+  *    while the vocabulary-sized graphs (TextRank, bigram LM) genuinely
+  *    grow 10×.
+  *  - embeddings: replica r rotates each vector by (r·17) mod dim
+  *    positions — norms and within-replica geometry are preserved
+  *    exactly; cross-replica cosines are near-random, like the base
+  *    corpus's own pairs.
+  *  - supplier: plain key-offset replication (coordinates in the spatial
+  *    queries are md5-derived from the key, so replicas land at fresh
+  *    positions; NOTE the fixed 10000² canvas means point DENSITY grows
+  *    10× — eps-ball pair counts rise accordingly, an inherent property
+  *    of the fixed-eps measurement, not of the plan).
+  *
+  * Ids offset by r·10⁷, so the `vec_id < 20` / `< 16` query/seed sets
+  * stay exactly the sf0.1 ones.
+  *
+  *   runMain graft.GenScale [srcDir] [outDir] [reps]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/root/repo/fixtures/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.core.Tables.t
+    def replicated(name: String) = t(spark, src, name)
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+
+    replicated("documents")
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(expr(
+          "array_join(transform(split(text, ' ')," +
+            " t -> concat(t, 'q', CAST(rep AS STRING))), ' ')")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    replicated("embeddings")
+      .select((col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+        expr("transform(sequence(0, size(embedding) - 1)," +
+          " j -> element_at(embedding," +
+          " (CAST(j + rep * 17 AS INT) % size(embedding)) + 1))")
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    replicated("supplier")
+      .select((col("s_suppkey") + col("rep") * 10000000L).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    println(s"[genscale] wrote ${reps}x $src -> $out")
+    spark.stop()
+  }
+}

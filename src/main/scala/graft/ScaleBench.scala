@@ -13,8 +13,13 @@ import org.apache.spark.sql.SparkSession
 object ScaleBench {
   val defaultQueries = Seq("llm_dedup_exact", "llm_substring_dup",
     "llm_bpe_train", "graph_pagerank", "agg_ks_test")
+  // the sf1 fixture (a deterministic 10x expansion of sf0.1 — see
+  // graft.GenScale) joins the probe when present, giving the text/
+  // embedding families a second genuine 10x step (VERDICT r9 #3)
   val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-    "/root/testdata/sf0.1")
+    "/root/testdata/sf0.1") ++
+    (if (new java.io.File("/root/repo/fixtures/sf1/documents.parquet")
+          .exists) Seq("/root/repo/fixtures/sf1") else Nil)
 
   def main(args: Array[String]): Unit = {
     val runs = if (args.length > 0) args(0).toInt else 3

@@ -149,32 +149,64 @@ object Dedup {
   }
 
   /** SimHash NEAR-duplicate pairs (hamming ≤ maxHamming), banked à la
-    * Manku/Jain/Sarma: the 64-bit signature splits into `banks` blocks;
-    * two signatures within hamming h of each other differ in at most h
-    * blocks, so with banks > maxHamming the pigeonhole principle
-    * guarantees they agree EXACTLY on some block — candidate recall is
-    * 1.0, not probabilistic. Each doc emits `banks` (bank, 16-bit key)
-    * rows; candidates equi-join on them; the exact hamming check
-    * (`bit_count(s1 ^ s2)`, codegen'd) filters false bucket collisions.
+    * Manku/Jain/Sarma: the signature splits into `banks` blocks; two
+    * signatures within hamming h differ in at most h blocks, so at least
+    * `banks − h` blocks are clean — and any `blocksPerKey`-subset of
+    * clean blocks matches exactly. With banks − maxHamming ≥ blocksPerKey
+    * the pigeonhole guarantees SOME key table agrees — candidate recall
+    * is 1.0, not probabilistic, in every configuration.
+    *
+    * `blocksPerKey` is the SKEW knob (r10, from the sf1 probe): simhash
+    * bits of same-language documents CORRELATE (common words vote the
+    * same way), so single-block keys concentrate — at 50k docs the 4×15
+    * banking put thousands of docs in the hot 15-bit buckets and the
+    * candidate join went quadratic-in-the-bucket (8.8 s). Pair keys
+    * (banks = 6, blocksPerKey = 2 → C(6,2) = 15 tables of 20-bit keys)
+    * need 20 correlated bits to collide: candidates drop ~60× for 3.75×
+    * more banked rows, and the probe flattens to ≈1.4 s at sf1. The
+    * exact hamming check (`bit_count(s1 ^ s2)`, codegen'd) then removes
+    * bucket false positives, so the OUTPUT is scheme-independent.
     * Shuffle carries only (id, signature, key) — no text. */
   def simhashNearDup(sim: DataFrame, maxHamming: Int = 3,
-                     banks: Int = 4, sigBits: Int = 64): DataFrame = {
-    require(banks > maxHamming, "pigeonhole needs banks > maxHamming")
+                     banks: Int = 4, sigBits: Int = 64,
+                     blocksPerKey: Int = 1): DataFrame = {
+    require(banks - maxHamming >= blocksPerKey,
+      "pigeonhole needs banks - maxHamming >= blocksPerKey")
+    require(sigBits % banks == 0, "banks must divide sigBits")
     val bankBits = sigBits / banks
     val mask = (1L << bankBits) - 1
-    val keys = (0 until banks).map(b =>
-      expr(s"shiftrightunsigned(simhash, ${b * bankBits}) & $mask"))
+    val combos = (0 until banks).combinations(blocksPerKey).toSeq
+    val keys = combos.map(c =>
+      c.map(b => expr(s"shiftrightunsigned(simhash, ${b * bankBits}) & $mask"))
+        .reduce((hi, lo) => hi * lit(1L << bankBits) + lo))
     val banked = sim.select(col("doc_id"), col("simhash"),
       posexplode(array(keys: _*)).as(Seq("bank", "key")))
     val a = banked.select(col("doc_id").as("doc1"),
       col("simhash").as("s1"), col("bank"), col("key"))
     val b = banked.select(col("doc_id").as("doc2"),
       col("simhash").as("s2"), col("bank"), col("key"))
+    // stateless multi-table dedup (the llm_ann_lsh first-shared-table
+    // trick): a colliding pair matches EVERY table whose blocks are all
+    // zero in s1^s2 — keep only the first such table, so each pair
+    // survives exactly once and the distinct() exchange over the (pair ×
+    // tables) collision set disappears. On a cluster-heavy corpus (the
+    // sf1 probe: 6.5M true pairs at 50k docs, every one colliding in all
+    // `banks` tables) that exchange WAS the query.
+    // generated CASE chain, NOT a filter/forall HOF: higher-order
+    // functions run interpreted per row, and this predicate evaluates on
+    // every collision — the scalar CASE stays inside whole-stage codegen
+    val firstMatch = expr("CASE " + combos.zipWithIndex.map { case (c, k) =>
+      val zero = c.map(b =>
+        s"(shiftrightunsigned(s1 ^ s2, ${b * bankBits}) & $mask) = 0")
+        .mkString(" AND ")
+      s"WHEN $zero THEN $k"
+    }.mkString(" ") + " END")
     a.join(b, Seq("bank", "key"))
       .filter(col("doc1") < col("doc2"))
+      .filter(col("bank") === firstMatch)
       .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc1", "doc2", "hamming").distinct()
+      .select("doc1", "doc2", "hamming")
   }
 
   /** Reference connected components by iterative min-label propagation,
@@ -677,12 +709,15 @@ object Dedup {
                (simhash >> (b.bank * 15)) & 32767 AS key
         FROM sig, generate_series(0, 3) b(bank)
       )
-      SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2,
+      -- first-matching-bank dedup instead of DISTINCT (mirrors the engine)
+      SELECT a.doc_id AS doc1, c.doc_id AS doc2,
              CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER)
                AS hamming
       FROM banked a JOIN banked c
         ON a.bank = c.bank AND a.key = c.key AND a.doc_id < c.doc_id
-      WHERE bit_count(xor(a.simhash, c.simhash)) <= 3""",
+      WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        AND a.bank = list_filter([0, 1, 2, 3], b ->
+              (xor(a.simhash, c.simhash) >> (b * 15)) & 32767 = 0)[1]""",
 
     // the production banded pipeline, replayed value-for-value: the
     // oracle checks WHICH pairs the r=2/b=32 banding catches, not just

@@ -198,6 +198,38 @@ object Partitioning {
         idx.flatMap(i => Seq(s"__local$i", s"__off$i")).toList: _*)
   }
 
+  /** Distributed DENSE ROW NUMBERING over a total order — the
+    * [[rankedCumSum]] two-level shape applied to row_number (VERDICT r9
+    * #4: replaces the only data-sized unpartitioned window in the tree,
+    * Normalize.withTripId's deterministic path). Range-partition on the
+    * order keys, per-partition local row_number (parallel), then ONE
+    * ≤n-row prefix-count aggregate broadcast back as per-partition
+    * offsets. Same contiguous 1..N numbering a global
+    * `row_number().over(Window.orderBy(...))` yields — without funneling
+    * the data through a single task. Rows tied on ALL order keys get an
+    * arbitrary-but-valid order within the tie group, exactly like the
+    * global window. */
+  def rankedRowNumber(df: DataFrame, order: Seq[Column], n: Int,
+                      outCol: String): DataFrame = {
+    val sorted = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val localWin = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val offWin = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pc"))
+      .select(col("__pid").as("__opid"),
+        coalesce(sum(col("__pc")).over(offWin), lit(0L)).as("__off"))
+    sorted
+      .withColumn("__local", row_number().over(localWin).cast("long"))
+      .join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__pid", "__opid", "__local", "__off")
+  }
+
   /** Distributed running MINIMUM over a total order — the prefix-min
     * sibling of [[rankedCumSum]], same two-level shape: parallel
     * per-partition running mins, then one sequential prefix-min over the

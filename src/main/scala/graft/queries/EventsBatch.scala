@@ -537,11 +537,14 @@ object EventsBatch {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
-      val cells = tr.withColumn("np",
+      val cellsDf = tr.withColumn("np",
           sum(col("n")).over(Window.partitionBy(col("prev_type"))))
         .selectExpr("prev_type", "next_type",
           "CAST(floor(1e9 * n / np + 0.5) AS BIGINT) AS t")
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val cellRows = graft.core.Bounded.collect(cellsDf, 1024,
+        "evt_markov_steady transition cells (|event types|^2 domain)")
+      val cells = cellRows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val states = cells.map(_._1).distinct.sorted ++
         cells.map(_._2).distinct.diff(cells.map(_._1).distinct).sorted
       var v: Map[String, BigInt] =

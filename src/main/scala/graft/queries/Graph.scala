@@ -182,11 +182,15 @@ object Graph {
         .select(least(col("src"), col("dst")).cast("long").as("a"),
                 greatest(col("src"), col("dst")).cast("long").as("b"))
         .distinct()
-      val edges = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = graft.core.Bounded.collect(und, 1024,
+        "graph_harmonic_centrality sparse edges (nation-domain, <= 25^2)")
+        .map(r => (r.getLong(0), r.getLong(1)))
       val adj = (edges ++ edges.map(e => (e._2, e._1)))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-      val nodes = nation.select(col("n_nationkey").cast("long"))
-        .collect().map(_.getLong(0))
+      val nodes = graft.core.Bounded.collect(
+          nation.select(col("n_nationkey").cast("long")), 256,
+          "graph_harmonic_centrality nodes (nation-domain)")
+        .map(_.getLong(0))
       val rows = nodes.map { src =>
         var frontier = Set(src); var seen = Set(src)
         var depth = 0; var reach = 0L; var h60 = 0L
@@ -288,11 +292,14 @@ object Graph {
       // scheduling for 25 rows of state; the data-sized work is the
       // cached trade-edge aggregate feeding sparseEdges). BigInt
       // renormalization ≡ the twin's HUGEINT arithmetic exactly.
-      val edges = sparseEdges(s, d)
-        .select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val nodes = nation.select(col("n_nationkey").cast("long"))
-        .collect().map(_.getLong(0)).sorted
+      val edges = graft.core.Bounded.collect(sparseEdges(s, d)
+          .select(col("src").cast("long"), col("dst").cast("long")), 1024,
+          "graph_hits sparse edges (nation-domain, <= 25^2)")
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = graft.core.Bounded.collect(
+          nation.select(col("n_nationkey").cast("long")), 256,
+          "graph_hits nodes (nation-domain)")
+        .map(_.getLong(0)).sorted
       def norm(raw: Map[Long, Long]): Map[Long, Long] = {
         val ssum = raw.values.sum
         if (ssum == 0L) raw
@@ -424,11 +431,14 @@ object Graph {
     // terminates) + the same mutual-reachability min.
     "graph_scc" -> ((s, d) => {
       val nation = t(s, d, "nation")
-      val edges = sparseEdges(s, d)
-        .select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val nodes = nation.select(col("n_nationkey").cast("long"))
-        .collect().map(_.getLong(0)).sorted
+      val edges = graft.core.Bounded.collect(sparseEdges(s, d)
+          .select(col("src").cast("long"), col("dst").cast("long")), 1024,
+          "graph_scc sparse edges (nation-domain, <= 25^2)")
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = graft.core.Bounded.collect(
+          nation.select(col("n_nationkey").cast("long")), 256,
+          "graph_scc nodes (nation-domain)")
+        .map(_.getLong(0)).sorted
       val idx = nodes.zipWithIndex.toMap
       val n = nodes.length
       val reach = Array.fill(n)(new scala.collection.mutable.BitSet(n))
@@ -736,6 +746,40 @@ object Graph {
         .limit(10)
     }),
 
+    // neighborhood-Jaccard link prediction — the set-overlap sibling of
+    // graph_adamic_adar (AA weights rare common neighbors up; Jaccard
+    // normalizes by the union of neighborhoods): for each non-adjacent
+    // pair, |N(a) ∩ N(b)| / |N(a) ∪ N(b)| on the floor-ppm integer grid
+    // (counts and degrees are exact BIGINTs — no FP anywhere, unlike
+    // AA's 1/ln(deg) sum). Same wedge-join shape: candidate pairs exist
+    // only through a shared neighbor, so the join volume is sum of
+    // squared degrees, never |V|^2.
+    "graph_node_jaccard" -> ((s, d) => {
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint()
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val deg = adj.groupBy(col("u").as("w")).agg(count(lit(1)).as("degw"))
+      val wedges = adj.select(col("v").as("w"), col("u").as("x"))
+        .join(adj.select(col("v").as("w2"), col("u").as("y")),
+          col("w") === col("w2") && col("x") < col("y"))
+        .select(col("x").as("a"), col("y").as("b"))
+      wedges
+        .join(und.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common"))
+        .join(deg.select(col("w").as("a"), col("degw").as("dega")), Seq("a"))
+        .join(deg.select(col("w").as("b"), col("degw").as("degb")), Seq("b"))
+        .select(col("a"), col("b"), col("common"),
+          floor(lit(1e6) * col("common") /
+            (col("dega") + col("degb") - col("common")) + lit(0.5))
+            .cast("long").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("a"), col("b"))
+        .limit(10)
+    }),
+
     // temporal (time-respecting) reachability: earliest month each
     // nation becomes reachable from nation 0 when a trade edge
     // (src → dst, month m) can only be traversed at arrival ≤ m —
@@ -832,7 +876,9 @@ object Graph {
         .filter(col("wu") * col("n") > col("t"))
         .select(col("a").cast("bigint").as("a"),
                 col("b").cast("bigint").as("b"))
-      val edges = kept.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = graft.core.Bounded.collect(kept, 1024,
+        "graph_components above-mean edges (nation-domain, <= 25^2)")
+        .map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
@@ -1378,6 +1424,33 @@ object Graph {
         |FROM nonadj n JOIN deg d ON d.w = n.w
         |GROUP BY n.a, n.b
         |ORDER BY aa DESC, n.a, n.b
+        |LIMIT 10""".stripMargin,
+
+    "graph_node_jaccard" ->
+      s"""WITH $sparseCte,
+        |  und AS (
+        |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |    FROM sparse),
+        |  adj AS (
+        |    SELECT a AS u, b AS v FROM und
+        |    UNION ALL SELECT b, a FROM und),
+        |  deg AS (SELECT u AS w, count(*) AS degw FROM adj GROUP BY u),
+        |  wedges AS (
+        |    SELECT p.u AS a, q.u AS b
+        |    FROM adj p JOIN adj q ON p.v = q.v AND p.u < q.u),
+        |  nonadj AS (
+        |    SELECT w.a, w.b, count(*) AS common FROM wedges w
+        |    WHERE NOT EXISTS (SELECT 1 FROM und e
+        |                      WHERE e.a = w.a AND e.b = w.b)
+        |    GROUP BY w.a, w.b)
+        |SELECT n.a, n.b, CAST(n.common AS BIGINT) AS common,
+        |       CAST(floor(1e6 * n.common /
+        |              (da.degw + db.degw - n.common) + 0.5) AS BIGINT)
+        |         AS jaccard_ppm
+        |FROM nonadj n
+        |JOIN deg da ON da.w = n.a
+        |JOIN deg db ON db.w = n.b
+        |ORDER BY jaccard_ppm DESC, n.a, n.b
         |LIMIT 10""".stripMargin,
 
     "graph_temporal_reach" ->

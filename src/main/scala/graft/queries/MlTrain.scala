@@ -992,6 +992,38 @@ object MlTrain {
     // training costs nothing extra at scale: identical one-pass moments,
     // one extra addition before the Cramer solve. λ = 10000 (raw units;
     // documented, not tuned — the operator contract is the algebra).
+    // per-group OLS — the "many models" pattern (one price model PER
+    // SUPPLIER NATION): the ml_linreg closed form evaluated from ONE
+    // grouped aggregate of exact integer sufficient statistics. No
+    // per-group iteration, no driver loop — adding groups adds rows to a
+    // map-side-combined hash aggregate, not jobs, which is how "fit a
+    // model per segment" runs at 100 TB (contrast with looping a
+    // single-model fit per segment: |groups| full scans). Numerics are
+    // ml_linreg's verbatim: per-group sums are subsets of the global sums
+    // that entry already proves exact in decimal(28,0) → double.
+    "ml_group_linreg" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      val raw = li.join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(su("s_nationkey").cast("bigint").as("g"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+          round(col("l_quantity")).cast("bigint").as("x1"),
+          round(col("l_discount") * 100).cast("bigint").as("x2"))
+      def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
+      raw.groupBy(col("g")).agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+          dsum(col("x1") * col("x1")).as("s11"),
+          dsum(col("x1") * col("x2")).as("s12"),
+          dsum(col("x2") * col("x2")).as("s22"),
+          dsum(col("y")).as("sy"),
+          dsum(col("x1") * col("y")).as("s1y"),
+          dsum(col("x2") * col("y")).as("s2y"),
+          dsum(col("y") * col("y")).as("syy"))
+        .selectExpr(("g" +: linregL1): _*)
+        .selectExpr(("g" +: linregL2): _*)
+        .selectExpr(("g" +: linregL3): _*)
+    }),
+
     "ml_ridge" -> ((s, d) => {
       val raw = t(s, d, "lineitem").select(
         round(col("l_extendedprice") * 100).cast("bigint").as("y"),
@@ -1182,6 +1214,28 @@ object MlTrain {
       .stripMargin
 
   val sql: Map[String, String] = Map(
+
+    "ml_group_linreg" ->
+      s"""WITH raw AS (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS g,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount*100) AS BIGINT) AS x2
+        |  FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey),
+        |sums AS (
+        |  SELECT g, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |         CAST(sum(x1*x1) AS DOUBLE) AS s11,
+        |         CAST(sum(x1*x2) AS DOUBLE) AS s12,
+        |         CAST(sum(x2*x2) AS DOUBLE) AS s22,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x1*y) AS DOUBLE) AS s1y,
+        |         CAST(sum(x2*y) AS DOUBLE) AS s2y,
+        |         CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM raw GROUP BY g),
+        |l1 AS (SELECT g, ${sel(linregL1)} FROM sums),
+        |l2 AS (SELECT g, ${sel(linregL2)} FROM l1)
+        |SELECT g, ${sel(linregL3)} FROM l2""".stripMargin,
 
     "ml_linreg" ->
       s"""WITH raw AS (

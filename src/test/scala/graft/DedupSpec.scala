@@ -195,6 +195,37 @@ class DedupSpec extends AnyFunSuite {
     assert(want.size >= 10, "fixture should contain the planted pairs")
   }
 
+  test("simhash banking: block-PAIR keys (blocksPerKey = 2) are recall-exact too") {
+    import spark.implicits._
+    // same planted-fixture shape as the single-block test; 8 banks of
+    // 8 bits, keys = C(8,2) = 28 block pairs — pigeonhole: <= 3 dirty
+    // blocks leaves >= 5 clean, so some clean pair always agrees
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 40).map(i => (i.toLong, rnd.nextLong()))
+    val flipped = base.take(10).map { case (i, s) =>
+      val flips = 1 + rnd.nextInt(3)
+      val s2 = (0 until flips).foldLeft(s)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(64)))
+      (i + 100L, s2)
+    }
+    val all = base ++ flipped
+    val sim = all.toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDup(sim, banks = 8, blocksPerKey = 2)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (i, s1) <- all; (j, s2) <- all if i < j
+      if java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i, j)).toSet
+    assert(got == want, s"pair-banked ${got.size} != brute ${want.size}")
+    // first-matching-table dedup means no distinct(): assert no pair is
+    // emitted twice
+    val rows = Dedup.simhashNearDup(sim, banks = 8, blocksPerKey = 2)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "each pair exactly once")
+  }
+
   test("dedup_apply keeps exactly one representative per connected component") {
     val kept = Dedup.defs("llm_dedup_apply")(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
