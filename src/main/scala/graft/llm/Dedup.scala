@@ -20,9 +20,11 @@ import graft.functions.GraftFunctions
   *  - Embedding near-dup: cosine ≥ threshold via the LSH signature join
   *    from [[SimSearch]].
   *
-  * All are rows-only for the driver oracle (hash functions are
-  * engine-specific); `DedupSpec` validates them against the exact-Jaccard
-  * ground truth.
+  * As of r10 ALL of these are fully value-twinned in the DuckDB oracle:
+  * the minhash/simhash families run on the portable polynomial hash and
+  * the embedding family on the portable md5 hyperplane table, so the
+  * oracle replays the production pipelines end to end. `DedupSpec`
+  * additionally validates recall against the exact-Jaccard ground truth.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -466,6 +468,9 @@ object Dedup {
     // 16 tables × 4-bit keys: recall ≈ 0.96 at cos 0.45 (see banding note
     // in [[embeddingNearDup]]); the 8×8 default would bucket-miss ~78% of
     // pairs this far from identical.
+    // FULLY ORACLE-CHECKED as of r10: the planes are the portable md5
+    // table, so the twin replays buckets AND verified pairs verbatim
+    // (llm_embedding_neardup_exact below remains the axis-aligned anchor).
     "llm_embedding_neardup" -> ((s, d) =>
       embeddingNearDup(s, spread(t(s, d, "embeddings")), minCos = 0.45,
         nTables = 16, bitsPerTable = 4)),

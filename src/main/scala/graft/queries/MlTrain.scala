@@ -59,6 +59,14 @@ object MlTrain {
     "round(b0, 6) AS b0", "round(b1, 6) AS b1", "round(b2, 6) AS b2",
     "round(1 - (syy - b0*sy - b1*s1y - b2*s2y) / (syy - sy*sy/n), 6) AS r2")
 
+  // Huber IRLS shared layers (ml_huber_irls): weighted 1-feature normal
+  // equations from the ppm-integer weighted sums; k and nd thread through
+  private val huberC1 = Seq(
+    "k", "nd", "sw", "swx", "swy",
+    "(sw*swxy - swx*swy) / (sw*swxx - swx*swx) AS b")
+  private val huberC2 = Seq(
+    "k", "nd", "b", "(swy - b*swx) / sw AS a")
+
   private val pcaL1 = Seq(
     "(sxx - sx*sx/n) / (n - 1) AS cxx",
     "(sxy - sx*sy/n) / (n - 1) AS cxy",
@@ -992,6 +1000,62 @@ object MlTrain {
     // training costs nothing extra at scale: identical one-pass moments,
     // one extra addition before the Cramer solve. λ = 10000 (raw units;
     // documented, not tuned — the operator contract is the algebra).
+    // Huber robust regression via 2 unrolled IRLS steps — the
+    // outlier-resistant sibling of ml_linreg (OLS lets one fat-tailed
+    // row drag the fit; Huber caps each row's influence at k). 1-feature
+    // price ~ quantity model. NUMERICS (the kmeans-iterate discipline
+    // applied to IRLS): the OLS seed (a, b, k = 1.345·RMSE) comes from
+    // exact integer sums with single divisions; per-row residuals are
+    // ~3 FP ops on identical operands (bit-identical both engines); the
+    // Huber weight is quantized to a ppm INTEGER before any sum, so
+    // every weighted moment is an exact decimal(38,0) aggregate and the
+    // 2-step trajectory cannot drift with summation order (r = 0 rows:
+    // k/0 = +Inf → least(1, Inf) = 1 on both engines). Scale shape:
+    // 3 full-scan aggregates total (OLS + one per IRLS step), each
+    // map-side combined; the 1-row coefficient frame broadcasts back —
+    // no driver loop over data.
+    "ml_huber_irls" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+        round(col("l_quantity")).cast("bigint").as("x"))
+        .localCheckpoint(eager = false) // OLS + 2 IRLS aggregates read it
+      def dsum(e: Column) = sum(e.cast("decimal(38,0)")).cast("double")
+      val ols = raw.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("y") * col("y")).as("syy"))
+        .selectExpr("n", "sx", "sy", "sxy", "syy",
+          "(n*sxy - sx*sy) / (n*sxx - sx*sx) AS b")
+        .selectExpr("n", "sxy", "syy", "sy", "b",
+          "(sy - b*sx) / n AS a")
+        .selectExpr("b", "a",
+          "1.345 * sqrt(greatest(0.0, (syy - a*sy - b*sxy) / n)) AS k",
+          "CAST(0 AS BIGINT) AS nd")
+      def irls(coef: DataFrame): DataFrame = raw
+        .crossJoin(broadcast(coef.select(col("a"), col("b"), col("k"))))
+        .withColumn("r", col("y").cast("double") - col("a")
+          - col("b") * col("x").cast("double"))
+        .withColumn("w", floor(lit(1e6)
+          * least(lit(1.0), col("k") / abs(col("r"))) + lit(0.5))
+          .cast("long"))
+        .agg(max(col("k")).as("k"),
+          sum(when(col("w") < 1000000L, 1L).otherwise(0L)).as("nd"),
+          dsum(col("w")).as("sw"),
+          dsum(col("w") * col("x")).as("swx"),
+          dsum(col("w") * col("y")).as("swy"),
+          dsum(col("w") * col("x") * col("x")).as("swxx"),
+          dsum(col("w") * col("x") * col("y")).as("swxy"))
+        .selectExpr(huberC1: _*).selectExpr(huberC2: _*)
+      val fit = irls(irls(ols))
+      ols.select(round(col("a"), 6).as("a_ols"),
+          round(col("b"), 6).as("b_ols"),
+          round(col("k"), 6).as("k_cents"))
+        .crossJoin(fit.select(round(col("a"), 6).as("a_huber"),
+          round(col("b"), 6).as("b_huber"), col("nd").as("n_downweighted")))
+    }),
+
     // per-group OLS — the "many models" pattern (one price model PER
     // SUPPLIER NATION): the ml_linreg closed form evaluated from ONE
     // grouped aggregate of exact integer sufficient statistics. No
@@ -1214,6 +1278,52 @@ object MlTrain {
       .stripMargin
 
   val sql: Map[String, String] = Map(
+
+    "ml_huber_irls" -> {
+      def irlsStage(coef: String, out: String): String = s"""
+        |w_$out AS (
+        |  SELECT max(k) AS k,
+        |         CAST(sum(CASE WHEN w < 1000000 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nd,
+        |         CAST(sum(w) AS DOUBLE) AS sw,
+        |         CAST(sum(w*x) AS DOUBLE) AS swx,
+        |         CAST(sum(w*y) AS DOUBLE) AS swy,
+        |         CAST(sum(w*x*x) AS DOUBLE) AS swxx,
+        |         CAST(sum(w*x*y) AS DOUBLE) AS swxy
+        |  FROM (SELECT r.x, r.y, c.k,
+        |               CAST(floor(1e6 * least(1.0, c.k /
+        |                 abs(CAST(r.y AS DOUBLE) - c.a
+        |                     - c.b * CAST(r.x AS DOUBLE))) + 0.5)
+        |                 AS BIGINT) AS w
+        |        FROM raw r, $coef c)),
+        |${out}a AS (SELECT ${sel(huberC1)} FROM w_$out),
+        |$out AS (SELECT ${sel(huberC2)} FROM ${out}a)""".stripMargin
+      s"""WITH raw AS (
+        |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |         CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |         CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM raw),
+        |o1 AS (SELECT n, sx, sy, sxy, syy,
+        |              (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b FROM sums),
+        |o2 AS (SELECT n, sxy, syy, sy, b, (sy - b*sx) / n AS a FROM o1),
+        |ols AS (SELECT b, a,
+        |               1.345 * sqrt(greatest(0.0, (syy - a*sy - b*sxy) / n))
+        |                 AS k,
+        |               CAST(0 AS BIGINT) AS nd FROM o2),
+        |${irlsStage("ols", "c1")},
+        |${irlsStage("c1", "c2")}
+        |SELECT round(o.a, 6) AS a_ols, round(o.b, 6) AS b_ols,
+        |       round(o.k, 6) AS k_cents,
+        |       round(c2.a, 6) AS a_huber, round(c2.b, 6) AS b_huber,
+        |       c2.nd AS n_downweighted
+        |FROM ols o, c2""".stripMargin
+    },
 
     "ml_group_linreg" ->
       s"""WITH raw AS (
