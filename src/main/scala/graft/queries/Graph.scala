@@ -780,6 +780,37 @@ object Graph {
         .limit(10)
     }),
 
+    // Katz centrality over the directed sparse trade graph — attenuated
+    // walk-count influence (pagerank without degree normalization:
+    // x ← 1 + α·Aᵀx, so x(v) = Σ_k α^k·|walks of length k ending at v|).
+    // α = 1/8 as an EXACT integral division on the 1e9 grid, so every
+    // superstep is pure BIGINT arithmetic — zero FP anywhere, and the
+    // 4-round trajectory is bit-identical on both engines with no
+    // quantization step at all (one better than the ppr/hits floor-ppb
+    // discipline). Scale shape: |V|-row state, one edge⋈state aggregate
+    // per round over the cached sparse edge list. Unrolled-CTE twin.
+    "graph_katz" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val edges = sparseEdges(s, d)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .localCheckpoint(eager = false) // one join per superstep
+      val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+      var x = nodes.select(col("node"), lit(1000000000L).as("x"))
+      for (_ <- 1 to 4) {
+        val contrib = edges.join(x, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("x div 8")).as("c"))
+        x = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(1000000000L) + coalesce(col("c"), lit(0L))).as("x"))
+      }
+      x.join(broadcast(nation),
+          col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("node"), col("x").as("katz_ppb"))
+        .orderBy(col("n_name"))
+    }),
+
     // temporal (time-respecting) reachability: earliest month each
     // nation becomes reachable from nation 0 when a trade edge
     // (src → dst, month m) can only be traversed at arrival ≤ m —
@@ -1452,6 +1483,42 @@ object Graph {
         |JOIN deg db ON db.w = n.b
         |ORDER BY jaccard_ppm DESC, n.a, n.b
         |LIMIT 10""".stripMargin,
+
+    "graph_katz" ->
+      s"""WITH $sparseCte,
+        |  e AS (SELECT CAST(src AS BIGINT) AS s, CAST(dst AS BIGINT) AS d
+        |        FROM sparse),
+        |  nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node
+        |            FROM nation),
+        |  k0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS x FROM nodes),
+        |  k1 AS (SELECT n.node,
+        |    CAST(1000000000 + coalesce(c.cs, 0) AS BIGINT) AS x
+        |    FROM nodes n LEFT JOIN (
+        |      SELECT e.d AS node, CAST(sum(x.x // 8) AS BIGINT) AS cs
+        |      FROM e JOIN k0 x ON x.node = e.s GROUP BY e.d) c
+        |    ON c.node = n.node),
+        |  k2 AS (SELECT n.node,
+        |    CAST(1000000000 + coalesce(c.cs, 0) AS BIGINT) AS x
+        |    FROM nodes n LEFT JOIN (
+        |      SELECT e.d AS node, CAST(sum(x.x // 8) AS BIGINT) AS cs
+        |      FROM e JOIN k1 x ON x.node = e.s GROUP BY e.d) c
+        |    ON c.node = n.node),
+        |  k3 AS (SELECT n.node,
+        |    CAST(1000000000 + coalesce(c.cs, 0) AS BIGINT) AS x
+        |    FROM nodes n LEFT JOIN (
+        |      SELECT e.d AS node, CAST(sum(x.x // 8) AS BIGINT) AS cs
+        |      FROM e JOIN k2 x ON x.node = e.s GROUP BY e.d) c
+        |    ON c.node = n.node),
+        |  k4 AS (SELECT n.node,
+        |    CAST(1000000000 + coalesce(c.cs, 0) AS BIGINT) AS x
+        |    FROM nodes n LEFT JOIN (
+        |      SELECT e.d AS node, CAST(sum(x.x // 8) AS BIGINT) AS cs
+        |      FROM e JOIN k3 x ON x.node = e.s GROUP BY e.d) c
+        |    ON c.node = n.node),
+        |  kfin AS (SELECT node, x FROM k4)
+        |SELECT n.n_name, k.node, k.x AS katz_ppb
+        |FROM kfin k JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = k.node
+        |ORDER BY n.n_name""".stripMargin,
 
     "graph_temporal_reach" ->
       """WITH RECURSIVE tedges AS (

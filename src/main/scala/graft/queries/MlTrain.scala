@@ -129,6 +129,26 @@ object MlTrain {
   private val gdCache =
     scala.collection.concurrent.TrieMap.empty[String, (Double, Double, Double)]
 
+  // ml_poisson_reg's fitted (w0, w1) — 2 doubles per corpus, the gdCache
+  // amortization pattern
+  private val poissonCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Double, Double)]
+
+  /** Rational exp for the Poisson GLM (the gdFit libm-free discipline
+    * extended): E(z) = max(1 + z/32, 0)^32 by five squarings — pure
+    * multiplications, bit-identical on both engines, where libm exp
+    * differs by ulps across implementations and a quantizer boundary
+    * would flip a per-row contribution. Relative error ≤ z²/64 on the
+    * |z| ≲ 4 range this model visits — the link is DOCUMENTED as
+    * rational-exp quasi-Poisson; the oracle checks engine parity of the
+    * declared estimator, not agreement with textbook glm(). */
+  private def rationalExp(z: Column): Column = {
+    val u = greatest(lit(1.0) + z / lit(32.0), lit(0.0))
+    val u2 = u * u; val u4 = u2 * u2; val u8 = u4 * u4
+    val u16 = u8 * u8
+    u16 * u16
+  }
+
   private def gdFit(s: SparkSession, d: String)
       : (DataFrame, Double, Double, Double) = {
     val raw = t(s, d, "lineitem").select(
@@ -1000,6 +1020,61 @@ object MlTrain {
     // training costs nothing extra at scale: identical one-pass moments,
     // one extra addition before the Cramer solve. λ = 10000 (raw units;
     // documented, not tuned — the operator contract is the algebra).
+    // Poisson regression (count GLM) via 3 Newton steps: rate
+    // μ = E(w0 + w1·x) with the rational exp [[rationalExp]] (libm-free),
+    // y = quantity (a count), x = discount%/10. Each step is ONE
+    // aggregate of five per-row contributions (μ, μx, μx², μ−y, (μ−y)x)
+    // quantized to the 1e-6 grid as BIGINTs summed in decimal(38,0) —
+    // order-independent — and the 2×2 Newton solve is one identical
+    // double-formula text on both engines (the gdFit update pattern).
+    // The driver holds 2 scalars; nothing data-sized leaves the executors.
+    "ml_poisson_reg" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+        round(col("l_quantity")).cast("double").as("y"),
+        (round(col("l_discount") * 100).cast("double") / 10.0).as("x"))
+        .localCheckpoint(eager = false) // 3 Newton passes + the report pass
+      def q(e: Column) = sum(round(e * lit(1e6)).cast("bigint")
+        .cast("decimal(38,0)"))
+      val (w0f, w1f) = poissonCache.getOrElseUpdate(d, {
+        // Newton from w = 0 overshoots catastrophically on a log-link
+        // (at mu = 1 the Hessian is tiny vs the gradient; the first step
+        // jumped w0 to ~24). Seed the intercept by INVERTING the rational
+        // exp at the mean rate: w0 = 32*((sy/n)^(1/32) - 1) via five
+        // sqrts — sqrt is IEEE correctly-rounded on both engines (unlike
+        // libm exp/ln), and E(w0) = mean(y) EXACTLY by construction, so
+        // Newton starts at the intercept-only optimum and only refines.
+        val sd = raw.agg(count(lit(1)).cast("double"),
+          sum(col("y").cast("decimal(38,0)")).cast("double")).head()
+        val m = sd.getDouble(1) / sd.getDouble(0)
+        var w0 = 32.0 * (math.sqrt(math.sqrt(math.sqrt(math.sqrt(
+          math.sqrt(m))))) - 1.0)
+        var w1 = 0.0
+        for (_ <- 1 to 3) {
+          val mu = rationalExp(lit(w0) + lit(w1) * col("x"))
+          val r = raw.agg(q(mu), q(mu * col("x")),
+            q(mu * col("x") * col("x")),
+            q(mu - col("y")), q((mu - col("y")) * col("x"))).head()
+          def gv(i: Int) = r.getDecimal(i).doubleValue / 1e6
+          val h00 = gv(0); val h01 = gv(1); val h11 = gv(2)
+          val g0 = gv(3); val g1 = gv(4)
+          val det = h00 * h11 - h01 * h01
+          w0 = w0 - (h11 * g0 - h01 * g1) / det
+          w1 = w1 - (h00 * g1 - h01 * g0) / det
+        }
+        (w0, w1)
+      })
+      val mu = rationalExp(lit(w0f) + lit(w1f) * col("x"))
+      raw.agg(
+        round(lit(w0f), 6).as("w0"), round(lit(w1f), 6).as("w1"),
+        count(lit(1)).as("n"),
+        // goodness check: total fitted rate vs total observed count (a
+        // converged Poisson fit with an intercept matches totals exactly;
+        // 3 Newton steps land within ~1e-4) — exact-grid numerator, the
+        // y sum is integer-valued doubles (exact at any order)
+        floor(lit(1e6) * ((q(mu).cast("double") / lit(1e6)) / sum(col("y")))
+          + lit(0.5)).cast("long").as("fit_ratio_ppm"))
+    }),
+
     // Huber robust regression via 2 unrolled IRLS steps — the
     // outlier-resistant sibling of ml_linreg (OLS lets one fat-tailed
     // row drag the fit; Huber caps each row's influence at k). 1-feature
@@ -1278,6 +1353,60 @@ object MlTrain {
       .stripMargin
 
   val sql: Map[String, String] = Map(
+
+    "ml_poisson_reg" -> {
+      // rational-exp stage: u = max(1 + (w0 + w1·x)/32, 0), five
+      // squarings — mirrors [[rationalExp]] term for term; carries
+      // (y, x, w0, w1) through for the consumers
+      def muSub(coef: String): String =
+        s"""SELECT y, x, w0, w1, u16*u16 AS mu FROM (
+          |   SELECT y, x, w0, w1, u8*u8 AS u16 FROM (
+          |    SELECT y, x, w0, w1, u4*u4 AS u8 FROM (
+          |     SELECT y, x, w0, w1, u2*u2 AS u4 FROM (
+          |      SELECT y, x, w0, w1, u*u AS u2 FROM (
+          |       SELECT r.y, r.x, c.w0, c.w1,
+          |              greatest(1.0 + (c.w0 + c.w1*r.x)/32.0, 0.0) AS u
+          |       FROM raw r, $coef c)))))""".stripMargin
+      def newtonStage(prev: String, k: Int): String =
+        s"""g$k AS (
+          |  SELECT
+          |    sum(CAST(round(mu * 1e6) AS BIGINT)) AS h00,
+          |    sum(CAST(round(mu * x * 1e6) AS BIGINT)) AS h01,
+          |    sum(CAST(round(mu * x * x * 1e6) AS BIGINT)) AS h11,
+          |    sum(CAST(round((mu - y) * 1e6) AS BIGINT)) AS g0,
+          |    sum(CAST(round((mu - y) * x * 1e6) AS BIGINT)) AS g1
+          |  FROM (${muSub(prev)})),
+          |d$k AS (SELECT w0, w1,
+          |          CAST(h00 AS DOUBLE)/1e6 AS h00,
+          |          CAST(h01 AS DOUBLE)/1e6 AS h01,
+          |          CAST(h11 AS DOUBLE)/1e6 AS h11,
+          |          CAST(g0 AS DOUBLE)/1e6 AS g0,
+          |          CAST(g1 AS DOUBLE)/1e6 AS g1
+          |        FROM g$k, $prev),
+          |e$k AS (SELECT *, h00*h11 - h01*h01 AS det FROM d$k),
+          |p$k AS (SELECT w0 - (h11*g0 - h01*g1)/det AS w0,
+          |               w1 - (h00*g1 - h01*g0)/det AS w1 FROM e$k)"""
+          .stripMargin
+      s"""WITH raw AS (
+        |  SELECT CAST(ROUND(l_quantity) AS DOUBLE) AS y,
+        |         CAST(ROUND(l_discount*100) AS DOUBLE)/10.0 AS x
+        |  FROM lineitem),
+        |p0 AS (SELECT 32.0*(sqrt(sqrt(sqrt(sqrt(sqrt(sy/n))))) - 1.0)
+        |                AS w0, 0.0 AS w1
+        |       FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                    CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) AS sy
+        |             FROM raw)),
+        |${newtonStage("p0", 1)},
+        |${newtonStage("p1", 2)},
+        |${newtonStage("p2", 3)}
+        |SELECT round(w0, 6) AS w0, round(w1, 6) AS w1,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(floor(1e6 * ((CAST(sum(CAST(round(mu * 1e6) AS BIGINT))
+        |              AS DOUBLE)/1e6) / sum(y)) + 0.5) AS BIGINT)
+        |         AS fit_ratio_ppm
+        |FROM (${muSub("p3")})
+        |GROUP BY w0, w1""".stripMargin
+    },
 
     "ml_huber_irls" -> {
       def irlsStage(coef: String, out: String): String = s"""
