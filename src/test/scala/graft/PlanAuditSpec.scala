@@ -654,4 +654,43 @@ class PlanAuditSpec extends AnyFunSuite
       spark.sql("DROP TABLE IF EXISTS cbo_orders")
     }
   }
+
+  test("r10 additions: pruned scans, no cartesian, codegen-safe predicates") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def nodes(df: DataFrame): Seq[SparkPlan] = {
+      def go(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.inputPlan)
+        case other => other +: (other.children ++ other.subqueries).flatMap(go)
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    // ml_group_linreg: the "many models" contract is ONE grouped
+    // aggregate over the joined fact — per-group work must not plan a
+    // per-group loop (exactly one lineitem scan) and the scan must prune
+    // to the 4 referenced columns
+    val gl = SparkEntry.queries("ml_group_linreg")(spark, sf)
+    val liScans = scans(gl)
+      .filter(_.metadata.get("Location").exists(_.contains("lineitem")))
+    assert(liScans.size == 1,
+      s"ml_group_linreg must scan lineitem once, got ${liScans.size}")
+    val cols = liScans.head.output.map(_.name).toSet
+    assert(cols.subsetOf(Set("l_suppkey", "l_extendedprice", "l_quantity",
+      "l_discount")), s"unpruned lineitem scan: $cols")
+    // graph_katz: each superstep joins the |V|-row state — never a
+    // cartesian product anywhere in the 4-round plan
+    assert(!nodes(SparkEntry.queries("graph_katz")(spark, sf))
+      .exists(_.isInstanceOf[CartesianProductExec]),
+      "graph_katz must not plan a cartesian product")
+    // llm_simhash_neardup: the first-matching-bank dedup must be the
+    // scalar CASE (codegen), never a filter/forall HOF (interpreted per
+    // collision row — the 80 s regression the r10 probe caught)
+    val sh = SparkEntry.queries("llm_simhash_neardup")(spark, sf)
+    val planText = sh.queryExecution.executedPlan.toString
+    assert(!planText.contains("forall("),
+      "simhash collision dedup must not use an interpreted HOF predicate")
+    assert(planText.contains("CASE WHEN"),
+      "simhash collision dedup must be the scalar CASE chain")
+  }
 }
