@@ -424,6 +424,57 @@ object TextOps {
     // count tables keyed on vocabulary. Unseen w1 zeroes the bigram
     // term (CASE, no 0/0); the unigram back-off is Laplace-smoothed so
     // the log never sees 0.
+    // Kneser-Ney smoothed bigram probabilities over the 80/20 split —
+    // the LM-smoothing standard llm_bigram_lm's fixed-interpolation
+    // entry approximates: P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    // + (D·N1+(w1·)/c(w1·))·Pcont(w2), with Pcont(w2) = N1+(·w2)/N1+(··)
+    // (continuation counts — "how many contexts does w2 complete" — the
+    // KN insight) and D = 0.75 (= 3/4, EXACT in binary — no decimal
+    // rounding anywhere in the discount). Unseen-context bigrams back
+    // off to Pcont alone. Per-row p is one fixed double expression tree
+    // on exact integer counts, quantized floor-ppm BEFORE the per-doc
+    // sum, so the output is all-BIGINT (the textrank discipline). Scale:
+    // three hash aggregates over train bigrams + one broadcast-joined
+    // scoring pass; every join key is a token or token pair.
+    "llm_kn_bigram" -> ((s, d) => {
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "w")))
+      val bi = toks.alias("a")
+        .join(toks.alias("b"), col("a.doc_id") === col("b.doc_id")
+          && col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"), col("a.w").as("w1"),
+          col("b.w").as("w2"))
+        .localCheckpoint(eager = false) // train aggregates + test scoring
+      val cb = bi.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint(eager = false) // feeds c1/ncont/nbi + the score join
+      val c1 = cb.groupBy(col("w1"))
+        .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1f"))
+      val ncont = cb.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+      val consts = cb.agg(count(lit(1)).as("nbi"))
+      bi.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(ncont, Seq("w2"), "left")
+        .crossJoin(broadcast(consts))
+        .withColumn("pcont", coalesce(col("ncont"), lit(0L)).cast("double")
+          / col("nbi").cast("double"))
+        .withColumn("p",
+          when(coalesce(col("c1"), lit(0L)) > 0,
+            (greatest(coalesce(col("cb"), lit(0L)).cast("double")
+              - lit(0.75), lit(0.0))
+              + lit(0.75) * col("n1f").cast("double") * col("pcont"))
+              / col("c1").cast("double"))
+          .otherwise(col("pcont")))
+        .withColumn("p_ppm",
+          floor(lit(1e6) * col("p") + lit(0.5)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("p_ppm")).as("sum_p_ppm"),
+          sum(when(col("p_ppm") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    }),
+
     "llm_bigram_lm" -> ((s, d) => {
       val toks = spread(t(s, d, "documents"))
         .select(col("doc_id"), posexplode(split(col("text"), " "))
@@ -1810,6 +1861,50 @@ object TextOps {
              list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                / CAST(len(toks) AS DOUBLE) AS mean_token_len
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""",
+
+    "llm_kn_bigram" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), bi AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      ), cb AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        FROM bi WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+      ), c1 AS (
+        SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM cb GROUP BY 1
+      ), nc AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM cb GROUP BY 1
+      ), ct AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM cb
+      ), scored AS (
+        SELECT t.doc_id,
+               CAST(floor(1e6 * (CASE WHEN coalesce(c1.c1, 0) > 0
+                 THEN (greatest(CAST(coalesce(cb.cb, 0) AS DOUBLE) - 0.75,
+                         0.0)
+                       + 0.75 * CAST(c1.n1f AS DOUBLE)
+                         * (CAST(coalesce(nc.ncont, 0) AS DOUBLE)
+                            / CAST(ct.nbi AS DOUBLE)))
+                      / CAST(c1.c1 AS DOUBLE)
+                 ELSE CAST(coalesce(nc.ncont, 0) AS DOUBLE)
+                      / CAST(ct.nbi AS DOUBLE)
+                 END) + 0.5) AS BIGINT) AS p_ppm
+        FROM bi t
+        LEFT JOIN cb ON cb.w1 = t.w1 AND cb.w2 = t.w2
+        LEFT JOIN c1 ON c1.w1 = t.w1
+        LEFT JOIN nc ON nc.w2 = t.w2
+        CROSS JOIN ct
+        WHERE t.doc_id % 5 = 0
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm,
+             CAST(sum(CASE WHEN p_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM scored GROUP BY doc_id""",
 
     "llm_bigram_lm" -> """
       WITH toks AS (

@@ -57,6 +57,44 @@ object Graph {
     * dst tiebreak). Mirrors production practice — graph algorithms over
     * relational data usually run on a pruned edge list, and the pruning is
     * itself a window operator. */
+  // (s, t) shortest distances + path counts over the undirected sparse
+  // graph via 6 walk-power rounds — shared by graph_betweenness and
+  // graph_eccentricity (the cache means the 6 grouped self-joins run
+  // once per corpus, not once per consumer). |V|²-bounded by the nation
+  // domain; at scale this is the pivot-sampled BFS family (PLANS.md).
+  private val walkPairsCache = new graft.core.SessionCache[DataFrame]
+
+  private def walkPairs(s: SparkSession, d: String): DataFrame =
+    walkPairsCache.getOrElseUpdate(s, d, {
+      val und = sparseEdges(s, d)
+        .select(least(col("src"), col("dst")).cast("long").as("a"),
+                greatest(col("src"), col("dst")).cast("long").as("b"))
+        .distinct()
+      val bi = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(eager = false)
+      // walk counts by length: w1 = adjacency, wk = w{k-1} ⋈ bi (a fresh
+      // per-round projection of bi breaks repeated-self-join ambiguity)
+      var wk = bi.select(col("u").as("s"), col("v").as("t"),
+        lit(1L).as("c"))
+      var walks = wk.withColumn("k", lit(1))
+      for (k <- 2 to 6) {
+        val bk = bi.toDF(s"ju$k", s"jv$k")
+        wk = wk.join(bk, col("t") === col(s"ju$k"))
+          .groupBy(col("s"), col(s"jv$k"))
+          .agg(sum(col("c")).as("c"))
+          .select(col("s"), col(s"jv$k").as("t"), col("c"))
+          .localCheckpoint(eager = false)
+        walks = walks.union(wk.withColumn("k", lit(k)))
+      }
+      // per (s,t): d = min k with walks > 0, σ = that k's walk count
+      walks.filter(col("s") =!= col("t"))
+        .groupBy(col("s"), col("t"))
+        .agg(min(col("k")).as("d"),
+          expr("min_by(c, k)").as("sigma"))
+        .localCheckpoint(eager = false)
+    })
+
   private def sparseEdges(s: SparkSession, d: String): DataFrame = {
     val e = tradeEdges(s, d).filter(col("src") =!= col("dst"))
     val rn = row_number().over(
@@ -579,33 +617,7 @@ object Graph {
     // changes the node set, not the plan shape.
     "graph_betweenness" -> ((s, d) => {
       val nation = t(s, d, "nation")
-      val und = sparseEdges(s, d)
-        .select(least(col("src"), col("dst")).cast("long").as("a"),
-                greatest(col("src"), col("dst")).cast("long").as("b"))
-        .distinct()
-      val bi = und.select(col("a").as("u"), col("b").as("v"))
-        .union(und.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(eager = false)
-      // walk counts by length: w1 = adjacency, wk = w{k-1} ⋈ bi (a fresh
-      // per-round projection of bi breaks repeated-self-join ambiguity)
-      var wk = bi.select(col("u").as("s"), col("v").as("t"),
-        lit(1L).as("c"))
-      var walks = wk.withColumn("k", lit(1))
-      for (k <- 2 to 6) {
-        val bk = bi.toDF(s"ju$k", s"jv$k")
-        wk = wk.join(bk, col("t") === col(s"ju$k"))
-          .groupBy(col("s"), col(s"jv$k"))
-          .agg(sum(col("c")).as("c"))
-          .select(col("s"), col(s"jv$k").as("t"), col("c"))
-          .localCheckpoint(eager = false)
-        walks = walks.union(wk.withColumn("k", lit(k)))
-      }
-      // per (s,t): d = min k with walks > 0, σ = that k's walk count
-      val p = walks.filter(col("s") =!= col("t"))
-        .groupBy(col("s"), col("t"))
-        .agg(min(col("k")).as("d"),
-          expr("min_by(c, k)").as("sigma"))
-        .localCheckpoint(eager = false) // three self-join legs below
+      val p = walkPairs(s, d)
       // three legs of the same pair table: fresh names break the
       // self-join attribute ambiguity
       val sv = p.toDF("ps", "v", "d1", "sig1")
@@ -808,6 +820,23 @@ object Graph {
       x.join(broadcast(nation),
           col("node") === col("n_nationkey").cast("long"))
         .select(col("n_name"), col("node"), col("x").as("katz_ppb"))
+        .orderBy(col("n_name"))
+    }),
+
+    // per-node eccentricity (+ the graph's radius/diameter readable off
+    // the column): ecc(v) = max shortest-path distance to any node
+    // reachable within the 6-hop cap — the same [[walkPairs]] table
+    // graph_betweenness consumes (shared + cached), rolled up per source.
+    // Isolated nodes report ecc 0 / n_within 0. All-integer.
+    "graph_eccentricity" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val p = walkPairs(s, d)
+      nation.select(col("n_name"), col("n_nationkey").cast("long").as("node"))
+        .join(p.select(col("s").as("node"), col("t"), col("d")),
+          Seq("node"), "left")
+        .groupBy(col("n_name"), col("node"))
+        .agg(coalesce(max(col("d")), lit(0)).cast("long").as("ecc"),
+          count(col("t")).as("n_within"))
         .orderBy(col("n_name"))
     }),
 
@@ -1193,7 +1222,10 @@ object Graph {
   /** Betweenness twin: 6 unrolled walk-power CTEs (integer path counts),
     * min-k fold to (d, σ), the same 3-way dependency join, per-term
     * floor-ppm quantization before the BIGINT sum. */
-  private val betweennessTwin: String = {
+  /** Shared walk-power CTE prefix (ends at `p(s, t, d, sigma)`) — the
+    * [[walkPairs]] replay, consumed by the betweenness and eccentricity
+    * twins. */
+  private val walkCtePrefix: String = {
     val powers = (2 to 6).map { k =>
       s""",
       |  w$k AS (
@@ -1202,7 +1234,7 @@ object Graph {
     }.mkString
     val unions = (1 to 6).map(k =>
       s"SELECT s, t, c, $k AS k FROM w$k").mkString("\n      |  UNION ALL ")
-    s"""WITH $sparseCte,
+    s"""$sparseCte,
       |  und AS (
       |    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       |    FROM sparse),
@@ -1215,7 +1247,11 @@ object Graph {
       |  $unions),
       |  p AS (
       |    SELECT s, t, min(k) AS d, min_by(c, k) AS sigma
-      |    FROM allw WHERE s <> t GROUP BY 1, 2),
+      |    FROM allw WHERE s <> t GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val betweennessTwin: String = {
+    s"""WITH $walkCtePrefix,
       |  dep AS (
       |    SELECT sv.v AS node,
       |           CAST(sum(CAST(floor(1e6 * sv.sig1 * vt.sig2 / st.sigma
@@ -1311,6 +1347,17 @@ object Graph {
         |ORDER BY n.n_name""".stripMargin,
     "graph_kcore" -> kcoreTwin,
     "graph_betweenness" -> betweennessTwin,
+
+    "graph_eccentricity" ->
+      s"""WITH $walkCtePrefix
+        |SELECT n.n_name, CAST(n.n_nationkey AS BIGINT) AS node,
+        |       CAST(coalesce(max(p.d), 0) AS BIGINT) AS ecc,
+        |       CAST(count(p.t) AS BIGINT) AS n_within
+        |FROM nation n
+        |LEFT JOIN p ON p.s = CAST(n.n_nationkey AS BIGINT)
+        |GROUP BY n.n_name, n.n_nationkey
+        |ORDER BY n.n_name""".stripMargin,
+
     "graph_ktruss" -> ktrussTwin,
     "graph_ppr" -> pprTwin,
     "graph_hits" -> hitsTwin,
