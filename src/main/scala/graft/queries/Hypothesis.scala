@@ -487,6 +487,52 @@ object Hypothesis {
     // moment identity var(Y−θX) = (Σy² − 2θΣxy + θ²Σx² − (Σy−θΣx)²/n)
     // /(n−1). Two aggregate rows total; the pooled θ is a 1-row
     // broadcast.
+    // intraclass correlation + design effect (survey sampling's DEFF =
+    // 1 + (m̄ − 1)·ICC — how much clustering inflates the variance of a
+    // mean, the number that sizes any cluster-sampled experiment): one-way
+    // ANOVA over price cents clustered by supplier nation. EXACT
+    // sufficient statistics: N, k, Σy, Σy² and per-group (n_g, S_g) are
+    // all integer aggregates; the one per-group rational S_g²/n_g is a
+    // single double division FLOOR-QUANTIZED TO AN INTEGER before the
+    // k-group sum (magnitudes ~1e17 — the unit floor loses nothing and
+    // the sum becomes order-independent; the raw 25-double sum would
+    // not be). ICC via ANOVA estimator with the unequal-cluster n₀.
+    "agg_icc_deff" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      val rows = li.join(su, li("l_suppkey") === su("s_suppkey"))
+        .select(su("s_nationkey").cast("bigint").as("g"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y"))
+      val perG = rows.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("y").cast("decimal(38,0)")).as("s_g"))
+        .select(col("g"), col("n_g"), col("s_g"),
+          floor(col("s_g").cast("double") * col("s_g").cast("double")
+            / col("n_g").cast("double")).cast("decimal(38,0)").as("sq_over_n"))
+      val tot = rows.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double")
+          .as("syy"))
+      perG.agg(count(lit(1)).cast("double").as("k"),
+          sum(col("sq_over_n")).cast("double").as("sqn"),
+          sum((col("n_g") * col("n_g")).cast("decimal(38,0)"))
+            .cast("double").as("sn2"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("k", "n", "sqn", "sn2", "syy",
+          "sqn - sy*sy/n AS ssb", "syy - sqn AS ssw",
+          "(n - sn2/n) / (k - 1.0) AS n0")
+        .selectExpr("k", "n", "n0",
+          "ssb / (k - 1.0) AS msb", "ssw / (n - k) AS msw")
+        .selectExpr(
+          "CAST(k AS BIGINT) AS k_groups", "CAST(n AS BIGINT) AS n",
+          "round(msb, 2) AS msb", "round(msw, 2) AS msw",
+          "CAST(floor(1e6 * (msb - msw) / (msb + (n0 - 1.0)*msw) + 0.5)" +
+            " AS BIGINT) AS icc_ppm",
+          "CAST(floor(1e6 * (1.0 + (n/k - 1.0)" +
+            " * ((msb - msw) / (msb + (n0 - 1.0)*msw))) + 0.5)" +
+            " AS BIGINT) AS deff_x1e6")
+    }),
+
     "agg_cuped" -> ((s, d) => {
       val dayUs = 86400000000L
       val ev = t(s, d, "events")
@@ -556,6 +602,44 @@ object Hypothesis {
   private def sel(exprs: Seq[String]) = exprs.mkString(", ")
 
   val sql: Map[String, String] = Map(
+    "agg_icc_deff" -> """
+      WITH rows_ AS (
+        SELECT CAST(s.s_nationkey AS BIGINT) AS g,
+               CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+        FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+      ), perg AS (
+        SELECT g, count(*) AS n_g, sum(y) AS s_g FROM rows_ GROUP BY g
+      ), perg2 AS (
+        SELECT g, n_g,
+               CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                 / CAST(n_g AS DOUBLE)) AS HUGEINT) AS sq_over_n
+        FROM perg
+      ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(y*y) AS DOUBLE) AS syy
+        FROM rows_
+      ), agg AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(sq_over_n) AS DOUBLE) AS sqn,
+               CAST(sum(n_g * n_g) AS DOUBLE) AS sn2
+        FROM perg2
+      ), l1 AS (
+        SELECT k, n, n0, ssb / (k - 1.0) AS msb, ssw / (n - k) AS msw
+        FROM (SELECT a.k, t.n, a.sqn - t.sy*t.sy/t.n AS ssb,
+                     t.syy - a.sqn AS ssw,
+                     (t.n - a.sn2/t.n) / (a.k - 1.0) AS n0
+              FROM agg a, tot t)
+      )
+      SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+             round(msb, 2) AS msb, round(msw, 2) AS msw,
+             CAST(floor(1e6 * (msb - msw) / (msb + (n0 - 1.0)*msw) + 0.5)
+               AS BIGINT) AS icc_ppm,
+             CAST(floor(1e6 * (1.0 + (n/k - 1.0)
+               * ((msb - msw) / (msb + (n0 - 1.0)*msw))) + 0.5)
+               AS BIGINT) AS deff_x1e6
+      FROM l1""",
+
     "agg_welch_t" ->
       s"""WITH cells AS (
         |  SELECT CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a,

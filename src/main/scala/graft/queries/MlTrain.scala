@@ -113,6 +113,21 @@ object MlTrain {
     "*(CAST(n - p - nl + pl AS DOUBLE)/(n - nl)))) / n)" +
     " + 0.5) AS BIGINT) AS gini_ppm"
 
+  // DeLong layers (ml_auc_delong): placement sums -> AUC + its
+  // variance. All operands are exact-integer sums cast to double; the
+  // (sp*sp / n1) products exceed BIGINT so they live in double on BOTH
+  // engines (the ml_linreg m-product precedent).
+  private val delongL1 = Seq(
+    "CAST(n1 AS BIGINT) AS n1", "CAST(n0 AS BIGINT) AS n0",
+    "sp / (2.0*n0*n1) AS auc",
+    "((spp - sp*sp/n1) / (n1 - 1.0)) / (4.0*n0*n0) AS s10",
+    "((sqq - sq*sq/n0) / (n0 - 1.0)) / (4.0*n1*n1) AS s01")
+  private val delongL2 = Seq(
+    "n1", "n0",
+    "CAST(floor(1e6 * auc + 0.5) AS BIGINT) AS auc_ppm",
+    "CAST(floor(1e12 * (s10/n1 + s01/n0) + 0.5) AS BIGINT) AS var_x1e12",
+    "CAST(floor(1e6 * sqrt(s10/n1 + s01/n0) + 0.5) AS BIGINT) AS se_x1e6")
+
   private val aucSel =
     "round(CAST(r1x2 - n1*(n1 + 1) AS DOUBLE) / CAST(2*n1*n0 AS DOUBLE), 6) AS auc"
 
@@ -438,6 +453,44 @@ object MlTrain {
           sum(col("n1_v") * (lit(2) * (col("cum_n") - col("n_v"))
             + col("n_v") + 1)).as("r1x2"))
         .selectExpr("n1", "n0", aucSel)
+    }),
+
+    // DeLong variance of the AUC — the standard error every AUC should
+    // ship with (two models' AUCs are only comparably different past
+    // ~2·SE): per-positive placements V10 = (#neg below + ties/2)/n0 and
+    // the mirrored V01, computed as EXACT INTEGER placements scaled by
+    // 2·n0 (resp. 2·n1) off the same grouped-by-score cumulative sums
+    // ml_auc uses (rankedCumSumMulti — one range partition for both
+    // cums). Var(AUC) = S10/n1 + S01/n0 from exact placement moments.
+    // HEADROOM: per-row moment products ≤ n_v·(2·n0)² stay in BIGINT
+    // while the largest score group times (2n0)² < 9.2e18 — holds
+    // through sf1 here (near-continuous scores keep n_v tiny); the sums
+    // accumulate in decimal(38,0).
+    "ml_auc_delong" -> ((s, d) => {
+      val (raw, w0, w1, w2) = gdFit(s, d)
+      def dsum(e: Column) = sum(e.cast("decimal(38,0)")).cast("double")
+      val byv = raw
+        .select(((lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2"))
+          .as("v"), col("yy"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_v"),
+          sum(when(col("yy") === 1.0, 1L).otherwise(0L)).as("n1_v"))
+        .withColumn("n0_v", col("n_v") - col("n1_v"))
+      val cum = Partitioning.rankedCumSumMulti(byv,
+        Seq(col("n0_v") -> "cum0", col("n1_v") -> "cum1"),
+        Seq(col("v")), 32)
+      val tot = cum.agg(sum(col("n1_v")).as("t1"), sum(col("n0_v")).as("t0"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("p2", lit(2) * (col("cum0") - col("n0_v")) + col("n0_v"))
+        .withColumn("q2", lit(2) * (col("t1") - col("cum1")) + col("n1_v"))
+        .agg(
+          max(col("t1")).cast("double").as("n1"),
+          max(col("t0")).cast("double").as("n0"),
+          dsum(col("n1_v") * col("p2")).as("sp"),
+          dsum(col("n1_v") * col("p2") * col("p2")).as("spp"),
+          dsum(col("n0_v") * col("q2")).as("sq"),
+          dsum(col("n0_v") * col("q2") * col("q2")).as("sqq"))
+        .selectExpr(delongL1: _*).selectExpr(delongL2: _*)
     }),
 
     // Reliability diagram: fixed-width predicted-probability bins
@@ -1634,6 +1687,32 @@ object MlTrain {
         |      FROM cum)
         |SELECT n1, n0, $aucSel
         |FROM p""".stripMargin,
+
+    "ml_auc_delong" ->
+      s"""WITH $logregCtes,
+        |zz AS (SELECT ((w0 + w1*x1) + w2*x2) AS v, yy FROM raw, s3),
+        |byv AS (SELECT v, count(*) AS n_v,
+        |               sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END) AS n1_v,
+        |               count(*) - sum(CASE WHEN yy = 1.0 THEN 1 ELSE 0 END)
+        |                 AS n0_v
+        |        FROM zz GROUP BY v),
+        |cum AS (SELECT *, sum(n0_v) OVER (ORDER BY v) AS cum0,
+        |               sum(n1_v) OVER (ORDER BY v) AS cum1 FROM byv),
+        |tot AS (SELECT CAST(sum(n1_v) AS BIGINT) AS t1,
+        |               CAST(sum(n0_v) AS BIGINT) AS t0 FROM byv),
+        |pl AS (SELECT c.*, t.t1, t.t0,
+        |              2 * (c.cum0 - c.n0_v) + c.n0_v AS p2,
+        |              2 * (t.t1 - c.cum1) + c.n1_v AS q2
+        |       FROM cum c, tot t),
+        |m AS (SELECT CAST(max(t1) AS DOUBLE) AS n1,
+        |             CAST(max(t0) AS DOUBLE) AS n0,
+        |             CAST(sum(n1_v * p2) AS DOUBLE) AS sp,
+        |             CAST(sum(n1_v * p2 * p2) AS DOUBLE) AS spp,
+        |             CAST(sum(n0_v * q2) AS DOUBLE) AS sq,
+        |             CAST(sum(n0_v * q2 * q2) AS DOUBLE) AS sqq
+        |      FROM pl),
+        |l1 AS (SELECT ${sel(delongL1)} FROM m)
+        |SELECT ${sel(delongL2)} FROM l1""".stripMargin,
 
     "ml_calibration" ->
       s"""WITH $logregCtes,
