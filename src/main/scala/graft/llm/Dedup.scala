@@ -349,7 +349,22 @@ object Dedup {
     * tables still collide (p⁸ ≈ 0.43, 1−(1−p⁸)⁸ ≈ 0.99 over 8 tables)
     * while slicing each table into 2⁸ buckets — candidate sets ~16× smaller
     * than the 4-bit ANN tuning. Exact cosine re-check ⇒ zero false
-    * positives whatever the banding admits. */
+    * positives whatever the banding admits.
+    *
+    * SCALE REGIME (r10, from the sf1 probe): on near-random embeddings
+    * sign-LSH bucket loads are uniform ≈ N/2^bits, so candidate volume is
+    * N²·nTables/2^bits — the banding buys a CONSTANT, not an exponent,
+    * unless true near-dup mass dominates the buckets. That is fine in
+    * the high-threshold regime this operator is built for (cos ≥ 0.95:
+    * per-plane agreement 0.9 lets bits grow with log N at held recall),
+    * but a WEAK threshold (the fixture's cos 0.45, p ≈ 0.65) cannot
+    * afford long keys at any table count — recall decays like
+    * (1 − 0.65^bits)^nTables. For weak thresholds at corpus scale use
+    * the IVF-cell bucketing instead (llm_semdedup with K ∝ n/100:
+    * candidate volume N·(N/K) = O(100·N), linear by contract). The sf1
+    * probe shows exactly this: 16×4 banding at cos 0.45 went 0.68 s →
+    * 15.0 s across the 10× step while the cos-0.95 production tuning
+    * stays bucket-sparse. */
   def embeddingNearDup(s: SparkSession, emb: DataFrame,
                        minCos: Double = 0.95,
                        nTables: Int = 8, bitsPerTable: Int = 8): DataFrame = {
