@@ -1215,6 +1215,57 @@ object EventsBatch {
     // (co-partitioned equi-join + time-band filter, never a time-only
     // range join), per-purchase touch counts ride ONE purchase-keyed
     // window, and the final rollup is 24 rows whatever the volume.
+    // EXACT Shapley-value channel attribution (Shapley 1953 applied to
+    // marketing coalitions): channels = the 4 non-purchase event types,
+    // conversion = the user purchased, coalition value v(S) = conversion
+    // rate among users whose touched-channel set ⊆ S. With |channels| = 4
+    // the lattice is 16 coalitions — a VALUE DOMAIN, so the whole game
+    // solves relationally: one data-sized user-mask aggregate, one
+    // 16-row broadcast subset join, then 4×8 marginal terms
+    // φ_c = Σ_{S∌c} w(|S|)·(v(S∪c) − v(S)) with the exact ×24 integer
+    // weights [6,2,2,6]. Terms are floor-ppm quantized BEFORE the 8-term
+    // sum (order-independent); outputs are BIGINT at ×24 scale plus the
+    // /24 convenience. The last/linear-touch heuristics this replaces
+    // are evt_attribution; Shapley is the axiomatic answer they
+    // approximate.
+    "evt_shapley_attribution" -> ((s, d) => {
+      import s.implicits._
+      val users = t(s, d, "events").groupBy(col("user_id")).agg(
+        (max(when(col("event_type") === "click", 1).otherwise(0))
+          + max(when(col("event_type") === "error", 2).otherwise(0))
+          + max(when(col("event_type") === "signup", 4).otherwise(0))
+          + max(when(col("event_type") === "view", 8).otherwise(0)))
+          .as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val subsets = s.range(0, 16).select(col("id").cast("int").as("st"))
+      val vs = users.crossJoin(broadcast(subsets))
+        .filter(col("mask").bitwiseAND(col("st")) === col("mask"))
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_u"), sum(col("conv")).as("n_c"))
+      val v = subsets.join(vs, Seq("st"), "left")
+        .select(col("st"),
+          when(coalesce(col("n_u"), lit(0L)) > 0,
+            coalesce(col("n_c"), lit(0L)).cast("double")
+              / col("n_u").cast("double"))
+          .otherwise(lit(0.0)).as("v"))
+        .localCheckpoint(eager = false) // 16 rows, read by both term legs
+      val channels = Seq(("click", 1), ("error", 2), ("signup", 4),
+        ("view", 8)).toDF("channel", "cb")
+      val w24 = typedlit(Seq(6, 2, 2, 6)) // |S|!·(4−|S|−1)!/4! × 24
+      channels.crossJoin(v.select(col("st"), col("v").as("v_s")))
+        .filter(col("st").bitwiseAND(col("cb")) === 0)
+        .join(v.select(col("st").as("stb"), col("v").as("v_sb")),
+          col("stb") === col("st") + col("cb")) // S ∪ {c} = S + c (disjoint)
+        .withColumn("term_ppm", floor(lit(1e6)
+          * element_at(w24, expr("bit_count(st)") + 1)
+          * (col("v_sb") - col("v_s")) + lit(0.5)).cast("long"))
+        .groupBy(col("channel"))
+        .agg(sum(col("term_ppm")).as("shapley_x24_ppm"))
+        .withColumn("shapley_ppm",
+          floor(col("shapley_x24_ppm") / lit(24.0) + lit(0.5)).cast("long"))
+    }),
+
     "evt_attribution" -> ((s, d) => {
       val e = t(s, d, "events")
       val p = e.filter(col("event_type") === "purchase")
@@ -1384,6 +1435,42 @@ object EventsBatch {
       FROM e e1 JOIN e e2
         ON e1.user_id = e2.user_id AND e2.rn BETWEEN e1.rn - 49 AND e1.rn
       GROUP BY e1.event_id, e1.user_id""",
+
+    "evt_shapley_attribution" -> """
+      WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + max(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+             + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+             + max(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END) AS mask,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+      ), st AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS st
+      ), vs AS (
+        SELECT s.st,
+               CASE WHEN count(u.user_id) > 0
+                    THEN CAST(sum(u.conv) AS DOUBLE) / count(u.user_id)
+                    ELSE 0.0 END AS v
+        FROM st s LEFT JOIN u ON (u.mask & s.st) = u.mask
+        GROUP BY s.st
+      ), ch(channel, cb) AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                              ('view', 8)) t(channel, cb)
+      ), terms AS (
+        SELECT c.channel,
+               CAST(floor(1e6 * (CASE bit_count(a.st)
+                       WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                       ELSE 6 END)
+                 * (b.v - a.v) + 0.5) AS BIGINT) AS term_ppm
+        FROM ch c
+        JOIN vs a ON (a.st & c.cb) = 0
+        JOIN vs b ON b.st = a.st + c.cb
+      )
+      SELECT channel, CAST(sum(term_ppm) AS BIGINT) AS shapley_x24_ppm,
+             CAST(floor(sum(term_ppm) / 24.0 + 0.5) AS BIGINT)
+               AS shapley_ppm
+      FROM terms GROUP BY channel""",
 
     "evt_attribution" -> """
       WITH p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
