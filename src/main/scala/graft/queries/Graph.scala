@@ -204,53 +204,33 @@ object Graph {
     // list; candidate volume is Σ deg², bounded here by the top-3 pruning).
     // harmonic closeness centrality over the undirected sparsified trade
     // graph: H(v) = Σ_{u ≠ v reachable within 6 hops} 1/d(v,u). The
-    // vertex set is the 25-nation table and the sparse graph ≤ 75 edges
-    // BY CONSTRUCTION, so after the one data-sized job (the trade-edge
-    // aggregate feeding sparseEdges) the hop BFS runs on the driver
-    // (bounded action — the graph_components r8 pattern). The 6-hop cap
-    // is part of the METRIC on both engines (the DuckDB twin's walk
-    // recursion carries the same depth < 6 bound), so parity is exact
-    // even if a component's diameter exceeds it. 1/d terms are summed as
-    // integers scaled by lcm(1..6) = 60 — 60/d is exact for every d ≤ 6
-    // — so the harmonic sum is ONE double division at the end and cannot
-    // drift with summation order.
+    // 6-hop cap is part of the METRIC on both engines (the DuckDB twin's
+    // walk recursion carries the same depth < 6 bound), so parity is
+    // exact even if a component's diameter exceeds it. 1/d terms are
+    // summed as integers scaled by lcm(1..6) = 60 — 60/d is exact for
+    // every d ≤ 6 — so the harmonic sum is ONE double division at the
+    // end and cannot drift with summation order.
     "graph_harmonic_centrality" -> ((s, d) => {
+      // r10: fully DISTRIBUTED — the driver hop-BFS (the r9 verdict's
+      // one remaining generalization candidate) is replaced by the
+      // shared [[walkPairs]] table (6-hop pair distances, cached with
+      // graph_betweenness/eccentricity): H(v) = Σ_t 60/d(v,t) with
+      // 60 = lcm(1..6) keeping every term an exact integer, so the sum
+      // is order-independent and the single double division happens at
+      // the end. Values are identical to the BFS form by construction
+      // (same 6-hop cap, same 60/d integer terms).
       val nation = t(s, d, "nation")
-      val und = sparseEdges(s, d)
-        .select(least(col("src"), col("dst")).cast("long").as("a"),
-                greatest(col("src"), col("dst")).cast("long").as("b"))
-        .distinct()
-      val edges = graft.core.Bounded.collect(und, 1024,
-        "graph_harmonic_centrality sparse edges (nation-domain, <= 25^2)")
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val adj = (edges ++ edges.map(e => (e._2, e._1)))
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-      val nodes = graft.core.Bounded.collect(
-          nation.select(col("n_nationkey").cast("long")), 256,
-          "graph_harmonic_centrality nodes (nation-domain)")
-        .map(_.getLong(0))
-      val rows = nodes.map { src =>
-        var frontier = Set(src); var seen = Set(src)
-        var depth = 0; var reach = 0L; var h60 = 0L
-        while (frontier.nonEmpty && depth < 6) {
-          depth += 1
-          frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
-            .diff(seen)
-          seen ++= frontier
-          reach += frontier.size
-          h60 += frontier.size * (60L / depth)
-        }
-        (src, reach, h60)
-      }.toSeq
-      import s.implicits._
-      // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): h60/60 is a repeating
-      // binary fraction and round(double, 6) is BigDecimal-exact on
-      // Spark but FP on DuckDB — the ml_confusion trap
-      s.createDataset(rows).toDF("node", "n_reach", "h60")
-        .join(broadcast(nation), col("node") === col("n_nationkey"))
+      val p = walkPairs(s, d)
+      nation
+        .select(col("n_name"), col("n_nationkey").cast("long").as("node"))
+        .join(p.select(col("s").as("node"), col("t"), col("d")),
+          Seq("node"), "left")
+        .groupBy(col("n_name"))
+        .agg(count(col("t")).as("n_reach"),
+          sum(expr("60 div d")).as("h60"))
         .select(col("n_name"), col("n_reach"),
-          (floor(col("h60") * lit(1e6) / lit(60.0) + 0.5) / lit(1e6))
-            .as("harmonic"))
+          (floor(coalesce(col("h60"), lit(0L)) * lit(1e6) / lit(60.0)
+            + 0.5) / lit(1e6)).as("harmonic"))
         .orderBy(col("n_name"))
     }),
 
