@@ -339,6 +339,48 @@ object Scalars {
         concat(hash: _*).as("geohash"))
     }),
 
+    // IPv4 / CIDR arithmetic (the log-analytics staple Spark ships no
+    // built-ins for): md5-derived synthetic octets per customer, dotted
+    // string <-> uint32 round-trip, /24 subnet keys, and LONGEST-PREFIX
+    // match against a 4-block CIDR table (the routing semantic) via
+    // shifted-prefix equality — pure BIGINT shifts/compares inside
+    // codegen, the block table a broadcast literal. At scale this is a
+    // scan-side projection + one tiny broadcast join.
+    "fn_inet" -> ((s, d) => {
+      def oct(i: Int): Column =
+        conv(substring(md5(concat(lit(s"ip$i:"),
+          col("c_custkey").cast("string"))), 1, 2), 16, 10)
+          .cast("bigint") % 256
+      val ips = t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), oct(1).as("o1"), oct(2).as("o2"),
+          oct(3).as("o3"), oct(4).as("o4"))
+        .select(col("c_custkey"),
+          concat_ws(".", col("o1"), col("o2"), col("o3"), col("o4"))
+            .as("ip"),
+          (col("o1") * lit(16777216L) + col("o2") * lit(65536L)
+            + col("o3") * lit(256L) + col("o4")).as("ip_u32"))
+      import s.implicits._
+      val blocks = Seq(
+        // the default route makes every lookup a LONGEST-PREFIX decision
+        // (each ip matches /0; 10.x ips must pick /8 over it)
+        ("0.0.0.0/0", 0L, 0),
+        ("10.0.0.0/8", 167772160L, 8),
+        ("172.16.0.0/12", 2886729728L, 12),
+        ("192.168.0.0/16", 3232235520L, 16),
+        ("203.0.113.0/24", 3405803776L, 24))
+        .toDF("cidr", "net_u32", "prefix")
+      ips.join(broadcast(blocks),
+          expr("shiftright(ip_u32, 32 - prefix)" +
+            " = shiftright(net_u32, 32 - prefix)"), "left")
+        .groupBy(col("c_custkey"), col("ip"), col("ip_u32"))
+        .agg(expr("max_by(cidr, prefix)").as("blk"),
+          max(col("prefix")).as("pfx"))
+        .select(col("c_custkey"), col("ip"), col("ip_u32"),
+          expr("shiftright(ip_u32, 8)").as("subnet24"),
+          coalesce(col("blk"), lit("unmatched")).as("block"),
+          coalesce(col("pfx"), lit(0)).as("prefix"))
+    }),
+
     "fn_geo" -> ((s, d) => {
       def deg(salt: String, span: Int): Column =
         (conv(substring(md5(concat(lit(salt),
@@ -1028,6 +1070,40 @@ object Scalars {
              substr('0123456789bcdefghjkmnpqrstuvwxyz',
                CAST(morton & 31 AS INT) + 1, 1) AS geohash
       FROM m""",
+
+    "fn_inet" -> """
+      WITH ocs AS (
+        SELECT c_custkey,
+               CAST(('0x' || substr(md5('ip1:' || CAST(c_custkey AS VARCHAR)),
+                 1, 2)) AS BIGINT) % 256 AS o1,
+               CAST(('0x' || substr(md5('ip2:' || CAST(c_custkey AS VARCHAR)),
+                 1, 2)) AS BIGINT) % 256 AS o2,
+               CAST(('0x' || substr(md5('ip3:' || CAST(c_custkey AS VARCHAR)),
+                 1, 2)) AS BIGINT) % 256 AS o3,
+               CAST(('0x' || substr(md5('ip4:' || CAST(c_custkey AS VARCHAR)),
+                 1, 2)) AS BIGINT) % 256 AS o4
+        FROM customer WHERE c_custkey <= 500
+      ), ips AS (
+        SELECT c_custkey,
+               CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+                 || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip,
+               o1*16777216 + o2*65536 + o3*256 + o4 AS ip_u32
+        FROM ocs
+      ), blocks(cidr, net_u32, prefix) AS (
+        SELECT * FROM (VALUES
+          ('0.0.0.0/0', 0, 0),
+          ('10.0.0.0/8', 167772160, 8),
+          ('172.16.0.0/12', 2886729728, 12),
+          ('192.168.0.0/16', 3232235520, 16),
+          ('203.0.113.0/24', 3405803776, 24)) t(cidr, net_u32, prefix)
+      )
+      SELECT i.c_custkey, i.ip, i.ip_u32,
+             i.ip_u32 >> 8 AS subnet24,
+             coalesce(arg_max(b.cidr, b.prefix), 'unmatched') AS block,
+             CAST(coalesce(max(b.prefix), 0) AS INTEGER) AS prefix
+      FROM ips i LEFT JOIN blocks b
+        ON (i.ip_u32 >> (32 - b.prefix)) = (b.net_u32 >> (32 - b.prefix))
+      GROUP BY i.c_custkey, i.ip, i.ip_u32""",
 
     "fn_geo" -> """
       WITH pts AS (
