@@ -419,6 +419,14 @@ class PlanAuditSpec extends AnyFunSuite
       // 1-row national-total threshold broadcast into a theta join —
       // the Q15/quality_filter scalar-reuse pattern
       "tpch_q11_important",
+      // Shapley attribution (r10): the coalition LATTICE is the broadcast
+      // side — 16 subset rows (a value domain) against the user-mask
+      // aggregate, then 4×16 channel-term rows; never data × data
+      "evt_shapley_attribution",
+      // CIDR longest-prefix match (r10): the 5-row block table broadcasts
+      // into a shifted-prefix non-equi join — bounded by the routing
+      // table, not the data
+      "fn_inet",
       // full r×k contingency grid (r7): the broadcast side is the
       // priority MARGINAL — a groupBy over one low-cardinality
       // categorical (|o_orderpriority| = 5), bounded by the domain, not
