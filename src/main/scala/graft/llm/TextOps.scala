@@ -424,6 +424,34 @@ object TextOps {
     // count tables keyed on vocabulary. Unseen w1 zeroes the bigram
     // term (CASE, no 0/0); the unigram back-off is Laplace-smoothed so
     // the log never sees 0.
+    // word2vec-style NEGATIVE-SAMPLING table: the unigram^0.75
+    // distribution (Mikolov et al. 2013 — downweights head tokens so
+    // negatives aren\'t all stopwords) as cumulative ppm ranges a
+    // trainer samples against. c^0.75 computes as sqrt(c·sqrt(c)) —
+    // IEEE sqrt is correctly rounded on both engines, so NO libm pow
+    // anywhere — then floor-ppm quantizes BEFORE the cumulative sum,
+    // which runs as the two-level rankedCumSum (no vocabulary-sized
+    // single-task window). Top-100 rows by (count, token) under a
+    // total order. Scale: one token aggregate + the prefix sum.
+    "llm_negative_sampling" -> ((s, d) => {
+      val counts = spread(t(s, d, "documents"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("w_ppm", floor(lit(1e6)
+          * sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))
+          + lit(0.5)).cast("long"))
+      val cum = graft.ops.Partitioning.rankedCumSum(counts, col("w_ppm"),
+        Seq(col("c").desc, col("tok")), 32, "cum_ppm")
+      val tot = cum.agg(sum(col("w_ppm")).as("tot"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("tok"), col("c"), col("w_ppm"),
+          col("cum_ppm").cast("long").as("cum_ppm"),
+          floor(lit(1e6) * col("w_ppm") / col("tot") + lit(0.5))
+            .cast("long").as("share_ppm"))
+        .orderBy(col("c").desc, col("tok")).limit(100)
+    }),
+
     // Kneser-Ney smoothed bigram probabilities over the 80/20 split —
     // the LM-smoothing standard llm_bigram_lm's fixed-interpolation
     // entry approximates: P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
@@ -1861,6 +1889,25 @@ object TextOps {
              list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                / CAST(len(toks) AS DOUBLE) AS mean_token_len
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""",
+
+    "llm_negative_sampling" -> """
+      WITH toks AS (
+        SELECT tok FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE length(tok) > 0
+      ), counts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+      ), w AS (
+        SELECT tok, c,
+               CAST(floor(1e6 * sqrt(CAST(c AS DOUBLE)
+                 * sqrt(CAST(c AS DOUBLE))) + 0.5) AS BIGINT) AS w_ppm
+        FROM counts
+      ), cum AS (
+        SELECT *, sum(w_ppm) OVER (ORDER BY c DESC, tok) AS cum_ppm FROM w
+      ), tot AS (SELECT CAST(sum(w_ppm) AS BIGINT) AS tot FROM w)
+      SELECT tok, c, w_ppm, CAST(cum_ppm AS BIGINT) AS cum_ppm,
+             CAST(floor(1e6 * w_ppm / tot + 0.5) AS BIGINT) AS share_ppm
+      FROM cum, tot ORDER BY c DESC, tok LIMIT 100""",
 
     "llm_kn_bigram" -> """
       WITH toks AS (

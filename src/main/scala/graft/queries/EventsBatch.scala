@@ -620,6 +620,37 @@ object EventsBatch {
     // come from ONE user-keyed aggregate, and the pooled two-proportion
     // z-statistic is computed relationally from the 2-row variant table
     // (conditional sums — no per-variant collect).
+    // experiment POWER ANALYSIS (the design-side companion of evt_ab_test:
+    // before running the test, how many users per arm does detecting a
+    // 5%-of-mean lift need at α = 0.05 / power = 0.8?):
+    // n = 2σ²(z_{α/2} + z_β)²/δ² with (1.959964 + 0.841621)² folded to
+    // the exact literal 7.848887 (same constant text both engines — no
+    // normal-quantile libm anywhere). σ² and the mean come from exact
+    // integer cents sums (the ml_linreg discipline); δ = 0.05·mean; the
+    // one ceil is bit-deterministic. ONE data-sized aggregate.
+    "evt_power_analysis" -> ((s, d) => {
+      val perUser = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      def dsum(e: org.apache.spark.sql.Column) =
+        sum(e.cast("decimal(38,0)")).cast("double")
+      perUser.agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("cents")).as("sy"),
+          dsum(col("cents") * col("cents")).as("syy"))
+        .selectExpr("n", "sy / n AS mean_cents",
+          "(syy - sy*sy/n) / (n - 1.0) AS var_cents2")
+        .selectExpr("n", "mean_cents", "var_cents2",
+          "0.05 * mean_cents AS mde_cents")
+        .selectExpr(
+          "CAST(n AS BIGINT) AS n_users",
+          "round(mean_cents, 4) AS mean_cents",
+          "round(var_cents2, 4) AS var_cents2",
+          "round(mde_cents, 4) AS mde_cents",
+          "CAST(ceil(2.0 * var_cents2 * 7.848887" +
+            " / (mde_cents * mde_cents)) AS BIGINT) AS n_per_arm")
+    }),
+
     "evt_ab_test" -> ((s, d) => {
       val byUser = t(s, d, "events")
         .groupBy(col("user_id"))
@@ -1435,6 +1466,31 @@ object EventsBatch {
       FROM e e1 JOIN e e2
         ON e1.user_id = e2.user_id AND e2.rn BETWEEN e1.rn - 49 AND e1.rn
       GROUP BY e1.event_id, e1.user_id""",
+
+    "evt_power_analysis" -> """
+      WITH pu AS (
+        SELECT user_id, sum(CAST(ROUND(value*100) AS BIGINT)) AS cents
+        FROM events GROUP BY user_id
+      ), m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(cents) AS DOUBLE) AS sy,
+               CAST(sum(cents*cents) AS DOUBLE) AS syy
+        FROM pu
+      ), l1 AS (
+        SELECT n, sy / n AS mean_cents,
+               (syy - sy*sy/n) / (n - 1.0) AS var_cents2
+        FROM m
+      ), l2 AS (
+        SELECT n, mean_cents, var_cents2, 0.05 * mean_cents AS mde_cents
+        FROM l1
+      )
+      SELECT CAST(n AS BIGINT) AS n_users,
+             round(mean_cents, 4) AS mean_cents,
+             round(var_cents2, 4) AS var_cents2,
+             round(mde_cents, 4) AS mde_cents,
+             CAST(ceil(2.0 * var_cents2 * 7.848887
+               / (mde_cents * mde_cents)) AS BIGINT) AS n_per_arm
+      FROM l2""",
 
     "evt_shapley_attribution" -> """
       WITH u AS (
