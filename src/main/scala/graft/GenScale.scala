@@ -69,6 +69,44 @@ object GenScale {
         col("s_name"), col("s_nationkey"), col("s_acctbal"))
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
+    // r11 (VERDICT r10 #5): the graph family's data-sized work is the
+    // 4-table star join feeding the nation-level edge aggregate, so the
+    // sf1 step needs the TPC-H fact tables too. Keys offset by rep·10⁷
+    // CONSISTENTLY across tables (l_orderkey↔o_orderkey,
+    // o_custkey↔c_custkey, l_suppkey↔s_suppkey) so referential structure
+    // replicates; nationkeys stay 0..24 — the graph node domain must NOT
+    // grow, only the rows contributing to each edge (10× mass per edge).
+    def off(c: String) = col(c) + col("rep") * 10000000L
+    replicated("orders")
+      .withColumn("o_orderkey", off("o_orderkey"))
+      .withColumn("o_custkey", off("o_custkey"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicated("lineitem")
+      .withColumn("l_orderkey", off("l_orderkey"))
+      .withColumn("l_suppkey", off("l_suppkey"))
+      .withColumn("l_partkey", off("l_partkey"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    replicated("customer")
+      .withColumn("c_custkey", off("c_custkey"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    replicated("part")
+      .withColumn("p_partkey", off("p_partkey"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    replicated("events")
+      .withColumn("event_id", off("event_id"))
+      .withColumn("user_id", off("user_id"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // bounded dimensions copy VERBATIM — their domains are fixed at any SF
+    t(spark, src, "nation").write.mode("overwrite")
+      .parquet(s"$out/nation.parquet")
+    t(spark, src, "region").write.mode("overwrite")
+      .parquet(s"$out/region.parquet")
+
     println(s"[genscale] wrote ${reps}x $src -> $out")
     spark.stop()
   }

@@ -47,9 +47,42 @@ object ScaleBench {
         println(f"""[scalebench] {"query":"$q","sf":"${sf.split('/').last}"""" +
           f""","median_sec":${med(times)}%.3f,"min_sec":${times.min}%.3f}""")
       } catch {
-        case e: Throwable =>
-          System.err.println(
-            s"[scalebench] SKIP $q @ $sf: ${e.getMessage.linesIterator.next()}")
+        // only the missing-table/path shape is a legitimate skip; a
+        // genuine operator failure must kill the bench loudly (ADVICE
+        // r10: catching Throwable masked regressions, and a null/empty
+        // getMessage NPE'd inside the catch)
+        case e: org.apache.spark.sql.AnalysisException =>
+          val msg = String.valueOf(e.getMessage)
+            .linesIterator.toSeq.headOption.getOrElse("")
+          System.err.println(s"[scalebench] SKIP $q @ $sf: $msg")
+      }
+    }
+    // mm probe (VERDICT r10 #6): the board's mm_* queries read the fixed
+    // 5-file committed fixture, so their exponent was unmeasured. Probe
+    // the dir-parameterized kernels against generated 1x/10x/50x replica
+    // dirs — rows explode per byte, so the exponent is over total bytes.
+    if (args.length <= 1) {
+      import graft.llm.Multimodal
+      val mmKernels: Seq[(String, (SparkSession, String) =>
+          org.apache.spark.sql.DataFrame)] =
+        Seq("mm_frame_sample" -> Multimodal.frameSample,
+            "mm_audio_rms" -> Multimodal.audioRms,
+            "mm_audio_vad" -> Multimodal.audioVad,
+            "mm_patch_grid" -> Multimodal.patchGrid)
+      val mmDirs = Seq(
+        ("mm1", Multimodal.fixtureDir),
+        ("mm10", "/tmp/graft_mm10"), ("mm50", "/tmp/graft_mm50"))
+      MmGen.write("/tmp/graft_mm10", 10)
+      MmGen.write("/tmp/graft_mm50", 50)
+      for ((qn, fn) <- mmKernels; (label, dir) <- mmDirs) {
+        fn(spark, dir).count() // warmup
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"""[scalebench] {"query":"$qn","sf":"$label"""" +
+          f""","median_sec":${med(times)}%.3f,"min_sec":${times.min}%.3f}""")
       }
     }
     spark.stop()

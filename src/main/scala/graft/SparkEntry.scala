@@ -38,7 +38,18 @@ object SparkEntry {
     graft.llm.Multimodal.defs ++
     graft.llm.Curation.defs
 
-  def oracleSql: Map[String, String] =
+  /** Oracle twins, each rewritten by [[graft.core.TwinSql.materialize]]:
+    * DuckDB inlines CTEs by default, so the unrolled-iteration twin
+    * pattern (each round's CTE referencing the previous round 2-3×)
+    * otherwise expands exponentially — the r10 sweep cost ≈606 s of
+    * oracle CPU (graph_ktruss alone 212 s); with `AS MATERIALIZED` the
+    * same 439 twins run in ≈21 s at sf0.01. Plan hint only — results are
+    * identical modulo sub-6dp float summation order (TwinSqlSpec). */
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
+    k -> graft.core.TwinSql.materialize(v)
+  }
+
+  private[graft] def rawOracleSql: Map[String, String] =
     graft.queries.Relational.sql ++
     graft.queries.Windows.sql ++
     graft.queries.Scalars.sql ++

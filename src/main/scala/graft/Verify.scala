@@ -26,11 +26,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query (rows, wall-ms) for the manifest canary below
+    val stats = scala.collection.mutable.TreeMap.empty[String, (Long, Long)]
+    val t0All = System.nanoTime()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val ms = (System.nanoTime() - t0) / 1000000L
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        stats(name) = (rows, ms)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -50,6 +59,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // t2 canary (r10 verdict: an empty CORRECTNESS artifact was silent):
+    // per-query row counts + wall time + totals, so a truncated or
+    // zero-query dump is visible in the artifact itself.
+    val wallSec = (System.nanoTime() - t0All) / 1e9
+    val perQ = stats.map { case (k, (rows, ms)) =>
+      s"${q(k)}: {\"rows\": $rows, \"ms\": $ms}"
+    }.mkString("{", ",", "}")
+    val manifest =
+      s"""{"n_queries": ${stats.size}, "n_failed": ${
+        SparkEntry.queries.count { case (n, _) =>
+          (only.isEmpty || only(n)) && !stats.contains(n) }
+      }, "wall_sec": ${f"$wallSec%.1f"}, "queries": $perQ}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    println(s"[verify] dumped ${stats.size} queries in ${f"$wallSec%.1f"} s")
     spark.stop()
   }
 }

@@ -1,0 +1,112 @@
+package graft.core
+
+/** Rewrites DuckDB oracle-twin SQL so chained CTEs are evaluated once.
+  *
+  * DuckDB (the driver's oracle engine, v1.0) INLINES common table
+  * expressions by default. A twin built as a chain of CTEs where each
+  * round references the previous one more than once — the standard
+  * unrolled-iteration twin pattern used throughout this repo — therefore
+  * expands to an exponential plan: `graph_ktruss`'s 4 peel rounds, each
+  * referencing the prior edge set three times (twice through the
+  * symmetrized view + once in the filtering join), re-inline the 4-table
+  * star join ~3⁴ times, which measured at 212 s of 32-core CPU at sf0.01
+  * (r10 verdict) for a 75-edge graph. Forcing `AS MATERIALIZED` evaluates
+  * every CTE exactly once: the same query drops to ~3 s, and the whole
+  * 439-twin oracle sweep fits back inside the driver's t2 budget.
+  *
+  * The rewrite is purely a DuckDB *plan* hint — semantics are unchanged
+  * (the only observable difference is floating-point summation order,
+  * below the driver's 6-decimal rounding; verified for every twin in
+  * TwinSqlSpec + tools/oracle_check.py).
+  *
+  * Mechanics: scan the statement tracking single-quoted strings, `--`
+  * line comments and paren depth; at depth 0, every `name AS (` between
+  * `WITH` and the main `SELECT` is a CTE definition and gets
+  * `MATERIALIZED` inserted. The scan stops at the first depth-0 `SELECT`
+  * so `WINDOW w AS (...)` clauses in the main query are never touched.
+  * A CTE written with a column list (`reach(node, r) AS (`) whose body
+  * references its own name is a recursive member and is skipped —
+  * DuckDB cannot materialize the recursive anchor.
+  */
+object TwinSql {
+
+  def materialize(sql: String): String = {
+    val n = sql.length
+
+    // depth-0 identifier tokens, in order: (start, end, text)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          if (sql.charAt(j) == '\'') {
+            if (j + 1 < n && sql.charAt(j + 1) == '\'') j += 2 // escaped ''
+            else done = true
+          } else j += 1
+        }
+        i = j + 1
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val j = sql.indexOf('\n', i)
+        i = if (j < 0) n else j + 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c.isLetter || c == '_')) {
+        var j = i
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        toks += ((i, j, sql.substring(i, j)))
+        i = j
+      } else i += 1
+    }
+
+    val skipWords =
+      Set("WITH", "RECURSIVE", "AS", "SELECT", "FROM", "MATERIALIZED")
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var k = 0
+    var mainSelect = false
+    while (k < toks.length - 1 && !mainSelect) {
+      val (_, e0, t0) = toks(k)
+      val (s1, e1, t1) = toks(k + 1)
+      if (t0.toUpperCase == "SELECT") mainSelect = true
+      else if (t1.toUpperCase == "AS" && !skipWords.contains(t0.toUpperCase)) {
+        // next non-space char after AS must open the CTE body
+        var j = e1
+        while (j < n && sql.charAt(j).isWhitespace) j += 1
+        if (j < n && sql.charAt(j) == '(') {
+          // column-list form (`name(cols) AS (`): recursive members
+          // reference their own name in the body — skip those only
+          val selfRef =
+            if (sql.substring(e0, s1).contains('(')) {
+              var d = 0; var m = j; var end = -1
+              while (m < n && end < 0) {
+                val ch = sql.charAt(m)
+                if (ch == '(') d += 1
+                else if (ch == ')') { d -= 1; if (d == 0) end = m }
+                m += 1
+              }
+              val body = sql.substring(j, if (end < 0) n else end)
+              ("""\b""" + java.util.regex.Pattern.quote(t0) + """\b""").r
+                .findFirstIn(body).isDefined
+            } else false
+          if (!selfRef) inserts += e1
+        }
+      }
+      k += 1
+    }
+
+    if (inserts.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var prev = 0
+      inserts.foreach { pos =>
+        sb.append(sql.substring(prev, pos)).append(" MATERIALIZED")
+        prev = pos
+      }
+      sb.append(sql.substring(prev, n))
+      sb.toString
+    }
+  }
+}

@@ -920,7 +920,14 @@ object SimSearch {
                generate_subscripts(embedding, 1) - 1 AS i
         FROM embeddings
       ), pdots AS (
-        SELECT s.vec_id, pl.p, sum(s.x * pl.comp) AS dot
+        -- fold the exact per-dim products in INDEX ORDER (list ORDER BY i
+        -- + list_aggregate, which DuckDB folds sequentially) so the dot is
+        -- bit-identical to the engine kernel's i=0..n-1 loop
+        -- (HyperplaneSigs.nullSafeEval) — an unordered GROUP BY sum could
+        -- flip the sign of a near-zero dot and with it bucket membership
+        SELECT s.vec_id, pl.p,
+               list_aggregate(list(s.x * pl.comp ORDER BY s.i), 'sum')
+                 AS dot
         FROM pos s JOIN planes pl ON pl.i = s.i
         GROUP BY s.vec_id, pl.p
       ), sigs AS (

@@ -113,14 +113,30 @@ object Extended {
       """)
     }),
 
-    // HyperLogLog++ approximate distinct (rows-only oracle: sketch values
-    // are engine-specific; ApproxSpec bounds the error vs exact)
+    // HyperLogLog++ approximate distinct — the GLOBAL (ungrouped)
+    // companion of the per-group agg_approx_bounds, and since r11
+    // hash-checked the same way (VERDICT r10 #4, the board's last
+    // rows-only entry retired): the raw sketch estimates are
+    // engine-specific, so the oracle-facing columns are the exact
+    // distinct counts plus in-band booleans asserting each estimate sits
+    // inside its 3-sigma rsd band (default 0.05 → 15%, 0.01 → 3%,
+    // 0.02 → 6%). DuckDB's twin computes the exact side and literal
+    // TRUEs; a sketch regression hash-fails the driver check.
     "agg_approx_distinct" -> ((s, d) => {
-      t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-             approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-               .as("approx_median_price"))
+      t(s, d, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+             approx_count_distinct(col("l_orderkey")).as("a_orders"),
+             countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
+             countDistinct(col("l_suppkey")).as("exact_supps"),
+             approx_count_distinct(col("l_suppkey"), 0.02).as("a_supps"))
+        .select(col("exact_orders"), col("exact_parts"), col("exact_supps"),
+          (abs(col("a_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("orders_in_band"),
+          (abs(col("a_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.03).as("parts_in_band"),
+          (abs(col("a_supps") - col("exact_supps")) <=
+            col("exact_supps") * 0.06).as("supps_in_band"))
     }),
 
     // the sketch ACCURACY CONTRACT, made oracle-checkable: emit the exact
@@ -692,6 +708,15 @@ object Extended {
 
     // exact side computed by DuckDB; the *_in_band booleans are the
     // accuracy contract the Spark sketches must satisfy
+    "agg_approx_distinct" -> """
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+             TRUE AS orders_in_band,
+             TRUE AS parts_in_band,
+             TRUE AS supps_in_band
+      FROM lineitem""",
+
     "agg_approx_bounds" -> """
       SELECT l_returnflag,
              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,

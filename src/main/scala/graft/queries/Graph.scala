@@ -283,7 +283,10 @@ object Graph {
             (when(col("node") === 0L, lit(150000000L)).otherwise(lit(0L)) +
               floor(lit(0.85) * coalesce(col("c"), lit(0L)).cast("double")
                 + lit(0.5)).cast("long")).as("pr"))
-        if (i % 3 == 0 && i < 5) pr = pr.localCheckpoint()
+        // NO mid-loop checkpoint: 5 fixed rounds over |V|=25 rows keep
+        // the plan bounded, and the r10 eager localCheckpoint at i=3
+        // forced an extra full job (the 4-table star join) for pure
+        // overhead — the measured +62% bench regression (VERDICT r10 §3)
       }
       pr.join(broadcast(nation),
           col("node") === col("n_nationkey").cast("long"))

@@ -462,13 +462,17 @@ object MlTrain {
     // 2·n0 (resp. 2·n1) off the same grouped-by-score cumulative sums
     // ml_auc uses (rankedCumSumMulti — one range partition for both
     // cums). Var(AUC) = S10/n1 + S01/n0 from exact placement moments.
-    // HEADROOM: per-row moment products ≤ n_v·(2·n0)² stay in BIGINT
-    // while the largest score group times (2n0)² < 9.2e18 — holds
-    // through sf1 here (near-continuous scores keep n_v tiny); the sums
-    // accumulate in decimal(38,0).
+    // HEADROOM: the per-row moment products are computed IN DECIMAL —
+    // n_v·(2·n0)² in BIGINT would wrap silently (non-ANSI) once a score
+    // group times (2n0)² passes 9.2e18, ~1.3e6 rows worst-case (ADVICE
+    // r10); decimal(12,0)·decimal(13,0)² caps at 38 digits = exact to
+    // ~10¹² rows, far past any tested sf. Sums accumulate in
+    // decimal(38,0).
     "ml_auc_delong" -> ((s, d) => {
       val (raw, w0, w1, w2) = gdFit(s, d)
       def dsum(e: Column) = sum(e.cast("decimal(38,0)")).cast("double")
+      def cnt(c: Column) = c.cast("decimal(12,0)")
+      def plc(c: Column) = c.cast("decimal(13,0)")
       val byv = raw
         .select(((lit(w0) + lit(w1) * col("x1")) + lit(w2) * col("x2"))
           .as("v"), col("yy"))
@@ -486,10 +490,10 @@ object MlTrain {
         .agg(
           max(col("t1")).cast("double").as("n1"),
           max(col("t0")).cast("double").as("n0"),
-          dsum(col("n1_v") * col("p2")).as("sp"),
-          dsum(col("n1_v") * col("p2") * col("p2")).as("spp"),
-          dsum(col("n0_v") * col("q2")).as("sq"),
-          dsum(col("n0_v") * col("q2") * col("q2")).as("sqq"))
+          dsum(cnt(col("n1_v")) * plc(col("p2"))).as("sp"),
+          dsum(cnt(col("n1_v")) * plc(col("p2")) * plc(col("p2"))).as("spp"),
+          dsum(cnt(col("n0_v")) * plc(col("q2"))).as("sq"),
+          dsum(cnt(col("n0_v")) * plc(col("q2")) * plc(col("q2"))).as("sqq"))
         .selectExpr(delongL1: _*).selectExpr(delongL2: _*)
     }),
 

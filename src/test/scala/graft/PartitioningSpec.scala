@@ -104,14 +104,14 @@ class PartitioningSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within rsd bounds of exact") {
-    val got = graft.queries.Extended.defs("agg_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = t(spark, sf, "lineitem").groupBy("l_returnflag")
-      .agg(countDistinct("l_orderkey").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = got(k)
-      assert(math.abs(a - n).toDouble / n < 0.15, s"$k: approx $a vs exact $n")
-    }
+    // r11 contract shape: exact counts + in-band booleans (the booleans
+    // ARE the rsd assertion, hash-checked by the driver; here we just
+    // re-assert them engine-side)
+    val row = graft.queries.Extended.defs("agg_approx_distinct")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0 && row.getLong(2) > 0)
+    assert(row.getBoolean(3), "orders estimate out of 15% band")
+    assert(row.getBoolean(4), "parts estimate out of 3% band")
+    assert(row.getBoolean(5), "supps estimate out of 6% band")
   }
 }

@@ -379,105 +379,52 @@ class PlanAuditSpec extends AnyFunSuite
     // the only queries whose SEMANTICS are a product (driver entries that
     // exist to exercise cross/theta joins)
     val cartesianOk = Set("join_cross", "join_theta")
-    // every BroadcastNestedLoopJoin here is a DELIBERATE broadcast of a
-    // provably tiny side — scalar cutoff aggregates (quality_filter,
-    // curation_pipeline), 1-row vocab size (langid, tfidf), the k-row
-    // centroid table (ann_ivf), ≤50 query vectors (cosine_topk,
-    // knn_label) — streamed against the fact side, which is exactly the
-    // 100 TB plan. Any NEW query that plans a BNLJ must either justify
-    // itself onto this list or fix its join condition.
-    val bnljOk = Set("join_cross", "llm_cosine_topk", "llm_knn_label",
-      "llm_ann_ivf", "llm_quality_filter", "llm_curation_pipeline",
-      "llm_langid", "llm_tfidf",
-      // IVF-PQ (r9): inherits llm_ann_ivf's k-row centroid broadcast for
-      // the probe stage; the ADC scan and re-rank are equi-joins
-      "llm_ann_pq",
-      // 1-row vocabulary-size broadcast, same as llm_tfidf's doc count
-      "llm_lm_score",
-      // recall contracts embed the brute-force ground truth, i.e. the
-      // same ≤20-query-vector broadcast as llm_cosine_topk
-      "llm_ann_lsh_recall", "llm_ann_ivf_recall", "llm_ann_pq_recall",
-      // MRL truncation eval (r9): one ≤20-query-vector broadcast feeds
-      // BOTH the full-dim and sliced-dim cosine kernels — facts stream,
-      // identical scale shape to llm_cosine_topk
-      "llm_mrl_truncation",
-      // RRF fusion (r9): the same ≤20-query-vector broadcast as
-      // llm_mrl_truncation — both source rankings come from one pass
-      "llm_rrf_fusion",
-      // isotonic minimax (r9): the triangular i ≤ j self-join runs over
-      // the ≤200-row SCORE-BIN table on both sides — bounded by the bin
-      // domain at any data size, the deliberate O(B²) of the exact PAVA
-      // characterization
-      "ml_isotonic",
-      // NDCG@5 (r9): same ≤20-query-vector broadcast + rank window as
-      // ml_precision_at_k, plus a same-partition relevant-count window
-      "ml_ndcg",
-      // k-center coreset (r9): each greedy round broadcasts the ≤5-row
-      // selected set against the streaming corpus — the kmeans_assign
-      // k-row-centroid shape
-      "llm_coreset_kcenter",
-      // 1-row national-total threshold broadcast into a theta join —
-      // the Q15/quality_filter scalar-reuse pattern
-      "tpch_q11_important",
-      // Shapley attribution (r10): the coalition LATTICE is the broadcast
-      // side — 16 subset rows (a value domain) against the user-mask
-      // aggregate, then 4×16 channel-term rows; never data × data
-      "evt_shapley_attribution",
-      // CIDR longest-prefix match (r10): the 5-row block table broadcasts
-      // into a shifted-prefix non-equi join — bounded by the routing
-      // table, not the data
-      "fn_inet",
-      // full r×k contingency grid (r7): the broadcast side is the
-      // priority MARGINAL — a groupBy over one low-cardinality
-      // categorical (|o_orderpriority| = 5), bounded by the domain, not
-      // the data; chi2 needs structurally-empty cells, so the grid must
-      // be the marginals' product, not the observed cells
-      "agg_mutual_info",
-      // k-row centroid broadcast (k = 8), the llm_ann_ivf shape: every
-      // k-means step streams the fact side against the k centroids
-      "llm_kmeans_assign", "llm_kmeans_step", "llm_kmeans_iterate",
-      "llm_semdedup",
-      // ROUGE candidate pairs: the broadcast side is the bounded
-      // reference-summary set (same shape as the ≤50-query-vector
-      // cosine_topk broadcast)
-      "llm_rouge_pairs",
-      // self-BLEU (r9): the same ≤10-doc candidate pool as rouge_pairs,
-      // ordered pairs — the product is 90 rows by construction
-      "llm_self_bleu2",
-      // kernel-coverage query: deliberate all-pairs over the DISTINCT
-      // part-name catalog (bounded by the name domain, not row count)
-      // to exercise every Jaro-Winkler branch against the oracle;
-      // production linkage goes through er_blocked_pairs' equi-join
-      // blocking instead
-      "fn_jaro_winkler",
-      // Naive Bayes scoring fans every test token out to the |classes|
-      // rows (= label domain, 5 here) — the broadcast side is bounded
-      // by the class vocabulary, never the data
-      "ml_naive_bayes", "ml_confusion",
-      // quantile-normalize's cdf_pool >= cdf_src candidate join runs
-      // between two VALUE-DOMAIN CDF tables (bounded by the distinct
-      // value count, never row count); the per-doc application join is
-      // an equi-join
-      "ml_quantile_normalize",
-      // ray casting broadcasts the polygon EDGE TABLE (a 6-row literal
-      // VALUES relation — bounded by the polygon, not the data) against
-      // the point stream
-      "fn_point_in_polygon",
-      // kappa inherits ml_naive_bayes' class-domain fan-out (the NB
-      // scoring BNLJ); its own final joins are ≤|classes|-row aggregates
-      "ml_cohens_kappa",
-      // the learning-curve scoring pass fans fold-0 rows across the
-      // 4-row cumulative-model table — bounded by the fold count
-      "ml_learning_curve",
-      // Kendall's concordance pair join runs between two copies of the
-      // (q, d) CONTINGENCY GRID — bounded by the value domains
-      // (50 × 11 cells), never the row count
-      "agg_kendall_tau",
-      // the same ≤20-query-vector broadcast as llm_cosine_topk
-      "ml_precision_at_k",
-      // hard-negative mining: the identical ≤20-query-vector broadcast,
-      // with the different-label predicate on top of the non-equi pair
-      "llm_hard_negatives")
+    // THE BNLJ REGISTRY (VERDICT r10 #8: one annotated table). Every
+    // BroadcastNestedLoopJoin the board plans is a DELIBERATE broadcast of
+    // a side bounded by a VALUE DOMAIN or a fixed quota — never by data
+    // volume — streamed against the fact side, which is exactly the
+    // 100 TB plan. Key = query, value = the documented bound of the
+    // broadcast side. Any NEW query that plans a BNLJ must either add
+    // itself here WITH its bound or fix its join condition.
+    val bnljOk: Map[String, String] = Map(
+      "join_cross"            -> "semantics ARE a product (cross-join row)",
+      "llm_cosine_topk"       -> "fixed quota: <=50 query vectors",
+      "llm_knn_label"         -> "fixed quota: <=50 query vectors",
+      "llm_ann_ivf"           -> "k-row centroid table (k = cell count)",
+      "llm_ann_pq"            -> "inherits llm_ann_ivf k-row centroids (probe)",
+      "llm_quality_filter"    -> "1-row scalar cutoff aggregate",
+      "llm_curation_pipeline" -> "1-row scalar cutoff aggregate",
+      "llm_langid"            -> "1-row vocabulary-size aggregate",
+      "llm_tfidf"             -> "1-row corpus doc-count aggregate",
+      "llm_lm_score"          -> "1-row vocabulary-size aggregate",
+      "llm_ann_lsh_recall"    -> "<=20-query brute-force ground truth",
+      "llm_ann_ivf_recall"    -> "<=20-query brute-force ground truth",
+      "llm_ann_pq_recall"     -> "<=20-query brute-force ground truth",
+      "llm_mrl_truncation"    -> "<=20 query vectors, full+sliced kernels",
+      "llm_rrf_fusion"        -> "<=20 query vectors, both rankings one pass",
+      "ml_isotonic"           -> "<=200-row score-BIN table i<=j self-join",
+      "ml_ndcg"               -> "<=20 query vectors + rank window",
+      "llm_coreset_kcenter"   -> "<=5-row greedy selected set per round",
+      "tpch_q11_important"    -> "1-row national-total threshold (Q15 shape)",
+      "evt_shapley_attribution" -> "16-row coalition lattice (2^4 subsets)",
+      "fn_inet"               -> "5-row CIDR block table (routing domain)",
+      "agg_mutual_info"       -> "|o_orderpriority|=5 marginal product grid",
+      "llm_kmeans_assign"     -> "k-row centroids (k=8)",
+      "llm_kmeans_step"       -> "k-row centroids (k=8)",
+      "llm_kmeans_iterate"    -> "k-row centroids (k=8)",
+      "llm_semdedup"          -> "k-row centroids (k=8) + cell buckets",
+      "llm_rouge_pairs"       -> "bounded reference-summary set (<=10 docs)",
+      "llm_self_bleu2"        -> "<=10-doc pool, ordered pairs = 90 rows",
+      "fn_jaro_winkler"       -> "distinct part-NAME catalog (name domain; production linkage uses er_blocked_pairs equi-blocking)",
+      "ml_naive_bayes"        -> "|classes|=5 label-domain fan-out",
+      "ml_confusion"          -> "|classes|=5 label-domain fan-out",
+      "ml_quantile_normalize" -> "value-domain CDF tables (distinct values)",
+      "fn_point_in_polygon"   -> "6-row polygon edge table (VALUES literal)",
+      "ml_cohens_kappa"       -> "inherits NB class fan-out; joins <=|classes| rows",
+      "ml_learning_curve"     -> "4-row cumulative-model table (fold count)",
+      "agg_kendall_tau"       -> "50x11-cell contingency grid (value domains)",
+      "ml_precision_at_k"     -> "<=20 query vectors",
+      "llm_hard_negatives"    -> "<=20 query vectors + label predicate")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
@@ -536,7 +483,7 @@ class PlanAuditSpec extends AnyFunSuite
         val bad = Seq(
           (s.contains("CartesianProduct") && !cartesianOk(n)) ->
             "CartesianProduct",
-          (s.contains("BroadcastNestedLoopJoin") && !bnljOk(n) &&
+          (s.contains("BroadcastNestedLoopJoin") && !bnljOk.contains(n) &&
             !allBnljBuildsAreScalar(plan)) ->
             "BroadcastNestedLoopJoin",
           // region/nation are bounded dimensions (25/5 rows at any SF):

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TwinSql
+
+/** Contracts for the oracle-twin MATERIALIZED rewrite (r11): DuckDB
+  * inlines CTEs by default, so every twin in SparkEntry.oracleSql goes
+  * through TwinSql.materialize before the driver sees it. These tests pin
+  * the rewrite mechanics; cross-engine value parity of the rewritten SQL
+  * is checked end-to-end by tools/oracle_check.py. */
+class TwinSqlSpec extends AnyFunSuite {
+
+  test("plain chained CTEs get MATERIALIZED") {
+    val sql = "WITH a AS (SELECT 1 AS x), b AS (SELECT x FROM a) " +
+      "SELECT * FROM b JOIN a USING (x)"
+    val out = TwinSql.materialize(sql)
+    assert(out ==
+      "WITH a AS MATERIALIZED (SELECT 1 AS x), " +
+      "b AS MATERIALIZED (SELECT x FROM a) " +
+      "SELECT * FROM b JOIN a USING (x)")
+  }
+
+  test("WINDOW clause in the main query is untouched") {
+    val sql = "WITH a AS (SELECT 1 AS x) " +
+      "SELECT sum(x) OVER w FROM a WINDOW w AS (ORDER BY x)"
+    val out = TwinSql.materialize(sql)
+    assert(out.contains("a AS MATERIALIZED (SELECT 1"))
+    assert(out.contains("WINDOW w AS (ORDER BY x)"))
+  }
+
+  test("recursive member skipped, sibling CTEs still materialized") {
+    val sql = "WITH RECURSIVE base AS (SELECT 1 AS x), " +
+      "reach(node, r) AS (SELECT x, x FROM base UNION " +
+      "SELECT node + 1, r FROM reach WHERE node < 5) " +
+      "SELECT * FROM reach"
+    val out = TwinSql.materialize(sql)
+    assert(out.contains("base AS MATERIALIZED ("))
+    assert(out.contains("reach(node, r) AS (SELECT"))
+    assert(!out.contains("reach(node, r) AS MATERIALIZED"))
+  }
+
+  test("column-list CTE without self-reference is materialized") {
+    val sql = "WITH t(a, b) AS (SELECT 1, 2) SELECT * FROM t"
+    assert(TwinSql.materialize(sql).contains("t(a, b) AS MATERIALIZED ("))
+  }
+
+  test("parens inside strings and comments do not confuse depth") {
+    val sql = "WITH a AS (SELECT '((' AS s -- comment ) ( here\n" +
+      ", 1 AS x) SELECT * FROM a"
+    val out = TwinSql.materialize(sql)
+    assert(out.startsWith("WITH a AS MATERIALIZED ("))
+    assert(out.count(_ == 'M') >= 1)
+  }
+
+  test("already-materialized SQL is unchanged (idempotent)") {
+    val once = TwinSql.materialize(
+      "WITH a AS (SELECT 1 AS x) SELECT * FROM a")
+    assert(TwinSql.materialize(once) == once)
+  }
+
+  test("no WITH clause → unchanged") {
+    val sql = "SELECT l_returnflag AS f FROM lineitem GROUP BY 1"
+    assert(TwinSql.materialize(sql) == sql)
+  }
+
+  test("every board twin rewrites structurally soundly") {
+    SparkEntry.rawOracleSql.foreach { case (name, raw) =>
+      val out = TwinSql.materialize(raw)
+      // insertion-only rewrite: stripping the keyword restores the input
+      assert(out.replace(" MATERIALIZED", "") ==
+             raw.replace(" MATERIALIZED", ""),
+        s"$name: rewrite must only insert MATERIALIZED tokens")
+      // never inside a string literal: quote parity is preserved around
+      // every insertion point (apostrophes inside -- comments don't
+      // count, so strip comment tails line-by-line first)
+      val noComments = out.linesIterator.map { l =>
+        // a -- that sits inside a string literal stays (odd quote count
+        // before it means the dashes are quoted content)
+        val cut = l.indexOf("--")
+        if (cut >= 0 && l.substring(0, cut).count(_ == '\'') % 2 == 0)
+          l.substring(0, cut)
+        else l
+      }.mkString("\n")
+      var idx = noComments.indexOf(" MATERIALIZED")
+      while (idx >= 0) {
+        val quotesBefore = noComments.substring(0, idx).count(_ == '\'')
+        assert(quotesBefore % 2 == 0,
+          s"$name: MATERIALIZED inserted inside a string literal")
+        idx = noComments.indexOf(" MATERIALIZED", idx + 1)
+      }
+    }
+  }
+
+  test("the two r10 killer twins are actually rewritten") {
+    val k = TwinSql.materialize(SparkEntry.rawOracleSql("graph_ktruss"))
+    assert(k.contains("AS MATERIALIZED ("))
+    val d = TwinSql.materialize(SparkEntry.rawOracleSql("llm_dedup_apply"))
+    assert(d.contains("AS MATERIALIZED ("))
+    // and the recursive reach member is preserved un-materialized
+    assert(d.contains("reach(node, r) AS ("))
+  }
+}

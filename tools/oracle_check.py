@@ -8,7 +8,7 @@ oracle SQL from oracle_sql.json in DuckDB over the same sf parquet tables,
 canonicalize both sides (columns sorted by name, rows sorted, doubles
 rounded), and diff.
 """
-import json, math, sys
+import json, math, sys, time
 
 import duckdb
 
@@ -39,15 +39,18 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
+    times = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             got_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             got_cols, got = got_rel.columns, got_rel.fetchall()
             exp_rel = con.sql(sql)
             exp_cols, exp = exp_rel.columns, exp_rel.fetchall()
         except Exception as e:
+            times[name] = time.time() - t0
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
@@ -56,8 +59,9 @@ def main():
             n_fail += 1
             continue
         cg, ce = canon(got, got_cols), canon(exp, exp_cols)
+        times[name] = time.time() - t0
         if cg == ce:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows, {times[name]:.1f}s)")
             n_pass += 1
         else:
             n_fail += 1
@@ -68,7 +72,11 @@ def main():
                 print(f"   spark-only: {r}")
             for r in diff_e:
                 print(f"   duck-only:  {r}")
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    print(f"== {n_pass} pass / {n_fail} fail, "
+          f"{sum(times.values()):.1f}s oracle wall ==")
+    print("slowest twins:")
+    for n, s in sorted(times.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  {s:7.1f}s  {n}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
