@@ -118,6 +118,42 @@ object StreamBench {
     println(f"""[streambench] {"seq_raw_events":$nEvents,""" +
       f""""seq_sec":$seqSec%.2f,""" +
       f""""seq_events_per_sec":${nEvents / seqSec}%.0f}""")
+
+    // ---- r11 additions (VERDICT r10 #7: cover the full streaming/
+    // surface, not just the two gates): windowed agg + watermark,
+    // stateful dedup, stream-stream join — one rate per runtime family.
+    def runStream(name: String,
+                  mk: org.apache.spark.sql.DataFrame =>
+                    org.apache.spark.sql.DataFrame,
+                  mode: String = "append"): Double = {
+      val stream = spark.readStream.schema(evSchema).parquet(evDir)
+      val t0 = System.nanoTime()
+      val q = mk(stream)
+        .writeStream.outputMode(mode).format("memory").queryName(name)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sb-ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def bestOf3(tag: String,
+                mk: org.apache.spark.sql.DataFrame =>
+                  org.apache.spark.sql.DataFrame,
+                mode: String = "append"): Double = {
+      runStream(s"sb_${tag}_warm", mk, mode)
+      val s3 = Seq(runStream(s"sb_${tag}1", mk, mode),
+        runStream(s"sb_${tag}2", mk, mode),
+        runStream(s"sb_${tag}3", mk, mode)).min
+      println(f"""[streambench] {"${tag}_raw_events":$nEvents,""" +
+        f""""${tag}_sec":$s3%.2f,""" +
+        f""""${tag}_events_per_sec":${nEvents / s3}%.0f}""")
+      s3
+    }
+    bestOf3("window", EventStreams.tumblingCounts, mode = "complete")
+    bestOf3("dedup", EventStreams.dedupStream)
+    bestOf3("ssjoin", st => EventStreams.attributeClicks(
+      st.filter(col("event_type") === "click"),
+      st.filter(col("event_type") === "purchase")))
     spark.stop()
   }
 }
