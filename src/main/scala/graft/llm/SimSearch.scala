@@ -516,6 +516,69 @@ object SimSearch {
         .filter(col("rn") <= 5)
     }),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR'98): the
+    // standard retrieval post-processor — greedily pick 5 of the top-8
+    // cosine candidates per query maximizing λ·relevance −
+    // (1−λ)·max-similarity-to-already-selected (λ = 0.7), so near-dup
+    // hits don't crowd the result list. DETERMINISM: relevance and
+    // pairwise similarities are floor-micro quantized BIGINTs, the greedy
+    // score is the all-integer 7·r − 3·pen, and every argmax uses the
+    // composite key score·10⁸ − cid (max score, then lowest cid) — no FP
+    // comparison anywhere in the selection. Scale shape: the pool stage
+    // is the broadcast-query brute-force (→ ANN index at corpus scale,
+    // like search); everything after is bounded by pool² = 64 rows per
+    // query. Twin: 4 unrolled greedy steps over the same integer scores.
+    "llm_mmr_rerank" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("r").desc, col("cid"))
+      val pool = cands.join(broadcast(queries), col("cid") =!= col("qid"))
+        .withColumn("r", expr(
+          "CAST(floor(1e6 * cosine_similarity(qvec, cvec) + 0.5) AS BIGINT)"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("cvec"), col("r"))
+        .localCheckpoint(eager = false)
+      val pw = pool.select(col("qid"), col("cid").as("c1"),
+          col("cvec").as("v1"))
+        .join(pool.select(col("qid"), col("cid").as("c2"),
+          col("cvec").as("v2")), Seq("qid"))
+        .filter(col("c1") =!= col("c2"))
+        .withColumn("s", expr(
+          "CAST(floor(1e6 * cosine_similarity(v1, v2) + 0.5) AS BIGINT)"))
+        .select(col("qid"), col("c1"), col("c2"), col("s"))
+        .localCheckpoint(eager = false)
+      val p = pool.select(col("qid"), col("cid"), col("r"))
+      var sel = p.groupBy(col("qid"))
+        .agg(expr("max_by(struct(cid, r), r * 100000000 - cid)").as("m"))
+        .select(col("qid"), col("m.cid").as("cid"), col("m.r").as("r"),
+          lit(1).as("pick"))
+      for (k <- 2 to 5) {
+        val cand = p.join(sel.select(col("qid"), col("cid")),
+          Seq("qid", "cid"), "left_anti")
+        val pen = pw
+          .join(sel.select(col("qid"), col("cid").as("c2")),
+            Seq("qid", "c2"))
+          .groupBy(col("qid"), col("c1").as("cid"))
+          .agg(max(col("s")).as("pen"))
+        val pick = cand.join(pen, Seq("qid", "cid"))
+          .withColumn("score", lit(7L) * col("r") - lit(3L) * col("pen"))
+          .groupBy(col("qid"))
+          .agg(expr("max_by(struct(cid, r), score * 100000000 - cid)")
+            .as("m"))
+          .select(col("qid"), col("m.cid").as("cid"), col("m.r").as("r"),
+            lit(k).as("pick"))
+        sel = sel.union(pick).localCheckpoint(eager = false)
+      }
+      sel.select(col("qid"), col("pick"), col("cid"),
+          col("r").as("rel_micro"))
+        .orderBy(col("qid"), col("pick"))
+    }),
+
     // hard-negative mining for contrastive training: for each query
     // vector, the top-3 most-similar vectors carrying a DIFFERENT label
     // — the near-miss negatives a retrieval/embedding trainer pairs with
@@ -1236,6 +1299,81 @@ object SimSearch {
                  ORDER BY dot / sqrt(qq * cc) DESC, cid) AS rn
         FROM dots
       ) WHERE rn <= 5""",
+
+    // 4 unrolled greedy steps over the same floor-micro integer scores;
+    // argmax via the composite key score·10⁸ − cid on both engines
+    "llm_mmr_rerank" -> {
+      val steps = (2 to 5).map { k =>
+        s""", pen$k AS (
+        SELECT w.qid, w.c1 AS cid, max(w.s) AS pen
+        FROM pw w JOIN sel${k - 1} z ON z.qid = w.qid AND z.cid = w.c2
+        GROUP BY 1, 2
+      ), pick$k AS (
+        SELECT p.qid,
+               arg_max(p.cid,
+                 (7 * p.r - 3 * n.pen) * 100000000 - p.cid) AS cid,
+               arg_max(p.r,
+                 (7 * p.r - 3 * n.pen) * 100000000 - p.cid) AS r,
+               $k AS pick
+        FROM pool p
+        JOIN pen$k n ON n.qid = p.qid AND n.cid = p.cid
+        WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+                          WHERE z.qid = p.qid AND z.cid = p.cid)
+        GROUP BY p.qid
+      ), sel$k AS (
+        SELECT qid, cid, r, pick FROM sel${k - 1}
+        UNION ALL SELECT qid, cid, r, pick FROM pick$k
+      )"""
+      }.mkString
+      s"""
+      WITH pos AS MATERIALIZED (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ), dots AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               sum(q.x * c.x) AS dot, sum(q.x * q.x) AS qq,
+               sum(c.x * c.x) AS cc
+        FROM pos q JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 20
+        GROUP BY 1, 2
+      ), pool AS MATERIALIZED (
+        SELECT qid, cid, r FROM (
+          SELECT qid, cid,
+                 CAST(floor(1e6 * dot / sqrt(qq * cc) + 0.5) AS BIGINT)
+                   AS r,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   CAST(floor(1e6 * dot / sqrt(qq * cc) + 0.5) AS BIGINT)
+                     DESC, cid) AS rn
+          FROM dots) WHERE rn <= 8
+      ), prs AS (
+        SELECT p1.qid, p1.cid AS c1, p2.cid AS c2
+        FROM pool p1 JOIN pool p2
+          ON p1.qid = p2.qid AND p1.cid <> p2.cid
+      ), cdots AS MATERIALIZED (
+        SELECT u, v,
+               CAST(floor(1e6 * dot / sqrt(uu * vv) + 0.5) AS BIGINT) AS s
+        FROM (
+          SELECT up.u, up.v, sum(a.x * b.x) AS dot,
+                 sum(a.x * a.x) AS uu, sum(b.x * b.x) AS vv
+          FROM (SELECT DISTINCT least(c1, c2) AS u, greatest(c1, c2) AS v
+                FROM prs) up
+          JOIN pos a ON a.vec_id = up.u
+          JOIN pos b ON b.vec_id = up.v AND b.i = a.i
+          GROUP BY 1, 2)
+      ), pw AS MATERIALIZED (
+        SELECT pr.qid, pr.c1, pr.c2, cd.s
+        FROM prs pr
+        JOIN cdots cd ON cd.u = least(pr.c1, pr.c2)
+                     AND cd.v = greatest(pr.c1, pr.c2)
+      ), sel1 AS (
+        SELECT qid, arg_max(cid, r * 100000000 - cid) AS cid,
+               arg_max(r, r * 100000000 - cid) AS r, 1 AS pick
+        FROM pool GROUP BY qid
+      )$steps
+      SELECT qid, pick, cid, r AS rel_micro
+      FROM sel5 ORDER BY qid, pick"""
+    },
 
     "llm_hard_negatives" -> """
       WITH pos AS (

@@ -995,6 +995,53 @@ object TextOps {
           round(expr("regr_r2(ln(f), ln(r))"), 4).as("fit_r2"))
     }),
 
+    // Jensen–Shannon divergence of each source's unigram distribution vs
+    // the REST of the corpus — the data-mixture drift diagnostic ("which
+    // sources are distributionally distinct?"; symmetric, bounded by
+    // ln 2, unlike raw KL which explodes on missing mass). NUMERICS: the
+    // agg_theil discipline — token counts are exact integers, p and q are
+    // single divisions of those integers (ulp-identical cross-engine),
+    // each PRESENT token's 0.5·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] is
+    // floor-ppb-quantized per term before the BIGINT sum, and the tokens
+    // the source never emits (p = 0, where the term reduces to
+    // 0.5·q·ln 2) collapse into ONE closed-form lump — quantized once —
+    // instead of a sources×vocab row expansion. Scale shape: one
+    // corpus-sized (source, token) count aggregate, token-keyed and
+    // source-keyed equi-joins, and a 1-row grand-total scalar broadcast;
+    // never |sources|-fold fan-out of the vocabulary.
+    "llm_js_divergence" -> ((s, d) => {
+      val st = spread(t(s, d, "documents"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+        .localCheckpoint(eager = false)
+      val gt = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_gt"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val ng = ns.agg(sum(col("n_s")).as("n_g"))
+      val terms = st
+        .join(gt, Seq("tok"))
+        .join(ns, Seq("source"))
+        .crossJoin(broadcast(ng))
+        .selectExpr("source", "n_s", "n_g", "c_gt - c_st AS c_rt",
+          "CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE) AS p",
+          "CAST(c_gt - c_st AS DOUBLE) / CAST(n_g - n_s AS DOUBLE) AS q")
+        .selectExpr("source", "n_s", "n_g", "c_rt",
+          "CAST(floor(1e9 * (0.5 * (p * ln((2 * p) / (p + q)) +" +
+            " CASE WHEN c_rt > 0 THEN q * ln((2 * q) / (p + q))" +
+            " ELSE 0.0 END)) + 0.5) AS BIGINT) AS tq")
+      terms.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab_s"),
+          max(col("n_s")).as("n_tokens"),
+          max(col("n_g")).as("n_g"),
+          sum(col("c_rt")).as("r_s"),
+          sum(col("tq")).as("present_ppb"))
+        .selectExpr("source", "vocab_s", "n_tokens",
+          "present_ppb + CAST(floor(1e9 * (0.5 *" +
+            " (CAST((n_g - n_tokens) - r_s AS DOUBLE)" +
+            " / CAST(n_g - n_tokens AS DOUBLE)) * ln(2.0)) + 0.5)" +
+            " AS BIGINT) AS jsd_ppb")
+        .orderBy(col("source"))
+    }),
+
     // per-doc shingle NOVELTY in doc_id order — the redundancy curve of a
     // corpus ("how much of this document's 3-gram content already
     // appeared in earlier documents"), the doc-granular complement to the
@@ -2589,6 +2636,43 @@ object TextOps {
              ROUND(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
              ROUND(regr_r2(ln(f), ln(r)), 4) AS fit_r2
       FROM ranked""",
+
+    // same per-term ppb quantization + closed-form absent-token lump as
+    // the engine; p/q are divisions of identical exact integers
+    "llm_js_divergence" -> """
+      WITH st AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2),
+      gt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_gt
+             FROM st GROUP BY 1),
+      ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+             FROM st GROUP BY 1),
+      ng AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_g FROM ns),
+      terms AS (
+        SELECT st.source, ns.n_s, ng.n_g, gt.c_gt - st.c_st AS c_rt,
+               CAST(floor(1e9 * (0.5 * (p * ln((2 * p) / (p + q)) +
+                 CASE WHEN gt.c_gt - st.c_st > 0
+                      THEN q * ln((2 * q) / (p + q))
+                      ELSE 0.0 END)) + 0.5) AS BIGINT) AS tq
+        FROM st
+        JOIN gt ON gt.tok = st.tok
+        JOIN ns ON ns.source = st.source
+        CROSS JOIN ng,
+        LATERAL (SELECT CAST(st.c_st AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
+                   AS p,
+                 CAST(gt.c_gt - st.c_st AS DOUBLE)
+                   / CAST(ng.n_g - ns.n_s AS DOUBLE) AS q) v)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS vocab_s,
+             CAST(max(n_s) AS BIGINT) AS n_tokens,
+             CAST(sum(tq) AS BIGINT)
+               + CAST(floor(1e9 * (0.5 *
+                   (CAST((max(n_g) - max(n_s)) - sum(c_rt) AS DOUBLE)
+                    / CAST(max(n_g) - max(n_s) AS DOUBLE)) * ln(2.0))
+                   + 0.5) AS BIGINT) AS jsd_ppb
+      FROM terms GROUP BY source ORDER BY source""",
 
     "llm_novelty" -> """
       WITH toks AS (

@@ -182,6 +182,74 @@ object EntityRes {
           "CAST(floor(1e6 * n_true_coblocked / n_true + 0.5) AS BIGINT)"))
     }),
 
+    // Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+    // weight-TRAINING step every production linker runs before scoring:
+    // per comparison field, m = P(field agrees | match) from the planted
+    // match pairs and u = P(field agrees | non-match) in closed form from
+    // value-frequency counts (Σ_v C(c_v,2) / C(N,2) — the textbook
+    // u-estimate, computed from per-value counts WITHOUT materializing a
+    // single non-match pair, which is what makes it runnable on 10⁹
+    // records), then the log-odds agreement/disagreement weights
+    // ln(m/u) / ln((1−m)/(1−u)). Fixture: each part spawns a
+    // name-corrupted and a type-corrupted variant, so the three
+    // fields carry genuinely different (m, u) profiles. NUMERICS: all
+    // counts exact BIGINT with +1/+2 Laplace smoothing (no zero odds);
+    // m and u are single divisions of identical integers; each ln is
+    // quantized floor-ppm once per field (6 ln calls total — the
+    // agg_theil discipline). Scale shape: one match-keyed equi-join +
+    // three per-value count aggregates + 1-row scalar broadcasts.
+    "er_fellegi_sunter" -> ((s, d) => {
+      val off = ridOffset(s, d)
+      val clean = t(s, d, "part").select(
+        col("p_partkey").cast("long").as("rid"),
+        col("p_name").as("name"), col("p_brand").as("brand"),
+        col("p_type").as("ptype"))
+        .localCheckpoint(eager = false)
+      val v1 = clean.select((col("rid") + off).as("rid"),
+        concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
+          .as("name"),
+        col("brand"), col("ptype"), col("rid").as("parent"))
+      val v2 = clean.select((col("rid") + 2L * off).as("rid"),
+        col("name"), col("brand"),
+        concat(col("ptype"), lit(" X")).as("ptype"),
+        col("rid").as("parent"))
+      val mp = v1.union(v2)
+        .join(clean.select(col("rid").as("parent"),
+          col("name").as("name_c"), col("brand").as("brand_c"),
+          col("ptype").as("type_c")), Seq("parent"))
+      val m = mp.agg(count(lit(1)).as("n_m"),
+        sum(when(col("name") === col("name_c"), 1L).otherwise(0L))
+          .as("am_name"),
+        sum(when(col("brand") === col("brand_c"), 1L).otherwise(0L))
+          .as("am_brand"),
+        sum(when(col("ptype") === col("type_c"), 1L).otherwise(0L))
+          .as("am_type"))
+      val tot = clean.agg(count(lit(1)).as("n"))
+        .selectExpr("n", "n * (n - 1) div 2 AS t_pairs")
+      def uAgg(field: String) = clean.groupBy(col(field))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("u_a"))
+      def fieldRow(label: String, amCol: String, field: String) =
+        m.select(lit(label).as("field"), col("n_m"),
+            col(amCol).as("a_m"))
+          .crossJoin(broadcast(uAgg(field)))
+          .crossJoin(broadcast(tot))
+      fieldRow("brand", "am_brand", "brand")
+        .union(fieldRow("ptype", "am_type", "ptype"))
+        .union(fieldRow("name", "am_name", "name"))
+        .selectExpr("field", "n_m AS n_matches",
+          "CAST(a_m + 1 AS DOUBLE) / CAST(n_m + 2 AS DOUBLE) AS m_d",
+          "CAST(u_a + 1 AS DOUBLE) / CAST(t_pairs + 2 AS DOUBLE) AS u_d")
+        .selectExpr("field", "n_matches",
+          "CAST(floor(1e6 * m_d + 0.5) AS BIGINT) AS m_ppm",
+          "CAST(floor(1e6 * u_d + 0.5) AS BIGINT) AS u_ppm",
+          "CAST(floor(1e6 * ln(m_d / u_d) + 0.5) AS BIGINT)" +
+            " AS w_agree_ppm",
+          "CAST(floor(1e6 * ln((1.0 - m_d) / (1.0 - u_d)) + 0.5)" +
+            " AS BIGINT) AS w_disagree_ppm")
+        .orderBy(col("field"))
+    }),
+
     // Survivorship: fold each cluster into its golden record — canonical
     // name = the name of the label record (the CC label IS a member rid,
     // so canonicalization is one equi-join, no argmin over the cluster),
@@ -255,6 +323,66 @@ object EntityRes {
         |    SELECT bi.d, r.lbl FROM reach r JOIN bi ON bi.s = r.node)
         |SELECT node AS rid, min(lbl) AS cluster
         |FROM reach GROUP BY node""".stripMargin,
+
+    // same exact-integer counts + smoothed divisions + one quantized ln
+    // per weight as the engine; u from value-frequency C(c_v, 2) sums
+    "er_fellegi_sunter" -> """
+      WITH roff AS (
+        SELECT CAST(max(p_partkey) AS BIGINT) + 1 AS off FROM part),
+      clean AS (
+        SELECT CAST(p_partkey AS BIGINT) AS rid, p_name AS name,
+               p_brand AS brand, p_type AS ptype
+        FROM part),
+      variants AS (
+        SELECT rid + (SELECT off FROM roff) AS rid,
+               concat(substr(name, 1, 2), substr(name, 4)) AS name,
+               brand, ptype, rid AS parent
+        FROM clean
+        UNION ALL
+        SELECT rid + 2 * (SELECT off FROM roff), name, brand,
+               concat(ptype, ' X'), rid
+        FROM clean),
+      m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_m,
+               CAST(sum(CASE WHEN v.name = c.name THEN 1 ELSE 0 END)
+                 AS BIGINT) AS am_name,
+               CAST(sum(CASE WHEN v.brand = c.brand THEN 1 ELSE 0 END)
+                 AS BIGINT) AS am_brand,
+               CAST(sum(CASE WHEN v.ptype = c.ptype
+                 THEN 1 ELSE 0 END) AS BIGINT) AS am_type
+        FROM variants v JOIN clean c ON c.rid = v.parent),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS t_pairs
+        FROM clean),
+      u_name AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS u_a
+                 FROM (SELECT count(*) AS c FROM clean GROUP BY name)),
+      u_brand AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS u_a
+                  FROM (SELECT count(*) AS c FROM clean GROUP BY brand)),
+      u_type AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS u_a
+                 FROM (SELECT count(*) AS c FROM clean GROUP BY ptype)),
+      rows_ AS (
+        SELECT 'brand' AS field, m.n_m, m.am_brand AS a_m, u.u_a, t.t_pairs
+        FROM m, u_brand u, tot t
+        UNION ALL
+        SELECT 'ptype', m.n_m, m.am_type, u.u_a, t.t_pairs
+        FROM m, u_type u, tot t
+        UNION ALL
+        SELECT 'name', m.n_m, m.am_name, u.u_a, t.t_pairs
+        FROM m, u_name u, tot t),
+      probs AS (
+        SELECT field, n_m AS n_matches,
+               CAST(a_m + 1 AS DOUBLE) / CAST(n_m + 2 AS DOUBLE) AS m_d,
+               CAST(u_a + 1 AS DOUBLE) / CAST(t_pairs + 2 AS DOUBLE) AS u_d
+        FROM rows_)
+      SELECT field, n_matches,
+             CAST(floor(1e6 * m_d + 0.5) AS BIGINT) AS m_ppm,
+             CAST(floor(1e6 * u_d + 0.5) AS BIGINT) AS u_ppm,
+             CAST(floor(1e6 * ln(m_d / u_d) + 0.5) AS BIGINT)
+               AS w_agree_ppm,
+             CAST(floor(1e6 * ln((1.0 - m_d) / (1.0 - u_d)) + 0.5)
+               AS BIGINT) AS w_disagree_ppm
+      FROM probs ORDER BY field""",
 
     "er_fuzzy_gate" ->
       s"""WITH $recordsSql

@@ -565,6 +565,88 @@ object EventsBatch {
         .orderBy(col("state"))
     }),
 
+    // Markov-chain multi-touch attribution (removal effects — the
+    // industry-standard counterpart of evt_shapley_attribution, which
+    // scores coalitions; this scores the JOURNEY GRAPH): user paths run
+    // start → channel events (everything before the first purchase) →
+    // conv/null absorbing states; each channel's credit is its removal
+    // effect 1 − P(conv | chain with transitions into the channel
+    // redirected to null) / P(conv), normalized over channels. P(conv)
+    // is the absorbing mass after 16 power steps — a TRUNCATED, exactly
+    // replayable definition (both engines run the identical 16 steps;
+    // absorbing states carry 1e9 self-loops so mass accumulates).
+    // NUMERICS: transition cells on the 1e-9 grid, mass on the 1e-12
+    // grid, Σᵢ vᵢ·tᵢⱼ exact in BigInt then one floor-div per (scenario,
+    // state, step) — bit-replayable in DuckDB HUGEINT (the markov_steady
+    // discipline). The matrix is (|types|+3)² cells BY THE TYPE DOMAIN:
+    // collected and iterated on the driver (bounded action); the only
+    // data-sized jobs are the user-keyed journey windows and the
+    // transition-count aggregate.
+    "evt_markov_attribution" -> ((s, d) => {
+      val G = 1000000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, d, "events").select(col("user_id"),
+        col("event_type"), row_number().over(w).as("rn"))
+      val pconv = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase", col("rn")))
+          .as("prn"))
+      val jour = ev.join(pconv, Seq("user_id"))
+        .filter(col("prn").isNull || col("rn") < col("prn"))
+        .localCheckpoint(eager = false)
+      val jw = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val internal = jour
+        .withColumn("prev", lag(col("event_type"), 1).over(jw))
+        .select(coalesce(col("prev"), lit("_start")).as("i"),
+          col("event_type").as("j"))
+      val lastev = jour.groupBy(col("user_id"))
+        .agg(expr("max_by(event_type, rn)").as("last_type"))
+      val terminals = pconv.join(lastev, Seq("user_id"), "left")
+        .select(coalesce(col("last_type"), lit("_start")).as("i"),
+          when(col("prn").isNotNull, lit("_conv")).otherwise(lit("_null"))
+            .as("j"))
+      val cellsDf = internal.union(terminals)
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+        .withColumn("np", sum(col("n")).over(Window.partitionBy(col("i"))))
+        .selectExpr("i", "j", "CAST(floor(1e9 * n / np + 0.5) AS BIGINT) AS t")
+      val base = graft.core.Bounded.collect(cellsDf, 1024,
+        "evt_markov_attribution transition cells (|event types|+3 domain)")
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))) ++
+        Seq(("_conv", "_conv", G), ("_null", "_null", G))
+      val channels = base.map(_._2)
+        .filterNot(Set("_conv", "_null")).distinct.sorted
+      def pConv(removed: Option[String]): BigInt = {
+        val cells = base
+          .map { case (i, j, tt) =>
+            (i, if (removed.contains(j)) "_null" else j, tt) }
+          .groupBy(c => (c._1, c._2))
+          .map { case ((i, j), xs) => (i, j, xs.map(_._3).sum) }.toSeq
+        var v: Map[String, BigInt] =
+          Map("_start" -> BigInt(1000000000000L)).withDefaultValue(BigInt(0))
+        for (_ <- 1 to 16) {
+          v = cells.groupBy(_._2).map { case (j, xs) =>
+            j -> xs.map { case (i, _, tt) => v(i) * BigInt(tt) }.sum /
+              BigInt(G)
+          }.withDefaultValue(BigInt(0))
+        }
+        v("_conv")
+      }
+      val pf = pConv(None)
+      val raw = channels.map(c => (c, pConv(Some(c))))
+      val sumRe = raw.map { case (_, pc) => pf - pc }.sum
+      val out = raw.map { case (c, pc) =>
+        val re = pf - pc
+        val rePpm = if (pf > 0) (re * 1000000 / pf).toLong else 0L
+        val attrPpm =
+          if (sumRe > 0) (re * 1000000 / sumRe).toLong else 0L
+        (c, pf.toLong, pc.toLong, rePpm, attrPpm)
+      }
+      import s.implicits._
+      s.createDataset(out).toDF("channel", "p_conv_full_pico",
+          "p_conv_removed_pico", "removal_ppm", "attribution_ppm")
+        .orderBy(col("channel"))
+    }),
+
     // inter-event dwell-time distribution per event type (lead on the
     // same user-keyed window the other sequence queries ride; the last
     // event per user has no successor and drops out)
@@ -1642,6 +1724,98 @@ object EventsBatch {
              CAST(coalesce(v.v, 0) AS DOUBLE) / 1e12 AS p
       FROM states s LEFT JOIN v10 v ON v.st = s.st
       ORDER BY s.st"""
+    },
+
+    // 16 unrolled power steps per removal scenario (HUGEINT products ≡
+    // the driver's BigInt exactly); absorbing self-loops carry the mass
+    "evt_markov_attribution" -> {
+      val steps = (1 to 16).map { r =>
+        s""", v$r AS MATERIALIZED (
+        SELECT v.removed, tm.j AS st,
+               sum(v.v * tm.t) // 1000000000 AS v
+        FROM v${r - 1} v
+        JOIN tm ON tm.removed = v.removed AND tm.i = v.st
+        GROUP BY 1, 2
+      )"""
+      }.mkString
+      s"""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events
+      ), pconv AS MATERIALIZED (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+        FROM ev GROUP BY 1
+      ), jour AS MATERIALIZED (
+        SELECT e.user_id, e.rn, e.event_type
+        FROM ev e JOIN pconv p USING (user_id)
+        WHERE p.prn IS NULL OR e.rn < p.prn
+      ), internal AS (
+        SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY rn), '_start') AS i,
+               event_type AS j
+        FROM jour
+      ), lastev AS (
+        SELECT user_id, max_by(event_type, rn) AS last_type
+        FROM jour GROUP BY 1
+      ), terminals AS (
+        SELECT coalesce(l.last_type, '_start') AS i,
+               CASE WHEN p.prn IS NOT NULL THEN '_conv'
+                    ELSE '_null' END AS j
+        FROM pconv p LEFT JOIN lastev l USING (user_id)
+      ), counts AS (
+        SELECT i, j, count(*) AS n FROM (
+          SELECT i, j FROM internal UNION ALL SELECT i, j FROM terminals)
+        GROUP BY 1, 2
+      ), cells AS MATERIALIZED (
+        SELECT i, j,
+               CAST(floor(1e9 * n / sum(n) OVER (PARTITION BY i) + 0.5)
+                 AS BIGINT) AS t
+        FROM counts
+        UNION ALL SELECT '_conv', '_conv', 1000000000
+        UNION ALL SELECT '_null', '_null', 1000000000
+      ), chan AS MATERIALIZED (
+        SELECT DISTINCT j AS c FROM cells
+        WHERE j NOT IN ('_conv', '_null')
+      ), scen AS MATERIALIZED (
+        SELECT '_full' AS removed UNION ALL SELECT c FROM chan
+      ), tm AS MATERIALIZED (
+        SELECT s.removed, c.i,
+               CASE WHEN c.j = s.removed THEN '_null' ELSE c.j END AS j,
+               CAST(sum(c.t) AS BIGINT) AS t
+        FROM scen s CROSS JOIN cells c
+        GROUP BY 1, 2, 3
+      ), v0 AS (
+        SELECT removed, '_start' AS st,
+               CAST(1000000000000 AS HUGEINT) AS v
+        FROM scen
+      )$steps, pc AS MATERIALIZED (
+        SELECT s.removed,
+               coalesce((SELECT v.v FROM v16 v
+                         WHERE v.removed = s.removed
+                           AND v.st = '_conv'), 0) AS p
+        FROM scen s
+      ), pf AS (SELECT p AS pfull FROM pc WHERE removed = '_full'),
+      raw AS MATERIALIZED (
+        SELECT c.c AS channel, f.pfull, pc.p,
+               f.pfull - pc.p AS re
+        FROM chan c
+        JOIN pc ON pc.removed = c.c
+        CROSS JOIN pf f
+      ), tre AS (SELECT sum(re) AS sre FROM raw)
+      SELECT r.channel,
+             CAST(r.pfull AS BIGINT) AS p_conv_full_pico,
+             CAST(r.p AS BIGINT) AS p_conv_removed_pico,
+             CAST(CASE WHEN r.pfull > 0
+               THEN (r.re * 1000000) // r.pfull ELSE 0 END AS BIGINT)
+               AS removal_ppm,
+             CAST(CASE WHEN t.sre > 0
+               THEN (r.re * 1000000) // t.sre ELSE 0 END AS BIGINT)
+               AS attribution_ppm
+      FROM raw r CROSS JOIN tre t
+      ORDER BY r.channel"""
     },
 
     "evt_markov_transitions" -> """

@@ -388,6 +388,62 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // SimRank (Jeh & Widom, KDD 2002) structural similarity on the
+    // directed sparse trade graph: "two nodes are similar if their
+    // in-neighbors are similar" — s(a,b) = C/(|I(a)|·|I(b)|) ·
+    // Σ_{i∈I(a), j∈I(b)} s(i,j), s(a,a) = 1, C = 0.8, 3 rounds. The
+    // link-structure counterpart of graph_node_jaccard (which only sees
+    // DIRECT neighbor overlap; SimRank propagates similarity through the
+    // graph). NUMERICS: ppm BIGINT grid — each update is
+    // (4·Σ s_prev) div (5·|I(a)|·|I(b)|), all integer, no FP anywhere,
+    // so both engines are bit-identical. State is the sparse nonzero
+    // pair table (≤ |V|² = 625 rows); each round is two in-edge joins +
+    // one keyed aggregate, bounded by the node domain — the data-sized
+    // work is the shared cached trade-edge aggregate. Twin: 3 unrolled
+    // CTE rounds, identical integer divisions.
+    "graph_simrank" -> ((s, d) => {
+      val nation = t(s, d, "nation")
+      val inn = sparseEdges(s, d)
+        .select(col("dst").cast("long").as("node"),
+                col("src").cast("long").as("inn"))
+        .localCheckpoint(eager = false)
+      val ideg = inn.groupBy(col("node")).agg(count(lit(1)).as("ideg"))
+        .localCheckpoint(eager = false)
+      val diag = nation.select(
+        col("n_nationkey").cast("long").as("a"),
+        col("n_nationkey").cast("long").as("b"),
+        lit(1000000L).as("sppm"))
+      var sim = diag
+      for (_ <- 1 to 3) {
+        val ssum = sim
+          .join(inn.select(col("node").as("na"), col("inn").as("a")),
+            Seq("a"))
+          .join(inn.select(col("node").as("nb"), col("inn").as("b")),
+            Seq("b"))
+          .filter(col("na") =!= col("nb"))
+          .groupBy(col("na").as("ra"), col("nb").as("rb"))
+          .agg(sum(col("sppm")).as("ssum"))
+        val stepped = ssum
+          .join(ideg.select(col("node").as("ra"), col("ideg").as("da")),
+            Seq("ra"))
+          .join(ideg.select(col("node").as("rb"), col("ideg").as("db")),
+            Seq("rb"))
+          .select(col("ra").as("a"), col("rb").as("b"),
+            expr("(4 * ssum) div (5 * da * db)").as("sppm"))
+          .filter(col("sppm") > 0L)
+        sim = diag.union(stepped).localCheckpoint(eager = false)
+      }
+      val na = nation.select(col("n_nationkey").cast("long").as("a"),
+        col("n_name").as("name_a"))
+      val nb = nation.select(col("n_nationkey").cast("long").as("b"),
+        col("n_name").as("name_b"))
+      sim.filter(col("a") < col("b"))
+        .join(broadcast(na), Seq("a")).join(broadcast(nb), Seq("b"))
+        .select(col("name_a"), col("name_b"), col("a"), col("b"),
+          col("sppm").as("simrank_ppm"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // deterministic random-walk sampling (the node2vec/DeepWalk
     // data-prep stage): one 4-step walk per start node over the directed
     // sparse graph, where step k from node c picks out-neighbor rank
@@ -1275,10 +1331,57 @@ object Graph {
       |ORDER BY a, b""".stripMargin
   }
 
+  /** SimRank twin: 3 unrolled rounds, same ppm-integer recurrence
+    * (4·Σ) // (5·da·db) — DuckDB `//` is floor division, identical to
+    * Spark's `div` on these all-positive integers. */
+  private val simrankTwin: String = {
+    val rounds = (1 to 3).map { k =>
+      s""",
+      |  r$k AS (
+      |    SELECT ia.node AS a, ib.node AS b,
+      |           CAST(sum(p.sppm) AS BIGINT) AS ssum
+      |    FROM s${k - 1} p
+      |    JOIN inn ia ON ia.inn = p.a
+      |    JOIN inn ib ON ib.inn = p.b
+      |    WHERE ia.node <> ib.node
+      |    GROUP BY 1, 2),
+      |  s$k AS (
+      |    SELECT CAST(n_nationkey AS BIGINT) AS a,
+      |           CAST(n_nationkey AS BIGINT) AS b,
+      |           CAST(1000000 AS BIGINT) AS sppm
+      |    FROM nation
+      |    UNION ALL
+      |    SELECT a, b, sppm FROM (
+      |      SELECT r.a, r.b,
+      |             CAST((4 * r.ssum) // (5 * da.ideg * db.ideg)
+      |               AS BIGINT) AS sppm
+      |      FROM r$k r
+      |      JOIN ideg da ON da.node = r.a
+      |      JOIN ideg db ON db.node = r.b)
+      |    WHERE sppm > 0)""".stripMargin
+    }.mkString
+    s"""WITH $sparseCte,
+      |  inn AS (SELECT CAST(dst AS BIGINT) AS node,
+      |                 CAST(src AS BIGINT) AS inn FROM sparse),
+      |  ideg AS (SELECT node, CAST(count(*) AS BIGINT) AS ideg
+      |           FROM inn GROUP BY 1),
+      |  s0 AS (SELECT CAST(n_nationkey AS BIGINT) AS a,
+      |                CAST(n_nationkey AS BIGINT) AS b,
+      |                CAST(1000000 AS BIGINT) AS sppm FROM nation)$rounds
+      |SELECT na.n_name AS name_a, nb.n_name AS name_b, s.a, s.b,
+      |       s.sppm AS simrank_ppm
+      |FROM s3 s
+      |JOIN nation na ON CAST(na.n_nationkey AS BIGINT) = s.a
+      |JOIN nation nb ON CAST(nb.n_nationkey AS BIGINT) = s.b
+      |WHERE s.a < s.b
+      |ORDER BY s.a, s.b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_pagerank" -> pagerankTwin,
     "graph_label_prop" -> labelPropTwin,
     "graph_modularity" -> modularityTwin,
+    "graph_simrank" -> simrankTwin,
 
     "graph_walk_sample" -> {
       val steps = (1 to 4).map { k =>

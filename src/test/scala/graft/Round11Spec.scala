@@ -1,0 +1,217 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Contracts for the r11 operator wave: SimRank, Fellegi–Sunter weights,
+  * Jensen–Shannon source divergence, Markov removal-effect attribution.
+  * Each gets a from-scratch reference (crafted fixture or driver-side
+  * brute recompute) on top of the driver's DuckDB hash parity. */
+class Round11Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private def writeEvents(rows: Seq[(Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r11").toString
+    rows.map { case (eid, uid, et) =>
+      (eid, new java.sql.Timestamp(1700000000000L + eid * 1000), uid, et,
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("graph_simrank matches a from-scratch integer recurrence") {
+    val got = SparkEntry.queries("graph_simrank")(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4))
+      .toMap
+    // brute reference off the same sparse graph (bounded: <= 75 edges)
+    val nations = graft.core.Tables.t(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    // re-derive the sparse edges exactly as the query does
+    val li = graft.core.Tables.t(spark, sf, "lineitem")
+    val o = graft.core.Tables.t(spark, sf, "orders")
+    val c = graft.core.Tables.t(spark, sf, "customer")
+    val su = graft.core.Tables.t(spark, sf, "supplier")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(c("c_nationkey").cast("long").as("src"),
+        su("s_nationkey").cast("long").as("dst"))
+      .agg(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount")))
+        .as("w"))
+      .filter(col("src") =!= col("dst"))
+    val sparse = edges
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+          .orderBy(col("w").desc, col("dst"))))
+      .filter(col("rn") <= 3)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val inn = sparse.groupBy(_._2).map { case (n, xs) =>
+      n -> xs.map(_._1).toSeq }
+    var s0: Map[(Long, Long), Long] =
+      nations.map(n => (n, n) -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val stepped = (for {
+        (a, ia) <- inn; (b, ib) <- inn if a != b
+      } yield {
+        val ssum = (for (i <- ia; j <- ib)
+          yield s0.getOrElse((i, j), 0L)).sum
+        (a, b) -> (4L * ssum) / (5L * ia.size * ib.size)
+      }).filter(_._2 > 0L).toMap
+      s0 = nations.map(n => (n, n) -> 1000000L).toMap ++ stepped
+    }
+    val exp = s0.collect {
+      case ((a, b), v) if a < b && v > 0 => (a, b) -> v }
+    assert(got == exp.toMap, "simrank ppm mismatch vs brute recurrence")
+    assert(got.values.forall(v => v > 0 && v <= 1000000L))
+  }
+
+  test("er_fellegi_sunter weight signs and planted m-structure") {
+    val rows = SparkEntry.queries("er_fellegi_sunter")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (mBrand, uBrand, waB, wdB) = rows("brand")
+    val (mName, _, waN, _) = rows("name")
+    val (mType, _, _, _) = rows("ptype")
+    // brand agrees in EVERY planted match pair; name only in the
+    // type-corrupted half; smoothing keeps everything in (0, 1e6)
+    assert(mBrand > 990000L && mBrand < 1000000L)
+    assert(mName > 450000L && mName < 550000L)
+    assert(mType > 450000L && mType < 550000L)
+    assert(uBrand < mBrand)
+    // agreement on a field that survives matches is positive evidence,
+    // disagreement negative
+    assert(waB > 0L && wdB < 0L)
+    assert(waN > 0L)
+  }
+
+  test("llm_js_divergence is within [0, ln 2] and matches a driver recompute for one source") {
+    val got = SparkEntry.queries("llm_js_divergence")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.forall(v => v >= 0L && v <= 693147181L),
+      "JSD must sit in [0, ln 2] ppb")
+    // from-scratch recompute for the lexicographically first source
+    val src = got.keys.min
+    val toks = graft.core.Tables.t(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nS = toks.filter(_._1 == src).map(_._3).sum
+    val nG = toks.map(_._3).sum
+    val gTok = toks.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._3).sum }
+    var total = 0L
+    var rS = 0L
+    toks.filter(_._1 == src).foreach { case (_, t, cSt) =>
+      val cRt = gTok(t) - cSt
+      rS += cRt
+      val p = cSt.toDouble / nS.toDouble
+      val q = cRt.toDouble / (nG - nS).toDouble
+      val term = 0.5 * (p * math.log((2 * p) / (p + q)) +
+        (if (cRt > 0) q * math.log((2 * q) / (p + q)) else 0.0))
+      total += math.floor(1e9 * term + 0.5).toLong
+    }
+    val lump = math.floor(1e9 * (0.5 *
+      (((nG - nS) - rS).toDouble / (nG - nS).toDouble) *
+      math.log(2.0)) + 0.5).toLong
+    assert(got(src) == total + lump, s"JSD recompute mismatch for $src")
+  }
+
+  test("markov attribution: converting channel takes all the credit on a crafted fixture") {
+    // click leads to purchase for 2 of 3 click-users; view never precedes
+    // a purchase; error never converts
+    val rows = Seq(
+      (1L, 1L, "click"), (2L, 1L, "purchase"),
+      (3L, 2L, "click"), (4L, 2L, "purchase"),
+      (5L, 3L, "click"),
+      (6L, 4L, "view"),
+      (7L, 5L, "view"),
+      (8L, 6L, "error"))
+    val dir = writeEvents(rows)
+    val got = SparkEntry.queries("evt_markov_attribution")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val (pfC, pcC, reC, attrC) = got("click")
+    assert(pcC == 0L, "removing click must kill every conversion path")
+    assert(reC == 1000000L && attrC == 1000000L)
+    got.filterNot(_._1 == "click").values.foreach {
+      case (_, pc, re, attr) =>
+        assert(re == 0L && attr == 0L, "non-converting channel credited")
+        assert(pc == pfC, "removing a dead channel changed P(conv)")
+    }
+  }
+
+  test("llm_mmr_rerank matches a from-scratch greedy recompute") {
+    val got = SparkEntry.queries("llm_mmr_rerank")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // rebuild the pool + pairwise sims driver-side and replay the greedy
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.core.Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pool = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("r", expr(
+        "CAST(floor(1e6 * cosine_similarity(qv, cv) + 0.5) AS BIGINT)"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("r").desc, col("cid"))))
+      .filter(col("rn") <= 8)
+      .select(col("qid"), col("cid"), col("r"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Float](3).toArray))
+    def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      math.floor(1e6 * dot / math.sqrt(aa * bb) + 0.5).toLong
+    }
+    pool.groupBy(_._1).foreach { case (qid, members) =>
+      val byCid = members.map(m => m._2 -> (m._3, m._4)).toMap
+      var selected = Vector.empty[Long]
+      for (k <- 1 to 5) {
+        val cands = byCid.keys.filterNot(selected.contains).toSeq
+        val pickKey = cands.map { c =>
+          val r = byCid(c)._1
+          val score = if (k == 1) r
+            else 7L * r - 3L * selected.map(sc =>
+              cosMicro(byCid(c)._2, byCid(sc)._2)).max
+          c -> (score * 100000000L - c)
+        }
+        val pick = pickKey.maxBy(_._2)._1
+        assert(got((qid, k))._1 == pick,
+          s"q$qid pick$k: engine ${got((qid, k))._1} vs reference $pick")
+        selected :+= pick
+      }
+    }
+    // shape: 20 queries x 5 distinct picks
+    assert(got.size == 100)
+  }
+
+  test("markov attribution invariants on the sf corpus") {
+    val rows = SparkEntry.queries("evt_markov_attribution")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val pf = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == pf, "p_conv_full must be scenario-invariant")
+      assert(r.getLong(2) <= pf,
+        "removal cannot increase conversion probability")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+    // floor-division attribution sums to at most 1e6
+    assert(rows.map(_.getLong(4)).sum <= 1000000L)
+  }
+}
