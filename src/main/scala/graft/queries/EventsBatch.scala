@@ -1095,6 +1095,57 @@ object EventsBatch {
     // counts as exact rationals — (2·observed − total)² / (4·total) per
     // arm collapses to one integer-exact numerator, so the flag can't
     // ulp-flip. Bounded output: |arms| rows + the 1-row verdict folded in.
+    // Uplift-by-decile + Qini curve (Radcliffe 2007) — the experiment
+    // readout for TARGETING: rank users by an engagement score, split
+    // into deciles, and per decile compare treated (user_id % 2 = 1, the
+    // evt_ab_srm arm convention) vs control conversion; the cumulative
+    // Qini value cum_conv_t − cum_conv_c·cum_n_t/cum_n_c says how many
+    // extra conversions targeting the top-k deciles would buy. NUMERICS:
+    // all counts exact BIGINT off one user aggregate; the global rank
+    // rides ops.Partitioning.rankedRowNumber (two-level prefix, never a
+    // data-sized single-partition window); deciles are the agg_lorenz
+    // integral ((rn−1)·10) div n; rates are floor-ppm; Qini is the exact
+    // integer rational (1000·(cc_t·cn_c − cc_c·cn_t)) div cn_c — both
+    // engines truncate negatives toward zero identically. HEADROOM:
+    // the Qini cross-products hold in BIGINT to ~3e6 users per arm;
+    // past that they want decimal(38,0). The cumulative window runs
+    // over the 10-row decile table (domain-bounded), not users.
+    "evt_uplift_qini" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .withColumn("treat", (col("user_id") % 2).cast("int"))
+      val ranked = graft.ops.Partitioning.rankedRowNumber(users,
+        Seq(col("score").desc, col("user_id")), 32, "rn")
+      val tot = users.agg(count(lit(1)).as("nu"))
+      val dec = ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rn - 1) * 10) div nu"))
+        .groupBy(col("decile"))
+        .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treat") === 1, col("conv")).otherwise(0L))
+            .as("conv_t"),
+          sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treat") === 0, col("conv")).otherwise(0L))
+            .as("conv_c"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("cn_t", sum(col("n_t")).over(wc))
+        .withColumn("cc_t", sum(col("conv_t")).over(wc))
+        .withColumn("cn_c", sum(col("n_c")).over(wc))
+        .withColumn("cc_c", sum(col("conv_c")).over(wc))
+        .selectExpr("decile", "n_t", "conv_t", "n_c", "conv_c",
+          "CASE WHEN n_t > 0 THEN CAST(floor(1e6 * conv_t / n_t + 0.5)" +
+            " AS BIGINT) ELSE 0 END" +
+            " - CASE WHEN n_c > 0 THEN CAST(floor(1e6 * conv_c / n_c" +
+            " + 0.5) AS BIGINT) ELSE 0 END AS uplift_ppm",
+          "CASE WHEN cn_c > 0 THEN (1000 * (cc_t * cn_c - cc_c * cn_t))" +
+            " div cn_c ELSE CAST(0 AS BIGINT) END AS qini_milli")
+        .orderBy(col("decile"))
+    }),
+
     "evt_ab_srm" -> ((s, d) => {
       val arms = t(s, d, "events")
         .select(col("user_id")).distinct()
@@ -2355,6 +2406,53 @@ object EventsBatch {
              CAST(mad AS BIGINT) AS mad_cents,
              abs(vc - med) > 3 * mad AS is_outlier
       FROM mad""",
+
+    "evt_uplift_qini" -> """
+      WITH users AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS score,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                 ELSE 0 END) AS BIGINT) AS conv,
+               CAST(user_id % 2 AS INTEGER) AS treat
+        FROM events GROUP BY user_id
+      ), r AS (
+        SELECT treat, conv,
+               row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+               count(*) OVER () AS nu
+        FROM users
+      ), dec AS (
+        SELECT ((rn - 1) * 10) // nu AS decile,
+               CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_t,
+               CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END)
+                 AS BIGINT) AS conv_c
+        FROM r GROUP BY 1
+      ), c AS (
+        SELECT dec.*,
+               CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+               CAST(sum(conv_t) OVER w AS BIGINT) AS cc_t,
+               CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+               CAST(sum(conv_c) OVER w AS BIGINT) AS cc_c
+        FROM dec
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      SELECT CAST(decile AS BIGINT) AS decile, n_t, conv_t, n_c, conv_c,
+             (CASE WHEN n_t > 0
+               THEN CAST(floor(1e6 * conv_t / n_t + 0.5) AS BIGINT)
+               ELSE 0 END)
+             - (CASE WHEN n_c > 0
+               THEN CAST(floor(1e6 * conv_c / n_c + 0.5) AS BIGINT)
+               ELSE 0 END) AS uplift_ppm,
+             CAST(CASE WHEN cn_c > 0
+               THEN (1000 * (cc_t * cn_c - cc_c * cn_t)) // cn_c
+               ELSE 0 END AS BIGINT) AS qini_milli
+      FROM c ORDER BY decile""",
 
     "evt_ab_srm" -> """
       WITH arms AS (

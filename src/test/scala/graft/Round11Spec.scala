@@ -199,6 +199,38 @@ class Round11Spec extends AnyFunSuite {
     assert(got.size == 100)
   }
 
+  test("evt_uplift_qini: planted heterogeneous effect lands in the top decile") {
+    // 20 users: even ids = control, odd = treated. Users 0..9 are
+    // high-engagement (3 views), 10..19 low (1 view). Treated
+    // high-engagement users convert; control never; treated
+    // low-engagement never — all uplift sits in the top deciles.
+    val rows = (0L until 20L).flatMap { uid =>
+      val hi = uid < 10
+      val views = (1L to (if (hi) 3L else 1L)).map(k =>
+        (uid * 10 + k, uid, "view"))
+      val conv = if (hi && uid % 2 == 1)
+        Seq((uid * 10 + 9, uid, "purchase")) else Seq.empty
+      views ++ conv
+    }
+    val dir = writeEvents(rows)
+    val got = SparkEntry.queries("evt_uplift_qini")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // 20 users over 10 deciles = 2 per decile; high-engagement users
+    // fill deciles 0..4 (one treated + one control each, treated
+    // converts): uplift_ppm = 1e6 there, 0 in deciles 5..9
+    (0L to 4L).foreach { d =>
+      val (nt, ct, nc, cc, up, _) = got(d)
+      assert(nt == 1L && ct == 1L && nc == 1L && cc == 0L && up == 1000000L)
+    }
+    (5L to 9L).foreach { d => assert(got(d)._5 == 0L) }
+    // final Qini = total incremental conversions × 1000 (balanced arms)
+    assert(got(9L)._6 == 5000L)
+    // Qini is monotone non-decreasing through the converting deciles
+    val qinis = (0L to 9L).map(got(_)._6)
+    assert(qinis == qinis.sorted)
+  }
+
   test("markov attribution invariants on the sf corpus") {
     val rows = SparkEntry.queries("evt_markov_attribution")(spark, sf)
       .collect()
