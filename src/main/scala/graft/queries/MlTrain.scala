@@ -282,6 +282,71 @@ object MlTrain {
         .selectExpr(linregL3: _*)
     }),
 
+    // Split-conformal prediction interval (Papadopoulos et al. 2002 /
+    // Lei et al. 2018) — the distribution-free coverage wrapper every
+    // deployed regressor wants: fit on the train split, take the
+    // ⌈(n_cal+1)·0.9⌉-th smallest absolute calibration residual as the
+    // interval half-width q̂, and CHECK the ≥90% marginal coverage
+    // guarantee on a held-out test split. Splits are the deterministic
+    // l_orderkey mod 5 (0 = calibrate, 1 = test, rest = train).
+    // NUMERICS: the OLS weights come from the ml_linreg closed form on
+    // exact decimal moments and are ROUNDED to 6 dp before scoring (both
+    // engines then score with identical doubles); residual scores are
+    // floor-1e4 quantized BIGINTs, the rank-k selection is an exact
+    // order statistic (value at rank k is tie-invariant), and k is the
+    // integer (9·(n_cal+1)+9) div 10. Scale shape: two moment
+    // aggregates, one distributed two-level rank over the calibration
+    // scores, scalar broadcasts — no data-sized window, no collect.
+    "ml_conformal_interval" -> ((s, d) => {
+      val raw = t(s, d, "lineitem").select(
+          round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+          round(col("l_quantity")).cast("bigint").as("x1"),
+          round(col("l_discount") * 100).cast("bigint").as("x2"),
+          pmod(col("l_orderkey"), lit(5)).cast("int").as("split"))
+        .localCheckpoint(eager = false)
+      def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
+      val w = raw.filter(col("split") >= 2).agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+          dsum(col("x1") * col("x1")).as("s11"),
+          dsum(col("x1") * col("x2")).as("s12"),
+          dsum(col("x2") * col("x2")).as("s22"),
+          dsum(col("y")).as("sy"),
+          dsum(col("x1") * col("y")).as("s1y"),
+          dsum(col("x2") * col("y")).as("s2y"),
+          dsum(col("y") * col("y")).as("syy"))
+        .selectExpr(linregL1: _*).selectExpr(linregL2: _*)
+        .selectExpr("round(b0, 6) AS b0", "round(b1, 6) AS b1",
+          "round(b2, 6) AS b2")
+      val scored = raw.filter(col("split") < 2).crossJoin(broadcast(w))
+        .selectExpr("split",
+          "CAST(floor(1e4 * abs(y - (b0 + b1 * x1 + b2 * x2)) + 0.5)" +
+            " AS BIGINT) AS score")
+        .localCheckpoint(eager = false)
+      val cal = scored.filter(col("split") === 0).select(col("score"))
+      val kDf = cal.agg(count(lit(1)).as("n_cal"))
+        .selectExpr("n_cal", "(9 * (n_cal + 1) + 9) div 10 AS k")
+      // the rn = k filter is provably one row; the closing grouping-less
+      // aggregate makes that visible to the plan audit's scalar-broadcast
+      // exemption (and to Catalyst's 1-row stats)
+      val qhat = graft.ops.Partitioning
+        .rankedRowNumber(cal, Seq(col("score")), 32, "rn")
+        .crossJoin(broadcast(kDf))
+        .filter(col("rn") === col("k"))
+        .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+          max(col("score")).as("qhat_e4"))
+      scored.filter(col("split") === 1)
+        .crossJoin(broadcast(qhat))
+        .groupBy(col("n_cal"), col("k"), col("qhat_e4"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("score") <= col("qhat_e4"), 1L).otherwise(0L))
+            .as("covered"))
+        .selectExpr("n_cal", "k", "qhat_e4", "n_test", "covered",
+          "CAST(floor(1e6 * covered / n_test + 0.5) AS BIGINT)" +
+            " AS coverage_ppm",
+          "2 * qhat_e4 AS width_e4")
+    }),
+
     // 2-feature PCA: eigen-decomposition of the (quantity, discount-%)
     // covariance matrix in closed form from exact moments. Feature choice
     // is a numerics contract: per-row products ≤ 2500, so every moment
@@ -1553,6 +1618,55 @@ object MlTrain {
         |l1 AS (SELECT ${sel(linregL1)} FROM sums),
         |l2 AS (SELECT ${sel(linregL2)} FROM l1)
         |SELECT ${sel(linregL3)} FROM l2""".stripMargin,
+
+    "ml_conformal_interval" ->
+      s"""WITH raw AS (
+        |  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+        |         CAST(ROUND(l_discount*100) AS BIGINT) AS x2,
+        |         CAST(l_orderkey % 5 AS INTEGER) AS split
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |         CAST(sum(x1*x1) AS DOUBLE) AS s11,
+        |         CAST(sum(x1*x2) AS DOUBLE) AS s12,
+        |         CAST(sum(x2*x2) AS DOUBLE) AS s22,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x1*y) AS DOUBLE) AS s1y,
+        |         CAST(sum(x2*y) AS DOUBLE) AS s2y,
+        |         CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM raw WHERE split >= 2),
+        |l1 AS (SELECT ${sel(linregL1)} FROM sums),
+        |l2 AS (SELECT ${sel(linregL2)} FROM l1),
+        |w AS (SELECT round(b0, 6) AS b0, round(b1, 6) AS b1,
+        |             round(b2, 6) AS b2 FROM l2),
+        |scored AS MATERIALIZED (
+        |  SELECT r.split,
+        |         CAST(floor(1e4 * abs(r.y - (w.b0 + w.b1*r.x1 + w.b2*r.x2))
+        |           + 0.5) AS BIGINT) AS score
+        |  FROM raw r CROSS JOIN w WHERE r.split < 2),
+        |kk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+        |         (9 * (count(*) + 1) + 9) // 10 AS k
+        |  FROM scored WHERE split = 0),
+        |qh AS (
+        |  SELECT kk.n_cal, CAST(kk.k AS BIGINT) AS k,
+        |         s.score AS qhat_e4
+        |  FROM (SELECT score, row_number() OVER (ORDER BY score) AS rn
+        |        FROM scored WHERE split = 0) s
+        |  JOIN kk ON s.rn = kk.k)
+        |SELECT q.n_cal, q.k, q.qhat_e4,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST(sum(CASE WHEN t.score <= q.qhat_e4 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS covered,
+        |       CAST(floor(1e6 * sum(CASE WHEN t.score <= q.qhat_e4
+        |           THEN 1 ELSE 0 END) / count(*) + 0.5) AS BIGINT)
+        |         AS coverage_ppm,
+        |       2 * q.qhat_e4 AS width_e4
+        |FROM (SELECT score FROM scored WHERE split = 1) t
+        |CROSS JOIN qh q
+        |GROUP BY q.n_cal, q.k, q.qhat_e4""".stripMargin,
 
     "ml_pca" ->
       s"""WITH raw AS (

@@ -231,6 +231,62 @@ class Round11Spec extends AnyFunSuite {
     assert(qinis == qinis.sorted)
   }
 
+  test("ml_conformal_interval: rank-k selection and coverage guarantee") {
+    val r = SparkEntry.queries("ml_conformal_interval")(spark, sf)
+      .collect().head
+    val (nCal, k, qhat, nTest, covered, covPpm, width) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(k == (9 * (nCal + 1) + 9) / 10, "k must be ceil(0.9·(n+1))")
+    assert(width == 2 * qhat)
+    assert(covPpm == math.floor(1e6 * covered.toDouble / nTest + 0.5).toLong)
+    // split-conformal marginal guarantee: coverage ≈ 90% (exchangeable
+    // splits; allow sampling slack on the fixed fixture)
+    assert(covPpm >= 850000L && covPpm <= 1000000L,
+      s"coverage $covPpm outside the plausible band around 90%")
+    // brute-force the order statistic: k-th smallest calibration score
+    import org.apache.spark.sql.functions._
+    val raw = graft.core.Tables.t(spark, sf, "lineitem").select(
+      round(col("l_extendedprice") * 100).cast("bigint").as("y"),
+      round(col("l_quantity")).cast("bigint").as("x1"),
+      round(col("l_discount") * 100).cast("bigint").as("x2"),
+      pmod(col("l_orderkey"), lit(5)).cast("int").as("split"))
+    val w = SparkEntry.queries("ml_linreg")(spark, sf).collect().head
+    // ml_linreg fits on ALL rows; refit on the train split like the query
+    val tr = raw.filter(col("split") >= 2)
+    def dsum(e: org.apache.spark.sql.Column) =
+      sum(e.cast("decimal(28,0)")).cast("double")
+    val m = tr.agg(count(lit(1)).cast("double").as("n"),
+      dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+      dsum(col("x1") * col("x1")).as("s11"),
+      dsum(col("x1") * col("x2")).as("s12"),
+      dsum(col("x2") * col("x2")).as("s22"),
+      dsum(col("y")).as("sy"),
+      dsum(col("x1") * col("y")).as("s1y"),
+      dsum(col("x2") * col("y")).as("s2y")).collect().head
+    val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+      (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3),
+        m.getDouble(4), m.getDouble(5), m.getDouble(6), m.getDouble(7),
+        m.getDouble(8))
+    val m0 = s11 * s22 - s12 * s12; val m1 = s1 * s22 - s12 * s2
+    val m2 = s1 * s12 - s11 * s2; val m3 = s1y * s22 - s12 * s2y
+    val m4 = s1y * s12 - s11 * s2y; val m5 = s1 * s2y - s1y * s2
+    val m6 = s11 * s2y - s1y * s12
+    val den = n * m0 - s1 * m1 + s2 * m2
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val b0 = r6((sy * m0 - s1 * m3 + s2 * m4) / den)
+    val b1 = r6((n * m3 - sy * m1 + s2 * m5) / den)
+    val b2 = r6((n * m6 - s1 * m5 + sy * m2) / den)
+    val calScores = raw.filter(col("split") === 0).collect().map { row =>
+      val y = row.getLong(0); val x1 = row.getLong(1); val x2 = row.getLong(2)
+      math.floor(1e4 * math.abs(y - (b0 + b1 * x1 + b2 * x2)) + 0.5).toLong
+    }.sorted
+    assert(calScores.length == nCal)
+    assert(calScores(k.toInt - 1) == qhat,
+      "q-hat must be the exact k-th smallest calibration score")
+  }
+
   test("markov attribution invariants on the sf corpus") {
     val rows = SparkEntry.queries("evt_markov_attribution")(spark, sf)
       .collect()
