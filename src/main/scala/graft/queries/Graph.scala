@@ -879,6 +879,34 @@ object Graph {
         .orderBy(col("n_name"))
     }),
 
+    // effective diameter (the Leskovec graph-evolution metric): the
+    // smallest hop count d₉₀ covering ≥90% of REACHABLE ordered pairs,
+    // plus exact diameter, pair count, and mean distance — the global
+    // summary the per-node eccentricity table doesn't give. Rides the
+    // SAME shared 6-hop [[walkPairs]] cache as betweenness/eccentricity/
+    // harmonic (zero extra data-sized jobs); everything downstream is a
+    // ≤6-row distance histogram. d₉₀ is the integer cross-mult
+    // min d with 10·cum ≥ 9·total; the mean is one floor-ppm division.
+    "graph_effective_diameter" -> ((s, d) => {
+      val p = walkPairs(s, d)
+      val byd = p.groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = byd.withColumn("cum", sum(col("n")).over(wc))
+      val tot = byd.agg(sum(col("n")).as("n_pairs"),
+        sum(col("d") * col("n")).as("sumd"),
+        max(col("d")).cast("long").as("diameter"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum") * 10 >= col("n_pairs") * 9)
+        .agg(max(col("n_pairs")).as("n_pairs"),
+          max(col("diameter")).as("diameter"),
+          min(col("d")).cast("long").as("eff_diameter_90"),
+          max(col("sumd")).as("sumd"))
+        .selectExpr("n_pairs", "diameter", "eff_diameter_90",
+          "CAST(floor(1e6 * sumd / n_pairs + 0.5) AS BIGINT)" +
+            " AS mean_dist_ppm")
+    }),
+
     // temporal (time-respecting) reachability: earliest month each
     // nation becomes reachable from nation 0 when a trade edge
     // (src → dst, month m) can only be traversed at arrival ≤ m —
@@ -1447,6 +1475,28 @@ object Graph {
     "graph_ktruss" -> ktrussTwin,
     "graph_ppr" -> pprTwin,
     "graph_hits" -> hitsTwin,
+
+    "graph_effective_diameter" ->
+      s"""WITH $walkCtePrefix,
+        |  byd AS (SELECT d, CAST(count(*) AS BIGINT) AS n
+        |          FROM p GROUP BY 1),
+        |  c AS (
+        |    SELECT d, n,
+        |           CAST(sum(n) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+        |             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |    FROM byd),
+        |  tot AS (
+        |    SELECT CAST(sum(n) AS BIGINT) AS n_pairs,
+        |           CAST(sum(d * n) AS BIGINT) AS sumd,
+        |           CAST(max(d) AS BIGINT) AS diameter
+        |    FROM byd)
+        |SELECT t.n_pairs, t.diameter,
+        |       CAST(min(c.d) AS BIGINT) AS eff_diameter_90,
+        |       CAST(floor(1e6 * t.sumd / t.n_pairs + 0.5) AS BIGINT)
+        |         AS mean_dist_ppm
+        |FROM c CROSS JOIN tot t
+        |WHERE c.cum * 10 >= t.n_pairs * 9
+        |GROUP BY t.n_pairs, t.diameter, t.sumd""".stripMargin,
 
     // bounded recursive BFS: UNION ALL paths capped at 4 hops, min-hop
     // folded outside the recursion (path count stays ≤ 3^4 per source

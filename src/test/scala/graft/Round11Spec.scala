@@ -287,6 +287,24 @@ class Round11Spec extends AnyFunSuite {
       "q-hat must be the exact k-th smallest calibration score")
   }
 
+  test("graph_effective_diameter is consistent with the eccentricity table") {
+    val r = SparkEntry.queries("graph_effective_diameter")(spark, sf)
+      .collect().head
+    val (nPairs, diam, eff90, meanPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(eff90 <= diam && diam <= 6L && eff90 >= 1L)
+    assert(meanPpm >= 1000000L && meanPpm <= diam * 1000000L)
+    // same shared walkPairs table feeds eccentricity: its per-node
+    // reachable counts must total n_pairs, and its max must be the
+    // diameter
+    val ecc = SparkEntry.queries("graph_eccentricity")(spark, sf)
+      .collect()
+    assert(ecc.map(_.getLong(3)).sum == nPairs,
+      "sum of per-node reachable counts must equal the global pair count")
+    assert(ecc.map(_.getLong(2)).max == diam,
+      "max eccentricity must equal the diameter")
+  }
+
   test("markov attribution invariants on the sf corpus") {
     val rows = SparkEntry.queries("evt_markov_attribution")(spark, sf)
       .collect()
