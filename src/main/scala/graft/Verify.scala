@@ -37,7 +37,19 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val ms = (System.nanoTime() - t0) / 1000000L
-        val rows = spark.read.parquet(s"$outDir/$name").count()
+        // row count from the parquet FOOTERS on the driver — a
+        // spark.read...count() here would add one scan job per query
+        // (~450 extra jobs per dump)
+        val rows = Option(new java.io.File(s"$outDir/$name").listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                spark.sparkContext.hadoopConfiguration))
+            try rd.getRecordCount finally rd.close()
+          }.sum
         stats(name) = (rows, ms)
       }
       catch { case e: Throwable =>
