@@ -91,4 +91,52 @@ class PropertySpec extends AnyFunSuite {
       assert(dist == seq, s"mismatch at n=${vs.size} np=$np")
     }
   }
+
+  // ---- TwinSql.materialize (r11: every oracle twin flows through it) --
+
+  private val identGen: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(4, Gen.oneOf(Gen.alphaLowerChar, Gen.const('_')))
+  } yield (h :: t).mkString
+
+  // generated statement: WITH chain of plain / column-list / recursive
+  // CTEs whose bodies embed paren-bearing strings and comments, ending
+  // in a main SELECT with an optional WINDOW clause
+  private val withGen: Gen[(String, Int)] = for {
+    names <- Gen.listOfN(3, identGen).map(_.distinct)
+    kinds <- Gen.sequence[Seq[Int], Int](names.map(_ => Gen.choose(0, 2)))
+    window <- Gen.oneOf(true, false)
+  } yield {
+    val ctes = names.zip(kinds).map {
+      case (n, 0) =>
+        s"$n AS (SELECT 1 AS x, '((' AS s -- paren ( in comment\n FROM t)"
+      case (n, 1) => s"${n}_c(a, b) AS (SELECT 1, ')(' )"
+      case (n, 2) =>
+        s"${n}_r(k) AS (SELECT 1 UNION SELECT k + 1 FROM ${n}_r WHERE k < 3)"
+    }
+    val tail = if (window)
+      " SELECT sum(x) OVER w FROM t WINDOW w AS (ORDER BY x)"
+    else " SELECT * FROM t"
+    val expected = kinds.count(_ != 2) // recursive members are skipped
+    (s"WITH RECURSIVE ${ctes.mkString(", ")}$tail", expected)
+  }
+
+  test("TwinSql.materialize: insertion-only, count-exact, comment/string-safe on generated WITH chains") {
+    samples(withGen, 40).foreach { case (sql, expected) =>
+      val out = graft.core.TwinSql.materialize(sql)
+      assert(out.replace(" MATERIALIZED", "") == sql,
+        s"not insertion-only for: $sql")
+      val inserted = out.sliding(" MATERIALIZED".length).count(
+        _ == " MATERIALIZED")
+      assert(inserted == expected,
+        s"expected $expected MATERIALIZED, got $inserted for: $sql")
+      // never after the main SELECT begins
+      val mainSel = out.lastIndexOf("SELECT sum(x) OVER w")
+      if (mainSel >= 0)
+        assert(out.indexOf(" MATERIALIZED", mainSel) < 0,
+          s"rewrote inside the main query: $sql")
+      // idempotent
+      assert(graft.core.TwinSql.materialize(out) == out)
+    }
+  }
 }
