@@ -21,6 +21,14 @@ object MmGen {
   def write(outDir: String, reps: Int): Int = {
     val dir = new java.io.File(outDir)
     dir.mkdirs()
+    // remove surplus replicas from a previous larger-reps run — without
+    // this a stale /tmp dir silently inflates the measured bytes and
+    // corrupts the recorded mm_* scaling exponents
+    val expected = (for (r <- 0 until reps; (name, ext, _) <- baseAssets)
+      yield s"${name}_$r.$ext").toSet
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => expected(f.getName))
+      .foreach(_.delete())
     var n = 0
     for (r <- 0 until reps; (name, ext, bytes) <- baseAssets) {
       val f = new java.io.File(dir, s"${name}_$r.$ext")

@@ -134,7 +134,13 @@ object StreamBench {
           Files.createTempDirectory("graft-sb-ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // memory sinks pin the FULL result set (per-event rows for the
+      // dedup/join gates) in the driver for the JVM lifetime — 4 runs ×
+      // 3 gates of retained tables would GC-skew the very timings this
+      // harness reports; the table has served its purpose once timed
+      spark.catalog.dropTempView(name)
+      sec
     }
     def bestOf3(tag: String,
                 mk: org.apache.spark.sql.DataFrame =>

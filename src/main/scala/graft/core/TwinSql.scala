@@ -77,13 +77,31 @@ object TwinSql {
         while (j < n && sql.charAt(j).isWhitespace) j += 1
         if (j < n && sql.charAt(j) == '(') {
           // column-list form (`name(cols) AS (`): recursive members
-          // reference their own name in the body — skip those only
+          // reference their own name in the body — skip those only. The
+          // body scan uses the SAME string/comment-aware walk as the
+          // outer tokenizer: a quoted ')' would otherwise truncate the
+          // body early (missing the self-reference → invalid MATERIALIZED
+          // on a recursive member) and a quoted '(' would overrun it
+          // (false self-reference → materialization silently skipped).
           val selfRef =
             if (sql.substring(e0, s1).contains('(')) {
               var d = 0; var m = j; var end = -1
               while (m < n && end < 0) {
                 val ch = sql.charAt(m)
-                if (ch == '(') d += 1
+                if (ch == '\'') {
+                  var q = m + 1
+                  var done = false
+                  while (q < n && !done) {
+                    if (sql.charAt(q) == '\'') {
+                      if (q + 1 < n && sql.charAt(q + 1) == '\'') q += 2
+                      else done = true
+                    } else q += 1
+                  }
+                  m = q
+                } else if (ch == '-' && m + 1 < n && sql.charAt(m + 1) == '-') {
+                  val nl = sql.indexOf('\n', m)
+                  m = if (nl < 0) n - 1 else nl
+                } else if (ch == '(') d += 1
                 else if (ch == ')') { d -= 1; if (d == 0) end = m }
                 m += 1
               }

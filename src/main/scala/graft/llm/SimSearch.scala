@@ -1331,9 +1331,15 @@ object SimSearch {
                generate_subscripts(embedding, 1) AS i
         FROM embeddings
       ), dots AS (
+        -- index-ordered sequential folds (list ORDER BY i +
+        -- list_aggregate) so every dot/norm is bit-identical to the
+        -- engine kernel's i = 0..n-1 loop: the greedy selection compares
+        -- QUANTIZED scores, where an unordered GROUP BY sum could flip a
+        -- floor boundary and cascade through all later picks
         SELECT q.vec_id AS qid, c.vec_id AS cid,
-               sum(q.x * c.x) AS dot, sum(q.x * q.x) AS qq,
-               sum(c.x * c.x) AS cc
+               list_aggregate(list(q.x * c.x ORDER BY q.i), 'sum') AS dot,
+               list_aggregate(list(q.x * q.x ORDER BY q.i), 'sum') AS qq,
+               list_aggregate(list(c.x * c.x ORDER BY q.i), 'sum') AS cc
         FROM pos q JOIN pos c ON q.i = c.i AND c.vec_id <> q.vec_id
         WHERE q.vec_id < 20
         GROUP BY 1, 2
@@ -1351,11 +1357,14 @@ object SimSearch {
         FROM pool p1 JOIN pool p2
           ON p1.qid = p2.qid AND p1.cid <> p2.cid
       ), cdots AS MATERIALIZED (
+        -- same index-ordered fold discipline as dots above
         SELECT u, v,
                CAST(floor(1e6 * dot / sqrt(uu * vv) + 0.5) AS BIGINT) AS s
         FROM (
-          SELECT up.u, up.v, sum(a.x * b.x) AS dot,
-                 sum(a.x * a.x) AS uu, sum(b.x * b.x) AS vv
+          SELECT up.u, up.v,
+                 list_aggregate(list(a.x * b.x ORDER BY a.i), 'sum') AS dot,
+                 list_aggregate(list(a.x * a.x ORDER BY a.i), 'sum') AS uu,
+                 list_aggregate(list(b.x * b.x ORDER BY a.i), 'sum') AS vv
           FROM (SELECT DISTINCT least(c1, c2) AS u, greatest(c1, c2) AS v
                 FROM prs) up
           JOIN pos a ON a.vec_id = up.u

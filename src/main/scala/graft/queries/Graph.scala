@@ -1360,8 +1360,9 @@ object Graph {
   }
 
   /** SimRank twin: 3 unrolled rounds, same ppm-integer recurrence
-    * (4·Σ) // (5·da·db) — DuckDB `//` is floor division, identical to
-    * Spark's `div` on these all-positive integers. */
+    * (4·Σ) // (5·da·db) — DuckDB `//` truncates toward zero (verified:
+    * -7 // 2 = -3), exactly like Spark's `div`; here all operands are
+    * positive anyway. */
   private val simrankTwin: String = {
     val rounds = (1 to 3).map { k =>
       s""",

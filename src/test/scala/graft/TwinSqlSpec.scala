@@ -91,6 +91,26 @@ class TwinSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("recursive-member body scan survives quoted parens and comments") {
+    // a quoted ')' before the self-reference must not truncate the body
+    // (which would wrongly materialize a recursive member → DuckDB error)
+    val early = "WITH RECURSIVE r(k, s) AS (SELECT 1, ')' " +
+      "UNION ALL SELECT k + 1, s FROM r WHERE k < 3) SELECT * FROM r"
+    assert(TwinSql.materialize(early) == early,
+      "quoted ')' truncated the recursive body scan")
+    // a quoted '(' must not make the body overrun into later SQL where a
+    // downstream reference falsely marks a plain CTE recursive
+    val overrun = "WITH t(a) AS (SELECT '(' ), u AS (SELECT a FROM t) " +
+      "SELECT * FROM u JOIN t USING (a)"
+    val out = TwinSql.materialize(overrun)
+    assert(out.contains("t(a) AS MATERIALIZED ("),
+      "quoted '(' overran the body scan and skipped materialization")
+    // an apostrophe inside a -- comment must not derail the scan either
+    val commented = "WITH RECURSIVE r(k) AS (SELECT 1 -- it's a seed )\n" +
+      "UNION ALL SELECT k + 1 FROM r WHERE k < 3) SELECT * FROM r"
+    assert(TwinSql.materialize(commented) == commented)
+  }
+
   test("the two r10 killer twins are actually rewritten") {
     val k = TwinSql.materialize(SparkEntry.rawOracleSql("graph_ktruss"))
     assert(k.contains("AS MATERIALIZED ("))

@@ -55,6 +55,7 @@ def main():
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
+            times[name] = time.time() - t0
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
             continue
