@@ -211,7 +211,11 @@ object FeatureEng {
     // The sample stddev comes from the EXACT closed form
     // sqrt((n·Σx² − (Σx)²) / (n·(n−1))) on cent integers, so both
     // engines feed ulp-identical doubles into the one sqrt; min-max is
-    // pure integer until the final division.
+    // pure integer until the final division. The trailing + 0.0 on the
+    // z-score normalizes IEEE negative zero (the pcaL3 lesson): a tiny
+    // negative deviation rounds to "-0.0" in DuckDB's FP round but "0.0"
+    // in Spark's BigDecimal round — first observed at sf0.1, where a
+    // customer balance lands exactly on its nation mean.
     "ml_scale" -> ((s, d) => {
       val c = t(s, d, "customer")
         .select(col("c_custkey"), col("c_nationkey").as("nationkey"),
@@ -224,9 +228,9 @@ object FeatureEng {
       c.join(broadcast(st), Seq("nationkey"))
         .crossJoin(broadcast(mm))
         .select(col("c_custkey"), col("nationkey"),
-          round((col("bal_u") * col("n") - col("s1")).cast("double")
+          (round((col("bal_u") * col("n") - col("s1")).cast("double")
             / (col("n") * sqrt((col("n") * col("s2") - col("s1") * col("s1"))
-                .cast("double") / (col("n") * (col("n") - 1)))), 4)
+                .cast("double") / (col("n") * (col("n") - 1)))), 4) + 0.0)
             .as("zscore"),
           round((col("bal_u") - col("mn")).cast("double")
             / (col("mx") - col("mn")), 6).as("minmax"))
@@ -364,7 +368,7 @@ object FeatureEng {
       SELECT c_custkey, c.nationkey,
              ROUND(CAST(bal_u * n - s1 AS DOUBLE)
                / (n * SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)
-                           / (n * (n - 1)))), 4) AS zscore,
+                           / (n * (n - 1)))), 4) + 0.0 AS zscore,
              ROUND(CAST(bal_u - mn AS DOUBLE) / (mx - mn), 6) AS minmax
       FROM c JOIN st ON st.nationkey = c.nationkey, mm
       ORDER BY c_custkey""")

@@ -508,21 +508,28 @@ object Hypothesis {
         .select(col("g"), col("n_g"), col("s_g"),
           floor(col("s_g").cast("double") * col("s_g").cast("double")
             / col("n_g").cast("double")).cast("decimal(38,0)").as("sq_over_n"))
+      // the sums-of-squares live near 1e19–1e24 at sf0.1: casting syy and
+      // sqn to double SEPARATELY and subtracting let each cast drift an
+      // ulp per engine and the cancellation amplified it past round-2
+      // (the sf0.1 parity probe caught msw off by 0.01) — so both SS
+      // differences are formed in EXACT decimal and cast to double ONCE
+      // (ssb is carried ×n so sy²/n never leaves the integer grid)
       val tot = rows.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
-        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double")
-          .as("syy"))
+        count(lit(1)).as("n_l"),
+        sum(col("y").cast("decimal(38,0)")).as("sy_d"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy_d"))
       perG.agg(count(lit(1)).cast("double").as("k"),
-          sum(col("sq_over_n")).cast("double").as("sqn"),
+          sum(col("sq_over_n")).as("sqn_d"),
           sum((col("n_g") * col("n_g")).cast("decimal(38,0)"))
             .cast("double").as("sn2"))
         .crossJoin(broadcast(tot))
-        .selectExpr("k", "n", "sqn", "sn2", "syy",
-          "sqn - sy*sy/n AS ssb", "syy - sqn AS ssw",
-          "(n - sn2/n) / (k - 1.0) AS n0")
-        .selectExpr("k", "n", "n0",
-          "ssb / (k - 1.0) AS msb", "ssw / (n - k) AS msw")
+        .selectExpr("k", "CAST(n_l AS DOUBLE) AS n", "sn2",
+          "CAST(sqn_d * CAST(n_l AS DECIMAL(38,0)) - sy_d * sy_d" +
+            " AS DOUBLE) AS ssbn",
+          "CAST(syy_d - sqn_d AS DOUBLE) AS ssw")
+        .selectExpr("k", "n",
+          "(n - sn2/n) / (k - 1.0) AS n0",
+          "ssbn / (n * (k - 1.0)) AS msb", "ssw / (n - k) AS msw")
         .selectExpr(
           "CAST(k AS BIGINT) AS k_groups", "CAST(n AS BIGINT) AS n",
           "round(msb, 2) AS msb", "round(msw, 2) AS msw",
@@ -615,20 +622,26 @@ object Hypothesis {
                  / CAST(n_g AS DOUBLE)) AS HUGEINT) AS sq_over_n
         FROM perg
       ), tot AS (
-        SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(y) AS DOUBLE) AS sy,
-               CAST(sum(y*y) AS DOUBLE) AS syy
+        SELECT CAST(count(*) AS HUGEINT) AS n_i,
+               CAST(sum(y) AS HUGEINT) AS sy_i,
+               CAST(sum(y*y) AS HUGEINT) AS syy_i
         FROM rows_
       ), agg AS (
         SELECT CAST(count(*) AS DOUBLE) AS k,
-               CAST(sum(sq_over_n) AS DOUBLE) AS sqn,
+               CAST(sum(sq_over_n) AS HUGEINT) AS sqn_i,
                CAST(sum(n_g * n_g) AS DOUBLE) AS sn2
         FROM perg2
       ), l1 AS (
-        SELECT k, n, n0, ssb / (k - 1.0) AS msb, ssw / (n - k) AS msw
-        FROM (SELECT a.k, t.n, a.sqn - t.sy*t.sy/t.n AS ssb,
-                     t.syy - a.sqn AS ssw,
-                     (t.n - a.sn2/t.n) / (a.k - 1.0) AS n0
+        -- SS differences formed in exact HUGEINT, cast to double ONCE
+        -- (mirrors the engine's single-decimal-cast discipline)
+        SELECT k, n, n0,
+               ssbn / (n * (k - 1.0)) AS msb, ssw / (n - k) AS msw
+        FROM (SELECT a.k, CAST(t.n_i AS DOUBLE) AS n,
+                     CAST(a.sqn_i * t.n_i - t.sy_i * t.sy_i AS DOUBLE)
+                       AS ssbn,
+                     CAST(t.syy_i - a.sqn_i AS DOUBLE) AS ssw,
+                     (CAST(t.n_i AS DOUBLE) - a.sn2/CAST(t.n_i AS DOUBLE))
+                       / (a.k - 1.0) AS n0
               FROM agg a, tot t)
       )
       SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
