@@ -51,7 +51,9 @@ object MmGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/root/repo/fixtures/mm10")
+    // default matches ScaleBench's probe dir — NOT a repo path, so a
+    // bare run can't litter fixtures/ with generated binaries
+    val out = args.headOption.getOrElse("/tmp/graft_mm10")
     val reps = if (args.length > 1) args(1).toInt else 10
     val n = write(out, reps)
     println(s"[mmgen] $n assets in $out")
