@@ -1,4 +1,5 @@
 package graft
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -28,16 +29,16 @@ object CcBench {
     // real graph: the exact-Jaccard near-dup pairs + a synthetic LONG
     // chain welded on, so diameter stress is part of the measurement
     val pairs = TextOps.defs("llm_ngram_jaccard")(spark, sf)
-      .select(col("doc1"), col("doc2")).localCheckpoint()
+      .select(col("doc1"), col("doc2")).ckpt()
     val docs = graft.core.Tables.t(spark, sf, "documents")
-      .select(col("doc_id")).localCheckpoint()
+      .select(col("doc_id")).ckpt()
     println(s"[ccbench] pairs=${pairs.count()} docs=${docs.count()}")
 
     val chainN = 400L
     val chainPairs = (0L until chainN).map(i => (1000000L + i, 1000001L + i))
-      .toDF("doc1", "doc2").union(pairs).localCheckpoint()
+      .toDF("doc1", "doc2").union(pairs).ckpt()
     val chainDocs = (0L to chainN).map(1000000L + _).toDF("doc_id")
-      .union(docs).localCheckpoint()
+      .union(docs).ckpt()
 
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     def time(label: String, f: () => Long): Unit = {

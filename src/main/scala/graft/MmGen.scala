@@ -23,11 +23,17 @@ object MmGen {
     dir.mkdirs()
     // remove surplus replicas from a previous larger-reps run — without
     // this a stale /tmp dir silently inflates the measured bytes and
-    // corrupts the recorded mm_* scaling exponents
+    // corrupts the recorded mm_* scaling exponents. ONLY files matching
+    // the generated replica name pattern are ever deleted: pointing this
+    // at a non-dedicated directory (e.g. the committed fixtures, whose
+    // assets carry no _r suffix) must not destroy its contents.
     val expected = (for (r <- 0 until reps; (name, ext, _) <- baseAssets)
       yield s"${name}_$r.$ext").toSet
+    val replicaName =
+      ("^(" + baseAssets.map(_._1).distinct.mkString("|") + ")_\\d+\\.(" +
+        baseAssets.map(_._2).distinct.mkString("|") + ")$").r
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filterNot(f => expected(f.getName))
+      .filter(f => replicaName.matches(f.getName) && !expected(f.getName))
       .foreach(_.delete())
     var n = 0
     for (r <- 0 until reps; (name, ext, bytes) <- baseAssets) {

@@ -1,4 +1,5 @@
 package graft
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.OutputMode
@@ -57,7 +58,7 @@ object Stream {
         import org.apache.spark.sql.functions.{col, lit, pmod}
         val docs = graft.core.Tables.t(spark, args(0), "documents")
         val index = graft.streaming.DedupGate.corpusIndex(
-          docs.filter(pmod(col("doc_id"), lit(10)) < 9)).localCheckpoint()
+          docs.filter(pmod(col("doc_id"), lit(10)) < 9)).ckpt()
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-gate-cli").toString + "/in"
         docs.filter(pmod(col("doc_id"), lit(10)) === 9)

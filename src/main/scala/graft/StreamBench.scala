@@ -1,4 +1,5 @@
 package graft
+import graft.core.Ckpt._
 
 import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
@@ -42,7 +43,7 @@ object StreamBench {
     // ---- near-dup gate ----
     val docs = graft.core.Tables.t(spark, sf, "documents")
     val index = DedupGate.corpusIndex(
-      docs.filter(pmod(col("doc_id"), lit(10)) < 9)).localCheckpoint()
+      docs.filter(pmod(col("doc_id"), lit(10)) < 9)).ckpt()
     val dir = Files.createTempDirectory("graft-sb").toString + "/incoming"
     val inc = docs.filter(pmod(col("doc_id"), lit(10)) === 9)
       .select("doc_id", "text")
@@ -160,6 +161,23 @@ object StreamBench {
     bestOf3("ssjoin", st => EventStreams.attributeClicks(
       st.filter(col("event_type") === "click"),
       st.filter(col("event_type") === "purchase")))
+    // r12 probes (VERDICT r11 #6): is the ssjoin cost the symmetric state
+    // store's retention volume (→ the 10-minute horizon run should be
+    // cheaper) or the RocksDB provider's per-batch overhead (→ the
+    // HDFS-backed run should move instead)?
+    bestOf3("ssjoin_10m", st => EventStreams.attributeClicks(
+      st.filter(col("event_type") === "click"),
+      st.filter(col("event_type") === "purchase"),
+      horizon = "10 minutes"))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    bestOf3("ssjoin_hdfsstate", st => EventStreams.attributeClicks(
+      st.filter(col("event_type") === "click"),
+      st.filter(col("event_type") === "purchase")))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
     spark.stop()
   }
 }

@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // dev convenience: trailing args restrict the dump to named queries
-    // (the driver always invokes with exactly two args = full dump)
-    val only = args.drop(2).toSet
+    // dev convenience: trailing args restrict the dump to named queries,
+    // or to name-prefix families via a trailing '*' (e.g. `llm_*`) — the
+    // per-family resumable form the sf1 parity sweeps run in. The driver
+    // always invokes with exactly two args = full dump.
+    val sel = args.drop(2)
+    val exact = sel.filterNot(_.endsWith("*")).toSet
+    val prefixes = sel.filter(_.endsWith("*")).map(_.dropRight(1))
+    def selected(name: String): Boolean =
+      sel.isEmpty || exact(name) || prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +36,7 @@ object Verify {
     val stats = scala.collection.mutable.TreeMap.empty[String, (Long, Long)]
     val t0All = System.nanoTime()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
@@ -81,7 +87,7 @@ object Verify {
     val manifest =
       s"""{"n_queries": ${stats.size}, "n_failed": ${
         SparkEntry.queries.count { case (n, _) =>
-          (only.isEmpty || only(n)) && !stats.contains(n) }
+          selected(n) && !stats.contains(n) }
       }, "wall_sec": ${f"$wallSec%.1f"}, "queries": $perQ}"""
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     println(s"[verify] dumped ${stats.size} queries in ${f"$wallSec%.1f"} s")

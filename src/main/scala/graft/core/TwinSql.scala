@@ -24,9 +24,13 @@ package graft.core
   * `WITH` and the main `SELECT` is a CTE definition and gets
   * `MATERIALIZED` inserted. The scan stops at the first depth-0 `SELECT`
   * so `WINDOW w AS (...)` clauses in the main query are never touched.
-  * A CTE written with a column list (`reach(node, r) AS (`) whose body
-  * references its own name is a recursive member and is skipped —
-  * DuckDB cannot materialize the recursive anchor.
+  * A CTE whose body references its own name is a recursive member and is
+  * skipped — DuckDB cannot materialize the recursive anchor. The body
+  * scan always runs for the column-list form (`reach(node, r) AS (`) and,
+  * under a statement beginning `WITH RECURSIVE`, for bare-name members
+  * too. The scan models single-quoted strings, double-quoted identifiers
+  * (`"left"` in llm_bpe_train), `--` line comments and non-nesting block
+  * comments, so none of those can corrupt depth tracking.
   */
 object TwinSql {
 
@@ -52,6 +56,23 @@ object TwinSql {
       } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         val j = sql.indexOf('\n', i)
         i = if (j < 0) n else j + 1
+      } else if (c == '"') {
+        // double-quoted identifier ("left", "right"): skip to the closing
+        // quote ("" escapes) so a paren inside it can't corrupt depth
+        var j = i + 1
+        var done = false
+        while (j < n && !done) {
+          if (sql.charAt(j) == '"') {
+            if (j + 1 < n && sql.charAt(j + 1) == '"') j += 2
+            else done = true
+          } else j += 1
+        }
+        i = j + 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        // block comment: skip to the closing */ so its content can't
+        // corrupt depth-0 tracking (non-nesting, per the SQL standard)
+        val j = sql.indexOf("*/", i + 2)
+        i = if (j < 0) n else j + 2
       } else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
       else if (depth == 0 && (c.isLetter || c == '_')) {
@@ -64,6 +85,12 @@ object TwinSql {
 
     val skipWords =
       Set("WITH", "RECURSIVE", "AS", "SELECT", "FROM", "MATERIALIZED")
+    // a recursive CTE may be written WITHOUT a column list — under
+    // WITH RECURSIVE the self-reference body scan must run for every
+    // member (DuckDB rejects MATERIALIZED on a recursive anchor)
+    val withRecursive = toks.length >= 2 &&
+      toks(0)._3.equalsIgnoreCase("WITH") &&
+      toks(1)._3.equalsIgnoreCase("RECURSIVE")
     val inserts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var k = 0
     var mainSelect = false
@@ -84,16 +111,16 @@ object TwinSql {
           // on a recursive member) and a quoted '(' would overrun it
           // (false self-reference → materialization silently skipped).
           val selfRef =
-            if (sql.substring(e0, s1).contains('(')) {
+            if (sql.substring(e0, s1).contains('(') || withRecursive) {
               var d = 0; var m = j; var end = -1
               while (m < n && end < 0) {
                 val ch = sql.charAt(m)
-                if (ch == '\'') {
+                if (ch == '\'' || ch == '"') {
                   var q = m + 1
                   var done = false
                   while (q < n && !done) {
-                    if (sql.charAt(q) == '\'') {
-                      if (q + 1 < n && sql.charAt(q + 1) == '\'') q += 2
+                    if (sql.charAt(q) == ch) {
+                      if (q + 1 < n && sql.charAt(q + 1) == ch) q += 2
                       else done = true
                     } else q += 1
                   }
@@ -101,6 +128,9 @@ object TwinSql {
                 } else if (ch == '-' && m + 1 < n && sql.charAt(m + 1) == '-') {
                   val nl = sql.indexOf('\n', m)
                   m = if (nl < 0) n - 1 else nl
+                } else if (ch == '/' && m + 1 < n && sql.charAt(m + 1) == '*') {
+                  val ce = sql.indexOf("*/", m + 2)
+                  m = if (ce < 0) n - 1 else ce + 1
                 } else if (ch == '(') d += 1
                 else if (ch == ')') { d -= 1; if (d == 0) end = m }
                 m += 1

@@ -1,4 +1,5 @@
 package graft.llm
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -66,7 +67,7 @@ object Curation {
         .withColumn("p", explode(sequence(lit(1), length(col("text")) - 23)))
         .selectExpr("doc_id", "substring(text, p, 24) AS w")
         .distinct()
-        .localCheckpoint(eager = false) // one scan+generate for all 3 legs
+        .ckpt(eager = false) // one scan+generate for all 3 legs
       val rare = wins.groupBy(col("w"))
         .agg(count(lit(1)).as("c"))
         .filter(col("c").between(2, 10))

@@ -1,4 +1,5 @@
 package graft.llm
+import graft.core.Ckpt._
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.ml.linalg.SparseVector
@@ -70,7 +71,7 @@ object Dedup {
   def minhashPairsNative(s: SparkSession, d: String,
                          threshold: Double = 0.2): DataFrame =
     minhashPairsCache.getOrElseUpdate(s, s"$d#$threshold",
-      minhashPairsBuild(s, d, threshold).localCheckpoint(eager = false))
+      minhashPairsBuild(s, d, threshold).ckpt(eager = false))
 
   /** Modulus of the portable polynomial hash family (shared with
     * llm_minhash_poly / DedupGate): every hash and permuted value lives
@@ -112,7 +113,7 @@ object Dedup {
     val sh = TextOps.shingles(s, d)
       .withColumn("h", polyHash(col("shingle")))
       .select("doc_id", "h")
-      .localCheckpoint(eager = false)
+      .ckpt(eager = false)
     // 64-permutation signature as ONE hash aggregate (64 min columns +
     // n_sh): map-side partials carry a constant-width row per doc, same
     // shuffle shape as the previous minhash64 UDAF but value-portable
@@ -121,7 +122,7 @@ object Dedup {
     val aggCols = minCols :+ count(lit(1)).as("n_sh")
     val sigs = sh.groupBy(col("doc_id"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .localCheckpoint(eager = false)
+      .ckpt(eager = false)
     // r=2/b=32 banding (same P(catch) algebra as [[bandedCandidates]]):
     // the two mins of a band pack injectively into one BIGINT key, so
     // the bucket join is a plain equi-join and — unlike an xxhash64 of
@@ -227,9 +228,9 @@ object Dedup {
                           maxIter: Int = 64): DataFrame = {
     val edges = pairs.select(col("doc1"), col("doc2"))
       .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-      .localCheckpoint(eager = false)
+      .ckpt(eager = false)
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(eager = false)
+      .ckpt(eager = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -242,7 +243,7 @@ object Dedup {
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("new_label"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       converged = stepped.filter(col("new_label") < col("label")).isEmpty
       labels = stepped.select(col("doc_id"), col("new_label").as("label"))
       iter += 1
@@ -317,7 +318,7 @@ object Dedup {
       .select(greatest(col("doc1"), col("doc2")).as("u"),
         least(col("doc1"), col("doc2")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(eager = false)
+      .ckpt(eager = false)
     var prev = sig(e)
     var converged = false
     var iter = 0
@@ -327,8 +328,8 @@ object Dedup {
       // principle miss an A→B→A oscillation. The large-star check is
       // deferred until the composition already looks stationary, so the
       // common (non-final) round pays ONE 1-row probe, not two.
-      val ls = largeStarStep(e).localCheckpoint(eager = false)
-      e = smallStarStep(ls).localCheckpoint(eager = false)
+      val ls = largeStarStep(e).ckpt(eager = false)
+      e = smallStarStep(ls).ckpt(eager = false)
       val cur = sig(e)
       converged = cur == prev && sig(ls) == prev
       prev = cur
@@ -382,7 +383,7 @@ object Dedup {
     // and/or more tables (e.g. cos 0.45: p ≈ 0.65, 16×4 → recall ≈ 0.96).
     val sigd = SimSearch.signatures(emb, nTables = nTables,
         bitsPerTable = bitsPerTable)
-      .localCheckpoint(eager = false) // sigs computed once, reused by both join sides
+      .ckpt(eager = false) // sigs computed once, reused by both join sides
     val buckets = sigd.select(col("vec_id"), explode(col("sigs")).as("sig"))
     val cands = buckets.select(col("vec_id").as("id1"), col("sig"))
       .join(buckets.select(col("vec_id").as("id2"), col("sig")), Seq("sig"))
@@ -431,7 +432,7 @@ object Dedup {
         .select(col("doc1"), col("doc2"))
       connectedComponentsFast(
           t(s, d, "documents").select(col("doc_id")), pairs)
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
     })
 
   val defs: Map[String, Q] = Map(
@@ -508,7 +509,7 @@ object Dedup {
         val pairs = minhashPairsNative(s, d, threshold = 0.3)
           .select(col("doc1"), col("doc2"))
         connectedComponentsFast(docs.select(col("doc_id")), pairs)
-          .localCheckpoint(eager = false)
+          .ckpt(eager = false)
       })
       docs.join(labels.filter(col("doc_id") === col("label"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -547,7 +548,7 @@ object Dedup {
       // this frame — without the cut each leg re-parses every document's
       // token array AND replays the CC label join
       val labeled = labels.join(q, Seq("doc_id"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       // survivor per cluster = max_by over (dr, −doc_id): highest quality,
       // lowest doc_id tiebreak — one hash aggregate instead of the
       // row_number window (a partition-wide sort) + rn=1 filter + join,

@@ -1,4 +1,5 @@
 package graft.llm
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -71,7 +72,7 @@ object Semantic {
     assignCache.getOrElseUpdate(emb.sparkSession, d,
       assignTo(emb, emb.filter(col("vec_id") < K)
         .select(col("vec_id").as("cell"), col("embedding").as("cvec")))
-        .localCheckpoint(eager = false))
+        .ckpt(eager = false))
 
   /** Same assignment against an arbitrary (cell, cvec) centroid table
     * (the Lloyd update feeds recomputed means back through here). */
@@ -124,7 +125,7 @@ object Semantic {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           c => c.getField("mx").cast("float")).as("cvec"))
-      cents = means.localCheckpoint()
+      cents = means.ckpt()
       assigned = assignTo(emb, cents)
     }
     (assigned, cents)
@@ -207,7 +208,7 @@ object Semantic {
         .select(col("doc_id"), round(col("lm_score"), 6).as("lm6"))
       val j = t(s, d, "documents").select(col("doc_id"), col("lang"))
         .join(scored, Seq("doc_id"))
-        .localCheckpoint(eager = false) // cells leg + rank leg
+        .ckpt(eager = false) // cells leg + rank leg
       val cells = j.groupBy(col("lang"), col("lm6"))
         .agg(count(lit(1)).as("cn"))
       val wCum = Window.partitionBy(col("lang"))
@@ -408,7 +409,7 @@ object Semantic {
           Seq("j"))
         .select(col("i"), col("j"),
           round(col("sxy") / col("n") - col("mi") * col("mj"), 8).as("c"))
-        .localCheckpoint(eager = false) // 3 iterations + trace read this
+        .ckpt(eager = false) // 3 iterations + trace read this
       var v = mu.select(col("i"), lit(0.125).as("v")) // uniform unit start
       for (_ <- 1 to 3) {
         val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))

@@ -1,4 +1,5 @@
 package graft.llm
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -95,7 +96,7 @@ object SimSearch {
       emb.join(assigned.select(col("vec_id"), col("cell").cast("int").as("cell")),
           Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cell"))
-        .localCheckpoint(eager = false),
+        .ckpt(eager = false),
       cents.select(col("cell").cast("int").as("cell"),
         col("cvec").as("centroid")), k)
   }
@@ -189,7 +190,7 @@ object SimSearch {
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
         " p -> p.code)").as("codes"))
-    PqIndex(codes.localCheckpoint(eager = false), codebooks, m, dsub, ksub,
+    PqIndex(codes.ckpt(eager = false), codebooks, m, dsub, ksub,
       emb.count())
   }
 
@@ -300,7 +301,7 @@ object SimSearch {
         s"transform(sequence(0, ${m - 1})," +
           s" j -> slice(embedding, j * $dsub + 1, $dsub))"))
       .as(Seq("sub", "subvec")))
-      .localCheckpoint(eager = false) // every assign + M-step reads this
+      .ckpt(eager = false) // every assign + M-step reads this
     var books = sv.filter(col("vec_id") < ksub)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("subvec").as("centroid"))
@@ -327,13 +328,13 @@ object SimSearch {
         .groupBy(col("sub"), col("code"))
         .agg(transform(array_sort(collect_list(struct(col("si"), col("mx")))),
           c => c.getField("mx").cast("float")).as("centroid"))
-      books = means.localCheckpoint()
+      books = means.ckpt()
       assigned = assign(books)
     }
     val codes = assigned.groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(sub, code)))," +
         " p -> p.code)").as("codes"))
-    PqIndex(codes.localCheckpoint(eager = false), books, m, dsub, ksub,
+    PqIndex(codes.ckpt(eager = false), books, m, dsub, ksub,
       emb.count())
   }
 
@@ -499,6 +500,52 @@ object SimSearch {
       .select(col("n_queries"), (col("recall") >= floor).as("recall_ok"))
   }
 
+  /** Greedy MMR selection (Carbonell & Goldstein, SIGIR'98) over a
+    * per-query candidate pool: pick 5 of the pool maximizing the
+    * all-integer 7·r − 3·max-sim-to-selected (λ = 0.7 over floor-micro
+    * quantized scores). Pool columns: (qid, cid, cvec, r). Every stage
+    * after the pool is bounded by pool² rows per query; every argmax uses
+    * the composite key score·10⁸ − cid — no FP comparison anywhere.
+    * Shared by llm_mmr_rerank (brute-cosine pool) and llm_mmr_rerank_ann
+    * (IVF-probed pool — the corpus-scale pool stage, executed). */
+  private def mmrGreedySelect(pool0: DataFrame): DataFrame = {
+    val pool = pool0.ckpt(eager = false)
+    val pw = pool.select(col("qid"), col("cid").as("c1"),
+        col("cvec").as("v1"))
+      .join(pool.select(col("qid"), col("cid").as("c2"),
+        col("cvec").as("v2")), Seq("qid"))
+      .filter(col("c1") =!= col("c2"))
+      .withColumn("s", expr(
+        "CAST(floor(1e6 * cosine_similarity(v1, v2) + 0.5) AS BIGINT)"))
+      .select(col("qid"), col("c1"), col("c2"), col("s"))
+      .ckpt(eager = false)
+    val p = pool.select(col("qid"), col("cid"), col("r"))
+    var sel = p.groupBy(col("qid"))
+      .agg(expr("max_by(struct(cid, r), r * 100000000 - cid)").as("m"))
+      .select(col("qid"), col("m.cid").as("cid"), col("m.r").as("r"),
+        lit(1).as("pick"))
+    for (k <- 2 to 5) {
+      val cand = p.join(sel.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val pen = pw
+        .join(sel.select(col("qid"), col("cid").as("c2")),
+          Seq("qid", "c2"))
+        .groupBy(col("qid"), col("c1").as("cid"))
+        .agg(max(col("s")).as("pen"))
+      val pick = cand.join(pen, Seq("qid", "cid"))
+        .withColumn("score", lit(7L) * col("r") - lit(3L) * col("pen"))
+        .groupBy(col("qid"))
+        .agg(expr("max_by(struct(cid, r), score * 100000000 - cid)")
+          .as("m"))
+        .select(col("qid"), col("m.cid").as("cid"), col("m.r").as("r"),
+          lit(k).as("pick"))
+      sel = sel.union(pick).ckpt(eager = false)
+    }
+    sel.select(col("qid"), col("pick"), col("cid"),
+        col("r").as("rel_micro"))
+      .orderBy(col("qid"), col("pick"))
+  }
+
   val defs: Map[String, Q] = Map(
     // exact brute-force cosine top-5 per query vector
     "llm_cosine_topk" -> ((s, d) => {
@@ -542,41 +589,41 @@ object SimSearch {
           "CAST(floor(1e6 * cosine_similarity(qvec, cvec) + 0.5) AS BIGINT)"))
         .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 8)
         .select(col("qid"), col("cid"), col("cvec"), col("r"))
-        .localCheckpoint(eager = false)
-      val pw = pool.select(col("qid"), col("cid").as("c1"),
-          col("cvec").as("v1"))
-        .join(pool.select(col("qid"), col("cid").as("c2"),
-          col("cvec").as("v2")), Seq("qid"))
-        .filter(col("c1") =!= col("c2"))
-        .withColumn("s", expr(
-          "CAST(floor(1e6 * cosine_similarity(v1, v2) + 0.5) AS BIGINT)"))
-        .select(col("qid"), col("c1"), col("c2"), col("s"))
-        .localCheckpoint(eager = false)
-      val p = pool.select(col("qid"), col("cid"), col("r"))
-      var sel = p.groupBy(col("qid"))
-        .agg(expr("max_by(struct(cid, r), r * 100000000 - cid)").as("m"))
-        .select(col("qid"), col("m.cid").as("cid"), col("m.r").as("r"),
-          lit(1).as("pick"))
-      for (k <- 2 to 5) {
-        val cand = p.join(sel.select(col("qid"), col("cid")),
-          Seq("qid", "cid"), "left_anti")
-        val pen = pw
-          .join(sel.select(col("qid"), col("cid").as("c2")),
-            Seq("qid", "c2"))
-          .groupBy(col("qid"), col("c1").as("cid"))
-          .agg(max(col("s")).as("pen"))
-        val pick = cand.join(pen, Seq("qid", "cid"))
-          .withColumn("score", lit(7L) * col("r") - lit(3L) * col("pen"))
-          .groupBy(col("qid"))
-          .agg(expr("max_by(struct(cid, r), score * 100000000 - cid)")
-            .as("m"))
-          .select(col("qid"), col("m.cid").as("cid"), col("m.r").as("r"),
-            lit(k).as("pick"))
-        sel = sel.union(pick).localCheckpoint(eager = false)
-      }
-      sel.select(col("qid"), col("pick"), col("cid"),
-          col("r").as("rel_micro"))
-        .orderBy(col("qid"), col("pick"))
+      mmrGreedySelect(pool)
+    }),
+
+    // MMR with the pool stage routed through the IVF index — the
+    // corpus-scale variant of llm_mmr_rerank, executing what its brute
+    // twin only documents: candidates come from the query's 8 probed
+    // cells (never the whole corpus), the floor-micro relevance ranks
+    // the probed set, and the same integer greedy runs over the top-8
+    // pool. llm_mmr_rerank_ann_recall scores the selections against the
+    // exact-pool ground truth (oracle-checked floor).
+    "llm_mmr_rerank_ann" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val ivf = ivfIndexFor(s, d, k = 16)
+      val queries = ivf.assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // probe ranking on round(csim, 6) — ivfSearch's window verbatim
+      val qCells = queries.crossJoin(broadcast(ivf.centroids))
+        .withColumn("csim", expr("cosine_similarity(qvec, centroid)"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(round(col("csim"), 6).desc, col("cell"))))
+        .filter(col("crn") <= 8)
+        .select(col("qid"), col("qvec"), col("cell"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("r").desc, col("cid"))
+      val pool = ivf.assigned
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          col("cell"))
+        .join(broadcast(qCells), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("r", expr(
+          "CAST(floor(1e6 * cosine_similarity(qvec, cvec) + 0.5) AS BIGINT)"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= 8)
+        .select(col("qid"), col("cid"), col("cvec"), col("r"))
+      mmrGreedySelect(pool)
     }),
 
     // hard-negative mining for contrastive training: for each query
@@ -689,7 +736,7 @@ object SimSearch {
       import s.implicits._
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint(eager = false) // read once per round
+        .ckpt(eager = false) // read once per round
       val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
       var selected = Seq((1L, seed, -1L))
       for (r <- 2 to 5) {
@@ -805,6 +852,14 @@ object SimSearch {
 
     "llm_ann_ivf_recall" -> ((s, d) => annRecall(s,
       defs("llm_ann_ivf")(s, d), defs("llm_cosine_topk")(s, d), 0.7)),
+
+    // how much of the exact-pool MMR selection the IVF-pooled variant
+    // reproduces — the executed corpus-scale contract for the "pool = ANN
+    // index at scale" claim. The floor reflects the 8-of-16-cell probe
+    // ceiling compounded through the greedy (a pool miss can cascade into
+    // later picks), measured with margin on the near-random fixture.
+    "llm_mmr_rerank_ann_recall" -> ((s, d) => annRecall(s,
+      defs("llm_mmr_rerank_ann")(s, d), defs("llm_mmr_rerank")(s, d), 0.5)),
 
     "llm_ann_pq_recall" -> ((s, d) => annRecall(s,
       defs("llm_ann_pq")(s, d), defs("llm_cosine_topk")(s, d), 0.6)),
@@ -1051,6 +1106,65 @@ object SimSearch {
         FROM $an a JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
         GROUP BY a.sub, a.code, s.si
       )"""
+
+  /** Shared greedy tail of the MMR twins, downstream of a
+    * `pool(qid, cid, r)` CTE: pairwise pool similarities (index-ordered
+    * folds over `vecCte(vec_id, i, x)`), then the 4 unrolled greedy steps
+    * with the composite argmax key score·10⁸ − cid. */
+  private def mmrGreedySqlTail(vecCte: String): String = {
+    val steps = (2 to 5).map { k =>
+      s""", pen$k AS (
+        SELECT w.qid, w.c1 AS cid, max(w.s) AS pen
+        FROM pw w JOIN sel${k - 1} z ON z.qid = w.qid AND z.cid = w.c2
+        GROUP BY 1, 2
+      ), pick$k AS (
+        SELECT p.qid,
+               arg_max(p.cid,
+                 (7 * p.r - 3 * n.pen) * 100000000 - p.cid) AS cid,
+               arg_max(p.r,
+                 (7 * p.r - 3 * n.pen) * 100000000 - p.cid) AS r,
+               $k AS pick
+        FROM pool p
+        JOIN pen$k n ON n.qid = p.qid AND n.cid = p.cid
+        WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
+                          WHERE z.qid = p.qid AND z.cid = p.cid)
+        GROUP BY p.qid
+      ), sel$k AS (
+        SELECT qid, cid, r, pick FROM sel${k - 1}
+        UNION ALL SELECT qid, cid, r, pick FROM pick$k
+      )"""
+    }.mkString
+    s""", prs AS (
+        SELECT p1.qid, p1.cid AS c1, p2.cid AS c2
+        FROM pool p1 JOIN pool p2
+          ON p1.qid = p2.qid AND p1.cid <> p2.cid
+      ), cdots AS MATERIALIZED (
+        -- same index-ordered fold discipline as the pool scores
+        SELECT u, v,
+               CAST(floor(1e6 * dot / sqrt(uu * vv) + 0.5) AS BIGINT) AS s
+        FROM (
+          SELECT up.u, up.v,
+                 list_aggregate(list(a.x * b.x ORDER BY a.i), 'sum') AS dot,
+                 list_aggregate(list(a.x * a.x ORDER BY a.i), 'sum') AS uu,
+                 list_aggregate(list(b.x * b.x ORDER BY a.i), 'sum') AS vv
+          FROM (SELECT DISTINCT least(c1, c2) AS u, greatest(c1, c2) AS v
+                FROM prs) up
+          JOIN $vecCte a ON a.vec_id = up.u
+          JOIN $vecCte b ON b.vec_id = up.v AND b.i = a.i
+          GROUP BY 1, 2)
+      ), pw AS MATERIALIZED (
+        SELECT pr.qid, pr.c1, pr.c2, cd.s
+        FROM prs pr
+        JOIN cdots cd ON cd.u = least(pr.c1, pr.c2)
+                     AND cd.v = greatest(pr.c1, pr.c2)
+      ), sel1 AS (
+        SELECT qid, arg_max(cid, r * 100000000 - cid) AS cid,
+               arg_max(r, r * 100000000 - cid) AS r, 1 AS pick
+        FROM pool GROUP BY qid
+      )$steps
+      SELECT qid, pick, cid, r AS rel_micro
+      FROM sel5 ORDER BY qid, pick"""
+  }
 
   val sql: Map[String, String] = Map(
     // full value replay of the IVF-PQ index (r10): IVF fit + probe as in
@@ -1302,30 +1416,8 @@ object SimSearch {
 
     // 4 unrolled greedy steps over the same floor-micro integer scores;
     // argmax via the composite key score·10⁸ − cid on both engines
-    "llm_mmr_rerank" -> {
-      val steps = (2 to 5).map { k =>
-        s""", pen$k AS (
-        SELECT w.qid, w.c1 AS cid, max(w.s) AS pen
-        FROM pw w JOIN sel${k - 1} z ON z.qid = w.qid AND z.cid = w.c2
-        GROUP BY 1, 2
-      ), pick$k AS (
-        SELECT p.qid,
-               arg_max(p.cid,
-                 (7 * p.r - 3 * n.pen) * 100000000 - p.cid) AS cid,
-               arg_max(p.r,
-                 (7 * p.r - 3 * n.pen) * 100000000 - p.cid) AS r,
-               $k AS pick
-        FROM pool p
-        JOIN pen$k n ON n.qid = p.qid AND n.cid = p.cid
-        WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} z
-                          WHERE z.qid = p.qid AND z.cid = p.cid)
-        GROUP BY p.qid
-      ), sel$k AS (
-        SELECT qid, cid, r, pick FROM sel${k - 1}
-        UNION ALL SELECT qid, cid, r, pick FROM pick$k
-      )"""
-      }.mkString
-      s"""
+    // (mmrGreedySqlTail, shared with the IVF-pooled variant)
+    "llm_mmr_rerank" -> s"""
       WITH pos AS MATERIALIZED (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                generate_subscripts(embedding, 1) AS i
@@ -1352,37 +1444,40 @@ object SimSearch {
                    CAST(floor(1e6 * dot / sqrt(qq * cc) + 0.5) AS BIGINT)
                      DESC, cid) AS rn
           FROM dots) WHERE rn <= 8
-      ), prs AS (
-        SELECT p1.qid, p1.cid AS c1, p2.cid AS c2
-        FROM pool p1 JOIN pool p2
-          ON p1.qid = p2.qid AND p1.cid <> p2.cid
-      ), cdots AS MATERIALIZED (
-        -- same index-ordered fold discipline as dots above
-        SELECT u, v,
-               CAST(floor(1e6 * dot / sqrt(uu * vv) + 0.5) AS BIGINT) AS s
-        FROM (
-          SELECT up.u, up.v,
-                 list_aggregate(list(a.x * b.x ORDER BY a.i), 'sum') AS dot,
-                 list_aggregate(list(a.x * a.x ORDER BY a.i), 'sum') AS uu,
-                 list_aggregate(list(b.x * b.x ORDER BY a.i), 'sum') AS vv
-          FROM (SELECT DISTINCT least(c1, c2) AS u, greatest(c1, c2) AS v
-                FROM prs) up
-          JOIN pos a ON a.vec_id = up.u
-          JOIN pos b ON b.vec_id = up.v AND b.i = a.i
-          GROUP BY 1, 2)
-      ), pw AS MATERIALIZED (
-        SELECT pr.qid, pr.c1, pr.c2, cd.s
-        FROM prs pr
-        JOIN cdots cd ON cd.u = least(pr.c1, pr.c2)
-                     AND cd.v = greatest(pr.c1, pr.c2)
-      ), sel1 AS (
-        SELECT qid, arg_max(cid, r * 100000000 - cid) AS cid,
-               arg_max(r, r * 100000000 - cid) AS r, 1 AS pick
-        FROM pool GROUP BY qid
-      )$steps
-      SELECT qid, pick, cid, r AS rel_micro
-      FROM sel5 ORDER BY qid, pick"""
-    },
+      )${mmrGreedySqlTail("pos")}""",
+
+    // the IVF-pooled MMR variant: same Lloyd-fit + probe replay as the
+    // llm_ann_ivf twin, candidates restricted to the 8 probed cells, and
+    // the identical greedy tail over the IVF-pooled top-8
+    "llm_mmr_rerank_ann" -> s"""
+      WITH ${Semantic.lloydCtes}, $ivfProbeCtes, ivfd AS (
+        -- index-ordered folds (see llm_mmr_rerank): the pool ranks on a
+        -- FLOOR-quantized score, so the summation order must replicate
+        -- the engine kernel exactly
+        SELECT qc.qid, a.vec_id AS cid,
+               list_aggregate(list(q.x * c.x ORDER BY q.i), 'sum') AS dot,
+               list_aggregate(list(q.x * q.x ORDER BY q.i), 'sum') AS qq,
+               list_aggregate(list(c.x * c.x ORDER BY q.i), 'sum') AS cc
+        FROM qcells qc
+        JOIN a3 a ON a.cell = qc.cell AND a.vec_id <> qc.qid
+        JOIN v q ON q.vec_id = qc.qid
+        JOIN v c ON c.vec_id = a.vec_id AND c.i = q.i
+        GROUP BY 1, 2
+      ), pool AS MATERIALIZED (
+        SELECT qid, cid, r FROM (
+          SELECT qid, cid,
+                 CAST(floor(1e6 * dot / sqrt(qq * cc) + 0.5) AS BIGINT)
+                   AS r,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   CAST(floor(1e6 * dot / sqrt(qq * cc) + 0.5) AS BIGINT)
+                     DESC, cid) AS rn
+          FROM ivfd) WHERE rn <= 8
+      )${mmrGreedySqlTail("v")}""",
+
+    "llm_mmr_rerank_ann_recall" -> """
+      SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+             TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 20""",
 
     "llm_hard_negatives" -> """
       WITH pos AS (

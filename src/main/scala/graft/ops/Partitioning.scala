@@ -1,4 +1,5 @@
 package graft.ops
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -174,7 +175,7 @@ object Partitioning {
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt()
     val localWin = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offWin = Window.orderBy(col("__pid"))
@@ -210,12 +211,17 @@ object Partitioning {
     * arbitrary-but-valid order within the tie group, exactly like the
     * global window. */
   def rankedRowNumber(df: DataFrame, order: Seq[Column], n: Int,
-                      outCol: String): DataFrame = {
+                      outCol: String, eager: Boolean = true): DataFrame = {
+    // eager = false defers the lineage-cut materialization into the first
+    // consuming job (the sorted frame is still computed exactly once —
+    // offsets and rows read the same checkpointed RDD); callers ranking a
+    // large frame consumed by a single downstream action (ml_conformal's
+    // calibration scores) save the extra blocking materialization job
     val sorted = df
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt(eager)
     val localWin = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val offWin = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -246,7 +252,7 @@ object Partitioning {
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt()
     val hi = if (inclusive) Window.currentRow else -1L
     val localWin = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, hi)

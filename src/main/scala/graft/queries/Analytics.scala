@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -603,7 +604,7 @@ object Analytics {
       val g = li.groupBy(round(col("l_extendedprice") * 100).cast("bigint").as("pc"))
         .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
              sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("c2"))
-        .localCheckpoint() // shared by the cumsum pass + totals
+        .ckpt() // shared by the cumsum pass + totals
       // both ECDFs in ONE two-level pass: a second sequential
       // rankedCumSum call would repeat the range-partition + sort +
       // checkpoint over the same frame just to add the second measure
@@ -669,7 +670,7 @@ object Analytics {
       val o = t(s, d, "orders")
       val cells = o.groupBy(col("o_orderstatus").as("status"),
           col("o_orderpriority").as("priority"))
-        .agg(count(lit(1)).as("c")).localCheckpoint()
+        .agg(count(lit(1)).as("c")).ckpt()
       val rm = cells.groupBy(col("status")).agg(sum(col("c")).as("r"))
       val cm = cells.groupBy(col("priority")).agg(sum(col("c")).as("k"))
       val n = cells.agg(sum(col("c")).as("n"))
@@ -696,7 +697,7 @@ object Analytics {
       val o = t(s, d, "orders")
       val cells = o.groupBy(col("o_orderstatus").as("status"),
           col("o_orderpriority").as("priority"))
-        .agg(count(lit(1)).as("c")).localCheckpoint()
+        .agg(count(lit(1)).as("c")).ckpt()
       val rm = cells.groupBy(col("status")).agg(sum(col("c")).as("r"))
       val cm = cells.groupBy(col("priority")).agg(sum(col("c")).as("k"))
       val tot = cells.agg(sum(col("c")).as("n"),
@@ -813,7 +814,7 @@ object Analytics {
       val o = t(s, d, "orders")
         .select(col("o_orderpriority").as("priority"),
           round(col("o_totalprice") * 100).cast("bigint").as("pc"))
-        .localCheckpoint(eager = false) // quartile pass + count pass
+        .ckpt(eager = false) // quartile pass + count pass
       val q = o.groupBy(col("priority"))
         .agg(expr("percentile(pc, 0.25)").as("q1"),
           expr("percentile(pc, 0.75)").as("q3"))

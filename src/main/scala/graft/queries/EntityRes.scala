@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,7 +76,7 @@ object EntityRes {
     * final-ulp difference). */
   private def matchPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(s, d,
-      matchPairsBuild(s, d).localCheckpoint(eager = false))
+      matchPairsBuild(s, d).ckpt(eager = false))
 
   private def matchPairsBuild(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
@@ -99,7 +100,7 @@ object EntityRes {
       val verts = records(s, d).select(col("rid").as("doc_id"))
       graft.llm.Dedup.connectedComponentsFast(verts, pairs)
         .select(col("doc_id").as("rid"), col("label").as("cluster"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
     })
 
   val defs: Map[String, Q] = Map(
@@ -152,7 +153,7 @@ object EntityRes {
     // sums want decimal(38).
     "er_blocking_eval" -> ((s, d) => {
       val off = ridOffset(s, d)
-      val recs = records(s, d).localCheckpoint(eager = false)
+      val recs = records(s, d).ckpt(eager = false)
       val blocks = recs.groupBy(substring(col("name"), 1, 1).as("blk"))
         .agg(count(lit(1)).as("nb"))
       val cand = blocks.agg(count(lit(1)).as("n_blocks"),
@@ -204,7 +205,7 @@ object EntityRes {
         col("p_partkey").cast("long").as("rid"),
         col("p_name").as("name"), col("p_brand").as("brand"),
         col("p_type").as("ptype"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val v1 = clean.select((col("rid") + off).as("rid"),
         concat(substring(col("name"), 1, 2), expr("substring(name, 4)"))
           .as("name"),

@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -26,7 +27,7 @@ object EventsBatch {
       val spans = t(s, d, "events")
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-        .localCheckpoint(eager = false) // both self-join legs
+        .ckpt(eager = false) // both self-join legs
       val a = spans.select(col("user_id"), col("event_type").as("etype_a"),
         col("first_ts"))
       val b = spans.select(col("user_id"), col("event_type").as("etype_b"),
@@ -50,7 +51,7 @@ object EventsBatch {
         .select(col("user_id"),
           (unix_timestamp(col("ts")) / lit(86400L)).cast("bigint").as("di"))
         .distinct()
-        .localCheckpoint(eager = false) // status, churn, and horizon legs
+        .ckpt(eager = false) // status, churn, and horizon legs
       val wU = Window.partitionBy(col("user_id")).orderBy(col("di"))
       val status = mu
         .withColumn("prev_di", lag(col("di"), 1).over(wU))
@@ -593,7 +594,7 @@ object EventsBatch {
           .as("prn"))
       val jour = ev.join(pconv, Seq("user_id"))
         .filter(col("prn").isNull || col("rn") < col("prn"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val jw = Window.partitionBy(col("user_id")).orderBy(col("rn"))
       val internal = jour
         .withColumn("prev", lag(col("event_type"), 1).over(jw))
@@ -902,7 +903,7 @@ object EventsBatch {
       val hourly = t(s, d, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = false) // test leg + lag leg + horizon
+        .ckpt(eager = false) // test leg + lag leg + horizon
       val horizon = hourly.agg(max(col("hr")).as("hmax"))
       val test = hourly.crossJoin(broadcast(horizon))
         .filter(col("hr") > col("hmax") - expr("INTERVAL 24 HOURS"))
@@ -993,7 +994,7 @@ object EventsBatch {
           round(col("value") * 100).cast("bigint").as("y"))
         .withColumn("rn", row_number().over(wser))
         .withColumn("bucket", expr("CAST((rn - 1) div 16 AS BIGINT)"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val sums = pts.groupBy(col("event_type").as("et"),
           col("bucket").as("bk"))
         .agg(count(lit(1)).cast("decimal(38,0)").as("nb"),
@@ -1413,7 +1414,7 @@ object EventsBatch {
             coalesce(col("n_c"), lit(0L)).cast("double")
               / col("n_u").cast("double"))
           .otherwise(lit(0.0)).as("v"))
-        .localCheckpoint(eager = false) // 16 rows, read by both term legs
+        .ckpt(eager = false) // 16 rows, read by both term legs
       val channels = Seq(("click", 1), ("error", 2), ("signup", 4),
         ("view", 8)).toDF("channel", "cb")
       val w24 = typedlit(Seq(6, 2, 2, 6)) // |S|!·(4−|S|−1)!/4! × 24

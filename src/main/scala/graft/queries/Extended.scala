@@ -252,6 +252,24 @@ object Extended {
           col("last.o_totalprice").as("o_totalprice"))
     }),
 
+    // Avro source/sink roundtrip (closes the one env-blocked format —
+    // the spark-avro DataSource jar is unresolvable offline, but the
+    // format itself needs only the avro/avro-mapred libs Spark ships;
+    // see etl.AvroIO for the scale shape: per-partition container-file
+    // writes, sync-marker-splittable reads). supplier exercises the full
+    // type bridge (BIGINT/STRING/INT/DOUBLE); the hash compare against
+    // the parquet-side oracle proves the write+read path loses nothing.
+    "etl_avro_roundtrip" -> ((s, d) => {
+      val src = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_avro_rt_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.etl.AvroIO.write(src, dir)
+      graft.etl.AvroIO.read(s, dir, src.schema)
+        .orderBy(col("s_suppkey"))
+    }),
+
     "etl_merge_upsert" -> ((s, d) => {
       val orders = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -1001,6 +1019,11 @@ object Extended {
         FROM chg)
       SELECT key, vid AS last_version, o_orderstatus, o_totalprice
       FROM latest WHERE rn = 1 AND op <> 'D'""",
+
+    // the roundtrip must reproduce the parquet-side table exactly
+    "etl_avro_roundtrip" -> """
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier ORDER BY s_suppkey""",
 
     "etl_merge_upsert" -> """
       SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice

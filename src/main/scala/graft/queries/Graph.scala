@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -39,7 +40,7 @@ object Graph {
   /** Revenue-weighted nation→nation trade edges (the distributed phase). */
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
     tradeCache.getOrElseUpdate(s, d,
-      tradeEdgesBuild(s, d).localCheckpoint(eager = false))
+      tradeEdgesBuild(s, d).ckpt(eager = false))
 
   private def tradeEdgesBuild(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
@@ -72,7 +73,7 @@ object Graph {
         .distinct()
       val bi = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       // walk counts by length: w1 = adjacency, wk = w{k-1} ⋈ bi (a fresh
       // per-round projection of bi breaks repeated-self-join ambiguity)
       var wk = bi.select(col("u").as("s"), col("v").as("t"),
@@ -84,7 +85,7 @@ object Graph {
           .groupBy(col("s"), col(s"jv$k"))
           .agg(sum(col("c")).as("c"))
           .select(col("s"), col(s"jv$k").as("t"), col("c"))
-          .localCheckpoint(eager = false)
+          .ckpt(eager = false)
         walks = walks.union(wk.withColumn("k", lit(k)))
       }
       // per (s,t): d = min k with walks > 0, σ = that k's walk count
@@ -92,7 +93,7 @@ object Graph {
         .groupBy(col("s"), col("t"))
         .agg(min(col("k")).as("d"),
           expr("min_by(c, k)").as("sigma"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
     })
 
   private def sparseEdges(s: SparkSession, d: String): DataFrame = {
@@ -118,8 +119,8 @@ object Graph {
         .agg(sum(col("w")).as("outw"))
       val en = edges.join(outw, col("src") === col("osrc"))
         .select(col("src"), col("dst"), (col("w") / col("outw")).as("wn"))
-        .localCheckpoint()
-      val nodes = nation.select(col("n_nationkey").as("node")).localCheckpoint()
+        .ckpt()
+      val nodes = nation.select(col("n_nationkey").as("node")).ckpt()
       val nN = nodes.count().toDouble // bounded driver action: |nation| rows
       var pr = nodes.select(col("node"), (lit(1.0) / nN).as("pr"))
       for (i <- 1 to prIters) {
@@ -132,7 +133,7 @@ object Graph {
         // truncate lineage every 3 supersteps (the GraphFrames cadence:
         // every step would pay a job per iteration, never would let the
         // plan double each loop; 3 keeps both costs flat)
-        if (i % 3 == 0 && i < prIters) pr = pr.localCheckpoint()
+        if (i % 3 == 0 && i < prIters) pr = pr.ckpt()
       }
       pr.join(broadcast(nation), pr("node") === nation("n_nationkey"))
         .select(col("n_name"), round(col("pr"), 6).as("pagerank"))
@@ -146,17 +147,17 @@ object Graph {
     // without it frontier size is path count, not node count).
     "graph_reachability" -> ((s, d) => {
       val nation = t(s, d, "nation")
-      val sparse = sparseEdges(s, d).localCheckpoint()
+      val sparse = sparseEdges(s, d).ckpt()
       var reached = nation.filter(col("n_nationkey") === 0)
         .select(col("n_nationkey").as("node"), lit(0).as("hops"))
-        .localCheckpoint()
+        .ckpt()
       for (h <- 1 to 4) {
         val frontier = reached.filter(col("hops") === h - 1)
         val next = frontier.join(sparse, frontier("node") === sparse("src"))
           .select(sparse("dst").as("node"), lit(h).as("hops"))
         reached = reached.union(next)
           .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-          .localCheckpoint()
+          .ckpt()
       }
       reached.join(broadcast(nation), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("hops"))
@@ -180,17 +181,17 @@ object Graph {
         .join(outw, col("src") === col("osrc"))
         .select(col("src"), col("dst"),
           (lit(1.0) / (col("w") / col("outw"))).as("cost"))
-        .localCheckpoint()
+        .ckpt()
       var best = nation.filter(col("n_nationkey") === 0)
         .select(col("n_nationkey").as("node"), lit(0.0).as("cost"))
-        .localCheckpoint()
+        .ckpt()
       for (_ <- 1 to 4) {
         val relaxed = best.join(sparse, best("node") === sparse("src"))
           .select(sparse("dst").as("node"),
             (best("cost") + sparse("cost")).as("cost"))
         best = best.union(relaxed)
           .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-          .localCheckpoint()
+          .ckpt()
       }
       best.join(broadcast(nation), col("node") === col("n_nationkey"))
         .select(col("n_name"), round(col("cost"), 6).as("cost"))
@@ -268,7 +269,7 @@ object Graph {
         .select(col("src"), col("dst"),
           (col("wc").cast("double") / col("outwc").cast("double"))
             .as("wn"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
       var pr = nodes.select(col("node"),
         when(col("node") === 0L, lit(1000000000L)).otherwise(lit(0L))
@@ -366,7 +367,7 @@ object Graph {
         .distinct()
       val bi = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
       var labels = nodes.select(col("node"), col("node").as("lbl"))
       for (_ <- 1 to 3) {
@@ -379,7 +380,7 @@ object Graph {
           .select(col("node"), (-col("m.nl")).as("newl"))
         labels = labels.join(upd, Seq("node"), "left")
           .select(col("node"), coalesce(col("newl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
+          .ckpt()
       }
       labels
         .join(broadcast(nation),
@@ -406,9 +407,9 @@ object Graph {
       val inn = sparseEdges(s, d)
         .select(col("dst").cast("long").as("node"),
                 col("src").cast("long").as("inn"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val ideg = inn.groupBy(col("node")).agg(count(lit(1)).as("ideg"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val diag = nation.select(
         col("n_nationkey").cast("long").as("a"),
         col("n_nationkey").cast("long").as("b"),
@@ -431,7 +432,7 @@ object Graph {
           .select(col("ra").as("a"), col("rb").as("b"),
             expr("(4 * ssum) div (5 * da * db)").as("sppm"))
           .filter(col("sppm") > 0L)
-        sim = diag.union(stepped).localCheckpoint(eager = false)
+        sim = diag.union(stepped).ckpt(eager = false)
       }
       val na = nation.select(col("n_nationkey").cast("long").as("a"),
         col("n_name").as("name_a"))
@@ -461,7 +462,7 @@ object Graph {
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
         .withColumn("rn", row_number().over(wNb).cast("long"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val outd = nb.groupBy(col("src").as("osrc"))
         .agg(max(col("rn")).as("deg"))
       var walk = nation
@@ -556,7 +557,7 @@ object Graph {
         .select(least(col("src"), col("dst")).cast("long").as("a"),
                 greatest(col("src"), col("dst")).cast("long").as("b"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val labels = defs("graph_label_prop")(s, d)
         .select(col("node"), col("community"))
       val bi = und.select(col("a").as("u"))
@@ -611,7 +612,7 @@ object Graph {
         .distinct()
       val bi = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
       val deg = bi.groupBy(col("u").as("node")).agg(count(lit(1)).as("h"))
       var core = nodes.join(deg, Seq("node"), "left")
@@ -631,7 +632,7 @@ object Graph {
           .agg(max(least(col("rn").cast("long"), col("h"))).as("hn"))
         core = core.join(upd, col("node") === col("un"), "left")
           .select(col("node"), coalesce(col("hn"), lit(0L)).as("h"))
-        if (i % 2 == 0) core = core.localCheckpoint()
+        if (i % 2 == 0) core = core.ckpt()
       }
       core
         .join(broadcast(nation),
@@ -693,7 +694,7 @@ object Graph {
                 greatest(col("src"), col("dst")).cast("long").as("b"))
         .distinct()
         .withColumn("sup", lit(0L))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       for (i <- 1 to 4) {
         val sym = e.select(col("a").as("u"), col("b").as("v"))
           .union(e.select(col("b").as("u"), col("a").as("v")))
@@ -708,7 +709,7 @@ object Graph {
           .select(col("a"), col("b"),
             coalesce(col("wsup"), lit(0L)).as("sup"))
           .filter(col("sup") >= 1)
-          .localCheckpoint(eager = false)
+          .ckpt(eager = false)
       }
       e.orderBy(col("a"), col("b"))
     }),
@@ -718,7 +719,7 @@ object Graph {
       val und = sparseEdges(s, d)
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint()
+        .distinct().ckpt()
       val e1 = und.select(col("a").as("x"), col("b").as("y"))
       val e2 = und.select(col("a").as("y2"), col("b").as("z"))
       val wedges = e1.join(e2, col("y") === col("y2"))
@@ -743,7 +744,7 @@ object Graph {
       val und = sparseEdges(s, d)
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint()
+        .distinct().ckpt()
       val deg = und.select(col("a").as("node"))
         .union(und.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -778,7 +779,7 @@ object Graph {
       val und = sparseEdges(s, d)
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint()
+        .distinct().ckpt()
       val adj = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
       val deg = adj.groupBy(col("v").as("w")).agg(count(lit(1)).as("degw"))
@@ -809,7 +810,7 @@ object Graph {
       val und = sparseEdges(s, d)
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint()
+        .distinct().ckpt()
       val adj = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
       val deg = adj.groupBy(col("u").as("w")).agg(count(lit(1)).as("degw"))
@@ -845,7 +846,7 @@ object Graph {
       val edges = sparseEdges(s, d)
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
-        .localCheckpoint(eager = false) // one join per superstep
+        .ckpt(eager = false) // one join per superstep
       val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
       var x = nodes.select(col("node"), lit(1000000000L).as("x"))
       for (_ <- 1 to 4) {
@@ -924,10 +925,10 @@ object Graph {
         .select(c("c_nationkey").as("src"), su("s_nationkey").as("dst"),
           date_trunc("month", o("o_orderdate")).as("m"))
         .distinct()
-        .localCheckpoint(eager = false) // one frontier join per round
+        .ckpt(eager = false) // one frontier join per round
       val m0 = tedges.agg(min(col("m")).as("m0"))
       var arr = m0.select(lit(0).as("node"), col("m0").as("arr"))
-        .localCheckpoint()
+        .ckpt()
       var last = (-1L, -1L)
       var cur = (0L, 0L)
       var iters = 0
@@ -943,7 +944,7 @@ object Graph {
           .select(col("dst").as("node"), col("m").as("arr"))
         arr = arr.union(step)
           .groupBy(col("node")).agg(min(col("arr")).as("arr"))
-          .localCheckpoint()
+          .ckpt()
         last = cur; cur = sig(arr); iters += 1
       }
       arr.join(broadcast(nation), col("node") === col("n_nationkey"))
@@ -959,7 +960,7 @@ object Graph {
       val und = sparseEdges(s, d)
         .select(least(col("src"), col("dst")).as("a"),
                 greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint()
+        .distinct().ckpt()
       val deg = und.select(col("a").as("node"))
         .union(und.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1036,7 +1037,7 @@ object Graph {
     * ~4 orders of headroom over sf100 here.) */
   private def exactEdges(s: SparkSession, d: String): DataFrame =
     exactCache.getOrElseUpdate(s, d,
-      exactEdgesBuild(s, d).localCheckpoint(eager = false))
+      exactEdgesBuild(s, d).ckpt(eager = false))
 
   private def exactEdgesBuild(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")

@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -152,7 +153,7 @@ object Hypothesis {
         round(col("l_discount") * 100).cast("bigint").as("dc"))
       val cells = raw.groupBy(col("q"), col("dc"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = false) // pair join reads both sides
+        .ckpt(eager = false) // pair join reads both sides
       // decimal(18,0) operands: total C/D grow as N²/2, so a long sum
       // of a.n·b.n wraps silently past ~4e9 rows while DuckDB promotes
       // to HUGEINT — widen before multiplying, like agg_spearman.
@@ -293,7 +294,7 @@ object Hypothesis {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = false) // pair join + tie groups + m
+        .ckpt(eager = false) // pair join + tie groups + m
       val pairs = daily.alias("a")
         .join(daily.alias("b"), col("a.event_type") === col("b.event_type")
           && col("a.dy") < col("b.dy"))
@@ -329,7 +330,7 @@ object Hypothesis {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("dy"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = false) // both pair-join legs
+        .ckpt(eager = false) // both pair-join legs
       val slopes = daily.alias("a")
         .join(daily.alias("b"), col("a.event_type") === col("b.event_type")
           && col("a.dy") < col("b.dy"))

@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -170,7 +171,7 @@ object MlTrain {
       (round(col("l_quantity")).cast("double") / 50.0).as("x1"),
       (round(col("l_discount") * 100).cast("double") / 10.0).as("x2"),
       when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("yy"))
-      .localCheckpoint(eager = false) // 3 GD passes + the consumer's pass
+      .ckpt(eager = false) // 3 GD passes + the consumer's pass
     val (c0, c1, c2) = gdCache.getOrElseUpdate(d, {
     val nD = raw.count().toDouble
     var w0 = 0.0; var w1 = 0.0; var w2 = 0.0
@@ -211,7 +212,7 @@ object MlTrain {
     * by ml_naive_bayes, ml_confusion and ml_cohens_kappa. */
   private def nbScored(s: SparkSession, d: String): DataFrame =
     nbCache.getOrElseUpdate(s, d, nbScoredBuild(s, d)
-      .localCheckpoint(eager = false))
+      .ckpt(eager = false))
 
   private def nbScoredBuild(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
@@ -303,7 +304,7 @@ object MlTrain {
           round(col("l_quantity")).cast("bigint").as("x1"),
           round(col("l_discount") * 100).cast("bigint").as("x2"),
           pmod(col("l_orderkey"), lit(5)).cast("int").as("split"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
       val w = raw.filter(col("split") >= 2).agg(
           count(lit(1)).cast("double").as("n"),
@@ -322,15 +323,19 @@ object MlTrain {
         .selectExpr("split",
           "CAST(floor(1e4 * abs(y - (b0 + b1 * x1 + b2 * x2)) + 0.5)" +
             " AS BIGINT) AS score")
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val cal = scored.filter(col("split") === 0).select(col("score"))
       val kDf = cal.agg(count(lit(1)).as("n_cal"))
         .selectExpr("n_cal", "(9 * (n_cal + 1) + 9) div 10 AS k")
       // the rn = k filter is provably one row; the closing grouping-less
       // aggregate makes that visible to the plan audit's scalar-broadcast
       // exemption (and to Catalyst's 1-row stats)
+      // eager = false (r12): the eager two-level-rank checkpoint dominated
+      // the sf1 wall time (5.26 s vs 0.52 s for the same machinery over
+      // the much smaller evt_uplift_qini user table); the lazy variant
+      // folds the calibration-rank materialization into the scoring job
       val qhat = graft.ops.Partitioning
-        .rankedRowNumber(cal, Seq(col("score")), 32, "rn")
+        .rankedRowNumber(cal, Seq(col("score")), 32, "rn", eager = false)
         .crossJoin(broadcast(kDf))
         .filter(col("rn") === col("k"))
         .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
@@ -459,7 +464,7 @@ object MlTrain {
         round(col("l_extendedprice") * 100).cast("bigint").as("y"),
         round(col("l_quantity")).cast("bigint").as("x1"),
         round(col("l_discount") * 100).cast("bigint").as("x2"))
-        .localCheckpoint(eager = false) // moment pass + scoring pass
+        .ckpt(eager = false) // moment pass + scoring pass
       def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
       val byFold = raw.filter(col("fold") =!= 0)
         .groupBy(col("fold")).agg(
@@ -1057,7 +1062,7 @@ object MlTrain {
         .groupBy(col("q"))
         .agg(sum(col("pos")).as("wpos"),
           (count(lit(1)) - sum(col("pos"))).as("wneg"))
-        .localCheckpoint(eager = false) // ≤50-row grid, read 4×
+        .ckpt(eager = false) // ≤50-row grid, read 4×
       // best (threshold, polarity) by exact weighted error; 'le' =
       // predict positive iff q ≤ t, 'gt' the complement; tie order
       // (err, pol, q) matches the twin's ORDER BY exactly
@@ -1154,7 +1159,7 @@ object MlTrain {
       val raw = t(s, d, "lineitem").select(
         round(col("l_quantity")).cast("double").as("y"),
         (round(col("l_discount") * 100).cast("double") / 10.0).as("x"))
-        .localCheckpoint(eager = false) // 3 Newton passes + the report pass
+        .ckpt(eager = false) // 3 Newton passes + the report pass
       def q(e: Column) = sum(round(e * lit(1e6)).cast("bigint")
         .cast("decimal(38,0)"))
       val (w0f, w1f) = poissonCache.getOrElseUpdate(d, {
@@ -1215,7 +1220,7 @@ object MlTrain {
       val raw = t(s, d, "lineitem").select(
         round(col("l_extendedprice") * 100).cast("bigint").as("y"),
         round(col("l_quantity")).cast("bigint").as("x"))
-        .localCheckpoint(eager = false) // OLS + 2 IRLS aggregates read it
+        .ckpt(eager = false) // OLS + 2 IRLS aggregates read it
       def dsum(e: Column) = sum(e.cast("decimal(38,0)")).cast("double")
       val ols = raw.agg(
           count(lit(1)).cast("double").as("n"),
@@ -1320,7 +1325,7 @@ object MlTrain {
         round(col("l_extendedprice") * 100).cast("bigint").as("y"),
         round(col("l_quantity")).cast("bigint").as("x1"),
         round(col("l_discount") * 100).cast("bigint").as("x2"))
-        .localCheckpoint(eager = false) // moment pass + scoring pass
+        .ckpt(eager = false) // moment pass + scoring pass
       def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
       val byFold = raw.groupBy(col("fold")).agg(
         count(lit(1)).cast("double").as("fn"),
@@ -1365,7 +1370,7 @@ object MlTrain {
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
         .distinct()
-        .localCheckpoint(eager = false) // basket universe feeds 3 legs
+        .ckpt(eager = false) // basket universe feeds 3 legs
       val nb = items.select(count_distinct(col("ok")).as("nn"))
       val freq = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(nb))

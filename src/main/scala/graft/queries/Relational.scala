@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -170,7 +171,7 @@ object Relational {
       val baskets = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .localCheckpoint(eager = false) // consumed by 3 plan legs below
+        .ckpt(eager = false) // consumed by 3 plan legs below
       val nOrders = baskets.select(count(lit(1)).as("n_orders"))
       val perPart = baskets
         .select(explode(col("parts")).as("pk"))
@@ -687,15 +688,15 @@ object Relational {
       val pts = t(s, d, "supplier")
         .select(col("s_suppkey").as("k"),
           axis("gx:").as("xi"), axis("gy:").as("yi"))
-        .localCheckpoint(eager = false) // pairs leg + noise anti-join leg
+        .ckpt(eager = false) // pairs leg + noise anti-join leg
       val pairs = graft.ops.SpatialGrid.radiusSelfJoin(pts, 600L)
         .select(col("k1"), col("k2"))
       val sym = pairs.union(pairs.select(col("k2"), col("k1")))
         .toDF("a", "b")
-        .localCheckpoint(eager = false) // counts + core edges + border
+        .ckpt(eager = false) // counts + core edges + border
       val core = sym.groupBy(col("a")).agg(count(lit(1)).as("nn"))
         .filter(col("nn") >= 3).select(col("a").as("k"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val coreEdges = sym
         .join(core.select(col("k").as("a")), Seq("a"))
         .join(core.select(col("k").as("b")), Seq("b"))
@@ -703,7 +704,7 @@ object Relational {
         .select(col("a").as("doc1"), col("b").as("doc2"))
       val labels = graft.llm.Dedup.connectedComponentsFast(
         core.select(col("k").as("doc_id")), coreEdges)
-        .localCheckpoint(eager = false) // core output + border assignment
+        .ckpt(eager = false) // core output + border assignment
       val coreOut = labels.select(col("doc_id").as("k"),
         lit("core").as("role"), col("label").as("cluster"))
       val border = sym
@@ -864,7 +865,7 @@ object Relational {
                 col("l_shipdate") <  lit("1999-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(revenue).as("total_revenue"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
       t(s, d, "supplier")
         .join(rev, col("s_suppkey") === col("supplier_no"))
@@ -937,7 +938,7 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("l_partkey").as("partkey"))
         .agg(sum(col("l_extendedprice") * col("l_quantity")).as("part_value"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val thr = vals.agg((sum(col("part_value")) * lit(0.002)).as("threshold"))
       vals.join(broadcast(thr), col("part_value") > col("threshold"))
         .select(col("partkey"), col("part_value"))
@@ -1026,7 +1027,7 @@ object Relational {
       val baskets = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val perPart = baskets
         .select(explode(col("parts")).as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("f"))
@@ -1139,7 +1140,7 @@ object Relational {
           .select(col("p_partkey")),
           col("l_partkey") === col("p_partkey"), "left_semi")
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val avgQty = branded.groupBy(col("l_partkey").as("ap"))
         .agg((avg(col("l_quantity")) * lit(0.2)).as("qty_cut"))
       branded.join(avgQty, col("l_partkey") === col("ap"))

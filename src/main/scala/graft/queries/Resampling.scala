@@ -1,4 +1,5 @@
 package graft.queries
+import graft.core.Ckpt._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -50,7 +51,7 @@ object Resampling {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("region"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(eager = false) // 4 scaling sweeps read this
+        .ckpt(eager = false) // 4 scaling sweeps read this
       val wSeg = Window.partitionBy(col("seg"))
       val wReg = Window.partitionBy(col("region"))
       val wAll = Window.partitionBy()
@@ -191,7 +192,7 @@ object Resampling {
         round(col("l_extendedprice") * 100).cast("bigint").as("v"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-        .localCheckpoint(eager = false)
+        .ckpt(eager = false)
       val obs = li.agg(
         sum(when(col("y") === 1L, col("v"))).as("os1"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("on1"),

@@ -106,7 +106,14 @@ object EventStreams {
     * [[graft.queries.EventsBatch]] runs the SAME code as the DuckDB-checked
     * batch twins (`evt_stream_join`, `evt_stream_join_left`). */
   def attributeClicks(clicks: DataFrame, purchases: DataFrame,
-                      joinType: String = "inner"): DataFrame = {
+                      joinType: String = "inner",
+                      horizon: String = "1 hour"): DataFrame = {
+    // `horizon` bounds how long a click can precede its purchase — and
+    // with it how long click state must be retained past the watermark:
+    // the symmetric state store keeps ~rate×(horizon+watermark) click
+    // rows per side, so the horizon IS the state-size knob (StreamBench's
+    // ssjoin_10m probe measures the tradeoff; the board query keeps the
+    // 1 h semantics its batch twin pins)
     val c = clicks.select(
         col("event_id").as("click_id"),
         col("user_id").as("click_user"),
@@ -121,7 +128,7 @@ object EventStreams {
     p.join(c,
         col("user_id") === col("click_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("interval 1 hour"),
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $horizon"),
         joinType)
       .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
         col("purchase_value"), col("click_id"), col("click_ts"))

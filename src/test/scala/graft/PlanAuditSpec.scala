@@ -424,7 +424,10 @@ class PlanAuditSpec extends AnyFunSuite
       "ml_learning_curve"     -> "4-row cumulative-model table (fold count)",
       "agg_kendall_tau"       -> "50x11-cell contingency grid (value domains)",
       "ml_precision_at_k"     -> "<=20 query vectors",
-      "llm_hard_negatives"    -> "<=20 query vectors + label predicate")
+      "llm_hard_negatives"    -> "<=20 query vectors + label predicate",
+      "llm_mmr_rerank"        -> "<=20 query vectors pool stage; greedy bounded by pool^2 = 64 rows/query",
+      "llm_mmr_rerank_ann"    -> "k-row centroid probe (IVF pool stage) + <=20 query vectors",
+      "llm_mmr_rerank_ann_recall" -> "<=20-query MMR selections, both pool variants")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)
@@ -476,31 +479,47 @@ class PlanAuditSpec extends AnyFunSuite
           })
         }
     }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (n, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan
-        val s = plan.toString
-        val bad = Seq(
-          (s.contains("CartesianProduct") && !cartesianOk(n)) ->
-            "CartesianProduct",
-          (s.contains("BroadcastNestedLoopJoin") && !bnljOk.contains(n) &&
-            !allBnljBuildsAreScalar(plan)) ->
-            "BroadcastNestedLoopJoin",
-          // region/nation are bounded dimensions (25/5 rows at any SF):
-          // a shuffle over them means a join chose sort-merge/shuffled-hash
-          // where a broadcast was the only sane 100 TB plan
-          walk(plan).exists {
-            case ex: ShuffleExchangeExec => walk(ex).exists {
-              case f: FileSourceScanExec =>
-                f.metadata.get("Location").exists(l =>
-                  l.contains("region.parquet") || l.contains("nation.parquet"))
-              case _ => false
-            }
+    // The three checks, applied to ONE physical plan (either a query's
+    // final plan or a pre-checkpoint segment captured by Ckpt.recording).
+    def audit(n: String, plan: SparkPlan, where: String): Seq[String] = {
+      val s = plan.toString
+      Seq(
+        (s.contains("CartesianProduct") && !cartesianOk(n)) ->
+          "CartesianProduct",
+        (s.contains("BroadcastNestedLoopJoin") && !bnljOk.contains(n) &&
+          !allBnljBuildsAreScalar(plan)) ->
+          "BroadcastNestedLoopJoin",
+        // region/nation are bounded dimensions (25/5 rows at any SF):
+        // a shuffle over them means a join chose sort-merge/shuffled-hash
+        // where a broadcast was the only sane 100 TB plan
+        walk(plan).exists {
+          case ex: ShuffleExchangeExec => walk(ex).exists {
+            case f: FileSourceScanExec =>
+              f.metadata.get("Location").exists(l =>
+                l.contains("region.parquet") || l.contains("nation.parquet"))
             case _ => false
-          } -> "dimension-shuffle"
-        ).collect { case (true, tag) => s"$n: $tag" }
-        bad
+          }
+          case _ => false
+        } -> "dimension-shuffle"
+      ).collect { case (true, tag) => s"$n$where: $tag" }
     }
+    // Record every pre-checkpoint plan built while constructing the board:
+    // a localCheckpoint truncates the audited plan at a LogicalRDD
+    // boundary, so without this a checkpointed query would evade the BNLJ/
+    // cartesian registry entirely (the r11 llm_mmr_rerank blind spot).
+    // Segments from SessionCache-cached fits built by EARLIER suites in
+    // the same JVM are not re-captured (best effort); the registry entries
+    // for those queries document their bounds explicitly.
+    graft.core.Ckpt.recording = true
+    graft.core.Ckpt.drain()
+    val offenders =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val segs = graft.core.Ckpt.drain()
+        audit(n, plan, "") ++ segs.flatMap { case (site, p) =>
+          audit(n, p, s" [ckpt segment @ $site]") }
+      }
+      finally graft.core.Ckpt.recording = false
     assert(offenders.isEmpty,
       s"scale-killer plans shipped:\n  ${offenders.mkString("\n  ")}")
   }

@@ -111,6 +111,37 @@ class TwinSqlSpec extends AnyFunSuite {
     assert(TwinSql.materialize(commented) == commented)
   }
 
+  test("block comments and double-quoted identifiers can't corrupt depth") {
+    // r12 (ADVICE): a paren inside a /* */ comment or a "quoted ident"
+    // previously corrupted depth-0 tracking — now both are skipped
+    val blk = "WITH a AS (SELECT 1 AS x) /* stray ( paren */ " +
+      "SELECT * FROM a"
+    val outBlk = TwinSql.materialize(blk)
+    assert(outBlk.contains("a AS MATERIALIZED ("))
+    assert(outBlk.contains("/* stray ( paren */"))
+    val dq = "WITH \"w(eird\" AS (SELECT 1 AS x), b AS (SELECT x FROM " +
+      "\"w(eird\") SELECT * FROM b"
+    val outDq = TwinSql.materialize(dq)
+    // the quoted name's paren must not break depth: b still materializes
+    assert(outDq.contains("b AS MATERIALIZED ("))
+    // a block comment INSIDE a CTE body must not derail the body scan
+    val inBody = "WITH a AS (SELECT 1 /* ) sneaky */ AS x) SELECT * FROM a"
+    assert(TwinSql.materialize(inBody).contains("a AS MATERIALIZED ("))
+  }
+
+  test("WITH RECURSIVE member without a column list is still skipped") {
+    // r12 (ADVICE): the bare-name recursive form got MATERIALIZED before,
+    // which DuckDB rejects on recursive anchors
+    val sql = "WITH RECURSIVE r AS (SELECT 1 AS k " +
+      "UNION ALL SELECT k + 1 FROM r WHERE k < 3), " +
+      "plain AS (SELECT 2 AS y) " +
+      "SELECT * FROM r JOIN plain ON r.k = plain.y"
+    val out = TwinSql.materialize(sql)
+    assert(out.contains("r AS (SELECT 1"), "recursive anchor materialized")
+    assert(!out.contains("r AS MATERIALIZED"))
+    assert(out.contains("plain AS MATERIALIZED ("))
+  }
+
   test("the two r10 killer twins are actually rewritten") {
     val k = TwinSql.materialize(SparkEntry.rawOracleSql("graph_ktruss"))
     assert(k.contains("AS MATERIALIZED ("))
