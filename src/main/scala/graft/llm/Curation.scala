@@ -139,6 +139,34 @@ object Curation {
             col("tot_w") / col("n_tokens").cast("double"), 6).as("epochs"))
     }),
 
+    // Green-list watermark detection (Kirchenbauer et al. 2023, unigram
+    // variant): a fixed pseudorandom vocabulary partition (token is
+    // "green" iff its salted-md5 prefix ≡ 0 mod 4, γ = 1/4 — the portable
+    // hash construction llm_split_assign uses), per-doc green-token count,
+    // and the one-proportion z statistic z = (g − γn)/√(nγ(1−γ)) =
+    // (4g − n)/√(3n). Model-generated text biased toward the green list
+    // shows z ≫ 0; the flag threshold is the paper's z > 4. All selection
+    // arithmetic is exact-integer (4g − n, 3n) with ONE correctly-rounded
+    // sqrt + division on output, so the flag cannot ulp-flip between
+    // engines. Scan-side HOFs only — zero shuffle, the llm_blocklist
+    // shape; at 100 TB this rides the document scan for free.
+    "llm_watermark_detect" -> ((s, d) => {
+      val green = "tk -> CAST(conv(substring(md5(concat('wm:', tk)), 1, 4)," +
+        " 16, 10) AS BIGINT) % 4 = 0"
+      spread(t(s, d, "documents"))
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr("doc_id",
+          "CAST(size(toks) AS BIGINT) AS n_tokens",
+          s"CAST(size(filter(toks, $green)) AS BIGINT) AS n_green")
+        .select(col("doc_id"), col("n_tokens"), col("n_green"),
+          (round((lit(4L) * col("n_green") - col("n_tokens")).cast("double")
+            / sqrt((lit(3L) * col("n_tokens")).cast("double")), 6) + lit(0.0))
+            .as("z_green"),
+          ((lit(4L) * col("n_green") - col("n_tokens")).cast("double")
+            / sqrt((lit(3L) * col("n_tokens")).cast("double")) > 4.0)
+            .as("flagged"))
+    }),
+
     // leave-one-source-out data valuation: how much does the corpus
     // quality mean move if source i is removed? The Shapley-style
     // first-order readout a curation pipeline uses to rank sources for
@@ -236,6 +264,21 @@ object Curation {
                  t -> list_contains(['slow', 'merge', 'stream'], t)))
                AS DOUBLE) / CAST(len(ts) AS DOUBLE) < 0.05 AS keep
       FROM toks""",
+
+    "llm_watermark_detect" -> """
+      WITH g AS (
+        SELECT doc_id, len(ts) AS n,
+               len(list_filter(ts, tk ->
+                 CAST(('0x' || substr(md5('wm:' || tk), 1, 4)) AS BIGINT)
+                   % 4 = 0)) AS gc
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      )
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(gc AS BIGINT) AS n_green,
+             round(CAST(4 * gc - n AS DOUBLE) / sqrt(CAST(3 * n AS DOUBLE)), 6)
+               + 0.0 AS z_green,
+             CAST(4 * gc - n AS DOUBLE) / sqrt(CAST(3 * n AS DOUBLE)) > 4.0
+               AS flagged
+      FROM g""",
 
     "llm_loo_source_value" -> """
       WITH scored AS (

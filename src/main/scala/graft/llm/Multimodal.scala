@@ -211,11 +211,53 @@ object Multimodal {
           least(lit(32L), col("h") - col("py") * 32).as("ph"))
   }
 
+  // shot-boundary detection (the video curation cut finder): per-frame
+  // feature = EXACT integer byte-sum of each full 256-byte chunk (the
+  // decode stub standing in for a frame histogram), frame differencing
+  // via lag, and a cut wherever a frame-to-frame change exceeds 2× the
+  // file's mean change — the threshold comparison is the cross-
+  // multiplied integer diff·n > 2·Σdiff, so no ratio can ulp-flip.
+  // Per-file summary output (n_frames, cuts, scenes) so every video
+  // contributes a row even when no cut fires. Scale: one narrow
+  // byte-explode map stage + (file, chunk)-keyed aggregate, identical
+  // shape to mm_audio_rms; the per-file windows run over FRAME rows.
+  def shotBoundary(s: SparkSession, dir: String): DataFrame = {
+      val a = s.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".vid"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+          hex(col("content")).as("hx"),
+          length(col("content")).cast(LongType).as("bl"))
+      val frames = a.filter(col("bl") >= 512) // need ≥ 2 full frames
+        .withColumn("nb", expr("(bl DIV 256) * 256"))
+        .withColumn("i", explode(expr("sequence(0L, nb - 1)")))
+        .withColumn("bv", expr("CAST(conv(substring(hx," +
+          " CAST(i * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)"))
+        .groupBy(col("file_name"), expr("i div 256").as("f"))
+        .agg(sum(col("bv")).as("fsum"))
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("file_name")).orderBy(col("f"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("file_name"))
+      frames
+        .withColumn("prev", lag(col("fsum"), 1).over(wo))
+        .filter(col("prev").isNotNull)
+        .withColumn("diff", abs(col("fsum") - col("prev")))
+        .withColumn("nd", count(lit(1)).over(wf))
+        .withColumn("sd", sum(col("diff")).over(wf))
+        .withColumn("cut", col("diff") * col("nd") > col("sd") * 2)
+        .groupBy(col("file_name"))
+        .agg((max(col("nd")) + 1).as("n_frames"),
+          sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+          max(col("diff")).as("max_diff"), sum(col("diff")).as("sum_diff"))
+        .withColumn("n_scenes", col("n_cuts") + 1)
+  }
+
   val defs: Map[String, Q] = Map(
     "llm_multimodal_meta" -> ((s, _) => fileMeta(s, fixtureDir)),
     "mm_frame_sample" -> ((s, _) => frameSample(s, fixtureDir)),
     "mm_audio_rms" -> ((s, _) => audioRms(s, fixtureDir)),
     "mm_audio_vad" -> ((s, _) => audioVad(s, fixtureDir)),
+    "mm_shot_boundary" -> ((s, _) => shotBoundary(s, fixtureDir)),
     "mm_patch_grid" -> ((s, _) => patchGrid(s, fixtureDir)))
 
   val sql: Map[String, String] = Map(
@@ -241,6 +283,41 @@ object Multimodal {
              sha256(substr(hx, CAST(frame_idx * 512 + 1 AS BIGINT), 512))
                AS chunk_sha
       FROM idx WHERE frame_idx % 4 = 0""",
+
+    "mm_shot_boundary" -> """
+      WITH a AS (
+        SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+               hex(content) AS hx, octet_length(content) AS bl
+        FROM read_blob('/root/repo/fixtures/multimodal/*.vid')
+      ), bytes AS (
+        SELECT file_name,
+               CAST(unnest(range(0, (bl // 256) * 256)) AS BIGINT) AS i, hx
+        FROM a WHERE bl >= 512
+      ), frames AS (
+        SELECT file_name, CAST(i // 256 AS BIGINT) AS f,
+               CAST(sum(CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS BIGINT),
+                 2)) AS BIGINT)) AS BIGINT) AS fsum
+        FROM bytes GROUP BY 1, 2
+      ), diffs AS (
+        SELECT file_name, f,
+               abs(fsum - lag(fsum) OVER (PARTITION BY file_name
+                 ORDER BY f)) AS diff
+        FROM frames
+      ), fl AS (
+        SELECT file_name, f, diff,
+               count(*) OVER (PARTITION BY file_name) AS nd,
+               sum(diff) OVER (PARTITION BY file_name) AS sd
+        FROM diffs WHERE diff IS NOT NULL
+      )
+      SELECT file_name,
+             CAST(max(nd) + 1 AS BIGINT) AS n_frames,
+             CAST(sum(CASE WHEN diff * nd > sd * 2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cuts,
+             CAST(max(diff) AS BIGINT) AS max_diff,
+             CAST(sum(diff) AS BIGINT) AS sum_diff,
+             CAST(sum(CASE WHEN diff * nd > sd * 2 THEN 1 ELSE 0 END) + 1
+               AS BIGINT) AS n_scenes
+      FROM fl GROUP BY file_name""",
 
     "mm_audio_rms" -> """
       WITH a AS (

@@ -804,6 +804,48 @@ object Analytics {
             .as("at_risk_frac"))
     }),
 
+    // Deterministic format-preserving pseudonymization: the NIST FF1
+    // Feistel SHAPE (4-round balanced network over the 10-digit key
+    // space, 5+5 digit halves) with the repo's portable salted-md5
+    // construction as the round PRF. Unlike hashing, the map is a
+    // PERMUTATION — no collisions, format preserved (10-digit token),
+    // invertible given the key schedule — i.e. pseudonymization in the
+    // GDPR art. 4(5) sense, not anonymization. Customer keys and order
+    // foreign keys are tokenized INDEPENDENTLY (4 md5 calls per row,
+    // scan-side, zero added shuffles) and the audit joins orders →
+    // customers BY TOKEN: per nation, order counts via token must equal
+    // order counts via raw key (join consistency) and distinct tokens
+    // must equal customer count (bijectivity). Keys must sit below
+    // 10^10 — generators up to the sf1 fixture's 10^8 offsets do; a
+    // wider domain just widens the halves.
+    "etl_pseudonymize" -> ((s, d) => {
+      val feistel = fpeTokenize _
+      val cust = feistel(t(s, d, "customer")
+          .select(col("c_custkey").cast("bigint").as("k"),
+            col("c_nationkey").as("nat")))
+        .select(col("nat"), col("token").as("ctok"))
+      val ord = feistel(t(s, d, "orders")
+          .select(col("o_custkey").cast("bigint").as("k")))
+        .groupBy(col("token").as("otok")).agg(count(lit(1)).as("n_ord"))
+      val byTok = cust
+        .join(ord, col("ctok") === col("otok"), "left")
+        .groupBy(col("nat"))
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("ctok")).as("n_tokens"),
+          sum(coalesce(col("n_ord"), lit(0L))).as("n_orders_by_token"))
+      val byKey = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nat"))
+        .agg(count(lit(1)).as("n_orders_by_key"))
+      byTok.join(byKey, Seq("nat"), "left")
+        .select(col("nat"), col("n_customers"), col("n_tokens"),
+          col("n_orders_by_token"),
+          coalesce(col("n_orders_by_key"), lit(0L)).as("n_orders_by_key"),
+          (col("n_orders_by_token") ===
+            coalesce(col("n_orders_by_key"), lit(0L))).as("consistent"))
+        .orderBy(col("nat"))
+    }),
+
     // IQR-fence outlier profile per order priority: Tukey fences
     // (q1 − 1.5·IQR, q3 + 1.5·IQR) from interpolated quartiles over
     // exact cents (Spark `percentile` ≡ DuckDB `quantile_cont`, the
@@ -962,7 +1004,83 @@ object Analytics {
             / col("n_cust_test"), 6).as("test_leak_frac"))
     }))
 
+  /** etl_pseudonymize's 4-round balanced Feistel over the 10-digit key
+    * space (5+5 digit halves, salted-md5 round PRF): appends a `token`
+    * column to a frame carrying a non-negative bigint `k` < 10^10. A
+    * permutation of the domain by construction (each round is invertible),
+    * exposed for the Round12Spec bijectivity property. */
+  private[graft] def fpeTokenize(df: DataFrame): DataFrame = {
+    var cur = df
+      .withColumn("fl", expr("k div 100000"))
+      .withColumn("fr", col("k") % 100000)
+    for (i <- 1 to 4) {
+      cur = cur
+        .withColumn("ft", (col("fl") + expr(
+          s"CAST(conv(substring(md5(concat('fpe:$i:'," +
+            " CAST(fr AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+          % 100000)
+        .withColumn("fl", col("fr"))
+        .withColumn("fr", col("ft"))
+    }
+    cur.withColumn("token",
+        lpad((col("fl") * 100000 + col("fr")).cast("string"), 10, "0"))
+      .drop("fl", "fr", "ft")
+  }
+
+  /** DuckDB-side Feistel round PRF for etl_pseudonymize's twin — the
+    * same salted-md5 construction as the engine side. */
+  private def fpeF(i: Int, r: String): String =
+    s"CAST(('0x' || substr(md5('fpe:$i:' || CAST($r AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** One table's unrolled 4-round Feistel CTE chain (tag-prefixed so the
+    * customer and order chains coexist in one WITH clause). `keep0` is
+    * the carried column as selected from the source table (may alias),
+    * `keepN` its name in later rounds; empty = carry nothing. */
+  private def fpeChain(tag: String, src: String, key: String,
+                       keep0: String, keepN: String): String = {
+    val k0 = if (keep0.isEmpty) "" else s"$keep0, "
+    val k = if (keepN.isEmpty) "" else s"$keepN, "
+    s"""${tag}0 AS (
+       |  SELECT $k0$key // 100000 AS l0, $key % 100000 AS r0 FROM $src
+       |), ${tag}1 AS (
+       |  SELECT ${k}r0 AS l1, (l0 + ${fpeF(1, "r0")}) % 100000 AS r1
+       |  FROM ${tag}0
+       |), ${tag}2 AS (
+       |  SELECT ${k}r1 AS l2, (l1 + ${fpeF(2, "r1")}) % 100000 AS r2
+       |  FROM ${tag}1
+       |), ${tag}3 AS (
+       |  SELECT ${k}r2 AS l3, (l2 + ${fpeF(3, "r2")}) % 100000 AS r3
+       |  FROM ${tag}2
+       |), ${tag}4 AS (
+       |  SELECT ${k}lpad(CAST(l4 * 100000 + r4 AS VARCHAR), 10, '0')
+       |           AS token
+       |  FROM (SELECT ${k}r3 AS l4,
+       |               (l3 + ${fpeF(4, "r3")}) % 100000 AS r4
+       |        FROM ${tag}3)
+       |)""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "etl_pseudonymize" -> s"""
+      WITH ${fpeChain("c", "customer", "c_custkey",
+                      "c_nationkey AS nat", "nat")},
+      ${fpeChain("o", "orders", "o_custkey", "", "")},
+      ocnt AS (
+        SELECT token, count(*) AS n_ord FROM o4 GROUP BY 1
+      ), bytok AS (
+        SELECT nat, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT token) AS BIGINT) AS n_tokens,
+               CAST(sum(COALESCE(n_ord, 0)) AS BIGINT) AS n_orders_by_token
+        FROM c4 LEFT JOIN ocnt USING (token) GROUP BY nat
+      ), bykey AS (
+        SELECT c_nationkey AS nat, CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+      )
+      SELECT nat, n_customers, n_tokens, n_orders_by_token,
+             COALESCE(bykey.n, 0) AS n_orders_by_key,
+             n_orders_by_token = COALESCE(bykey.n, 0) AS consistent
+      FROM bytok LEFT JOIN bykey USING (nat)""",
+
 
     "agg_pareto_abc" -> """
       WITH rev AS (

@@ -847,6 +847,54 @@ object EventsBatch {
           col("r.forecast_mc").as("forecast_mc"))
     }),
 
+    // Croston's method (1972) + the Syntetos–Boylan correction for
+    // INTERMITTENT demand — the forecasting shape for series that are
+    // mostly zeros (spare parts, per-segment purchases), where SES on
+    // the raw series is biased: smooth demand SIZE z and inter-demand
+    // INTERVAL p separately over demand points only, forecast = z/p
+    // per period (SBA: ×(1−α/2)). Same exact-integer discipline as
+    // evt_holt: α = 0.2 as the fixed-point (2·x + 8·s) div 10 over
+    // ×1e6-scaled BIGINTs, so every state is engine-identical; the two
+    // output rates quantize once on output. p seeds with the first
+    // observed gap — the (2g + 8g) div 10 = g idempotence makes the
+    // uniform fold exact for the seed element too. Demand sizes and gaps
+    // are non-negative, so Spark's truncating `div` ≡ DuckDB's flooring
+    // `//` here (a signed fold would need the evt_holt pmod form). Scale shape: one
+    // (series, day) aggregate, then a per-series time-bounded HOF fold;
+    // twin = recursive CTE over row-numbered demand points.
+    "evt_croston" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 50).as("series"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("x"))
+      daily.groupBy(col("series"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("pts"))
+        .filter(size(col("pts")) >= 2)
+        .withColumn("st", expr(
+          """aggregate(
+            |  slice(pts, 2, size(pts) - 1),
+            |  named_struct('pd', element_at(pts, 1).day,
+            |               'z', element_at(pts, 1).x * 1000000L,
+            |               'p', CAST(-1 AS BIGINT)),
+            |  (acc, e) -> named_struct(
+            |    'pd', e.day,
+            |    'z', (2L * e.x * 1000000L + 8L * acc.z) div 10L,
+            |    'p', CASE WHEN acc.p < 0L
+            |              THEN CAST(datediff(e.day, acc.pd) AS BIGINT)
+            |                   * 1000000L
+            |              ELSE (2L * CAST(datediff(e.day, acc.pd)
+            |                     AS BIGINT) * 1000000L + 8L * acc.p)
+            |                   div 10L END))""".stripMargin))
+        .selectExpr("series",
+          "CAST(size(pts) AS BIGINT) AS n_demands",
+          "st.z AS z_mc", "st.p AS p_mc",
+          "CAST(floor((1e6 * st.z) / st.p + 0.5) AS BIGINT) AS f_ppm",
+          "CAST(floor(0.9 * ((1e6 * st.z) / st.p) + 0.5) AS BIGINT)" +
+            " AS sba_ppm")
+    }),
+
     // two-state burst detection (Kleinberg 2002, two-level automaton,
     // FILTERED decode): state 0 emits at the per-type base rate λ₀
     // (corpus hourly mean, floor-ppm), state 1 at 3λ₀; per-hour Poisson
@@ -1540,6 +1588,36 @@ object EventsBatch {
 
   val sql: Map[String, String] = Map(
     "evt_holt" -> holtTwin,
+
+    // recursive-CTE replay of the engine's per-series Croston fold
+    "evt_croston" -> """
+      WITH RECURSIVE daily AS (
+        SELECT user_id % 50 AS series, date_trunc('day', ts) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      ), ord AS (
+        SELECT series, day, x,
+               row_number() OVER (PARTITION BY series ORDER BY day) AS rn,
+               count(*) OVER (PARTITION BY series) AS n
+        FROM daily
+      ), rec(series, rn, n, pd, z, p) AS (
+        SELECT series, rn, n, day, x * 1000000, CAST(-1 AS BIGINT)
+        FROM ord WHERE rn = 1 AND n >= 2
+        UNION ALL
+        SELECT r.series, o.rn, r.n, o.day,
+               (2 * o.x * 1000000 + 8 * r.z) // 10,
+               CASE WHEN r.p < 0
+                    THEN date_diff('day', r.pd, o.day) * 1000000
+                    ELSE (2 * date_diff('day', r.pd, o.day) * 1000000
+                          + 8 * r.p) // 10 END
+        FROM rec r JOIN ord o
+          ON o.series = r.series AND o.rn = r.rn + 1
+      )
+      SELECT series, CAST(n AS BIGINT) AS n_demands,
+             CAST(z AS BIGINT) AS z_mc, CAST(p AS BIGINT) AS p_mc,
+             CAST(floor((1e6 * z) / p + 0.5) AS BIGINT) AS f_ppm,
+             CAST(floor(0.9 * ((1e6 * z) / p) + 0.5) AS BIGINT) AS sba_ppm
+      FROM rec WHERE rn = n""",
     "evt_burst_filter" -> burstTwin,
     "evt_growth_accounting" -> """
       WITH mu AS (

@@ -1027,6 +1027,49 @@ object Graph {
         .select(col("n_name"),
           coalesce(col("comp"), col("node")).as("comp"))
         .orderBy(col("n_name"))
+    }),
+
+    // MAXIMUM spanning tree (the strongest-trade backbone: the spanning
+    // forest keeping the heaviest edges that connect all nations) over
+    // the exact-integer trade graph. Edge order is the STRICT total
+    // order (wu DESC, a, b), so the MST is unique and both engines must
+    // select identical edges. The data-sized work is the exactEdges
+    // aggregate; the graph itself is nation-domain (≤ C(25,2) = 300
+    // edges BY CONSTRUCTION), so Kruskal runs on a bounded driver
+    // collect — the graph_components adjudication. For unbounded vertex
+    // sets the distributed form is Borůvka rounds: per-component min/max
+    // edge (one keyed agg) + the large-star/small-star CC merge, O(log V)
+    // rounds of the llm/Dedup.connectedComponentsFast machinery. The twin
+    // certifies via the cycle property instead: an edge is in the maximum
+    // spanning forest iff its endpoints are NOT connected using strictly
+    // heavier-ordered edges alone (recursive reachability).
+    "graph_mst" -> ((s, d) => {
+      val und = exactEdges(s, d).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+                greatest(col("src"), col("dst")).as("b"), col("wu"))
+        .groupBy(col("a"), col("b")).agg(sum(col("wu")).as("wu"))
+      val edges = graft.core.Bounded.collect(
+          und.select(col("a").cast("bigint"), col("b").cast("bigint"),
+            col("wu").cast("bigint")),
+          1024, "graph_mst nation-domain edges (<= 25^2)")
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy { case (a, b, w) => (-w, a, b) }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      val chosen = edges.filter { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) false
+        else { parent(math.max(ra, rb)) = math.min(ra, rb); true }
+      }
+      import s.implicits._
+      s.createDataset(chosen.toSeq).toDF("a", "b", "wu")
+        .select(col("a"), col("b"), col("wu"),
+          round(col("wu") / 10000.0, 2).as("revenue"))
+        .orderBy(col("a"), col("b"))
     }))
 
   /** Exact-integer trade edges: revenue in 1/10000-dollar units
@@ -1778,5 +1821,39 @@ object Graph {
         |SELECT n.n_name, CAST(min(r.lbl) AS BIGINT) AS comp
         |FROM reach r JOIN nation n ON n.n_nationkey = r.node
         |GROUP BY n.n_name
-        |ORDER BY n.n_name""".stripMargin)
+        |ORDER BY n.n_name""".stripMargin,
+
+    // cycle-property certificate: edge ∈ maximum spanning forest ⟺ its
+    // endpoints are not connected by strictly earlier edges under the
+    // (wu DESC, a, b) total order
+    "graph_mst" ->
+      """WITH RECURSIVE eedges AS (
+        |    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |           sum(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+        |               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+        |             AS wu
+        |    FROM lineitem l
+        |    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey  = c.c_custkey
+        |    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        |    GROUP BY 1, 2),
+        |  und AS (
+        |    SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |           CAST(sum(wu) AS BIGINT) AS wu
+        |    FROM eedges WHERE src <> dst GROUP BY 1, 2),
+        |  bi AS (SELECT a, b, wu, a AS s, b AS d FROM und
+        |         UNION ALL SELECT a, b, wu, b, a FROM und),
+        |  reach(ea, eb, ew, node) AS (
+        |    SELECT a, b, wu, a FROM und
+        |    UNION
+        |    SELECT r.ea, r.eb, r.ew, bi.d
+        |    FROM reach r JOIN bi ON bi.s = r.node
+        |    WHERE bi.wu > r.ew
+        |       OR (bi.wu = r.ew AND (bi.a < r.ea
+        |            OR (bi.a = r.ea AND bi.b < r.eb))))
+        |SELECT u.a, u.b, u.wu, round(u.wu / 10000.0, 2) AS revenue
+        |FROM und u
+        |WHERE NOT EXISTS (SELECT 1 FROM reach r
+        |                  WHERE r.ea = u.a AND r.eb = u.b AND r.node = u.b)
+        |ORDER BY u.a, u.b""".stripMargin)
 }

@@ -1142,6 +1142,111 @@ object MlTrain {
         .selectExpr("bin AS ks_bin", "gap_ppm AS ks_ppm")
     }),
 
+    // Gradient-boosted regression stumps (Friedman 2001), T = 3 rounds,
+    // squared loss, shrinkage ν = 0.5: predict line price from the
+    // (quantity, discount%) integer grid. The data-sized work is ONE
+    // aggregate compacting lineitem to the ≤ 50·11 cell grid (n, Σy in
+    // exact cents); every boosting round then runs on the grid alone —
+    // per-cell residual sums are exact BIGINT milli-cents
+    // (1000·Σy − n·pred, pred an accumulated integer), split search
+    // scores cr²/cn + (R−cr)²/(N−cn) as double ops on identical integers
+    // (correctly-rounded IEEE ops on identical inputs cannot diverge
+    // between engines), and leaf steps are floor-rounded back onto the
+    // milli-cent grid before they enter the next round's integers. Each
+    // round's winner is a 1-row bounded probe (the ml_adaboost pattern).
+    // BIGINT headroom: 1000·Σy per cell ≲ 4·10¹³ at sf1, five orders
+    // below overflow; beyond ~10⁴× that, move sy to DECIMAL(38,0).
+    "ml_gbm_stumps" -> ((s, d) => {
+      val cells = t(s, d, "lineitem")
+        .select(round(col("l_quantity")).cast("bigint").as("q"),
+          round(col("l_discount") * 100).cast("bigint").as("dc"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y"))
+        .groupBy(col("q"), col("dc"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .ckpt(eager = false) // read by all 3 rounds × 2 feature scans
+      val t0 = cells.agg(sum(col("n")), sum(col("sy"))).head() // 1-row probe
+      val m0 = math.floor(1000.0 * t0.getLong(1) / t0.getLong(0) + 0.5).toLong
+      var pred: Column = lit(m0)
+      val model = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long, Long)]
+      for (tr <- 1 to 3) {
+        val rcell = cells.select(col("q"), col("dc"), col("n"),
+          (col("sy") * 1000L - col("n") * pred).as("r"))
+        def cand(f: String) = {
+          val byf = rcell.groupBy(col(f).as("v"))
+            .agg(sum(col("n")).as("cn0"), sum(col("r")).as("cr0"))
+          val w = Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          val tt = byf.agg(sum(col("cn0")).as("tn"), sum(col("cr0")).as("tr"))
+          byf.withColumn("cn", sum(col("cn0")).over(w))
+            .withColumn("cr", sum(col("cr0")).over(w))
+            .crossJoin(broadcast(tt))
+            .filter(col("cn") < col("tn")) // right leaf must be non-empty
+            .select(lit(f).as("feat"), col("v"),
+              (col("cr").cast("double") * col("cr").cast("double")
+                / col("cn").cast("double")
+               + (col("tr") - col("cr")).cast("double")
+                 * (col("tr") - col("cr")).cast("double")
+                 / (col("tn") - col("cn")).cast("double")).as("score"),
+              col("cn"), col("cr"), col("tn"), col("tr"))
+        }
+        val b = cand("q").unionAll(cand("dc"))
+          .orderBy(col("score").desc, col("feat"), col("v"))
+          .limit(1).head() // 1-row bounded probe per round
+        val (feat, v) = (b.getString(0), b.getLong(1))
+        val (cn, cr) = (b.getLong(3), b.getLong(4))
+        val (tn, trr) = (b.getLong(5), b.getLong(6))
+        val stepL = math.floor(0.5 * cr / cn + 0.5).toLong
+        val stepR = math.floor(0.5 * (trr - cr) / (tn - cn) + 0.5).toLong
+        pred = pred + when(col(feat) <= v, lit(stepL)).otherwise(lit(stepR))
+        model += ((tr.toLong, feat, v, stepL, stepR))
+      }
+      import s.implicits._
+      s.createDataset(model.toSeq)
+        .toDF("round", "feature", "threshold", "step_left_mc",
+          "step_right_mc")
+    }),
+
+    // SMOTE-style minority oversampling (Chawla et al. 2002), the
+    // deterministic k=1 form: for every vector of the LEAST-frequent
+    // label (the class a training pipeline would rebalance), find its
+    // nearest same-class neighbor by ppm-quantized cosine (smallest-id
+    // tiebreak) and synthesize the midpoint x̃ = (x + nn)/2 — published
+    // as an index-ordered ppm checksum so the full synthetic vector is
+    // hash-pinned without dumping dims as rows. The minority set rides a
+    // broadcast self-join (queries = the minority class, the knn-label
+    // shape): |minority|² similarity kernels inside whole-stage codegen
+    // via the native cosine_similarity Expression. At corpus scale the
+    // neighbor-candidate stage swaps to the IVF index (llm_ann_ivf) —
+    // the brute pairing here is the exactness anchor, same adjudication
+    // as llm_cosine_topk.
+    "ml_smote_midpoints" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings").filter(size(col("embedding")) > 0)
+      val minoLab = emb.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n"), col("label")).limit(1)
+        .select(col("label").as("mlabel"))
+      val mino = emb.join(broadcast(minoLab), col("label") === col("mlabel"))
+        .select(col("vec_id"), col("embedding"))
+      val pairs = mino.alias("a")
+        .join(broadcast(mino.alias("b")),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+          expr("CAST(floor(1e6 * cosine_similarity(a.embedding," +
+            " b.embedding) + 0.5) AS BIGINT)").as("sim_ppm"),
+          expr("CAST(floor(1e6 * aggregate(zip_with(" +
+            "CAST(a.embedding AS ARRAY<DOUBLE>)," +
+            " CAST(b.embedding AS ARRAY<DOUBLE>)," +
+            " (x, y) -> (x + y) / 2.0), 0D, (acc, v) -> acc + v) + 0.5)" +
+            " AS BIGINT)").as("mid_sum_ppm"),
+          size(col("a.embedding")).as("n_dims"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("sim_ppm").desc, col("nbr"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("src"), col("nbr"), col("sim_ppm"), col("mid_sum_ppm"),
+          col("n_dims"))
+    }),
+
     // Ridge regression = the SAME normal-equation machinery with λ added
     // to the feature diagonal (intercept unpenalized) — regularized
     // training costs nothing extra at scale: identical one-pass moments,
@@ -1479,7 +1584,116 @@ object MlTrain {
         |  GROUP BY t.doc_id, t.actual, c.cls, c.nd, s.ndall)"""
       .stripMargin
 
+  /** ml_gbm_stumps twin: the per-cell prediction adjustment of an
+    * already-chosen stump `w` (CTE alias), as applied to cell alias `c`. */
+  private def gbmStep(w: String): String =
+    s"(CASE WHEN ($w.feat = 'q' AND c.q <= $w.v)" +
+      s" OR ($w.feat = 'dc' AND c.dc <= $w.v)" +
+      s" THEN $w.stepl ELSE $w.stepr END)"
+
+  /** One unrolled boosting round for the ml_gbm_stumps twin: residuals
+    * against `pred` (exact BIGINT milli-cents), per-feature cumulative
+    * split candidates, and the 1-row winner w$i — mirroring the engine's
+    * bounded per-round probe. `from` lists the CTEs pred references. */
+  private def gbmRound(i: Int, from: String, pred: String): String =
+    s"""r$i AS (
+       |  SELECT c.q, c.dc, c.n, c.sy * 1000 - c.n * ($pred) AS r
+       |  FROM $from
+       |), bq$i AS (
+       |  SELECT q AS v, sum(n) AS cn0, sum(r) AS cr0 FROM r$i GROUP BY 1
+       |), bd$i AS (
+       |  SELECT dc AS v, sum(n) AS cn0, sum(r) AS cr0 FROM r$i GROUP BY 1
+       |), cq$i AS (
+       |  SELECT 'q' AS feat, v,
+       |         sum(cn0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS cn,
+       |         sum(cr0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS cr
+       |  FROM bq$i
+       |), cd$i AS (
+       |  SELECT 'dc' AS feat, v,
+       |         sum(cn0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS cn,
+       |         sum(cr0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND CURRENT ROW) AS cr
+       |  FROM bd$i
+       |), t$i AS (SELECT sum(n) AS tn, sum(r) AS tr FROM r$i),
+       |w$i AS (
+       |  SELECT feat, v,
+       |         CAST(floor(0.5 * CAST(cr AS DOUBLE) / CAST(cn AS DOUBLE)
+       |           + 0.5) AS BIGINT) AS stepl,
+       |         CAST(floor(0.5 * CAST(tr - cr AS DOUBLE)
+       |           / CAST(tn - cn AS DOUBLE) + 0.5) AS BIGINT) AS stepr
+       |  FROM (SELECT * FROM cq$i UNION ALL SELECT * FROM cd$i), t$i
+       |  WHERE cn < tn
+       |  ORDER BY (CAST(cr AS DOUBLE) * CAST(cr AS DOUBLE)
+       |              / CAST(cn AS DOUBLE)
+       |            + CAST(tr - cr AS DOUBLE) * CAST(tr - cr AS DOUBLE)
+       |              / CAST(tn - cn AS DOUBLE)) DESC, feat, v
+       |  LIMIT 1
+       |)""".stripMargin
+
   val sql: Map[String, String] = Map(
+    "ml_gbm_stumps" -> s"""
+      WITH cells AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(round(l_discount * 100) AS BIGINT) AS dc,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sy
+        FROM lineitem GROUP BY 1, 2
+      ), m0 AS (
+        SELECT CAST(floor(1000.0 * CAST(sum(sy) AS DOUBLE)
+          / CAST(sum(n) AS DOUBLE) + 0.5) AS BIGINT) AS m FROM cells
+      ),
+      ${gbmRound(1, "cells c, m0 m", "m.m")},
+      ${gbmRound(2, "cells c, m0 m, w1",
+                 s"m.m + ${gbmStep("w1")}")},
+      ${gbmRound(3, "cells c, m0 m, w1, w2",
+                 s"m.m + ${gbmStep("w1")} + ${gbmStep("w2")}")}
+      SELECT CAST(1 AS BIGINT) AS round, feat AS feature, v AS threshold,
+             stepl AS step_left_mc, stepr AS step_right_mc FROM w1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), feat, v, stepl, stepr FROM w2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), feat, v, stepl, stepr FROM w3""",
+
+    // minority 1-NN + midpoint checksum, index-ordered folds (the MMR
+    // twin discipline) so every double matches the engine bit-for-bit
+    "ml_smote_midpoints" -> """
+      WITH cnt AS (
+        SELECT label, count(*) AS n FROM embeddings
+        WHERE len(embedding) > 0 GROUP BY 1
+      ), ml AS (
+        SELECT label AS mlabel FROM cnt ORDER BY n, label LIMIT 1
+      ), mino AS (
+        SELECT vec_id, embedding FROM embeddings, ml
+        WHERE label = mlabel AND len(embedding) > 0
+      ), pos AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM mino
+      ), sims AS (
+        SELECT qa.vec_id AS src, qb.vec_id AS nbr,
+               CAST(floor(1e6 *
+                 list_aggregate(list(qa.x * qb.x ORDER BY qa.i), 'sum')
+                 / sqrt(list_aggregate(list(qa.x * qa.x ORDER BY qa.i),
+                          'sum')
+                      * list_aggregate(list(qb.x * qb.x ORDER BY qa.i),
+                          'sum')) + 0.5) AS BIGINT) AS sim_ppm,
+               CAST(floor(1e6 *
+                 list_aggregate(list((qa.x + qb.x) / 2.0 ORDER BY qa.i),
+                   'sum') + 0.5) AS BIGINT) AS mid_sum_ppm,
+               CAST(count(*) AS INT) AS n_dims
+        FROM pos qa JOIN pos qb
+          ON qa.i = qb.i AND qa.vec_id <> qb.vec_id
+        GROUP BY 1, 2
+      )
+      SELECT src, nbr, sim_ppm, mid_sum_ppm, n_dims
+      FROM (SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY sim_ppm DESC, nbr) AS rn FROM sims)
+      WHERE rn = 1""",
+
 
     "ml_poisson_reg" -> {
       // rational-exp stage: u = max(1 + (w0 + w1·x)/32, 0), five

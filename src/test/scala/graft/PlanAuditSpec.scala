@@ -427,7 +427,8 @@ class PlanAuditSpec extends AnyFunSuite
       "llm_hard_negatives"    -> "<=20 query vectors + label predicate",
       "llm_mmr_rerank"        -> "<=20 query vectors pool stage; greedy bounded by pool^2 = 64 rows/query",
       "llm_mmr_rerank_ann"    -> "k-row centroid probe (IVF pool stage) + <=20 query vectors",
-      "llm_mmr_rerank_ann_recall" -> "<=20-query MMR selections, both pool variants")
+      "llm_mmr_rerank_ann_recall" -> "<=20-query MMR selections, both pool variants",
+      "ml_smote_midpoints"    -> "minority-class self-pairing exactness anchor (corpus scale: IVF candidates — see PLANS.md)")
     def walk(pl: SparkPlan): Seq[SparkPlan] = pl match {
       case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
       case other => other +: (other.children ++ other.subqueries).flatMap(walk)

@@ -8,7 +8,7 @@ oracle SQL from oracle_sql.json in DuckDB over the same sf parquet tables,
 canonicalize both sides (columns sorted by name, rows sorted, doubles
 rounded), and diff.
 """
-import json, math, sys, time
+import json, math, os, sys, time
 
 import duckdb
 
@@ -37,7 +37,12 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single files; GenScale fixtures are
+        # Spark-written DIRECTORIES named <t>.parquet — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
     times = {}
     for name, sql in sorted(oracle.items()):
