@@ -180,9 +180,12 @@ object Resampling {
 
     // permutation test for the revenue gap between returned and kept
     // lines — the nonparametric significance readout with an EXACT
-    // integer decision path: 16 deterministic label permutations (the
-    // portable md5 coin per (replicate, row) — the poisson_bootstrap
-    // machinery), and each replicate's "at least as extreme" comparison
+    // integer decision path: 16 deterministic label permutations, all
+    // sixteen coins drawn from ONE portable md5 per row (hex nibble r of
+    // md5('perm:'||key), mod 2 — the sf1 sweep showed the per-(replicate,
+    // row) md5 form spending 295 s at 6M rows; one digest per row is 16×
+    // less hashing for the same test), and each replicate's
+    // "at least as extreme" comparison
     // |s₁/n₁ − s₀/n₀| ≥ |S₁/N₁ − S₀/N₀| is cross-multiplied into
     // decimal(38,0) ≡ HUGEINT products — the p-value can never
     // ulp-flip. One fan-out aggregate (16× the scan, the bootstrap
@@ -199,9 +202,11 @@ object Resampling {
         sum(when(col("y") === 0L, col("v"))).as("os0"),
         sum(when(col("y") === 0L, 1L).otherwise(0L)).as("on0"))
       val perms = li
+        .withColumn("h", md5(concat(lit("perm:"), col("ok"), lit(":"),
+          col("ln"))))
         .withColumn("r", explode(expr("sequence(0, 15)")))
-        .withColumn("py", expr("CAST(conv(substring(md5(concat('perm:'," +
-          " r, ':', ok, ':', ln)), 1, 8), 16, 10) AS BIGINT) % 2"))
+        .withColumn("py", expr(
+          "CAST(conv(substring(h, r + 1, 1), 16, 10) AS BIGINT) % 2"))
         .groupBy(col("r"))
         .agg(sum(when(col("py") === 1L, col("v"))).as("s1"),
           sum(when(col("py") === 1L, 1L).otherwise(0L)).as("n1"),
@@ -399,8 +404,8 @@ object Resampling {
         FROM li),
       fan AS (
         SELECT li.*, r.r,
-               CAST(('0x' || substr(md5('perm:' || r.r || ':' || ok
-                 || ':' || ln), 1, 8)) AS BIGINT) % 2 AS py
+               CAST(('0x' || substr(md5('perm:' || ok || ':' || ln),
+                 CAST(r.r + 1 AS BIGINT), 1)) AS BIGINT) % 2 AS py
         FROM li CROSS JOIN (SELECT unnest(range(0, 16)) AS r) r),
       perms AS (
         SELECT r, CAST(sum(CASE WHEN py = 1 THEN v END) AS BIGINT) AS s1,
