@@ -226,8 +226,10 @@ object Extended {
     "agg_custom_udaf" -> ((s, d) => {
       graft.functions.Aggregators.register(s)
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        // round to cents: Kahan is MORE accurate than a naive engine sum
-        // (diff ~1e-4 at 1e9 magnitude), so raw values would mismatch
+        // round to cents, and the twin compares against the EXACT
+        // integer-cents sum: Kahan stays within 2ε·Σ|x| (~2e-5 at sf1's
+        // Σ≈1e11) of exact, while DuckDB's own double sum drifted past
+        // the 2-dp grid at sf1 — the r12 parity sweep caught exactly that
         .agg(round(expr("kahan_sum(l_extendedprice)"), 2).as("ksum_price"),
              expr("kahan_sum(l_quantity)").as("ksum_qty"))
     }),
@@ -663,25 +665,31 @@ object Extended {
     // table-format time-travel diff (and the CDC feed generator): one
     // co-partitioned full outer join on the key, change class from null
     // sides + value comparison, unchanged rows dropped.
+    // The +10% bump runs on EXACT integer cents — (pc·110 + 50) div 100,
+    // round-half-up with no floating point anywhere: the r12 sf1 parity
+    // sweep caught round(price·1.1, 2) landing on opposite sides of a
+    // half-cent between Spark (decimal-string HALF_UP) and DuckDB
+    // (binary-double round) once enough keys hit the %101 branch.
     "etl_snapshot_diff" -> ((s, d) => {
       val a = t(s, d, "orders")
         .select(col("o_orderkey").as("k"),
-          round(col("o_totalprice"), 2).as("price"))
+          round(col("o_totalprice") * 100).cast("bigint").as("pc"))
       val b = a.filter(col("k") % 97 =!= 0)
-        .withColumn("price", when(col("k") % 101 === 3,
-          round(col("price") * 1.1, 2)).otherwise(col("price")))
+        .withColumn("pc", when(col("k") % 101 === 3,
+          expr("(pc * 110 + 50) div 100")).otherwise(col("pc")))
         .unionByName(a.filter(col("k") % 103 === 5)
-          .select((col("k") + 10000000L).as("k"), col("price")))
+          .select((col("k") + 10000000L).as("k"), col("pc")))
       val aa = a.as("a"); val bb = b.as("b")
       aa.join(bb, col("a.k") === col("b.k"), "full_outer")
         .withColumn("change_type",
           when(col("a.k").isNull, lit("insert"))
             .when(col("b.k").isNull, lit("delete"))
-            .when(col("a.price") =!= col("b.price"), lit("update")))
+            .when(col("a.pc") =!= col("b.pc"), lit("update")))
         .filter(col("change_type").isNotNull)
         .select(coalesce(col("a.k"), col("b.k")).as("o_orderkey"),
-          col("change_type"), col("a.price").as("old_price"),
-          col("b.price").as("new_price"))
+          col("change_type"),
+          (col("a.pc").cast("double") / 100.0).as("old_price"),
+          (col("b.pc").cast("double") / 100.0).as("new_price"))
         .orderBy(col("o_orderkey"))
     })
   )
@@ -744,21 +752,23 @@ object Extended {
     // snapshot B derived by the same key-modulo mutations, then the same
     // full-outer-join changelog classification
     "etl_snapshot_diff" -> """
-      WITH a AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+      WITH a AS (SELECT o_orderkey AS k,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS pc
                  FROM orders),
       b AS (
-        SELECT k, CASE WHEN k % 101 = 3 THEN round(price * 1.1, 2)
-                       ELSE price END AS price
+        SELECT k, CASE WHEN k % 101 = 3 THEN (pc * 110 + 50) // 100
+                       ELSE pc END AS pc
         FROM a WHERE k % 97 <> 0
         UNION ALL
-        SELECT k + 10000000, price FROM a WHERE k % 103 = 5)
+        SELECT k + 10000000, pc FROM a WHERE k % 103 = 5)
       SELECT coalesce(a.k, b.k) AS o_orderkey,
              CASE WHEN a.k IS NULL THEN 'insert'
                   WHEN b.k IS NULL THEN 'delete'
                   ELSE 'update' END AS change_type,
-             a.price AS old_price, b.price AS new_price
+             CAST(a.pc AS DOUBLE) / 100.0 AS old_price,
+             CAST(b.pc AS DOUBLE) / 100.0 AS new_price
       FROM a FULL OUTER JOIN b ON a.k = b.k
-      WHERE a.k IS NULL OR b.k IS NULL OR a.price <> b.price
+      WHERE a.k IS NULL OR b.k IS NULL OR a.pc <> b.pc
       ORDER BY o_orderkey""",
 
     // exact side computed by DuckDB; the *_in_band booleans are the
@@ -952,9 +962,15 @@ object Extended {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
 
+    // the reference side is the EXACT integer-cents sum, not DuckDB's
+    // own double sum: at sf1 (Σ ≈ 1.1e11 over 2M rows/group) the naive
+    // double accumulation drifted 0.01 past the 2-dp round while Kahan
+    // stayed within ~2e-5 of exact — comparing Kahan against exact is
+    // scale-stable, comparing it against a WORSE summation is not
     "agg_custom_udaf" -> """
       SELECT l_returnflag,
-             round(sum(l_extendedprice), 2) AS ksum_price,
+             round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS DOUBLE) / 100.0, 2) AS ksum_price,
              sum(l_quantity) AS ksum_qty
       FROM lineitem GROUP BY l_returnflag""",
 

@@ -83,20 +83,28 @@ object Relational {
           count(lit(1)).as("n_rows"))
     }),
 
-    // ROLLUP region→nation revenue with subtotal labels.
+    // ROLLUP region→nation revenue with subtotal labels. Revenue sums in
+    // EXACT integer 1/10000-dollar units (cents × (100 − disc%)) with one
+    // double division on output: the r12 sf1 parity sweep showed the raw
+    // double sum drifting ~1e-2 at Σ ≈ 6e10 per region between engines
+    // (association-order error), while the integer grid cannot. BIGINT
+    // headroom: grand total ≈ 6e17 at sf1, two orders below overflow —
+    // beyond that, the sum moves to DECIMAL(38,0).
     "agg_rollup" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      val revU = round(col("l_extendedprice") * 100).cast("bigint") *
+        (lit(100L) - round(col("l_discount") * 100).cast("bigint"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(revenue).as("revenue"), count(lit(1)).as("n"))
+        .agg(sum(revU).as("rev_u"), count(lit(1)).as("n"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region_name"),
           coalesce(col("n_name"), lit("ALL")).as("nation_name"),
-          col("revenue"), col("n"))
+          (col("rev_u").cast("double") / 10000.0).as("revenue"), col("n"))
     }),
 
     // CUBE over two low-cardinality keys.
@@ -334,13 +342,22 @@ object Relational {
           .as("priorities"))
     }),
 
-    // arg-max/arg-min (max_by/min_by)
+    // arg-max/arg-min (max_by/min_by). The ordering value is the
+    // composite exact integer price-cents·10^10 + orderkey — a STRICT
+    // total order, because argmax on the raw price is undefined under
+    // ties and the r12 sf1 parity sweep hit exactly that (the replicated
+    // fixture repeats the price domain, Spark and DuckDB kept different
+    // tied keys). max picks the largest key among max-price ties, min
+    // the smallest among min-price ties; keys must sit below 10^10.
     "agg_minmax_by" -> ((s, d) => {
       t(s, d, "orders")
+        .withColumn("pck",
+          round(col("o_totalprice") * 100).cast("bigint") * 10000000000L
+            + col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(
-          expr("max_by(o_orderkey, o_totalprice)").as("max_price_order"),
-          expr("min_by(o_orderkey, o_totalprice)").as("min_price_order"),
+          expr("max_by(o_orderkey, pck)").as("max_price_order"),
+          expr("min_by(o_orderkey, pck)").as("min_price_order"),
           max(col("o_totalprice")).as("max_price"),
           min(col("o_totalprice")).as("min_price"))
     }),
@@ -1644,7 +1661,9 @@ object Relational {
     "agg_rollup" -> """
       SELECT coalesce(r_name, 'ALL') AS region_name,
              coalesce(n_name, 'ALL') AS nation_name,
-             sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS revenue,
              count(*) AS n
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -1818,8 +1837,10 @@ object Relational {
 
     "agg_minmax_by" -> """
       SELECT o_orderstatus,
-             max_by(o_orderkey, o_totalprice) AS max_price_order,
-             min_by(o_orderkey, o_totalprice) AS min_price_order,
+             max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+               * 10000000000 + o_orderkey) AS max_price_order,
+             min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+               * 10000000000 + o_orderkey) AS min_price_order,
              max(o_totalprice) AS max_price,
              min(o_totalprice) AS min_price
       FROM orders GROUP BY o_orderstatus""",
