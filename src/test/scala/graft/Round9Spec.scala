@@ -1256,10 +1256,12 @@ class Round9Spec extends AnyFunSuite {
       .collect()
       .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getInt(3)))
     val md = java.security.MessageDigest.getInstance("MD5")
+    // r12 form: all 16 coins come from ONE digest per row — coin r is
+    // hex nibble r of md5('perm:'||ok||':'||ln), mod 2
     def coin(rep: Int, ok: Long, ln: Int): Int = {
-      val hex = md.digest(s"perm:$rep:$ok:$ln".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 8)
-      (java.lang.Long.parseLong(hex, 16) % 2).toInt
+      val hex = md.digest(s"perm:$ok:$ln".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(rep, rep + 1), 16) % 2).toInt
     }
     def sums(lab: ((Long, Int, Long, Int)) => Int) = {
       val g1 = src.filter(lab(_) == 1); val g0 = src.filter(lab(_) == 0)
