@@ -2250,7 +2250,7 @@ object EventsBatch {
 
     "evt_threshold_alerts" -> """
       WITH baseline AS (
-        SELECT event_type, quantile_cont(value, 0.99) AS p99
+        SELECT event_type, quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
       )
       SELECT e.event_id, e.event_type, e.ts, e.value, b.p99

@@ -451,9 +451,16 @@ object EventStreams {
 
   /** Per-type p99 baseline from a historical batch — the static side of
     * [[thresholdAlerts]]. */
+  /** p99 is the DISCRETE percentile — an actual data value, not an
+    * interpolation: the r12 sf1 parity sweep caught the continuous form's
+    * interpolated threshold landing one ulp apart between engines exactly
+    * when it interpolates AT a data value, flipping the strict `>` gate
+    * on every tied row. A threshold that IS a data point compares
+    * exactly, at any scale. */
   def typeBaseline(history: DataFrame): DataFrame =
     history.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.99)").as("p99"))
+      .agg(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+        .as("p99"))
 
   /** Per-(user, event_type) streaming counts via MapState. */
   def typeCounts(events: Dataset[Ev]): Dataset[TypeCount] = {
