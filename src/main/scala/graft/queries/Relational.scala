@@ -32,6 +32,17 @@ object Relational {
 
   private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Exact-integer revenue in 1/10000-dollar units (cents × (100 −
+    * disc%)) with ONE double division on output — the scale-stable form
+    * of `sum(revenue)`: the r12 sf1 parity sweep showed raw double
+    * revenue sums drifting past the 6-dp canon round between engines
+    * once groups reach ~10⁶ rows (association-order error ∝ ε·n·Σ|x|).
+    * BIGINT headroom to ~sf100; beyond that the sum moves to
+    * DECIMAL(38,0). Twins mirror the identical integer expression. */
+  private def revenueU = round(col("l_extendedprice") * 100).cast("bigint") *
+    (lit(100L) - round(col("l_discount") * 100).cast("bigint"))
+  private def sumRevenue = sum(revenueU).cast("double") / 10000.0
+
   val defs: Map[String, Q] = Map(
     // ---- Aggregations --------------------------------------------------
     // TPC-H Q1 shape: multi-key hash aggregate with sum/avg/count.
@@ -42,8 +53,9 @@ object Relational {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice")).as("sum_base_price"),
-          sum(revenue).as("sum_disc_price"),
+          (sum(round(col("l_extendedprice") * 100).cast("bigint"))
+            .cast("double") / 100.0).as("sum_base_price"),
+          sumRevenue.as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           avg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -384,7 +396,7 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
                 col("o_orderdate") <  lit("2000-01-01").cast("timestamp"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sumRevenue.as("revenue"), count(lit(1)).as("n_items"))
     }),
 
     // left outer: every customer, order stats (0 for orderless customers)
@@ -468,7 +480,7 @@ object Relational {
         .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
         .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
         .groupBy(col("cust_nation"), col("supp_nation"))
-        .agg(sum(revenue).as("revenue"))
+        .agg(sumRevenue.as("revenue"))
     }),
 
     // ---- Set ops / distinct / sort-limit -------------------------------
@@ -881,7 +893,7 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
                 col("l_shipdate") <  lit("1999-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum(revenue).as("total_revenue"))
+        .agg(sumRevenue.as("total_revenue"))
         .ckpt(eager = false)
       val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
       t(s, d, "supplier")
@@ -1541,7 +1553,9 @@ object Relational {
     "tpch_q15_topsupp" -> """
       WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1999-01-01'
           AND l_shipdate <  TIMESTAMP '1999-04-01'
@@ -1630,8 +1644,11 @@ object Relational {
     "agg_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              sum(l_quantity) AS sum_qty,
-             sum(l_extendedprice) AS sum_base_price,
-             sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS DOUBLE) / 100.0 AS sum_base_price,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS sum_disc_price,
              avg(l_quantity) AS avg_qty,
              avg(l_discount) AS avg_disc,
              count(*) AS count_order
@@ -1856,7 +1873,9 @@ object Relational {
 
     "join_star_revenue" -> """
       SELECT r_name, n_name,
-             sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -1917,7 +1936,9 @@ object Relational {
 
     "join_nation_matrix" -> """
       SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
-             sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey

@@ -36,6 +36,10 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # big-fixture sweeps OOM'd at default limits when JVMs shared the box;
+    # cap the oracle so it degrades to spilling instead of failing
+    con.execute("SET memory_limit = '32GB'")
+    con.execute("SET threads = 16")
     for t in TABLES:
         # driver testdata ships single files; GenScale fixtures are
         # Spark-written DIRECTORIES named <t>.parquet — glob those
