@@ -370,15 +370,22 @@ object Semantic {
           sum(when(isTgt, 1L).otherwise(0L)).as("c_tgt"))
       val tot = perF.agg(sum(col("c_raw")).as("n_raw"),
         sum(col("c_tgt")).as("n_tgt"))
+      // λ is floor-ppb-quantized BEFORE the per-doc sum (the
+      // llm_js_divergence discipline): the r12 sf1 sweep caught the raw
+      // double form — two libm ln ulps plus join-order association over
+      // ~10² tokens/doc land on opposite sides of the 4-dp round once
+      // 50k docs sample the boundary. Integer ppb sums cannot reorder.
       val lam = perF.crossJoin(broadcast(tot))
         .select(col("f"),
-          (log((col("c_tgt") + 0.5) / (col("n_tgt") + 128.0))
-            - log((col("c_raw") + 0.5) / (col("n_raw") + 128.0))).as("lam"))
+          floor(lit(1e9) *
+            (log((col("c_tgt") + 0.5) / (col("n_tgt") + 128.0))
+              - log((col("c_raw") + 0.5) / (col("n_raw") + 128.0)))
+            + 0.5).cast("long").as("lam_ppb"))
       toks.select(col("doc_id"), col("f"))
         .join(broadcast(lam), Seq("f"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_toks"),
-          round(sum(col("lam")), 4).as("dsir_logw"))
+          sum(col("lam_ppb")).as("dsir_logw_ppb"))
     }),
 
     // Distributed PCA on the embedding space via power iteration: the
@@ -681,12 +688,13 @@ object Semantic {
       ), tot AS (
         SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM per_f
       ), lam AS (
-        SELECT f, ln((c_tgt + 0.5) / (n_tgt + 128.0))
-                - ln((c_raw + 0.5) / (n_raw + 128.0)) AS lam
+        SELECT f, CAST(floor(1e9 * (ln((c_tgt + 0.5) / (n_tgt + 128.0))
+                - ln((c_raw + 0.5) / (n_raw + 128.0))) + 0.5) AS BIGINT)
+                  AS lam_ppb
         FROM per_f CROSS JOIN tot
       )
       SELECT t.doc_id, count(*) AS n_toks,
-             round(sum(l.lam), 4) AS dsir_logw
+             CAST(sum(l.lam_ppb) AS BIGINT) AS dsir_logw_ppb
       FROM toks t JOIN lam l ON t.f = l.f
       GROUP BY t.doc_id""",
 
