@@ -1174,7 +1174,11 @@ object Relational {
         .agg((avg(col("l_quantity")) * lit(0.2)).as("qty_cut"))
       branded.join(avgQty, col("l_partkey") === col("ap"))
         .filter(col("l_quantity") < col("qty_cut"))
-        .agg((sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+        // exact cents then ONE division chain: the raw double sum was
+        // run-to-run unstable inside DuckDB itself at sf1 (parallel
+        // aggregation order), never mind cross-engine
+        .agg((sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .cast("double") / 100.0 / lit(7.0)).as("avg_yearly"))
     }),
 
     // Q18 shape (large-volume customers): the HAVING sum(qty) aggregate
@@ -1308,7 +1312,8 @@ object Relational {
         SELECT l_partkey AS ap, avg(l_quantity) * 0.2 AS qty_cut
         FROM branded GROUP BY l_partkey
       )
-      SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
       FROM branded JOIN cuts ON l_partkey = ap
       WHERE l_quantity < qty_cut""",
 

@@ -63,9 +63,14 @@ object Taxi {
         .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
                 col("o_orderdate") <  lit("2000-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(sum(col("o_totalprice")).as("revenue"),
+        // exact integer cents (r12 sf1 hazard class: raw double sums over
+        // ~10⁴-row groups drift past round-6 between engines); the
+        // revenue cut compares on the exact cents sum
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("pc"),
              count(lit(1)).as("n_orders"))
-        .filter(col("revenue") > 1000000.0)
+        .filter(col("pc") > 100000000L)
+        .select(col("n_name"),
+          (col("pc").cast("double") / 100.0).as("revenue"), col("n_orders"))
     }),
 
     // B5: "max tip pickup→dropoff zone pair" — double-aliased dim join,
@@ -118,7 +123,8 @@ object Taxi {
 
     "taxi_top_zones_revenue" -> """
       SELECT n_name,
-             sum(o_totalprice) AS revenue,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
              count(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -126,7 +132,7 @@ object Taxi {
       WHERE o_orderdate >= TIMESTAMP '1999-01-01'
         AND o_orderdate <  TIMESTAMP '2000-01-01'
       GROUP BY n_name
-      HAVING sum(o_totalprice) > 1000000.0""",
+      HAVING sum(CAST(round(o_totalprice * 100) AS BIGINT)) > 100000000""",
 
     "taxi_zone_pair_max" -> """
       SELECT dn.n_name AS dropoff_nation,
