@@ -947,9 +947,12 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("l_shipdate")).as("o_year"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          lit(0.1) * col("l_quantity") * col("p_retailprice"))
-          .as("sum_profit"))
+        // exact 1/10000-dollar units: revU − 10·qty·retail_cents
+        // (0.1·qty·retail dollars ≡ qty·rc·10 in 1e-4-dollar units)
+        .agg(((sum(revenueU
+          - lit(10L) * round(col("l_quantity")).cast("bigint")
+            * round(col("p_retailprice") * 100).cast("bigint")))
+          .cast("double") / 10000.0).as("sum_profit"))
     }),
 
     // Q11 shape (adapted: "inventory value" = price×qty shipped by one
@@ -1040,8 +1043,7 @@ object Relational {
             col("s_nationkey") === col("c_nationkey"))
         .join(asia, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("revenue"))
+        .agg(sumRevenue.as("revenue"))
     }),
 
     // item-item cosine recommender: per anchor item, the top-5
@@ -1151,8 +1153,7 @@ object Relational {
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("volume"))
+        .agg(sumRevenue.as("volume"))
     }),
 
     // Q17 shape (small-quantity-order revenue), DataFrame-API variant of
@@ -1226,7 +1227,9 @@ object Relational {
   val sql: Map[String, String] = Map(
     "tpch_q5_local_supplier" -> """
       SELECT n_name,
-             sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS revenue
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -1290,7 +1293,9 @@ object Relational {
     "tpch_q7_nation_volume" -> """
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             sum(l_extendedprice * (1.0 - l_discount)) AS volume
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS volume
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -1596,8 +1601,11 @@ object Relational {
 
     "tpch_q9_profit" -> """
       SELECT n_name AS nation, year(l_shipdate) AS o_year,
-             sum(l_extendedprice * (1.0 - l_discount)
-                 - 0.1 * l_quantity * p_retailprice) AS sum_profit
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 - 10 * CAST(round(l_quantity) AS BIGINT)
+                   * CAST(round(p_retailprice * 100) AS BIGINT))
+               AS DOUBLE) / 10000.0 AS sum_profit
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
