@@ -227,9 +227,15 @@ object FeatureEng {
       val mm = c.agg(min(col("bal_u")).as("mn"), max(col("bal_u")).as("mx"))
       c.join(broadcast(st), Seq("nationkey"))
         .crossJoin(broadcast(mm))
+        // n·s2 − s1² forms in DECIMAL(38,0) ≡ HUGEINT and casts to double
+        // ONCE (the agg_icc_deff discipline): at sf1 the nation-level s1²
+        // reaches ~3.6e19 and overflowed the former BIGINT product —
+        // caught fail-loud by the r12 sf1 sweep
         .select(col("c_custkey"), col("nationkey"),
           (round((col("bal_u") * col("n") - col("s1")).cast("double")
-            / (col("n") * sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+            / (col("n") * sqrt(
+                (col("n").cast("decimal(38,0)") * col("s2").cast("decimal(38,0)")
+                  - col("s1").cast("decimal(38,0)") * col("s1").cast("decimal(38,0)"))
                 .cast("double") / (col("n") * (col("n") - 1)))), 4) + 0.0)
             .as("zscore"),
           round((col("bal_u") - col("mn")).cast("double")
@@ -367,7 +373,8 @@ object FeatureEng {
       mm AS (SELECT MIN(bal_u) AS mn, MAX(bal_u) AS mx FROM c)
       SELECT c_custkey, c.nationkey,
              ROUND(CAST(bal_u * n - s1 AS DOUBLE)
-               / (n * SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)
+               / (n * SQRT(CAST(CAST(n AS HUGEINT) * s2
+                                - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                            / (n * (n - 1)))), 4) + 0.0 AS zscore,
              ROUND(CAST(bal_u - mn AS DOUBLE) / (mx - mn), 6) AS minmax
       FROM c JOIN st ON st.nationkey = c.nationkey, mm
