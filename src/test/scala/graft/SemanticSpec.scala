@@ -126,7 +126,7 @@ class SemanticSpec extends AnyFunSuite {
       .select("doc_id", "lang", "source").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     val w = SparkEntry.queries("llm_dsir_weights")(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2))
+      .map(r => r.getLong(0) -> r.getLong(2).toDouble) // ppb ints since r12
     val (tgt, rest) = w.partition { case (id, _) =>
       val (lang, src) = docs(id)
       lang == "en" && Set("src0", "src1", "src2", "src3")(src)
