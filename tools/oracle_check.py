@@ -40,6 +40,9 @@ def main():
     # cap the oracle so it degrades to spilling instead of failing
     con.execute("SET memory_limit = '32GB'")
     con.execute("SET threads = 16")
+    # spill outside the repo (the default is ./.tmp, which left 57 GB of
+    # duckdb_temp_storage files in the working tree during the sf1 sweep)
+    con.execute("SET temp_directory = '/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         # driver testdata ships single files; GenScale fixtures are
         # Spark-written DIRECTORIES named <t>.parquet — glob those
