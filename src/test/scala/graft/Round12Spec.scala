@@ -80,17 +80,24 @@ class Round12Spec extends AnyFunSuite {
   test("hot-shingle guard passes the fixture corpus and fails a hot one") {
     // board anchors stay green (fixture df << budget) — exercised by the
     // oracle; here: a synthetic corpus with one shingle in every doc must
-    // abort once its df exceeds a small budget. Reuse the guard shape
-    // directly on a crafted (doc_id, shingle) frame via the public API.
+    // abort once its df exceeds a small budget. Calls the REAL kernel
+    // (r13: inline assert on the per-shingle aggregate — no df join, no
+    // probe job), both the fail-loud and the pass-through paths.
     import spark.implicits._
     val sh = (1 to 50).map(i => (i.toLong, "the same shingle"))
       .toDF("doc_id", "shingle")
-    val guarded = sh
-      .join(sh.groupBy($"shingle").agg(count(lit(1)).as("__df")), Seq("shingle"))
-      .filter(expr(
-        "isnull(assert_true(__df <= 10, 'hot shingle exceeds budget'))"))
-    val e = intercept[Exception] { guarded.count() }
+    val e = intercept[Exception] {
+      graft.llm.TextOps.exactPairCommon(sh, "spec-hot", budget = 10).count()
+    }
     assert(e.getMessage != null)
+    // a cool corpus yields the exact pair set: docs {1,2,3} share "s",
+    // so C(3,2)=3 pairs each with common=1, plus {1,2} share "t" → the
+    // (1,2) pair has common=2
+    val cool = Seq((1L, "s"), (2L, "s"), (3L, "s"), (1L, "t"), (2L, "t"))
+      .toDF("doc_id", "shingle")
+    val pairs = graft.llm.TextOps.exactPairCommon(cool, "spec-cool")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
     // and the production anchors still plan + run at test SF
     assert(SparkEntry.queries("llm_ngram_jaccard")(spark, sf).count() >= 0)
   }
