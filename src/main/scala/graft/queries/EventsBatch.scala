@@ -1357,29 +1357,68 @@ object EventsBatch {
 
     // co-engagement overlap matrix — exact pairwise user overlap between
     // event types (|A∩B|, Jaccard), the exact small-cardinality
-    // counterpart of agg_hll_intersect's sketch estimate. The self-join
-    // is keyed on user_id over the DISTINCT (user, type) table: each user
-    // contributes at most C(|types|, 2) pairs, so candidate volume is
-    // O(users), never users². Division emitted raw (engine-identical).
+    // counterpart of agg_hll_intersect's sketch estimate. r13 shape for
+    // small type domains (≤12): ONE user-keyed bit_or aggregate collapses
+    // each user to a type BITMASK, and the ≤2^|types|-row mask histogram
+    // (Bounded.collect) yields every pairwise intersection on the driver
+    // — no data-sized self-join at all (the r12 form shuffled the
+    // distinct (user, type) table twice more for the pair join; measured
+    // 2.8 s). Wide domains keep the self-join path: per-user candidate
+    // volume is C(|types|, 2) = O(users), never users². The Jaccard
+    // division is one IEEE op on exact integers — identical on the
+    // driver and in DuckDB.
     "evt_type_overlap" -> ((s, d) => {
-      val ut = t(s, d, "events")
-        .select(col("user_id"), col("event_type")).distinct()
-      val pairs = ut.select(col("user_id"), col("event_type").as("t1"))
-        .join(ut.select(col("user_id"), col("event_type").as("t2")),
-          Seq("user_id"))
-        .filter(col("t1") < col("t2"))
-        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
-      val sizes = ut.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_users"))
-      pairs
-        .join(sizes.select(col("event_type").as("t1"),
-          col("n_users").as("n1")), Seq("t1"))
-        .join(sizes.select(col("event_type").as("t2"),
-          col("n_users").as("n2")), Seq("t2"))
-        .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
-          (col("n_both").cast("double")
-            / (col("n1") + col("n2") - col("n_both"))).as("jaccard"))
-        .orderBy(col("t1"), col("t2"))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"))
+      val types = graft.core.Bounded.collect(
+        ev.select(col("event_type")).distinct().orderBy(col("event_type")),
+        62, "evt_type_overlap type domain").map(_.getString(0))
+      if (types.length <= 12) {
+        // bit_or absorbs duplicate (user, type) rows, so the mask path
+        // needs no distinct pre-shuffle over the raw event stream
+        val bit = types.zipWithIndex.foldLeft(lit(0L)) { case (acc, (ty, i)) =>
+          when(col("event_type") === ty, lit(1L << i)).otherwise(acc)
+        }
+        val hist = graft.core.Bounded.collect(
+          ev.select(col("user_id"), bit.as("b"))
+            .groupBy(col("user_id")).agg(bit_or(col("b")).as("mask"))
+            .groupBy(col("mask")).agg(count(lit(1)).as("n")),
+          4096, "evt_type_overlap mask histogram (<= 2^|types|)")
+          .map(r => (r.getLong(0), r.getLong(1)))
+        def cnt(p: Long => Boolean) = hist.collect {
+          case (m, n) if p(m) => n
+        }.sum
+        val rows = for {
+          i <- types.indices; j <- (i + 1) until types.length
+          nBoth = cnt(m => (m & (1L << i)) != 0 && (m & (1L << j)) != 0)
+          if nBoth > 0
+          n1 = cnt(m => (m & (1L << i)) != 0)
+          n2 = cnt(m => (m & (1L << j)) != 0)
+        } yield (types(i), types(j), nBoth, n1, n2,
+          nBoth.toDouble / (n1 + n2 - nBoth))
+        import s.implicits._
+        s.createDataset(rows.toSeq)
+          .toDF("t1", "t2", "n_both", "n1", "n2", "jaccard")
+          .orderBy(col("t1"), col("t2"))
+      } else {
+        val ut = ev.distinct()
+        val pairs = ut.select(col("user_id"), col("event_type").as("t1"))
+          .join(ut.select(col("user_id"), col("event_type").as("t2")),
+            Seq("user_id"))
+          .filter(col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_both"))
+        val sizes = ut.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+        pairs
+          .join(sizes.select(col("event_type").as("t1"),
+            col("n_users").as("n1")), Seq("t1"))
+          .join(sizes.select(col("event_type").as("t2"),
+            col("n_users").as("n2")), Seq("t2"))
+          .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+            (col("n_both").cast("double")
+              / (col("n1") + col("n2") - col("n_both"))).as("jaccard"))
+          .orderBy(col("t1"), col("t2"))
+      }
     }),
 
     // CEP-lite sequence pattern match (the MATCH_RECOGNIZE shape): each

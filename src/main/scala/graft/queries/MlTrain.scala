@@ -1487,10 +1487,17 @@ object MlTrain {
         .filter(col("cnt") * 10 >= col("nn"))  // item support ≥ 0.10
         .select(col("item"), col("cnt"), col("nn"))
       val fi = items.join(broadcast(freq.select(col("item"))), Seq("item"))
-      val pairs = fi.alias("a")
-        .join(fi.alias("b"), col("a.ok") === col("b.ok")
-          && col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("i1"), col("b.item").as("i2"))
+      // single basket-keyed shuffle + codegen pair generators (the
+      // rec_item_cosine / exactPairCommon shape, r13) — the ok-keyed
+      // self-join shuffled the frequent-item stream twice for the same
+      // i1 < i2 pair set; sorted collect_set gives the order for free
+      val pairs = fi.groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("item"))).as("its"))
+        .filter(size(col("its")) >= 2)
+        .select(col("its"), posexplode(col("its")).as(Seq("i", "i1")))
+        .select(col("i1"), explode(expr(
+          "slice(its, i + 2, size(its) - i - 1)")).as("i2"))
+        .groupBy(col("i1"), col("i2"))
         .agg(count(lit(1)).as("n_both"))
       val both = pairs.select(col("i1").as("ante"), col("i2").as("cons"),
           col("n_both"))

@@ -1062,14 +1062,15 @@ object Relational {
       val perPart = baskets
         .select(explode(col("parts")).as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("f"))
+      // two stacked codegen generators (posexplode + sliced explode)
+      // instead of the nested interpreted transform/flatten lambda —
+      // the exactPairCommon lesson (r13): HOF lambdas run interpreted
+      // per element, and this expansion touches every basket
       val pairs = baskets
         .filter(size(col("parts")) >= 2)
-        .select(explode(expr(
-          "flatten(transform(sequence(1, size(parts) - 1)," +
-            " i -> transform(sequence(i + 1, size(parts))," +
-            " j -> struct(element_at(parts, i) AS p1," +
-            " element_at(parts, j) AS p2))))")).as("p"))
-        .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+        .select(col("p1"), explode(expr(
+          "slice(parts, i + 2, size(parts) - i - 1)")).as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
       val sym = pairs.union(pairs.select(col("p2"), col("p1"), col("n_both")))
       val w = Window.partitionBy(col("p1"))

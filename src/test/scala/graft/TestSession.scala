@@ -6,8 +6,13 @@ import org.apache.spark.sql.SparkSession
   * JVM; getOrCreate returns the same session). */
 object TestSession {
   lazy val spark: SparkSession = {
+    // 16 threads (host has 32): the sf1-fixture anchors in Round13Spec
+    // are corpus-sized engine runs, not unit fixtures — 4 threads made
+    // them (and the whole suite) IO/CPU serial for no isolation benefit.
+    // shuffle.partitions stays 4: plan shapes and partition-id-dependent
+    // machinery are pinned by config, not by master thread count.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[16]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
