@@ -83,10 +83,18 @@ object Bench {
     // query's number measure THAT query — the mechanism behind the
     // r10-r12 "driver read drift" on late-board queries.
     var sinceGc = 0
-    def maybeReclaim(): Unit = {
+    var secsSinceGc = 0.0
+    def maybeReclaim(lastSecs: Double): Unit = {
       sinceGc += 1
-      if (sinceGc >= 10) {
+      secsSinceGc += lastSecs
+      // cadence is WORK-aware, not just count-aware: at sf1 ten heavy
+      // queries accumulate 10x the dead blocks of the sf0.1 board, so a
+      // pure every-10 rule re-creates the drift inside the reclaim window
+      // (observed: ml_conformal_interval read 123 s mid-board at sf1 vs
+      // ~8 s isolated)
+      if (sinceGc >= 10 || secsSinceGc >= 30.0) {
         sinceGc = 0
+        secsSinceGc = 0.0
         System.gc()
         // the cleaner drains its reference queue asynchronously and its
         // unpersist storm contends with whatever runs next — settle,
@@ -102,9 +110,9 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        val r = name -> median(Seq.fill(reps)(time(fn)))
-        maybeReclaim()
-        r
+        val ts = Seq.fill(reps)(time(fn))
+        maybeReclaim(ts.sum)
+        name -> median(ts)
       }
     // Layout demonstration (SURVEY §2 partitioning): the SAME fact⋈fact
     // join (lineitem⋈orders on orderkey) timed over raw parquet (both

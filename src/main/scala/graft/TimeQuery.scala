@@ -22,6 +22,19 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_WARM=1: absorb the UNIVERSAL first-job runtime init
+    // (codegen compiler, shuffle machinery, scan JIT — measured ~7 s on
+    // run1 of even a trivial-plan query) with the same warmup Bench
+    // runs, so run1 then measures the QUERY's own cold cost (plan
+    // analysis + its codegen + cache-cold scans), not Spark's.
+    if (sys.env.get("SPARK_GRAFT_WARM").contains("1")) {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).count()
+      spark.range(1)
+        .selectExpr(
+          "explode(from_json('{\"a\":1}', 'map<string,int>')) AS (k, v)")
+        .count()
+    }
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sf).count()
