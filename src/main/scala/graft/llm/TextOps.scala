@@ -81,37 +81,81 @@ object TextOps {
     * at 10⁸ rows. At corpus scale, use the banded-LSH production path. */
   val maxAnchorShingleDf = 10000L
 
-  /** (doc1, doc2, common) — the shared candidate-pair kernel of the two
-    * exact near-dup anchors, with the [[maxAnchorShingleDf]] budget
-    * enforced INLINE. ONE shingle-keyed shuffle: per-shingle sorted doc
-    * lists (collect_list), a codegen'd fail-loud assert on the aggregated
-    * row (any shingle whose document frequency exceeds the budget aborts
-    * the job BEFORE its f(f−1)/2 pairs are generated), then i<j pair
-    * explosion and the (doc1, doc2) common count. The r12 guard joined a
-    * df aggregate back through the full shingle stream — a second
-    * shingle-keyed shuffle per anchor, measured 2.0× on llm_containment
-    * (VERDICT r12); this form shuffles the stream ONCE (the r11 join
-    * shuffled both sides) and the guard costs one size() per aggregated
-    * row. The sorted list gives doc1 < doc2 by construction. */
-  private[graft] def exactPairCommon(sh: DataFrame, who: String,
-      budget: Long = maxAnchorShingleDf): DataFrame =
-    sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(expr(
-        s"isnull(assert_true(size(docs) <= $budget, concat('$who: " +
-          "shingle document frequency ', size(docs), ' exceeds the " +
-          s"exact-anchor pairing budget $budget (f^2 pair rows) — use " +
-          "the banded-LSH production path at this scale')))"))
-      // the overwhelming mass of shingles is df=1 (unique text) — prune
-      // them BEFORE any pair machinery runs; then two stacked generators
-      // (posexplode + sliced explode) emit the i<j pairs in codegen
-      // rather than a nested interpreted transform/flatten lambda
+  /** ((doc1, doc2, common), per-doc distinct-shingle counts) — the shared
+    * kernel of the two exact near-dup anchors, r14 shape. ONE full-stream
+    * shuffle total: `collect_set` over the raw generator output groups
+    * the stream by shingle AND absorbs the per-doc dedup that previously
+    * cost its own `distinct` shuffle; the grouped (shingle → sorted doc
+    * list) frame is a lineage cut consumed by BOTH downstream legs (the
+    * i<j pair explosion and the per-doc count, which re-derives each
+    * doc's distinct-shingle cardinality by exploding the grouped lists —
+    * a shuffle over checkpoint blocks, not a second pass over the
+    * corpus).
+    *
+    * Budget enforcement is a 1-row max-df PROBE on the grouped
+    * checkpoint, run BEFORE any pair machinery is even planned: the r13
+    * inline `assert_true` fired only when the over-budget aggregated row
+    * was REACHED, so sibling near-budget shingles had already streamed
+    * O(budget²) pair rows by the time the hot one aborted (ADVICE r13).
+    * The probe materializes the checkpoint once (its cost is the work
+    * the anchors need anyway) and aborts with the banded-LSH redirect
+    * while zero pairs exist.
+    *
+    * Degraded failure mode, documented: the probe runs AFTER the
+    * collect_set aggregation, so a single shingle with df ~10⁷–10⁸ can
+    * spill-thrash one aggregation buffer (hundreds of MB of doc ids in
+    * one group) before the probe ever sees it. For adversarial corpora
+    * set `spark.graft.anchor.dfPrecheck=true`: a constant-memory
+    * count(1)-per-shingle pre-pass (one extra full-stream shuffle — the
+    * exact cost the default path exists to avoid) checks the budget
+    * before any doc list is buffered. In-budget lists (≤10k longs,
+    * ~80 KB) are safe without it. */
+  private[graft] def exactAnchorFrames(s: SparkSession, d: String,
+      who: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val raw = spread(t(s, d, "documents"))
+      .selectExpr("doc_id", "word_shingles(text, 3) AS shingle")
+    exactAnchorFrames(raw,
+      precheck = s.conf.getOption("spark.graft.anchor.dfPrecheck")
+        .contains("true"),
+      who)
+  }
+
+  private[graft] def exactAnchorFrames(raw: DataFrame, precheck: Boolean,
+      who: String, budget: Long = maxAnchorShingleDf)
+      : (DataFrame, DataFrame) = {
+    def overBudget(df: Long) =
+      s"$who: shingle document frequency $df exceeds the exact-anchor " +
+        s"pairing budget $budget (f^2 pair rows) — use the banded-LSH " +
+        "production path at this scale"
+    if (precheck) {
+      val df = raw.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+      require(df <= budget, overBudget(df))
+    }
+    val grouped = raw.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .ckpt(eager = false)
+    val maxDf = grouped.agg(coalesce(max(size(col("docs"))), lit(0)))
+      .head().getInt(0)
+    require(maxDf <= budget, overBudget(maxDf))
+    // the overwhelming mass of shingles is df=1 (unique text) — prune
+    // them BEFORE any pair machinery runs; then two stacked generators
+    // (posexplode + sliced explode) emit the i<j pairs in codegen
+    // rather than a nested interpreted transform/flatten lambda. The
+    // sorted list gives doc1 < doc2 by construction.
+    val pairs = grouped
       .filter(size(col("docs")) >= 2)
       .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc1")))
       .select(col("doc1"), explode(expr(
         "slice(docs, i + 2, size(docs) - i - 1)")).as("doc2"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("common"))
+    val counts = grouped.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    (pairs, counts)
+  }
 
   /** Character-trigram naive Bayes: P(lang | doc) ∝ P(lang) · Π P(gram |
     * lang), with add-one smoothing. Profiles are a (lang, gram)-keyed
@@ -900,16 +944,14 @@ object TextOps {
     // (it IS the exact ground truth; the production path at corpus scale
     // is llm_dedup_minhash's banded LSH, which never forms all pairs).
     // So a silent f² explosion can't be PLANNED at 100 TB, the pair
-    // kernel [[exactPairCommon]] carries an inline budget assert: any
-    // shingle whose document frequency exceeds the pairing budget fails
-    // the job loudly instead of quietly generating df² rows (measured
-    // df: ≤9 at sf0.001, ≤25 at sf0.1 — four orders inside the budget).
+    // kernel [[exactAnchorFrames]] gates the pair stage behind a 1-row
+    // max-df probe on the grouped checkpoint: any shingle whose document
+    // frequency exceeds the pairing budget fails the job loudly BEFORE a
+    // single pair streams (measured df: ≤9 at sf0.001, ≤25 at sf0.1 —
+    // four orders inside the budget).
     "llm_ngram_jaccard" -> ((s, d) => {
-      // shingle set materialized once (lineage cut) — referenced by the
-      // per-doc counts and the pair kernel
-      val sh = shingles(s, d).ckpt(eager = false)
-      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      exactPairCommon(sh, "llm_ngram_jaccard")
+      val (pairs, counts) = exactAnchorFrames(s, d, "llm_ngram_jaccard")
+      pairs
         .join(counts.select(col("doc_id").as("doc1"), col("n_sh").as("n1")), Seq("doc1"))
         .join(counts.select(col("doc_id").as("doc2"), col("n_sh").as("n2")), Seq("doc2"))
         .withColumn("jaccard",
@@ -927,9 +969,8 @@ object TextOps {
     // Same exact-anchor adjudication + inline pairing budget as
     // llm_ngram_jaccard above.
     "llm_containment" -> ((s, d) => {
-      val sh = shingles(s, d).ckpt(eager = false)
-      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      exactPairCommon(sh, "llm_containment")
+      val (pairs, counts) = exactAnchorFrames(s, d, "llm_containment")
+      pairs
         .join(counts.select(col("doc_id").as("doc1"), col("n_sh").as("n1")),
           Seq("doc1"))
         .join(counts.select(col("doc_id").as("doc2"), col("n_sh").as("n2")),

@@ -291,7 +291,12 @@ object Graph {
         val c = scala.collection.mutable.Map.empty[Long, Long]
           .withDefaultValue(0L)
         en.foreach { case (src, dst, wn) =>
-          c(dst) += math.floor(pr(src).toDouble * wn + 0.5).toLong
+          // a src outside the nation node domain (referential-integrity
+          // violation in c_nationkey/s_nationkey) contributes nothing —
+          // the same drop semantics as the relational form's inner join
+          // en⋈pr, which silently lost such edges (ADVICE r13)
+          c(dst) += math.floor(pr.getOrElse(src, 0L).toDouble * wn + 0.5)
+            .toLong
         }
         pr = nodeIds.map(n => n -> ((if (n == 0L) 150000000L else 0L) +
           math.floor(0.85 * c(n).toDouble + 0.5).toLong)).toMap

@@ -81,23 +81,40 @@ class Round12Spec extends AnyFunSuite {
     // board anchors stay green (fixture df << budget) — exercised by the
     // oracle; here: a synthetic corpus with one shingle in every doc must
     // abort once its df exceeds a small budget. Calls the REAL kernel
-    // (r13: inline assert on the per-shingle aggregate — no df join, no
-    // probe job), both the fail-loud and the pass-through paths.
+    // (r14: 1-row max-df probe on the grouped checkpoint), both the
+    // fail-loud and the pass-through paths, with and without the
+    // constant-memory pre-pass.
     import spark.implicits._
     val sh = (1 to 50).map(i => (i.toLong, "the same shingle"))
       .toDF("doc_id", "shingle")
-    val e = intercept[Exception] {
-      graft.llm.TextOps.exactPairCommon(sh, "spec-hot", budget = 10).count()
+    for (pre <- Seq(false, true)) {
+      // ABORT-BEFORE-PAIRS (VERDICT r13 #2): the guard throws from the
+      // kernel CALL itself — the pair frame is never even constructed,
+      // so no pair row can have streamed (the r13 inline assert let
+      // sibling in-budget rows emit O(budget²) pairs before the hot
+      // aggregated row was reached)
+      val e = intercept[IllegalArgumentException] {
+        graft.llm.TextOps.exactAnchorFrames(sh, pre, "spec-hot",
+          budget = 10)
+      }
+      assert(e.getMessage.contains("budget 10"), e.getMessage)
     }
-    assert(e.getMessage != null)
     // a cool corpus yields the exact pair set: docs {1,2,3} share "s",
     // so C(3,2)=3 pairs each with common=1, plus {1,2} share "t" → the
-    // (1,2) pair has common=2
-    val cool = Seq((1L, "s"), (2L, "s"), (3L, "s"), (1L, "t"), (2L, "t"))
+    // (1,2) pair has common=2; duplicated raw rows must NOT inflate
+    // common or the per-doc counts (collect_set dedups)
+    val cool = Seq((1L, "s"), (2L, "s"), (3L, "s"), (1L, "t"), (2L, "t"),
+        (1L, "t"))
       .toDF("doc_id", "shingle")
-    val pairs = graft.llm.TextOps.exactPairCommon(cool, "spec-cool")
+    val (pairsDf, countsDf) =
+      graft.llm.TextOps.exactAnchorFrames(cool, precheck = false,
+        "spec-cool")
+    val pairs = pairsDf
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val counts = countsDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
     // and the production anchors still plan + run at test SF
     assert(SparkEntry.queries("llm_ngram_jaccard")(spark, sf).count() >= 0)
   }

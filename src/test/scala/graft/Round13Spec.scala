@@ -27,6 +27,12 @@ class Round13Spec extends AnyFunSuite {
   private def haveSf1 =
     new java.io.File(s"$sf1/documents.parquet").exists &&
       new java.io.File(s"$sf1/lineitem.parquet").exists
+  // the rep-0/sf0.1-baseline tests ALSO read the driver testdata — on a
+  // host with the sf1 fixture but no /root/testdata they must cancel,
+  // not fail (ADVICE r13)
+  private def haveSf01 =
+    new java.io.File(s"$sf01/documents.parquet").exists &&
+      new java.io.File(s"$sf01/customer.parquet").exists
 
   private def q(name: String, d: String): DataFrame =
     SparkEntry.queries(name)(spark, d)
@@ -65,7 +71,7 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("sf1: join_fuzzy_levenshtein is domain-stable with 10x frequencies") {
-    assume(haveSf1)
+    assume(haveSf1 && haveSf01)
     // part NAMES replicate verbatim: the deduped name domain is identical
     // at sf1, so the pair set must match sf0.1 exactly and every
     // frequency must be exactly 10x
@@ -127,7 +133,7 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("sf1: llm_embedding_neardup rep-0 pairs equal the sf0.1 result") {
-    assume(haveSf1)
+    assume(haveSf1 && haveSf01)
     // replica 0 vectors are verbatim sf0.1 and the LSH planes depend
     // only on dims — so the sf1 result restricted to rep-0 ids must BE
     // the sf0.1 pair set (extra replicas add candidates, but the exact
@@ -141,7 +147,7 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("sf1: llm_simhash_neardup rep-0 pairs equal the sf0.1 result") {
-    assume(haveSf1)
+    assume(haveSf1 && haveSf01)
     // rep-0 documents are verbatim sf0.1 -> identical signatures; salted
     // replicas share no vocabulary so they cannot add rep-0 pairs
     val base = pairSet(q("llm_simhash_neardup", sf01))
@@ -152,7 +158,7 @@ class Round13Spec extends AnyFunSuite {
   }
 
   test("sf1: ml_smote_midpoints neighbors only improve at 10x corpus") {
-    assume(haveSf1)
+    assume(haveSf1 && haveSf01)
     // labels replicate, so the minority class is the same and its rep-0
     // members are exactly the sf0.1 minority: with a candidate SUPERSET,
     // each rep-0 source's 1-NN similarity can only rise
