@@ -58,48 +58,45 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val (_, release) = graft.core.Ckpt.collecting {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      // deterministic checkpoint lifecycle (r14): the rep's dead
+      // localCheckpoint blocks are unpersisted HERE, blocking, OUTSIDE
+      // the timed window — SessionCache-retained frames are exempt, so
+      // the amortization pattern is untouched. This replaces the bulk of
+      // the r13 System.gc reclaim: blocks no longer wait for a full GC
+      // that a large quiet heap never runs.
+      release()
+      t
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // Periodically reclaim DEAD localCheckpoint blocks (r13): every rep's
-    // ckpt() persists blocks that ContextCleaner only frees after the RDD
-    // is garbage-collected, and with a large heap a full GC may never run
-    // during the board — by late queries the block manager carries
-    // hundreds of dead checkpoints and storage/execution memory
-    // contention inflates reads 2-6x (measured: agg_weighted_median
-    // 5.41 s board vs 1.51 s in an isolated same-config session;
-    // join_salted_skew 9.33 vs 1.36; evt_holt 5.23 vs 0.48). Live
-    // SessionCache frames keep strong references, so only dead blocks
-    // go. Cadence matters: a GC between EVERY rep pushed the cleaner's
-    // async unpersist churn into the next timed window (a uniform
-    // +0.3 s tax across the board) — every 10 queries plus a settle
-    // pause keeps both the accumulation and the churn out of the
-    // measurements. Benchmark hygiene, not a speedup: it makes each
-    // query's number measure THAT query — the mechanism behind the
-    // r10-r12 "driver read drift" on late-board queries.
+    // Non-checkpoint debris fallback (r14): the r13 drift mechanism —
+    // dead localCheckpoint blocks accumulating until storage/execution
+    // contention inflates late-board reads 2-6x (measured:
+    // agg_weighted_median 5.41 s board vs 1.51 s isolated;
+    // join_salted_skew 9.33 vs 1.36; evt_holt 5.23 vs 0.48) — is now
+    // closed DETERMINISTICALLY by the per-rep Ckpt.collecting release in
+    // time() above, which is engine lifecycle, not bench hygiene. What
+    // remains GC-lifecycled is small: dead broadcast variables and
+    // cleaner-tracked shuffle state. A long-cadence GC keeps those from
+    // compounding over a 458-query board without the r13 problem of the
+    // cleaner's async unpersist churn bleeding into timed windows (the
+    // settle pause + throwaway action absorb it).
     var sinceGc = 0
     var secsSinceGc = 0.0
     def maybeReclaim(lastSecs: Double): Unit = {
       sinceGc += 1
       secsSinceGc += lastSecs
-      // cadence is WORK-aware, not just count-aware: at sf1 ten heavy
-      // queries accumulate 10x the dead blocks of the sf0.1 board, so a
-      // pure every-10 rule re-creates the drift inside the reclaim window
-      // (observed: ml_conformal_interval read 123 s mid-board at sf1 vs
-      // ~8 s isolated)
-      if (sinceGc >= 10 || secsSinceGc >= 30.0) {
+      if (sinceGc >= 50 || secsSinceGc >= 120.0) {
         sinceGc = 0
         secsSinceGc = 0.0
         System.gc()
-        // the cleaner drains its reference queue asynchronously and its
-        // unpersist storm contends with whatever runs next — settle,
-        // then absorb the remaining churn in a throwaway action so the
-        // next TIMED query starts on a quiet block manager
         Thread.sleep(1000)
         spark.range(2000000).selectExpr("sum(id)").collect(): Unit
       }

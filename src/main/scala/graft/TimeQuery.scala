@@ -37,8 +37,13 @@ object TimeQuery {
     }
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sf).count()
+      val (n, release) = graft.core.Ckpt.collecting {
+        SparkEntry.queries(name)(spark, sf).count()
+      }
       println(f"[timequery] run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      // untimed, between runs: same deterministic checkpoint release
+      // Bench uses, so run-i's dead blocks can't tax run-i+1
+      release()
     }
     spark.stop()
   }

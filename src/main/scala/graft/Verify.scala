@@ -40,8 +40,13 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // scoped: the dump fully consumes the query, so its dead
+        // checkpoint blocks are unpersisted immediately (bounded block
+        // manager across the 458-query dump; SessionCache frames exempt)
+        graft.core.Ckpt.scoped {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         val ms = (System.nanoTime() - t0) / 1000000L
         // row count from the parquet FOOTERS on the driver — a
         // spark.read...count() here would add one scan job per query

@@ -43,6 +43,11 @@ final class SessionCache[V] {
   def getOrElseUpdate(s: SparkSession, key: String, build: => V): V = {
     sweepStopped()
     val m = perSession.computeIfAbsent(s, _ => TrieMap.empty[String, V])
-    m.getOrElseUpdate(key, build)
+    // cached artifacts OUTLIVE the query that builds them, so any
+    // checkpoints created by `build` must be exempt from the caller's
+    // Ckpt collection scope (a scope release would unpersist blocks the
+    // cache hands to every later query — unrecomputable after the
+    // lineage cut)
+    m.getOrElseUpdate(key, Ckpt.retained(build))
   }
 }

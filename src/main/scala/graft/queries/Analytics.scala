@@ -563,10 +563,13 @@ object Analytics {
     // rankedCumSum machinery measured a ~1.9 s floor at sf0.1 (range
     // sampling + sort + checkpoint over 594k near-unique price keys:
     // compaction buys nothing when the key IS the price). Instead:
-    //   1. aggregate weights into (flag, $1000 price bucket) — map-side
-    //      combine compacts to ≤|flags|·|price range/$1000| rows, a
-    //      VALUE-DOMAIN bound (Bounded.collect discipline), not a data
-    //      bound;
+    //   1. aggregate weights into (flag, coarse price bucket) — map-side
+    //      combine compacts to ≤|flags|·16k rows, a VALUE-DOMAIN bound
+    //      (Bounded.collect discipline), not a data bound; the bucket
+    //      WIDTH adapts to a 1-row min/max probe (r14, ADVICE r13: the
+    //      fixed $1000 width made the 100k Bounded cap a function of the
+    //      price domain — any domain wider than 10⁸ cents aborted), with
+    //      $1000 as the floor so the fixture plan is unchanged;
     //   2. on the driver, walk each flag's sorted buckets to find the
     //      bucket holding the median plus the exact integer cumulative
     //      weight before it and the flag total;
@@ -580,8 +583,17 @@ object Analytics {
       val li = t(s, d, "lineitem")
       val pcCol = round(col("l_extendedprice") * 100).cast("bigint")
       val wCol = round(col("l_quantity")).cast("bigint")
+      // bucket width from the price span: ≤16384 buckets per flag no
+      // matter how wide the domain; bucket choice cannot affect the
+      // answer (buckets only narrow the fine rescan — the median is
+      // still the exact least price with cw·2 ≥ tot inside the picked
+      // bucket), so the probe is a plan decision, not a numeric one
+      val mm = li.agg(min(pcCol).as("mn"), max(pcCol).as("mx")).head()
+      val width =
+        if (mm.isNullAt(0)) 100000L
+        else math.max(100000L, (mm.getLong(1) - mm.getLong(0)) / 16384L + 1L)
       val coarse = graft.core.Bounded.collect(
-        li.groupBy(col("l_returnflag"), (pcCol / 100000L).cast("bigint")
+        li.groupBy(col("l_returnflag"), (pcCol / width).cast("bigint")
             .as("bk"))
           .agg(sum(wCol).as("w")),
         100000, "agg_weighted_median coarse price-bucket table")
@@ -604,7 +616,7 @@ object Analytics {
       val fine = li.select(col("l_returnflag"), pcCol.as("pc"),
           wCol.as("w"))
         .join(broadcast(pk), Seq("l_returnflag"))
-        .filter((col("pc") / 100000L).cast("bigint") === col("bk"))
+        .filter((col("pc") / width).cast("bigint") === col("bk"))
         .groupBy(col("l_returnflag"), col("pc"), col("before"), col("tot"))
         .agg(sum(col("w")).as("w"))
       // per-flag window over ONE bucket's prices — bounded, parallel-safe

@@ -1357,48 +1357,68 @@ object EventsBatch {
 
     // co-engagement overlap matrix — exact pairwise user overlap between
     // event types (|A∩B|, Jaccard), the exact small-cardinality
-    // counterpart of agg_hll_intersect's sketch estimate. r13 shape for
-    // small type domains (≤12): ONE user-keyed bit_or aggregate collapses
-    // each user to a type BITMASK, and the ≤2^|types|-row mask histogram
-    // (Bounded.collect) yields every pairwise intersection on the driver
-    // — no data-sized self-join at all (the r12 form shuffled the
-    // distinct (user, type) table twice more for the pair join; measured
-    // 2.8 s). Wide domains keep the self-join path: per-user candidate
-    // volume is C(|types|, 2) = O(users), never users². The Jaccard
-    // division is one IEEE op on exact integers — identical on the
-    // driver and in DuckDB.
+    // counterpart of agg_hll_intersect's sketch estimate. r14 shape for
+    // domains that fit a long BITMASK (≤62 types): ONE user-keyed bit_or
+    // aggregate collapses each user to a type mask (absorbing duplicate
+    // (user, type) rows — no distinct pre-shuffle), then the mask
+    // HISTOGRAM stays distributed and a per-pair aggregate over it
+    // yields every intersection: a mask row with k set bits emits
+    // C(k,2) ≤ C(62,2) = 1891 pair rows, so pair volume is
+    // |distinct masks| · C(k,2) — bounded by user behavior diversity,
+    // never users², and nothing data-sized reaches the driver (the r13
+    // form Bounded.collect'ed the histogram, capping the fast path at
+    // 12 types and ABORTING above 62 instead of falling back — ADVICE
+    // r13). Wider domains take the self-join path: per-user candidate
+    // volume is C(|types|, 2) = O(users). The Jaccard division is one
+    // IEEE op on exact integers — identical across engines.
     "evt_type_overlap" -> ((s, d) => {
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_type"))
-      val types = graft.core.Bounded.collect(
-        ev.select(col("event_type")).distinct().orderBy(col("event_type")),
-        62, "evt_type_overlap type domain").map(_.getString(0))
-      if (types.length <= 12) {
-        // bit_or absorbs duplicate (user, type) rows, so the mask path
-        // needs no distinct pre-shuffle over the raw event stream
+      // domain probe that CANNOT abort: pull at most 63 sorted types;
+      // 63 means "wider than a long mask" → fallback, not failure
+      val types = ev.select(col("event_type")).distinct()
+        .orderBy(col("event_type")).limit(63).collect()
+        .map(_.getString(0))
+      if (types.length <= 62) {
         val bit = types.zipWithIndex.foldLeft(lit(0L)) { case (acc, (ty, i)) =>
           when(col("event_type") === ty, lit(1L << i)).otherwise(acc)
         }
-        val hist = graft.core.Bounded.collect(
-          ev.select(col("user_id"), bit.as("b"))
-            .groupBy(col("user_id")).agg(bit_or(col("b")).as("mask"))
-            .groupBy(col("mask")).agg(count(lit(1)).as("n")),
-          4096, "evt_type_overlap mask histogram (<= 2^|types|)")
-          .map(r => (r.getLong(0), r.getLong(1)))
-        def cnt(p: Long => Boolean) = hist.collect {
-          case (m, n) if p(m) => n
-        }.sum
-        val rows = for {
-          i <- types.indices; j <- (i + 1) until types.length
-          nBoth = cnt(m => (m & (1L << i)) != 0 && (m & (1L << j)) != 0)
-          if nBoth > 0
-          n1 = cnt(m => (m & (1L << i)) != 0)
-          n2 = cnt(m => (m & (1L << j)) != 0)
-        } yield (types(i), types(j), nBoth, n1, n2,
-          nBoth.toDouble / (n1 + n2 - nBoth))
+        // (mask, n) histogram — one row per observed behavior pattern,
+        // shared by the per-bit totals and the pair explosion
+        val hist = ev.select(col("user_id"), bit.as("b"))
+          .groupBy(col("user_id")).agg(bit_or(col("b")).as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+          .withColumn("bits", expr(
+            "filter(sequence(0, 61), b -> (shiftright(mask, b) & 1) = 1)"))
+          .ckpt(eager = false)
+        val perBit = hist.select(explode(col("bits")).as("i"), col("n"))
+          .groupBy(col("i")).agg(sum(col("n")).as("n_i"))
+        // i<j pair explosion straight off the sorted bit array (the
+        // exactAnchorFrames generator-stack shape)
+        val pairs = hist
+          .filter(size(col("bits")) >= 2)
+          .select(col("n"), col("bits"),
+            posexplode(col("bits")).as(Seq("pi", "i")))
+          .select(col("n"), col("i"), explode(expr(
+            "slice(bits, pi + 2, size(bits) - pi - 1)")).as("j"))
+          .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_both"))
+        // bit index ↔ type name (types are sorted, so i<j ⇒ t1<t2)
         import s.implicits._
-        s.createDataset(rows.toSeq)
-          .toDF("t1", "t2", "n_both", "n1", "n2", "jaccard")
+        val names = s.createDataset(
+          types.zipWithIndex.map { case (ty, i) => (i, ty) }.toSeq)
+          .toDF("idx", "ty")
+        pairs
+          .join(broadcast(names.select(col("idx").as("i"),
+            col("ty").as("t1"))), Seq("i"))
+          .join(broadcast(names.select(col("idx").as("j"),
+            col("ty").as("t2"))), Seq("j"))
+          .join(broadcast(perBit.select(col("i"), col("n_i").as("n1"))),
+            Seq("i"))
+          .join(broadcast(perBit.select(col("i").as("j"),
+            col("n_i").as("n2"))), Seq("j"))
+          .select(col("t1"), col("t2"), col("n_both"), col("n1"), col("n2"),
+            (col("n_both").cast("double")
+              / (col("n1") + col("n2") - col("n_both"))).as("jaccard"))
           .orderBy(col("t1"), col("t2"))
       } else {
         val ut = ev.distinct()

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** r14 directive tests: the evt_type_overlap bitmask fast path beyond 12
+  * types (VERDICT r13 #5 / ADVICE r13), and the adaptive weighted-median
+  * coarse bucket (VERDICT r13 #6). */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  /** events fixture with `nTypes` event types over `nUsers` users, with
+    * deterministic membership: user u performs type k iff (u·7 + k·13)
+    * mod 5 < 2 — dense enough that every pair overlaps somewhere. */
+  private def eventsDir(nUsers: Int, nTypes: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r14").toString
+    val rows = for {
+      u <- 1 to nUsers; k <- 0 until nTypes
+      if (u * 7 + k * 13) % 5 < 2
+      dup <- 1 to (1 + (u + k) % 2) // duplicate rows must not inflate
+    } yield (u.toLong * 100 + k * dup, u.toLong, f"type_$k%02d")
+    rows.map { case (eid, uid, et) =>
+      (eid, new java.sql.Timestamp(1700000000000L + eid * 1000), uid, et,
+        1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** brute-force expected overlap rows off the same membership rule. */
+  private def expected(nUsers: Int, nTypes: Int)
+      : Map[(String, String), (Long, Long, Long)] = {
+    val member = (1 to nUsers).map { u =>
+      u -> (0 until nTypes).filter(k => (u * 7 + k * 13) % 5 < 2).toSet
+    }.toMap
+    val ty = (k: Int) => f"type_$k%02d"
+    (for {
+      i <- 0 until nTypes; j <- (i + 1) until nTypes
+      nBoth = member.values.count(s => s(i) && s(j)).toLong
+      if nBoth > 0
+    } yield (ty(i), ty(j)) ->
+      ((nBoth, member.values.count(_(i)).toLong,
+        member.values.count(_(j)).toLong))).toMap
+  }
+
+  test("evt_type_overlap: 20-type domain takes the bitmask fast path") {
+    val dir = eventsDir(nUsers = 200, nTypes = 20)
+    // the mask histogram sits upstream of a ckpt cut, so the final plan
+    // alone can't see it — record the pre-checkpoint segment (the
+    // PlanAuditSpec mechanism)
+    graft.core.Ckpt.drain()
+    graft.core.Ckpt.recording = true
+    val (df, segs) = try {
+      val q = SparkEntry.queries("evt_type_overlap")(spark, dir)
+      (q, graft.core.Ckpt.drain())
+    } finally graft.core.Ckpt.recording = false
+    // fast-path plan assertion: the user collapse is the bit_or mask
+    // aggregate (in the pre-ckpt segment), and NO join carries user_id
+    // (the fallback self-joins the distinct (user, type) table on it)
+    val whole = (segs.map(_._2.toString)
+      :+ df.queryExecution.optimizedPlan.toString).mkString("\n")
+    assert(whole.contains("bit_or"),
+      "20-type domain did not take the bitmask path")
+    // the fallback's data-sized self-join carries user_id in a join
+    // condition; the fast path's only joins are broadcast name/total
+    // lookups on bit indexes
+    assert(!df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.exists(_.condition.exists(_.references.exists(_.name == "user_id"))),
+      "fast path must not self-join on user_id")
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected(200, 20))
+  }
+
+  test("evt_type_overlap: >62-type domain falls back instead of aborting") {
+    val dir = eventsDir(nUsers = 60, nTypes = 70)
+    val df = SparkEntry.queries("evt_type_overlap")(spark, dir)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected(60, 70))
+  }
+
+  test("agg_weighted_median adapts its coarse bucket to a huge price domain") {
+    // adversarial domain (ADVICE r13): prices spanning ~10^13 cents —
+    // the fixed $1000 bucket width would need ~10^8 coarse rows and
+    // trip the 100k Bounded cap; the adaptive width must keep the
+    // coarse table ≤16k buckets per flag and still return the EXACT
+    // lower weighted median
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r14-wm")
+      .toString
+    val rows = (1 to 5000).map { i =>
+      val flag = if (i % 2 == 0) "A" else "B"
+      // scatter prices over [1, 10^11] dollars with deterministic noise
+      val price = (i.toLong * 20000000L + (i * i) % 997).toDouble
+      (flag, price, (1 + i % 7).toDouble)
+    }
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("agg_weighted_median")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    // brute reference: exact lower weighted median per flag
+    val expect = rows.groupBy(_._1).map { case (f, rs) =>
+      val srt = rs.map(r => (math.round(r._2 * 100), math.round(r._3)))
+        .sortBy(_._1)
+      val tot = srt.map(_._2).sum
+      var cw = 0L
+      val m = srt.find { case (_, w) => cw += w; cw * 2 >= tot }.get._1
+      f -> ((m / 100.0, tot))
+    }
+    assert(got == expect, s"got $got vs $expect")
+  }
+
+  test("evt_type_overlap: fast and fallback paths agree on 62-boundary") {
+    // 62 types = widest mask domain; must still be the fast path and
+    // must equal the brute expectation (bit 61 exercised)
+    val dir = eventsDir(nUsers = 80, nTypes = 62)
+    graft.core.Ckpt.drain()
+    graft.core.Ckpt.recording = true
+    val (df, segs) = try {
+      val q = SparkEntry.queries("evt_type_overlap")(spark, dir)
+      (q, graft.core.Ckpt.drain())
+    } finally graft.core.Ckpt.recording = false
+    assert((segs.map(_._2.toString)
+      :+ df.queryExecution.optimizedPlan.toString).mkString
+      .contains("bit_or"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected(80, 62))
+  }
+}
