@@ -370,24 +370,39 @@ object Semantic {
           sum(when(isTgt, 1L).otherwise(0L)).as("c_tgt"))
       val tot = perF.agg(sum(col("c_raw")).as("n_raw"),
         sum(col("c_tgt")).as("n_tgt"))
-      // λ is floor-ppb-quantized BEFORE the per-doc sum (the
-      // llm_js_divergence discipline): the r12 sf1 sweep caught the raw
-      // double form — two libm ln ulps plus join-order association over
-      // ~10² tokens/doc land on opposite sides of the 4-dp round once
-      // 50k docs sample the boundary. Integer ppb sums cannot reorder.
-      // RESIDUAL (ADVICE r12): the quantization itself still floors a
-      // libm-derived double — Spark's Math.log and DuckDB's std::log are
-      // each allowed ~1 ulp, so lam_ppb can differ by 1 whenever
-      // 1e9·λ+0.5 lands within ~1e-6 of an integer (probability ~1e-6
-      // per feature × 256 features per board run). Fully closing it
-      // needs λ derived from the integer counts by a shared fixed-point
-      // log; accepted as a known, quantified hazard instead.
-      val lam = perF.crossJoin(broadcast(tot))
-        .select(col("f"),
-          floor(lit(1e9) *
-            (log((col("c_tgt") + 0.5) / (col("n_tgt") + 128.0))
-              - log((col("c_raw") + 0.5) / (col("n_raw") + 128.0)))
-            + 0.5).cast("long").as("lam_ppb"))
+      // λ is ppb-quantized BEFORE the per-doc sum (the llm_js_divergence
+      // discipline): the r12 sf1 sweep caught the raw double form —
+      // join-order association over ~10² tokens/doc landed on opposite
+      // sides of the 4-dp round once 50k docs sample the boundary.
+      // Integer ppb sums cannot reorder. r14 closes the LAST libm
+      // hazard (ADVICE r12/r13): λ is now derived from the integer
+      // counts by the shared fixed-point log ([[graft.core.FixedLog]] —
+      // ln(2c+1) − ln(2n+256) per distribution, all smoothing folded
+      // into integers), so the λ table is bit-identical across engines
+      // BY CONSTRUCTION — both run the same integer squaring chain, no
+      // libm call anywhere in the path. Four kernel calls per feature
+      // ride one 4·|buckets|-row stack (1024 rows).
+      val dlt = graft.core.FixedLog.spark
+      val vals = perF.crossJoin(broadcast(tot))
+        .selectExpr("f", "stack(4, " +
+          "CAST(1 AS BIGINT),  2 * c_tgt + 1, " +
+          "CAST(-1 AS BIGINT), 2 * n_tgt + 256, " +
+          "CAST(-1 AS BIGINT), 2 * c_raw + 1, " +
+          "CAST(1 AS BIGINT),  2 * n_raw + 256) AS (sgn, n)")
+      var lnChain = vals
+        .selectExpr("f", "sgn",
+          s"CAST(${graft.core.FixedLog.eExpr("n")} AS BIGINT) AS e", "n")
+        .selectExpr("f", "sgn", "e",
+          s"${graft.core.FixedLog.mInitExpr(dlt, "n")} AS m",
+          "CAST(0 AS BIGINT) AS fr")
+      for (_ <- 1 to graft.core.FixedLog.FracBits)
+        lnChain = lnChain.selectExpr("f", "sgn", "e",
+          s"${graft.core.FixedLog.mStepExpr(dlt)} AS m",
+          s"${graft.core.FixedLog.frStepExpr(dlt)} AS fr")
+      val lam = lnChain
+        .selectExpr("f", "sgn",
+          s"${graft.core.FixedLog.lnPpbExpr(dlt)} AS lnppb")
+        .groupBy(col("f")).agg(sum(expr("sgn * lnppb")).as("lam_ppb"))
       toks.select(col("doc_id"), col("f"))
         .join(broadcast(lam), Seq("f"))
         .groupBy(col("doc_id"))
@@ -680,7 +695,11 @@ object Semantic {
       JOIN t2 t2a ON t2a.doc_id = p.id_a
       JOIN t2 t2b ON t2b.doc_id = p.id_b""",
 
-    "llm_dsir_weights" -> """
+    // λ via the shared fixed-point log (graft.core.FixedLog): the CTE
+    // chain below is GENERATED from the same per-step expression strings
+    // the Spark side executes, differing only in the dialect's integer
+    // division spelling — bit-identical λ by construction, no ln().
+    "llm_dsir_weights" -> s"""
       WITH toks AS (
         SELECT doc_id, lang, source,
                CAST(('0x' || substr(md5('dsir:' || unnest(string_split(text, ' '))), 1, 4))
@@ -694,11 +713,23 @@ object Semantic {
         FROM toks GROUP BY f
       ), tot AS (
         SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM per_f
-      ), lam AS (
-        SELECT f, CAST(floor(1e9 * (ln((c_tgt + 0.5) / (n_tgt + 128.0))
-                - ln((c_raw + 0.5) / (n_raw + 128.0))) + 0.5) AS BIGINT)
-                  AS lam_ppb
+      ), vals AS (
+        SELECT f, CAST(1 AS BIGINT) AS sgn,
+               CAST(2 * c_tgt + 1 AS BIGINT) AS n
         FROM per_f CROSS JOIN tot
+        UNION ALL
+        SELECT f, CAST(-1 AS BIGINT), CAST(2 * n_tgt + 256 AS BIGINT)
+        FROM per_f CROSS JOIN tot
+        UNION ALL
+        SELECT f, CAST(-1 AS BIGINT), CAST(2 * c_raw + 1 AS BIGINT)
+        FROM per_f CROSS JOIN tot
+        UNION ALL
+        SELECT f, CAST(1 AS BIGINT), CAST(2 * n_raw + 256 AS BIGINT)
+        FROM per_f CROSS JOIN tot
+      ), ${graft.core.FixedLog.ctes(graft.core.FixedLog.duckdb, "vals",
+             Seq("f", "sgn"))}, lam AS (
+        SELECT f, CAST(sum(sgn * lnppb) AS BIGINT) AS lam_ppb
+        FROM fxlout GROUP BY f
       )
       SELECT t.doc_id, count(*) AS n_toks,
              CAST(sum(l.lam_ppb) AS BIGINT) AS dsir_logw_ppb

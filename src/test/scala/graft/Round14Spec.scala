@@ -114,6 +114,38 @@ class Round14Spec extends AnyFunSuite {
     assert(got == expect, s"got $got vs $expect")
   }
 
+  test("FixedLog: Spark chain is accurate and bit-identical to DuckDB") {
+    // expected values computed by executing the DUCKDB-dialect chain in
+    // DuckDB itself (tools-side, r14) — pinning them here proves the two
+    // dialect spellings produce the same bits, which is the whole point
+    // of the shared kernel (the DSIR λ table rides on it)
+    val pinned = Seq(
+      1L -> 0L, 2L -> 693147181L, 3L -> 1098612280L, 17L -> 2833213336L,
+      255L -> 5541263542L, 256L -> 5545177448L, 257L -> 5549076087L,
+      999983L -> 13815493561L, 1000000L -> 13815510552L,
+      1000000000000L -> 27631021114L,
+      (1L << 40) + 12345L -> 27725887240L,
+      (1L << 62) - 1L -> 42975125211L)
+    import spark.implicits._
+    import graft.core.FixedLog
+    val d = FixedLog.spark
+    var cur = pinned.map(_._1).toDF("n")
+      .selectExpr(s"CAST(${FixedLog.eExpr("n")} AS BIGINT) AS e", "n")
+      .selectExpr("n", "e", s"${FixedLog.mInitExpr(d, "n")} AS m",
+        "CAST(0 AS BIGINT) AS fr")
+    for (_ <- 1 to FixedLog.FracBits)
+      cur = cur.selectExpr("n", "e", s"${FixedLog.mStepExpr(d)} AS m",
+        s"${FixedLog.frStepExpr(d)} AS fr")
+    val got = cur.selectExpr("n", s"${FixedLog.lnPpbExpr(d)} AS lnppb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pinned.foreach { case (n, expect) =>
+      assert(got(n) == expect, s"n=$n: ${got(n)} != duckdb $expect")
+      // and the shared approximation tracks the true ln within budget
+      assert(math.abs(got(n) - math.log(n.toDouble) * 1e9) <= 25,
+        s"n=$n drifts ${got(n) - math.log(n.toDouble) * 1e9} ppb from ln")
+    }
+  }
+
   test("evt_type_overlap: fast and fallback paths agree on 62-boundary") {
     // 62 types = widest mask domain; must still be the fast path and
     // must equal the brute expectation (bit 61 exercised)
