@@ -152,7 +152,11 @@ object GraftFunctions {
         .BloomFilterAggregate(es.head)),
     "graft_might_contain" -> (es =>
       org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(es.head, es(1))))
+        .BloomFilterMightContain(es.head, es(1))),
+    // bounded-buffer collect_set for the df-cutoff pattern (cap must be an
+    // integer literal — it is baked into the aggregate's saturation point)
+    "bounded_collect_set" -> (es => BoundedCollectSet(es.head,
+      es(1).eval().asInstanceOf[Number].intValue)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -55,28 +55,32 @@ object Curation {
     // Exact substring-overlap pairs (the Lee et al. "Deduplicating
     // Training Data" signal, bucketed): every L=24 char window (stride 1)
     // becomes an index key; docs sharing ≥ 3 distinct windows are emitted
-    // with their overlap count. Scale shape: group-by-window with a
-    // document-frequency cutoff (2..10) BEFORE pairing — boilerplate
-    // windows shared by many docs never fan out into pairs (the
-    // llm_boilerplate / decontam cutoff pattern), so pair generation is
-    // bounded per bucket. At 100 TB the join key would be xxhash64(w)
-    // (8 bytes vs 24) — the string key here keeps the oracle exact.
+    // with their overlap count. Scale shape (r14): ONE wide shuffle — the
+    // window stream aggregates straight into `bounded_collect_set(doc_id,
+    // 10)` (functions/BoundedCollectSet.scala), whose per-group buffer
+    // saturates at df = 11, so the document-frequency cutoff (2..10) that
+    // keeps boilerplate windows from fanning out into pairs is enforced in
+    // CONSTANT memory per group during the aggregate itself, not by the
+    // old count→join-back→self-join machinery (4 shuffles of the window
+    // stream → 1). Pair fan-out runs as
+    // codegen generators over the ≤10-element sorted doc lists — the same
+    // posexplode + sliced-explode kernel as exactAnchorFrames. At 100 TB
+    // the group key would be xxhash64(w) (8 bytes vs 24) — the string key
+    // here keeps the oracle exact.
     "llm_substring_dup" -> ((s, d) => {
-      val wins = spread(t(s, d, "documents"))
+      graft.functions.GraftFunctions.register(s)
+      val grouped = spread(t(s, d, "documents"))
         .filter(length(col("text")) >= 24)
         .withColumn("p", explode(sequence(lit(1), length(col("text")) - 23)))
         .selectExpr("doc_id", "substring(text, p, 24) AS w")
-        .distinct()
-        .ckpt(eager = false) // one scan+generate for all 3 legs
-      val rare = wins.groupBy(col("w"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c").between(2, 10))
-        .select(col("w"))
-      val keyed = wins.join(rare, Seq("w"))
-      keyed.alias("a")
-        .join(keyed.alias("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy(col("w"))
+        .agg(expr("bounded_collect_set(doc_id, 10)").as("docs"))
+        .filter(size(col("docs")).between(2, 10))
+      grouped
+        .select(col("docs"), posexplode(col("docs")).as(Seq("i", "doc_a")))
+        .select(col("doc_a"), explode(expr(
+          "slice(docs, i + 2, size(docs) - i - 1)")).as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
     }),
