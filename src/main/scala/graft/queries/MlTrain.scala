@@ -299,12 +299,15 @@ object MlTrain {
     // aggregates, one distributed two-level rank over the calibration
     // scores, scalar broadcasts — no data-sized window, no collect.
     "ml_conformal_interval" -> ((s, d) => {
+      // `raw` NOT checkpointed (r14, same reasoning as ml_kfold_cv): both
+      // consumers re-derive it from a 4-column pruned parquet scan, which
+      // recomputes cheaper than a corpus-sized localCheckpoint writes —
+      // and at 100 TB materializing the projection is not an option.
       val raw = t(s, d, "lineitem").select(
           round(col("l_extendedprice") * 100).cast("bigint").as("y"),
           round(col("l_quantity")).cast("bigint").as("x1"),
           round(col("l_discount") * 100).cast("bigint").as("x2"),
           pmod(col("l_orderkey"), lit(5)).cast("int").as("split"))
-        .ckpt(eager = false)
       def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
       val w = raw.filter(col("split") >= 2).agg(
           count(lit(1)).cast("double").as("n"),
@@ -1429,13 +1432,17 @@ object MlTrain {
     // at any scale. Out-of-sample scoring joins each row to its fold's
     // 5-row broadcast model. Moments are exact integers; the solve and
     // the residual accumulation reuse the shared Cramer texts.
+    // `raw` is deliberately NOT checkpointed: both consumers re-derive it
+    // from a 4-column pruned parquet scan + row-local arithmetic, which
+    // is cheaper to recompute than a corpus-sized localCheckpoint is to
+    // write AND hold in the block manager — and at 100 TB materializing
+    // the full projection on executors is not an option at all.
     "ml_kfold_cv" -> ((s, d) => {
       val raw = t(s, d, "lineitem").select(
         pmod(col("l_orderkey"), lit(5)).as("fold"),
         round(col("l_extendedprice") * 100).cast("bigint").as("y"),
         round(col("l_quantity")).cast("bigint").as("x1"),
         round(col("l_discount") * 100).cast("bigint").as("x2"))
-        .ckpt(eager = false) // moment pass + scoring pass
       def dsum(e: Column) = sum(e.cast("decimal(28,0)")).cast("double")
       val byFold = raw.groupBy(col("fold")).agg(
         count(lit(1)).cast("double").as("fn"),

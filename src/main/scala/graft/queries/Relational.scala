@@ -205,7 +205,18 @@ object Relational {
             " element_at(parts, j) AS p2))))")).as("p"))
         .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
-      pairs
+      // top-50 FIRST: the rank key (n_both, p1, p2) lives entirely on the
+      // pair aggregate, so the per-part lift joins run on 50 rows instead
+      // of the full pair table — at sf1 that removes two sort-merge joins
+      // of ~7M pair rows against the 2M-row perPart (the pre-r14 shape's
+      // dominant cost), and at 100 TB it makes the post-top-k work
+      // CONSTANT instead of corpus-sized. The 50-row side broadcasts; the
+      // inner joins cannot drop rows (every ranked part exists in perPart
+      // by construction).
+      val top = pairs
+        .orderBy(col("n_both").desc, col("p1"), col("p2"))
+        .limit(50)
+      broadcast(top)
         .join(perPart.select(col("pk").as("p1"), col("n_pk").as("n_p1")), Seq("p1"))
         .join(perPart.select(col("pk").as("p2"), col("n_pk").as("n_p2")), Seq("p2"))
         .crossJoin(nOrders)
@@ -216,7 +227,6 @@ object Relational {
             (col("n_p1").cast("double") * col("n_p2").cast("double")))
             .as("lift"))
         .orderBy(col("n_both").desc, col("p1"), col("p2"))
-        .limit(50)
     }),
 
     // RFM segmentation: per-customer recency/frequency/monetary value

@@ -36,19 +36,48 @@ object Windows {
         .orderBy(col("sk"))
     }),
 
-    // ranking family over a unique total order per partition
+    // ranking family over a unique total order per partition. The
+    // partition key (o_orderstatus) has cardinality 3, so the naive
+    // "window then rn <= 100" plan is THREE tasks each sorting a third
+    // of the corpus — the skewed-window shape this registry bans at
+    // scale. Two-phase instead (r14): (1) a local top-100 per
+    // (physical-partition, status) window — parallelism is
+    // partitions x statuses, each group input-partition-sized — feeds a
+    // global top-100 window over <= 100·P·|status| candidate rows (the
+    // global top-100 of a status is top-100 within its own physical
+    // partition, so the prune is lossless); (2) rank/dense_rank depend
+    // only on o_orderpriority, so they come from the (status, priority)
+    // COUNT table (15 rows: rank = 1 + running count of stricter
+    // priorities, dense_rank = priority index) broadcast back onto the
+    // survivors. No corpus-sized sort anywhere; identical output.
     "win_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val wLocal = Window
+        .partitionBy(col("pid"), col("o_orderstatus"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
-      t(s, d, "orders")
-        .select(
-          col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
-          row_number().over(w).as("rn"),
-          rank().over(Window.partitionBy(col("o_orderstatus"))
-            .orderBy(col("o_orderpriority"))).as("rk"),
-          dense_rank().over(Window.partitionBy(col("o_orderstatus"))
-            .orderBy(col("o_orderpriority"))).as("drk"))
+      val cand = o
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wLocal))
+        .filter(col("lrn") <= 100).drop("pid", "lrn")
+      val wCum = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"))
+      val rkTab = o
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          (coalesce(sum(col("c")).over(
+            wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1)
+            .cast("int").as("rk"),
+          row_number().over(wCum).cast("int").as("drk"))
+      val wGlobal = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      cand
+        .withColumn("rn", row_number().over(wGlobal))
         .filter(col("rn") <= 100)
+        .join(broadcast(rkTab), Seq("o_orderstatus", "o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("rn"), col("rk"), col("drk"))
     }),
 
     // lag / lead per user ordered by event time (+id tiebreak)
