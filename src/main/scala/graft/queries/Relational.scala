@@ -107,12 +107,25 @@ object Relational {
       val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
       val revU = round(col("l_extendedprice") * 100).cast("bigint") *
         (lit(100L) - round(col("l_discount") * 100).cast("bigint"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      // aggregation pushed BELOW the joins (r14): the rollup only needs
+      // per-(region, nation) sums, so lineitem pre-aggregates to one row
+      // per order before touching orders/customer — the two big shuffle
+      // joins then move |orders| slim rows instead of |lineitem| wide
+      // ones (the lines-per-order factor, ~4×), and the rollup's Expand
+      // runs over the 25-row (region, nation) pre-aggregate instead of
+      // tripling the joined corpus. Sums re-aggregate losslessly
+      // (sum-of-sums, sum-of-counts); BIGINT headroom unchanged.
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(revU).as("rev_o"), count(lit(1)).as("n_o"))
+      perOrder
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev_o")).as("rev_rn"), sum(col("n_o")).as("n_rn"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(revU).as("rev_u"), count(lit(1)).as("n"))
+        .agg(sum(col("rev_rn")).as("rev_u"), sum(col("n_rn")).as("n"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region_name"),
           coalesce(col("n_name"), lit("ALL")).as("nation_name"),
