@@ -146,6 +146,36 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("win_rank two-phase prune equals the naive skewed window") {
+    // adversarial fixture for the r14 two-phase rewrite: group sizes
+    // below / at / far above the rn<=100 cut, heavy priority ties (the
+    // top-100 of status C spans several priorities, so rk/drk exceed 1
+    // and jump by tie-group size), and FOUR parquet files so the
+    // physical scan has multiple partitions and the local
+    // (pid, status)-window prune actually prunes
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r14-wr")
+      .toString
+    val rows = // (orderkey, status, priority)
+      (1 to 40).map(i => (i.toLong, "A", f"${1 + i % 2}%d-P")) ++
+      (1 to 100).map(i => (1000L + i, "B", f"${1 + i % 3}%d-P")) ++
+      (1 to 500).map(i => (10000L + i, "C", f"${1 + i % 5}%d-P"))
+    rows.toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .repartition(4).write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("win_rank")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    val expect = rows.groupBy(_._2).flatMap { case (st, rs) =>
+      val srt = rs.sortBy(r => (r._3, r._1))
+      val pri = srt.map(_._3)
+      srt.zipWithIndex.take(100).map { case ((ok, _, p), idx) =>
+        (ok, st, p, idx + 1, pri.count(_ < p) + 1,
+          pri.distinct.sorted.indexOf(p) + 1)
+      }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("evt_type_overlap: fast and fallback paths agree on 62-boundary") {
     // 62 types = widest mask domain; must still be the fast path and
     // must equal the brute expectation (bit 61 exercised)
