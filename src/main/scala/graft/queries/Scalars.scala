@@ -410,16 +410,22 @@ object Scalars {
     // remainder histogram (a ~uniform distribution over 0..9 with
     // ~10% landing valid), so the oracle checks every branch of the
     // fold, not just the boolean.
+    // r14: digit-unrolled codegen form. The previous HOF chain
+    // (split → transform → filter → aggregate) evaluated its lambdas
+    // INTERPRETED per character — ~30M evaluations at sf1 for what is
+    // pure integer arithmetic (4.9 s board read). Unrolling the ≤19
+    // bigint digit positions keeps the whole checksum inside
+    // whole-stage codegen; positions beyond the key's length yield
+    // digit 0 and contribute 0 to the sum, so no length branch exists.
     "fn_luhn" -> ((s, d) => {
+      val terms = (0 until 19).map { j =>
+        val dig = s"((o_orderkey div ${BigInt(10).pow(j)}L) % 10L)"
+        if (j % 2 == 0) dig
+        else s"(CASE WHEN $dig * 2L > 9L THEN $dig * 2L - 9L" +
+          s" ELSE $dig * 2L END)"
+      }
       t(s, d, "orders")
-        .selectExpr("CAST(o_orderkey AS STRING) AS sk")
-        .selectExpr(
-          "aggregate(filter(transform(split(reverse(sk), '')," +
-            " (c, i) -> CASE WHEN length(c) = 0 THEN -1" +
-            " WHEN i % 2 = 0 THEN int(c)" +
-            " WHEN int(c) * 2 > 9 THEN int(c) * 2 - 9" +
-            " ELSE int(c) * 2 END), x -> x >= 0)," +
-            " 0, (a, x) -> a + x) % 10 AS rem")
+        .selectExpr(s"(${terms.mkString(" + ")}) % 10L AS rem")
         .groupBy(col("rem").cast("long").as("rem"))
         .agg(count(lit(1)).as("n"))
         .withColumn("is_luhn_valid", col("rem") === 0L)
