@@ -53,13 +53,34 @@ object Windows {
     "win_rank" -> ((s, d) => {
       val o = t(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
-      val wLocal = Window
-        .partitionBy(col("pid"), col("o_orderstatus"))
-        .orderBy(col("o_orderpriority"), col("o_orderkey"))
-      val cand = o
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(wLocal))
-        .filter(col("lrn") <= 100).drop("pid", "lrn")
+      // lossless local prune: keep each physical partition's top-100 per
+      // status (any global-top-100 row is top-100 within its own
+      // partition, for ANY partition layout). One level bounds the
+      // global-window input at 100·P·|status|; when the metadata split
+      // estimate says P is huge (the 100 TB case: ~10⁶ splits would
+      // still feed 3·10⁸ candidates to the 3-partition final window), a
+      // SECOND prune over a balanced repartition caps it at
+      // 100·parallelism·|status| regardless of input partition count.
+      // Both paths are lossless, so the gate never changes the result —
+      // it only decides whether the extra candidate shuffle is worth
+      // buying (measured +0.5 s at sf1 for zero benefit there).
+      def prune(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window
+          .partitionBy(col("pid"), col("o_orderstatus"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+        df.withColumn("pid", spark_partition_id())
+          .withColumn("lrn", row_number().over(w))
+          .filter(col("lrn") <= 100).drop("pid", "lrn")
+      }
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val bytes = o.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+      val estSplits = math.max(o.inputFiles.length.toLong,
+        bytes / math.max(1L, conf.filesMaxPartitionBytes) + 1L)
+      val par = s.sparkContext.defaultParallelism
+      val pruned = prune(o)
+      val cand =
+        if (estSplits > 64L * par) prune(pruned.repartition(par))
+        else pruned
       val wCum = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_orderpriority"))
       val rkTab = o

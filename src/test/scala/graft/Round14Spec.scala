@@ -176,6 +176,34 @@ class Round14Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("fn_luhn digit-unrolled form matches a reference Luhn on edge keys") {
+    // the r14 rewrite replaced the per-character HOF fold with 19
+    // unrolled digit terms; pin it against an independent string-walk
+    // reference on boundary keys (single digit, carries at every
+    // position, the classic 79927398713 valid number, 18- and 19-digit
+    // keys near Long.MaxValue)
+    import spark.implicits._
+    val keys = Seq(1L, 9L, 10L, 18L, 79927398713L, 999999999999999999L,
+      1000000000000000000L, Long.MaxValue, 4539578763621486L)
+    def refLuhn(k: Long): Long = {
+      val ds = k.toString.reverse.map(_ - '0')
+      ds.zipWithIndex.map { case (dd, i) =>
+        if (i % 2 == 0) dd
+        else if (dd * 2 > 9) dd * 2 - 9 else dd * 2
+      }.sum % 10L
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-r14-luhn")
+      .toString
+    keys.toDF("o_orderkey").coalesce(1)
+      .write.parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("fn_luhn")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = keys.groupBy(refLuhn).map { case (rem, ks) =>
+      rem -> ks.size.toLong
+    }
+    assert(got == expect, s"got $got vs $expect")
+  }
+
   test("evt_type_overlap: fast and fallback paths agree on 62-boundary") {
     // 62 types = widest mask domain; must still be the fast path and
     // must equal the brute expectation (bit 61 exercised)
