@@ -915,6 +915,13 @@ object MlTrain {
     // 12/(bk(k+1))·ΣR_j² − 3b(k+1) as one floor-ppm expression of
     // exact integers. Everything data-sized is ONE co-keyed aggregate;
     // the ranking runs on the 5×3 block table.
+    // NOTE (r14): a per-order pre-aggregate below the join (the
+    // agg_rollup pattern) was tried and REVERTED — here the post-join
+    // aggregate has only 5 groups (map-side reduction is already total),
+    // so pre-grouping by the near-unique order key just adds a second
+    // wide shuffle (measured 5.2 → 6.2 s at sf1). Pushdown pays when it
+    // SHRINKS what the join shuffles, not when the downstream aggregate
+    // is already free.
     "ml_friedman_test" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")

@@ -1005,14 +1005,22 @@ object Relational {
     // scale-safe form (stays a bounded shuffle even if the exclusion
     // list grew fact-sized, where a broadcast NOT IN would OOM).
     "tpch_q16_suppcnt" -> ((s, d) => {
+      // r14: the part-descriptor filter keeps ~1/6 of parts, so it
+      // semi-prunes the pair stream BEFORE the distinct — the expensive
+      // near-unique-key shuffle runs over the qualifying ~16% instead of
+      // every observed (part, supplier) pair. The descriptor join-back
+      // then attaches brand/type/size to the already-distinct pairs.
+      val keep = t(s, d, "part").filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47))
       val pairs = t(s, d, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(keep.select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .distinct()
         .join(t(s, d, "supplier").filter(col("s_acctbal") < 0)
           .select(col("s_suppkey")),
           col("l_suppkey") === col("s_suppkey"), "left_anti")
-      pairs.join(t(s, d, "part").filter(col("p_brand") =!= "Brand#1" &&
-          col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)),
-          col("l_partkey") === col("p_partkey"))
+      pairs.join(keep, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
