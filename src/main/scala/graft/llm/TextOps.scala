@@ -409,14 +409,21 @@ object TextOps {
     // shuffle key is the SHINGLE; per-shingle fan-out is bounded by
     // |sources|², never doc×doc, and the output is a |sources|² matrix.
     "llm_source_overlap" -> ((s, d) => {
+      // r14: ONE shingle-keyed shuffle — collect_set(source) absorbs the
+      // distinct AND replaces the self-join (which re-shuffled the
+      // distinct stream twice more). The per-group buffer is bounded by
+      // |sources| (a handful), and the i<j pair fan-out runs as codegen
+      // generators over the sorted set — the basket-pairs shape.
       val sh = shingles(s, d)
         .join(t(s, d, "documents").select(col("doc_id"), col("source")),
           Seq("doc_id"))
-        .select(col("shingle"), col("source")).distinct()
-      sh.select(col("shingle"), col("source").as("src_a"))
-        .join(sh.select(col("shingle"), col("source").as("src_b")),
-          Seq("shingle"))
-        .filter(col("src_a") < col("src_b"))
+        .select(col("shingle"), col("source"))
+      sh.groupBy(col("shingle"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("ss"), posexplode(col("ss")).as(Seq("i", "src_a")))
+        .select(col("src_a"), explode(expr(
+          "slice(ss, i + 2, size(ss) - i - 1)")).as("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared_shingles"))
     }),
@@ -1150,10 +1157,14 @@ object TextOps {
     // shingle table, never doc×doc. Ratios are exact-integer until the
     // one output division.
     "llm_novelty" -> ((s, d) => {
+      // one shingle-keyed shuffle (r14): min(doc_id) as a whole-partition
+      // window replaces the groupBy + join-back, which re-shuffled the
+      // full shingle stream a second time for the same per-occurrence
+      // first_doc. The window partitions on the near-unique shingle key —
+      // millions of tiny partitions, never one task.
       val sh = shingles(s, d)
-      val first = sh.groupBy(col("shingle"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, Seq("shingle"))
+      val wsh = Window.partitionBy(col("shingle"))
+      sh.withColumn("first_doc", min(col("doc_id")).over(wsh))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
