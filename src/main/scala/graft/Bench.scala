@@ -83,17 +83,22 @@ object Bench {
     // join_salted_skew 9.33 vs 1.36; evt_holt 5.23 vs 0.48) — is now
     // closed DETERMINISTICALLY by the per-rep Ckpt.collecting release in
     // time() above, which is engine lifecycle, not bench hygiene. What
-    // remains GC-lifecycled is small: dead broadcast variables and
-    // cleaner-tracked shuffle state. A long-cadence GC keeps those from
-    // compounding over a 458-query board without the r13 problem of the
-    // cleaner's async unpersist churn bleeding into timed windows (the
-    // settle pause + throwaway action absorb it).
+    // remains GC-lifecycled: dead broadcast variables and cleaner-tracked
+    // shuffle state. A first cut relaxed this cadence to every-50/120s on
+    // the theory that the ckpt release left only small debris — measured
+    // FALSE on a full sf0.1 board: ~50 queries x 3 reps of broadcast
+    // relations + shuffle registrations between GCs re-created the drift
+    // (ml_ks_model 11.2 s board vs 0.9 s isolated; llm_source_overlap
+    // 4.96 vs 1.5). The r13 work-aware cadence stays: it bounds the
+    // un-GC'd window at ~30 queries' debris, and the settle pause +
+    // throwaway action keep the cleaner's async unpersist churn out of
+    // the next timed window.
     var sinceGc = 0
     var secsSinceGc = 0.0
     def maybeReclaim(lastSecs: Double): Unit = {
       sinceGc += 1
       secsSinceGc += lastSecs
-      if (sinceGc >= 50 || secsSinceGc >= 120.0) {
+      if (sinceGc >= 10 || secsSinceGc >= 30.0) {
         sinceGc = 0
         secsSinceGc = 0.0
         System.gc()

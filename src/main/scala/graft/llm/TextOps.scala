@@ -1179,22 +1179,30 @@ object TextOps {
 
     // BM25 retrieval scoring (Robertson/Lucene form, k1=1.2, b=0.75) —
     // the lexical-retrieval baseline every RAG/dedup pipeline ranks
-    // against. One tokenize pass feeds doc lengths and the per-term tf
-    // table (filtered to the query terms BEFORE any join, so the joined
-    // volume is matches-only); df re-aggregates the tf table; N/avgdl is
-    // a 1-row scalar broadcast. Per-(doc, term) scores are one identical
-    // double expression tree on both engines, rounded → scaled BIGINT,
-    // then summed per doc (≤|query| integer terms — associative, so
+    // against. r14 shape: the old plan re-derived the EXPLODED token
+    // stream four times (dl, stats-over-dl, tf, df-over-tf — ~4 corpus
+    // tokenize passes, steady 3.3 s at sf0.1). Doc length is now
+    // scan-side — size(split(text)) is exactly the exploded-token count
+    // for any non-null text, since split yields ≥1 element — so dl and
+    // the N/avgdl scalar cost two cheap column scans with NO explode and
+    // no token shuffle; the one remaining tokenize pass feeds tf
+    // (filtered to the query terms BEFORE the aggregate, so the shuffled
+    // volume is matches-only), and df rides a tok-keyed window over the
+    // tiny tf table instead of a re-aggregate + join-back of a second
+    // tokenize pass. Per-(doc, term) scores are one identical double
+    // expression tree on both engines, rounded → scaled BIGINT, then
+    // summed per doc (≤|query| integer terms — associative, so
     // partial-agg order can't flip the hash); top-20 with a doc_id
     // tiebreak under the rounded score keeps the limit deterministic.
     "llm_bm25" -> ((s, d) => {
       val qTerms = Seq("hash", "join", "spark")
-      val toks = spread(t(s, d, "documents"))
+      val docs = spread(t(s, d, "documents")).filter(col("text").isNotNull)
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val tf = toks.filter(col("tok").isin(qTerms: _*))
+        .filter(col("tok").isin(qTerms: _*))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val stats = dl.agg(sum(col("dl")).as("tot_len"),
         count(lit(1)).as("n_docs"))
       val termScore =
@@ -1202,7 +1210,8 @@ object TextOps {
           col("tf") * 2.2 /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
             (col("tot_len").cast("double") / col("n_docs"))))
-      tf.join(dfT, Seq("tok"))
+      tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("tok"))))
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .select(col("doc_id"),

@@ -1489,24 +1489,36 @@ object MlTrain {
     // Apriori: frequent brands (support ≥ 10%) → pairs among frequent
     // only → directional rules at support ≥ 2%, confidence ≥ 12%. Every threshold is an
     // integer cross-multiplication — no FP boundary can flip membership.
+    // r14 shape: ONE corpus-wide shuffle. groupBy(ok).collect_set(item)
+    // dedups (ok, item) AND builds the sorted basket in the same
+    // exchange — the former distinct() paid a separate corpus shuffle,
+    // and the frequent-item restriction was a join-back over the
+    // distinct stream followed by a SECOND ok-keyed shuffle into the
+    // basket aggregate. The grouped basket frame (|orders| rows of
+    // ≤|brands| arrays — much smaller than the pre-group stream) is
+    // ckpt'd and feeds all three legs; item counts explode it (the
+    // per-basket arrays are already distinct, so the counts are
+    // identical to the old distinct-stream aggregate), the basket count
+    // is a row count, and frequent filtering runs as a bounded HOF over
+    // the sorted array against the broadcast ≤|brands| frequent set —
+    // order-preserving, so the i1 < i2 generators still see sorted input.
     "ml_apriori_rules" -> ((s, d) => {
-      val items = t(s, d, "lineitem")
+      val baskets = t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-        .distinct()
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("item"))).as("its"))
         .ckpt(eager = false) // basket universe feeds 3 legs
-      val nb = items.select(count_distinct(col("ok")).as("nn"))
-      val freq = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      val nb = baskets.select(count(lit(1)).as("nn"))
+      val freq = baskets.select(explode(col("its")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(nb))
         .filter(col("cnt") * 10 >= col("nn"))  // item support ≥ 0.10
         .select(col("item"), col("cnt"), col("nn"))
-      val fi = items.join(broadcast(freq.select(col("item"))), Seq("item"))
-      // single basket-keyed shuffle + codegen pair generators (the
-      // rec_item_cosine / exactPairCommon shape, r13) — the ok-keyed
-      // self-join shuffled the frequent-item stream twice for the same
-      // i1 < i2 pair set; sorted collect_set gives the order for free
-      val pairs = fi.groupBy(col("ok"))
-        .agg(sort_array(collect_set(col("item"))).as("its"))
+      val fset = freq.agg(sort_array(collect_set(col("item"))).as("fq"))
+      val pairs = baskets
+        .crossJoin(broadcast(fset))
+        .select(expr("filter(its, x -> array_contains(fq, x))").as("its"))
         .filter(size(col("its")) >= 2)
         .select(col("its"), posexplode(col("its")).as(Seq("i", "i1")))
         .select(col("i1"), explode(expr(

@@ -221,4 +221,105 @@ class Round14Spec extends AnyFunSuite {
       ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got == expected(80, 62))
   }
+
+  test("llm_bm25: single tokenize pass, rows identical to the 4-pass form") {
+    import graft.core.Tables.{spread, t}
+    val sf = TestSession.sf
+    val df = SparkEntry.queries("llm_bm25")(spark, sf)
+    // the r14 plan tokenizes ONCE: exactly one Generate (explode) node —
+    // the old shape re-derived the exploded stream for dl, stats and df
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.size == 1, s"expected 1 Generate, got ${gens.size}")
+    // old 4-pass reference form, inline (the r13 shape)
+    val qTerms = Seq("hash", "join", "spark")
+    val toks = spread(t(spark, sf, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(sum(col("dl")).as("tot_len"),
+      count(lit(1)).as("n_docs"))
+    val termScore =
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") /
+          (col("tot_len").cast("double") / col("n_docs"))))
+    val ref = tf.join(dfT, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(termScore * 1e6).cast("bigint").as("su"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        (sum(col("su")) / 1e6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+    assert(df.collect().toSeq == ref.collect().toSeq)
+  }
+
+  test("ml_apriori_rules: one corpus shuffle, rows identical to 2-shuffle form") {
+    import graft.core.Tables.t
+    val sf = TestSession.sf
+    graft.core.Ckpt.drain()
+    graft.core.Ckpt.recording = true
+    val (df, segs) = try {
+      val q = SparkEntry.queries("ml_apriori_rules")(spark, sf)
+      (q, graft.core.Ckpt.drain())
+    } finally graft.core.Ckpt.recording = false
+    // the pre-ckpt basket segment pays exactly ONE wide shuffle — the
+    // ok-keyed collect_set aggregate (the part join is broadcast); the
+    // old shape paid a distinct() exchange on (ok, item) first. An
+    // executed AQE plan prints Final + Initial copies of the same tree,
+    // so count only the final-plan section.
+    val basketSeg = segs.map(_._2.toString.split("== Initial Plan ==")(0))
+      .mkString("\n")
+    val wide = "Exchange hashpartitioning".r
+      .findAllIn(basketSeg).size
+    assert(wide == 1, s"expected 1 wide exchange pre-ckpt, got $wide")
+    // old 2-shuffle + join-back reference form, inline (the r13 shape)
+    val items = t(spark, sf, "lineitem")
+      .join(broadcast(t(spark, sf, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+      .distinct()
+    val nb = items.select(count_distinct(col("ok")).as("nn"))
+    val freq = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nb))
+      .filter(col("cnt") * 10 >= col("nn"))
+      .select(col("item"), col("cnt"), col("nn"))
+    val fi = items.join(broadcast(freq.select(col("item"))), Seq("item"))
+    val pairs = fi.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("item"))).as("its"))
+      .filter(size(col("its")) >= 2)
+      .select(col("its"), posexplode(col("its")).as(Seq("i", "i1")))
+      .select(col("i1"), explode(expr(
+        "slice(its, i + 2, size(its) - i - 1)")).as("i2"))
+      .groupBy(col("i1"), col("i2"))
+      .agg(count(lit(1)).as("n_both"))
+    val both = pairs.select(col("i1").as("ante"), col("i2").as("cons"),
+        col("n_both"))
+      .union(pairs.select(col("i2"), col("i1"), col("n_both")))
+    val ref = both
+      .join(broadcast(freq.select(col("item").as("ante"),
+        col("cnt").as("n_a"))), Seq("ante"))
+      .join(broadcast(freq.select(col("item").as("cons"),
+        col("cnt").as("n_c"), col("nn"))), Seq("cons"))
+      .filter(col("n_both") * 50 >= col("nn"))
+      .filter(col("n_both") * 25 >= col("n_a") * 3)
+      .select(col("ante"), col("cons"), col("n_both"),
+        round(col("n_both").cast("double") / col("nn").cast("double"), 6)
+          .as("support"),
+        round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+          .as("conf"),
+        round(col("n_both").cast("double") * col("nn").cast("double") /
+          (col("n_a").cast("double") * col("n_c").cast("double")), 6)
+          .as("lift"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1))
+    assert(df.collect().map(r => key(r) -> r.toSeq).toMap ==
+      ref.collect().map(r => key(r) -> r.toSeq).toMap)
+  }
 }
