@@ -1489,60 +1489,124 @@ object MlTrain {
     // Apriori: frequent brands (support ≥ 10%) → pairs among frequent
     // only → directional rules at support ≥ 2%, confidence ≥ 12%. Every threshold is an
     // integer cross-multiplication — no FP boundary can flip membership.
-    // r14 shape: ONE corpus-wide shuffle. groupBy(ok).collect_set(item)
-    // dedups (ok, item) AND builds the sorted basket in the same
-    // exchange — the former distinct() paid a separate corpus shuffle,
-    // and the frequent-item restriction was a join-back over the
-    // distinct stream followed by a SECOND ok-keyed shuffle into the
-    // basket aggregate. The grouped basket frame (|orders| rows of
-    // ≤|brands| arrays — much smaller than the pre-group stream) is
-    // ckpt'd and feeds all three legs; item counts explode it (the
-    // per-basket arrays are already distinct, so the counts are
-    // identical to the old distinct-stream aggregate), the basket count
-    // is a row count, and frequent filtering runs as a bounded HOF over
-    // the sorted array against the broadcast ≤|brands| frequent set —
-    // order-preserving, so the i1 < i2 generators still see sorted input.
+    // r14 shape: ONE corpus-wide shuffle, and for item domains that fit a
+    // long BITMASK (≤62 — TPC-H has 25 brands) the basket aggregate is
+    // bit_or over (1L << brand_bit): a codegen DeclarativeAggregate with
+    // an 8-byte partial buffer, so the exchange ships one long per
+    // (map-partition, order) instead of a serialized set buffer, and
+    // nothing falls back to sort-based aggregation (the evt_type_overlap
+    // machinery). Identical baskets then collapse into a mask HISTOGRAM
+    // (one row per observed brand combination, pair fan-out weighted by
+    // its count), so pair volume is |distinct masks| · C(k,2), never
+    // |orders| · C(k,2). Bit index = rank of the brand in sorted order,
+    // so decoded arrays are sorted and the i<j generators emit each pair
+    // once; names re-attach from a broadcast ≤62-row table at the end.
+    // Wider domains keep the single-shuffle collect_set form (a bounded
+    // probe picks the path — fallback, never failure).
     "ml_apriori_rules" -> ((s, d) => {
-      val baskets = t(s, d, "lineitem")
+      val raw = t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
-        .groupBy(col("ok"))
-        .agg(sort_array(collect_set(col("item"))).as("its"))
-        .ckpt(eager = false) // basket universe feeds 3 legs
-      val nb = baskets.select(count(lit(1)).as("nn"))
-      val freq = baskets.select(explode(col("its")).as("item"))
-        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(nb))
-        .filter(col("cnt") * 10 >= col("nn"))  // item support ≥ 0.10
-        .select(col("item"), col("cnt"), col("nn"))
-      val fset = freq.agg(sort_array(collect_set(col("item"))).as("fq"))
-      val pairs = baskets
-        .crossJoin(broadcast(fset))
-        .select(expr("filter(its, x -> array_contains(fq, x))").as("its"))
-        .filter(size(col("its")) >= 2)
-        .select(col("its"), posexplode(col("its")).as(Seq("i", "i1")))
-        .select(col("i1"), explode(expr(
-          "slice(its, i + 2, size(its) - i - 1)")).as("i2"))
-        .groupBy(col("i1"), col("i2"))
-        .agg(count(lit(1)).as("n_both"))
-      val both = pairs.select(col("i1").as("ante"), col("i2").as("cons"),
-          col("n_both"))
-        .union(pairs.select(col("i2"), col("i1"), col("n_both")))
-      both
-        .join(broadcast(freq.select(col("item").as("ante"),
-          col("cnt").as("n_a"))), Seq("ante"))
-        .join(broadcast(freq.select(col("item").as("cons"),
-          col("cnt").as("n_c"), col("nn"))), Seq("cons"))
-        .filter(col("n_both") * 50 >= col("nn"))       // pair support ≥ 0.02
-        .filter(col("n_both") * 25 >= col("n_a") * 3)  // confidence ≥ 0.12
-        .select(col("ante"), col("cons"), col("n_both"),
-          round(col("n_both").cast("double") / col("nn").cast("double"), 6)
-            .as("support"),
-          round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
-            .as("conf"),
-          round(col("n_both").cast("double") * col("nn").cast("double") /
-            (col("n_a").cast("double") * col("n_c").cast("double")), 6)
-            .as("lift"))
+      // domain probe off the DIMENSION table (every joined brand is in
+      // part); 63 means "wider than a long mask" → array fallback
+      val brands = t(s, d, "part").select(col("p_brand")).distinct()
+        .orderBy(col("p_brand")).limit(63).collect().map(_.getString(0))
+      if (brands.length <= 62) {
+        val bit = brands.zipWithIndex.foldLeft(lit(0L)) {
+          case (acc, (b, i)) =>
+            when(col("item") === b, lit(1L << i)).otherwise(acc)
+        }
+        val hist = raw.select(col("ok"), bit.as("b"))
+          .groupBy(col("ok")).agg(bit_or(col("b")).as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+          .withColumn("bits", expr(
+            "filter(sequence(0, 61), b -> (shiftright(mask, b) & 1) = 1)"))
+          .ckpt(eager = false) // basket-pattern histogram feeds 3 legs
+        val nb = hist.select(sum(col("n")).as("nn"))
+        val freq = hist.select(explode(col("bits")).as("i"), col("n"))
+          .groupBy(col("i")).agg(sum(col("n")).as("cnt"))
+          .crossJoin(broadcast(nb))
+          .filter(col("cnt") * 10 >= col("nn"))  // item support ≥ 0.10
+          .select(col("i"), col("cnt"), col("nn"))
+        // frequent set as a literal-shaped 1-row mask (OR of frequent bits)
+        val fqm = freq.agg(sum(expr("shiftleft(1L, i)")).as("fqmask"))
+        val pairs = hist
+          .crossJoin(broadcast(fqm))
+          .select(col("n"), expr(
+            "filter(bits, b -> (shiftright(fqmask, b) & 1) = 1)").as("bits"))
+          .filter(size(col("bits")) >= 2)
+          .select(col("n"), col("bits"),
+            posexplode(col("bits")).as(Seq("pi", "i1")))
+          .select(col("n"), col("i1"), explode(expr(
+            "slice(bits, pi + 2, size(bits) - pi - 1)")).as("i2"))
+          .groupBy(col("i1"), col("i2"))
+          .agg(sum(col("n")).as("n_both"))
+        val both = pairs.select(col("i1").as("ai"), col("i2").as("ci"),
+            col("n_both"))
+          .union(pairs.select(col("i2"), col("i1"), col("n_both")))
+        import s.implicits._
+        val names = s.createDataset(
+          brands.zipWithIndex.map { case (b, i) => (i, b) }.toSeq)
+          .toDF("idx", "brand")
+        both
+          .join(broadcast(freq.select(col("i").as("ai"),
+            col("cnt").as("n_a"))), Seq("ai"))
+          .join(broadcast(freq.select(col("i").as("ci"),
+            col("cnt").as("n_c"), col("nn"))), Seq("ci"))
+          .filter(col("n_both") * 50 >= col("nn"))       // pair support ≥ 0.02
+          .filter(col("n_both") * 25 >= col("n_a") * 3)  // confidence ≥ 0.12
+          .join(broadcast(names.select(col("idx").as("ai"),
+            col("brand").as("ante"))), Seq("ai"))
+          .join(broadcast(names.select(col("idx").as("ci"),
+            col("brand").as("cons"))), Seq("ci"))
+          .select(col("ante"), col("cons"), col("n_both"),
+            round(col("n_both").cast("double") / col("nn").cast("double"), 6)
+              .as("support"),
+            round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+              .as("conf"),
+            round(col("n_both").cast("double") * col("nn").cast("double") /
+              (col("n_a").cast("double") * col("n_c").cast("double")), 6)
+              .as("lift"))
+      } else {
+        val baskets = raw
+          .groupBy(col("ok"))
+          .agg(sort_array(collect_set(col("item"))).as("its"))
+          .ckpt(eager = false) // basket universe feeds 3 legs
+        val nb = baskets.select(count(lit(1)).as("nn"))
+        val freq = baskets.select(explode(col("its")).as("item"))
+          .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(nb))
+          .filter(col("cnt") * 10 >= col("nn"))  // item support ≥ 0.10
+          .select(col("item"), col("cnt"), col("nn"))
+        val fset = freq.agg(sort_array(collect_set(col("item"))).as("fq"))
+        val pairs = baskets
+          .crossJoin(broadcast(fset))
+          .select(expr("filter(its, x -> array_contains(fq, x))").as("its"))
+          .filter(size(col("its")) >= 2)
+          .select(col("its"), posexplode(col("its")).as(Seq("i", "i1")))
+          .select(col("i1"), explode(expr(
+            "slice(its, i + 2, size(its) - i - 1)")).as("i2"))
+          .groupBy(col("i1"), col("i2"))
+          .agg(count(lit(1)).as("n_both"))
+        val both = pairs.select(col("i1").as("ante"), col("i2").as("cons"),
+            col("n_both"))
+          .union(pairs.select(col("i2"), col("i1"), col("n_both")))
+        both
+          .join(broadcast(freq.select(col("item").as("ante"),
+            col("cnt").as("n_a"))), Seq("ante"))
+          .join(broadcast(freq.select(col("item").as("cons"),
+            col("cnt").as("n_c"), col("nn"))), Seq("cons"))
+          .filter(col("n_both") * 50 >= col("nn"))       // pair support ≥ 0.02
+          .filter(col("n_both") * 25 >= col("n_a") * 3)  // confidence ≥ 0.12
+          .select(col("ante"), col("cons"), col("n_both"),
+            round(col("n_both").cast("double") / col("nn").cast("double"), 6)
+              .as("support"),
+            round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+              .as("conf"),
+            round(col("n_both").cast("double") * col("nn").cast("double") /
+              (col("n_a").cast("double") * col("n_c").cast("double")), 6)
+              .as("lift"))
+      }
     }))
 
   private def sel(exprs: Seq[String]) = exprs.mkString(", ")

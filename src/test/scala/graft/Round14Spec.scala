@@ -269,16 +269,21 @@ class Round14Spec extends AnyFunSuite {
       val q = SparkEntry.queries("ml_apriori_rules")(spark, sf)
       (q, graft.core.Ckpt.drain())
     } finally graft.core.Ckpt.recording = false
-    // the pre-ckpt basket segment pays exactly ONE wide shuffle — the
-    // ok-keyed collect_set aggregate (the part join is broadcast); the
-    // old shape paid a distinct() exchange on (ok, item) first. An
-    // executed AQE plan prints Final + Initial copies of the same tree,
-    // so count only the final-plan section.
+    // the pre-ckpt basket segment pays exactly ONE corpus-wide shuffle —
+    // the ok-keyed bit_or mask aggregate (the part join is broadcast; the
+    // second exchange in the segment keys the mask HISTOGRAM, which is
+    // post-aggregate data, one row per order). The old shape paid a
+    // distinct() exchange on (ok, item) plus a second ok-keyed shuffle.
+    // An executed AQE plan prints Final + Initial copies of the same
+    // tree, so count only the final-plan section.
     val basketSeg = segs.map(_._2.toString.split("== Initial Plan ==")(0))
       .mkString("\n")
-    val wide = "Exchange hashpartitioning".r
+    assert(basketSeg.contains("bit_or"),
+      "TPC-H's 25-brand domain did not take the bitmask basket path")
+    val okWide = "Exchange hashpartitioning\\(ok".r
       .findAllIn(basketSeg).size
-    assert(wide == 1, s"expected 1 wide exchange pre-ckpt, got $wide")
+    assert(okWide == 1,
+      s"expected 1 corpus-keyed (ok) exchange pre-ckpt, got $okWide")
     // old 2-shuffle + join-back reference form, inline (the r13 shape)
     val items = t(spark, sf, "lineitem")
       .join(broadcast(t(spark, sf, "part")),
@@ -321,5 +326,51 @@ class Round14Spec extends AnyFunSuite {
       (r.getString(0), r.getString(1))
     assert(df.collect().map(r => key(r) -> r.toSeq).toMap ==
       ref.collect().map(r => key(r) -> r.toSeq).toMap)
+  }
+
+  test("ml_apriori_rules: >62-item domain falls back and agrees with the mask path's math") {
+    import spark.implicits._
+    // 70 brands — wider than a long mask; deterministic baskets: order o
+    // contains brand k iff (o*3 + k*7) mod 11 < 4 (about 25 brands each,
+    // enough pair overlap to produce rules at the 10%/2%/12% thresholds)
+    val dir = java.nio.file.Files.createTempDirectory("graft-r14-apr")
+      .toString
+    val nOrders = 120; val nBrands = 70
+    (1 to nBrands).map(k => (k.toLong, f"Brand#$k%03d"))
+      .toDF("p_partkey", "p_brand").coalesce(1)
+      .write.parquet(s"$dir/part.parquet")
+    (for { o <- 1 to nOrders; k <- 1 to nBrands
+           if (o * 3 + k * 7) % 11 < 4 }
+      yield (o.toLong, k.toLong))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("ml_apriori_rules")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.toSeq).toMap
+    // brute expectation straight off the membership rule
+    val member = (1 to nOrders).map { o =>
+      (1 to nBrands).filter(k => (o * 3 + k * 7) % 11 < 4).toSet
+    }
+    val nn = nOrders.toLong
+    val cnt = (1 to nBrands)
+      .map(k => k -> member.count(_(k)).toLong).toMap
+    val frequent = (1 to nBrands).filter(k => cnt(k) * 10 >= nn)
+    val bn = (k: Int) => f"Brand#$k%03d"
+    val expect = (for {
+      a <- frequent; c <- frequent; if a != c
+      nBoth = member.count(s => s(a) && s(c)).toLong
+      if nBoth * 50 >= nn && nBoth * 25 >= cnt(a) * 3
+    } yield (bn(a), bn(c)) -> Seq[Any](bn(a), bn(c), nBoth,
+      BigDecimal(nBoth.toDouble / nn)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(nBoth.toDouble / cnt(a))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(nBoth.toDouble * nn / (cnt(a).toDouble * cnt(c)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(got.keySet == expect.keySet,
+      s"rule set mismatch: got ${got.size}, expect ${expect.size}")
+    got.foreach { case (k, v) =>
+      assert(v.take(3) == expect(k).take(3), s"counts differ at $k")
+    }
   }
 }
