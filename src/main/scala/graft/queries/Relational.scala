@@ -201,22 +201,31 @@ object Relational {
     // per-part totals broadcast-join back for lift. Top 50 by
     // (count, pair) is a deterministic TakeOrdered.
     "join_basket_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // r14: bounded_collect_set + fail-loud probe (see rec_item_cosine —
+      // same basket kernel, same exactness contract), and the pair
+      // expansion runs as the stacked posexplode + sliced-explode codegen
+      // generators instead of the nested transform/flatten lambda, whose
+      // per-element lambdas evaluate INTERPRETED (the exactPairCommon
+      // lesson, applied late to this family member).
       val baskets = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("ok"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .agg(expr("bounded_collect_set(l_partkey, 64)").as("parts"))
         .ckpt(eager = false) // consumed by 3 plan legs below
+      val maxSz = baskets
+        .agg(coalesce(max(size(col("parts"))), lit(0))).head().getInt(0)
+      require(maxSz <= 64, s"join_basket_pairs: a basket holds $maxSz " +
+        "distinct parts — saturates the bounded_collect_set cap 64; " +
+        "raise the cap")
       val nOrders = baskets.select(count(lit(1)).as("n_orders"))
       val perPart = baskets
         .select(explode(col("parts")).as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("n_pk"))
       val pairs = baskets
-        .filter(size(col("parts")) >= 2) // sequence(1, 0) would descend
-        .select(explode(expr(
-          "flatten(transform(sequence(1, size(parts) - 1)," +
-            " i -> transform(sequence(i + 1, size(parts))," +
-            " j -> struct(element_at(parts, i) AS p1," +
-            " element_at(parts, j) AS p2))))")).as("p"))
-        .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .filter(size(col("parts")) >= 2)
+        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+        .select(col("p1"), explode(expr(
+          "slice(parts, i + 2, size(parts) - i - 1)")).as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
       // top-50 FIRST: the rank key (n_both, p1, p2) lives entirely on the
       // pair aggregate, so the per-part lift joins run on 50 rows instead
@@ -1086,10 +1095,25 @@ object Relational {
     // neighborhood. Cosine inputs are exact integers; the score lands
     // on the floor-ppm grid.
     "rec_item_cosine" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // r14: bounded_collect_set(l_partkey, 64) — the basket buffer is a
+      // primitive long[66] with flat serialization, so the sort-based
+      // aggregation this near-unique key stream falls back to sorts flat
+      // binary rows and allocates nothing per update (stock collect_set's
+      // boxed per-group set was this family's GC driver — the
+      // llm_substring_dup lesson). TPC-H baskets hold ≤7 lineitems; the
+      // 1-row max-size probe on the grouped checkpoint below makes the
+      // cap FAIL-LOUD (a saturated basket reads 65), so truncated sets
+      // can never stream.
       val baskets = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("ok"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .agg(expr("bounded_collect_set(l_partkey, 64)").as("parts"))
         .ckpt(eager = false)
+      val maxSz = baskets
+        .agg(coalesce(max(size(col("parts"))), lit(0))).head().getInt(0)
+      require(maxSz <= 64, s"rec_item_cosine: a basket holds $maxSz " +
+        "distinct parts — saturates the bounded_collect_set cap 64; " +
+        "raise the cap")
       val perPart = baskets
         .select(explode(col("parts")).as("pk"))
         .groupBy(col("pk")).agg(count(lit(1)).as("f"))

@@ -373,4 +373,54 @@ class Round14Spec extends AnyFunSuite {
       assert(v.take(3) == expect(k).take(3), s"counts differ at $k")
     }
   }
+
+  test("basket family: bounded baskets equal collect_set; saturation fails loud") {
+    import graft.core.Tables.t
+    val sf = TestSession.sf
+    // equality vs the stock form on real data, both family members
+    def refBaskets = t(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val refCos = {
+      val baskets = refBaskets
+      val perPart = baskets.select(explode(col("parts")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("f"))
+      val pairs = baskets.filter(size(col("parts")) >= 2)
+        .select(col("parts"), posexplode(col("parts")).as(Seq("i", "p1")))
+        .select(col("p1"), explode(expr(
+          "slice(parts, i + 2, size(parts) - i - 1)")).as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
+      val sym = pairs.union(
+        pairs.select(col("p2"), col("p1"), col("n_both")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p1")).orderBy(col("cos_ppm").desc, col("p2"))
+      sym
+        .join(perPart.select(col("pk").as("p1"), col("f").as("n_p1")),
+          Seq("p1"))
+        .join(perPart.select(col("pk").as("p2"), col("f").as("n_p2")),
+          Seq("p2"))
+        .filter(col("n_both") >= 2)
+        .selectExpr("p1", "p2", "n_both",
+          "CAST(floor(1e6 * n_both / sqrt(CAST(n_p1 AS DOUBLE) * " +
+            "CAST(n_p2 AS DOUBLE)) + 0.5) AS BIGINT) AS cos_ppm")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+    }
+    val gotCos = SparkEntry.queries("rec_item_cosine")(spark, sf)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    assert(gotCos.collect().map(r => key(r) -> r.toSeq).toMap ==
+      refCos.collect().map(r => key(r) -> r.toSeq).toMap)
+    // fail-loud: a 65-part order must abort the probe, never emit
+    // truncated baskets
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-r14-sat")
+      .toString
+    (1 to 65).map(k => (1L, k.toLong))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.parquet(s"$dir/lineitem.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("rec_item_cosine")(spark, dir)
+    }
+    assert(e.getMessage.contains("saturates"), e.getMessage)
+  }
 }
