@@ -60,8 +60,19 @@ case class BoundedCollectSet(
     s"bounded_collect_set cap must be in [1, 2^20], got $cap")
 
   // buf(0) = n (number of values); values at indices 1..n; saturated when
-  // n == cap + 1
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](cap + 2)
+  // n == cap + 1. The buffer GROWS lazily (doubling, bounded by cap + 2):
+  // with a large cap (the exact-anchor kernel uses 10 000) an eager
+  // cap-sized allocation per group would cost 80 KB for the df=1 groups
+  // that dominate every shingle stream; typical groups never leave the
+  // initial 10-slot array. TypedImperativeAggregate stores the buffer
+  // returned by update/merge, so reallocation is safe.
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](math.min(cap + 2, 10))
+
+  private def ensure(buf: Array[Long], idx: Int): Array[Long] =
+    if (idx < buf.length) buf
+    else java.util.Arrays.copyOf(buf,
+      math.min(cap + 2, math.max(buf.length * 2, idx + 1)))
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val n = buf(0).toInt
@@ -71,24 +82,29 @@ case class BoundedCollectSet(
         val x = v.asInstanceOf[Long]
         var i = 1
         while (i <= n && buf(i) != x) i += 1
-        if (i > n) { buf(i) = x; buf(0) = n + 1 }
+        if (i > n) {
+          val b = ensure(buf, i)
+          b(i) = x; b(0) = n + 1
+          return b
+        }
       }
     }
     buf
   }
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var b = b1
     val n2 = b2(0).toInt
     var j = 1
-    while (j <= n2 && b1(0).toInt <= cap) {
+    while (j <= n2 && b(0).toInt <= cap) {
       val x = b2(j)
-      val n = b1(0).toInt
+      val n = b(0).toInt
       var i = 1
-      while (i <= n && b1(i) != x) i += 1
-      if (i > n) { b1(i) = x; b1(0) = n + 1 }
+      while (i <= n && b(i) != x) i += 1
+      if (i > n) { b = ensure(b, i); b(i) = x; b(0) = n + 1 }
       j += 1
     }
-    b1
+    b
   }
 
   override def eval(buf: Array[Long]): Any = {
@@ -110,7 +126,9 @@ case class BoundedCollectSet(
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val buf = new Array[Long](cap + 2)
+    // size to the serialized content (n + 1 longs), not to the cap —
+    // merge grows the array on demand
+    val buf = new Array[Long](math.max(bytes.length / 8, 1))
     var i = 0
     while (bb.remaining() >= 8 && i < buf.length) {
       buf(i) = bb.getLong(); i += 1

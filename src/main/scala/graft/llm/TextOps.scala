@@ -101,15 +101,19 @@ object TextOps {
     * the anchors need anyway) and aborts with the banded-LSH redirect
     * while zero pairs exist.
     *
-    * Degraded failure mode, documented: the probe runs AFTER the
-    * collect_set aggregation, so a single shingle with df ~10⁷–10⁸ can
-    * spill-thrash one aggregation buffer (hundreds of MB of doc ids in
-    * one group) before the probe ever sees it. For adversarial corpora
-    * set `spark.graft.anchor.dfPrecheck=true`: a constant-memory
-    * count(1)-per-shingle pre-pass (one extra full-stream shuffle — the
-    * exact cost the default path exists to avoid) checks the budget
-    * before any doc list is buffered. In-budget lists (≤10k longs,
-    * ~80 KB) are safe without it. */
+    * The r13 degraded failure mode (a df ~10⁷–10⁸ shingle spill-thrashing
+    * one collect_set buffer with hundreds of MB of doc ids before the
+    * probe could see it — ADVICE r13) is CLOSED by construction: the
+    * aggregate is `bounded_collect_set(doc_id, budget)`, whose buffer
+    * SATURATES at budget + 1 values (~80 KB), so the hottest possible
+    * group buffers 80 KB, the probe reads budget + 1, and the abort stays
+    * loud with zero pairs streamed. Groups at or under the budget are
+    * exact, so in-budget corpora produce bit-identical results to stock
+    * collect_set (BoundedCollectSetSpec). The primitive flat buffer also
+    * removes the boxed per-group set that drove GC on the basket family.
+    * `spark.graft.anchor.dfPrecheck=true` still runs the constant-memory
+    * count-only pre-pass for corpora where even the saturated aggregate
+    * pass is unwanted; it is no longer needed for memory safety. */
   private[graft] def exactAnchorFrames(s: SparkSession, d: String,
       who: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
@@ -124,6 +128,7 @@ object TextOps {
   private[graft] def exactAnchorFrames(raw: DataFrame, precheck: Boolean,
       who: String, budget: Long = maxAnchorShingleDf)
       : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(raw.sparkSession)
     def overBudget(df: Long) =
       s"$who: shingle document frequency $df exceeds the exact-anchor " +
         s"pairing budget $budget (f^2 pair rows) — use the banded-LSH " +
@@ -135,8 +140,10 @@ object TextOps {
       require(df <= budget, overBudget(df))
     }
     val grouped = raw.groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .agg(expr(s"bounded_collect_set(doc_id, $budget)").as("docs"))
       .ckpt(eager = false)
+    // a saturated group reads budget + 1 here — fail-loud, and the only
+    // memory it ever held was (budget + 1) longs
     val maxDf = grouped.agg(coalesce(max(size(col("docs"))), lit(0)))
       .head().getInt(0)
     require(maxDf <= budget, overBudget(maxDf))

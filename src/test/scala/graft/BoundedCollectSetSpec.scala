@@ -88,4 +88,21 @@ class BoundedCollectSetSpec extends AnyFunSuite {
       s"only-new=${now -- old}")
     assert(now.nonEmpty, "fixture should plant at least one dup pair")
   }
+
+  test("lazy buffer growth: large caps stay exact through doubling and merges") {
+    registered()
+    import spark.implicits._
+    // cap 10000 (the exact-anchor budget): the buffer starts at 10 slots
+    // and doubles on demand, so a df=500 group crosses several growth
+    // boundaries in updates AND in partial-buffer merges (16 partitions);
+    // df=3 groups stay in the initial allocation
+    val rows = (for { v <- 1L to 500L } yield (1, v * 7)) ++
+      (for { v <- 1L to 3L } yield (2, v))
+    val got = rows.toDF("k", "v").repartition(16)
+      .groupBy($"k")
+      .agg(expr("bounded_collect_set(v, 10000)").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1) == (1L to 500L).map(_ * 7), "df=500 exact sorted set")
+    assert(got(2) == Seq(1L, 2L, 3L))
+  }
 }
